@@ -1,0 +1,138 @@
+"""Window analytics — the reference's analytical core (W1-W5).
+
+The reference runs one window-function SQL statement inside Postgres
+(reference ODS.py:59-80): per contract-month series it takes the *next*
+row's contract and price (``lag(col, -1)`` ≡ ``lead``, ODS.py:62-64), a
+calendar spread across month numbers within one snapshot date
+(ODS.py:65), and 200-/50-row moving averages (ODS.py:66-67).
+
+Here those semantics run on the synthetic star schema: ``l_partkey``
+plays the contract-month series key, ``l_shipdate`` the snapshot date,
+``l_extendedprice`` the price. All windows are native
+``pyspark.sql.Window`` — each PARTITION BY is one hash shuffle, frames
+are ROWS-based (streaming-friendly, no range scan), and moving averages
+use decimal-exact accumulation (functions/exact.py) so results are
+reproducible at any partitioning.
+
+Scale notes: the window shuffle partitions by the series key; at 100 TB
+the series-key cardinality (≈ #parts) is large so partitions stay small
+and skew-free. Ordering includes unique tiebreakers (l_orderkey,
+l_linenumber) so lead/lag are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+
+def w_series() -> Window:
+    # Deterministic total order within a part's price series:
+    # (l_orderkey, l_linenumber) is unique, so lead/lag are stable.
+    return Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+
+
+def next_values(lineitem: DataFrame) -> DataFrame:
+    """W1+W2 (ODS.py:62-64): next row's key and price per series,
+    with the reference's 'NaN' sentinel for the series edge (ODS.py:62
+    coalesces the lagged text to 'NaN')."""
+    w = w_series()
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.coalesce(
+            F.lead(F.col("l_suppkey").cast("string"), 1).over(w), F.lit("NaN")
+        ).alias("next_supp"),
+        F.lead("l_extendedprice", 1).over(w).alias("next_price"),
+    )
+
+
+def moving_averages(lineitem: DataFrame) -> DataFrame:
+    """W4+W5 (ODS.py:66-67): 200- and 50-row trailing moving averages
+    per series, ROWS frames, exact accumulation."""
+    w = w_series()
+    out = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_extendedprice",
+        _ma("l_extendedprice", w, 200).alias("ma_200"),
+        _ma("l_extendedprice", w, 50).alias("ma_50"),
+    )
+    return out
+
+
+def _ma(col: str, w: Window, preceding: int) -> F.Column:
+    frame = w.rowsBetween(-preceding, 0)
+    return (
+        F.sum(F.col(col).cast(DEC)).over(frame).cast("double")
+        / F.count(F.col(col)).over(frame)
+    ).cast("double")
+
+
+def calendar_spread(lineitem: DataFrame) -> DataFrame:
+    """W3 (ODS.py:65): within one snapshot date, price minus the
+    previous price in descending series-key order, rounded to 2
+    (the reference rounds: ``round(last - lag(last) over (...), 2)``)."""
+    w = Window.partitionBy("l_shipdate").orderBy(
+        F.col("l_partkey").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") - F.lag("l_extendedprice", 1).over(w), 2
+        ).alias("spread"),
+    )
+
+
+def flagship(lineitem: DataFrame) -> DataFrame:
+    """The reference's flagship statement (ODS.py:59-80) as ONE plan:
+    W1-W5 together, the way the windowed SELECT feeds the fact build.
+
+    Two window specs → two shuffles (by series key, by snapshot date);
+    Catalyst evaluates both window operators in a single pass each.
+    """
+    w_mo = w_series()
+    w_day = Window.partitionBy("l_shipdate").orderBy(
+        F.col("l_partkey").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        # dates surface as strings: engine-portable (a Spark DATE and a
+        # DuckDB DATE round-trip differently through pandas)
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+        F.coalesce(
+            F.lead(F.col("l_suppkey").cast("string"), 1).over(w_mo), F.lit("NaN")
+        ).alias("next_supp"),
+        F.lead("l_extendedprice", 1).over(w_mo).alias("next_price"),
+        F.round(
+            F.col("l_extendedprice") - F.lag("l_extendedprice", 1).over(w_day), 2
+        ).alias("spread"),
+        _ma("l_extendedprice", w_mo, 200).alias("ma_200"),
+        _ma("l_extendedprice", w_mo, 50).alias("ma_50"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag + conditional cumsum (batch twin of the
+    streaming session_window). Not in the reference; standard OLAP
+    surface for the events table."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(by_user))
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

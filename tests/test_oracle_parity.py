@@ -1,0 +1,32 @@
+"""Every declared query must hash-match its DuckDB oracle — the local
+twin of the driver's CORRECTNESS gate. New queries added to
+``__spark_entry__.queries()`` are picked up automatically."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from building_coffee_commodity_trading_data_warehouse_spark.testing.compare import compare
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_query_has_callable():
+    assert _QUERIES, "no queries declared"
+    for name, fn in _QUERIES.items():
+        assert callable(fn), name
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, sf_dir, name):
+    assert name in _QUERIES, f"oracle for undeclared query {name}"
+    rep = compare(_QUERIES[name](spark, sf_dir), _ORACLES[name], sf_dir)
+    assert rep["ok"], f"{name}: {rep['detail']} (spark={rep['spark_rows']} oracle={rep['oracle_rows']})"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.schema.fieldNames()
