@@ -5,9 +5,11 @@
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for the driver's correctness gate.
 
-Float policy: any aggregate over doubles goes through DECIMAL(38,6)
-accumulation on BOTH engines (see functions/exact.py) so value hashes
-match bit-for-bit regardless of partitioning or aggregation order.
+Portability policy (so value hashes match bit-for-bit):
+  * any SUM/AVG over doubles goes through DECIMAL(38,6) accumulation
+    on BOTH engines (functions/exact.py) — order-independent;
+  * dates/timestamps leave queries as formatted strings;
+  * every window/rank ordering includes a unique tiebreaker.
 """
 
 from __future__ import annotations
@@ -15,12 +17,43 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from building_coffee_commodity_trading_data_warehouse_spark import catalog
 from building_coffee_commodity_trading_data_warehouse_spark.session import tune
-from building_coffee_commodity_trading_data_warehouse_spark.operators import windows
+from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+    aggregates,
+    joins,
+    topk,
+    windows,
+)
+from building_coffee_commodity_trading_data_warehouse_spark.functions.exact import (
+    sql_davg,
+    sql_dsum,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if sql is not None:
+            _ORACLES[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return catalog.table(spark, sf_dir, name)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,13 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# query registry
+# W1-W5 — window analytics (operators/windows.py)
 # ---------------------------------------------------------------------------
-
-def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune(spark)
-    return windows.flagship(catalog.table(spark, sf_dir, "lineitem"))
-
 
 _SQL_MA = (
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER "
@@ -48,11 +76,12 @@ _SQL_MA = (
     "ROWS BETWEEN {n} PRECEDING AND CURRENT ROW)"
 )
 
-_FLAGSHIP_SQL = f"""
+
+@_register(
+    "flagship_windows",
+    f"""
 SELECT
-  l_orderkey,
-  l_linenumber,
-  l_partkey,
+  l_orderkey, l_linenumber, l_partkey,
   strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
   l_extendedprice AS price,
   COALESCE(LEAD(CAST(l_suppkey AS VARCHAR), 1) OVER
@@ -67,16 +96,417 @@ SELECT
   {_SQL_MA.format(n=200)} AS ma_200,
   {_SQL_MA.format(n=50)} AS ma_50
 FROM lineitem
-"""
+""",
+)
+def _q_flagship(spark, sf_dir):
+    return windows.flagship(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "w_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+""",
+)
+def _q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_s = (F.col("ts_ns") / F.lit(1000000000)).cast("long") - (
+        F.lag("ts_ns", 1).over(w) / F.lit(1000000000)
+    ).cast("long")
+    new_s = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", new_s.alias("new_s"))
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(
+                Window.partitionBy("user_id")
+                .orderBy("event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "event_id", F.col("session_id").cast("long").alias("session_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J4 — joins (operators/joins.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j_star_join",
+    """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment,
+       n.n_name AS nation, r.r_name AS region
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+""",
+)
+def _q_star(spark, sf_dir):
+    out = joins.star_join(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        "c_name",
+        "c_mktsegment",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+    )
+
+
+@_register(
+    "j_roleplay_nation",
+    """
+SELECT l.l_orderkey, l.l_linenumber,
+       cn.n_name AS cust_nation, sn.n_name AS supp_nation
+FROM lineitem l
+LEFT JOIN orders o    ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c  ON o.o_custkey = c.c_custkey
+LEFT JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+LEFT JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+""",
+)
+def _q_roleplay(spark, sf_dir):
+    out = joins.roleplay_nation(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+    return out.select("l_orderkey", "l_linenumber", "cust_nation", "supp_nation")
+
+
+@_register(
+    "j_merge_upsert",
+    """
+WITH staged AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+tgt AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date
+  FROM orders
+)
+SELECT * FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM staged s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT * FROM staged
+""",
+)
+def _q_merge(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    staged = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", (F.col("o_totalprice") * 1.1).cast("double")
+    )
+    return joins.merge_upsert(orders, staged, ["o_orderkey"])
+
+
+@_register(
+    "j_semi_anti",
+    """
+SELECT
+  (SELECT COUNT(*) FROM orders o
+     WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+                   AND c.c_mktsegment = 'BUILDING')) AS n_semi,
+  (SELECT COUNT(*) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+                   AND c.c_mktsegment = 'BUILDING')) AS n_anti
+""",
+)
+def _q_semi_anti(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    bld = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    semi = orders.join(bld, orders.o_custkey == bld.c_custkey, "left_semi").count()
+    anti = orders.join(bld, orders.o_custkey == bld.c_custkey, "left_anti").count()
+    return (
+        orders.sparkSession.range(1)
+        .select(F.lit(semi).alias("n_semi"), F.lit(anti).alias("n_anti"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1-A5 — aggregates (operators/aggregates.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def _q_pricing(spark, sf_dir):
+    return aggregates.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "a_minmax_spread",
+    """
+SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       MAX(l_extendedprice) - MIN(l_extendedprice) AS spread_max_min,
+       COUNT(*) AS n_trades
+FROM lineitem
+GROUP BY 1
+""",
+)
+def _q_spread(spark, sf_dir):
+    return aggregates.minmax_spread(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "a_union_aggregate",
+    f"""
+WITH unioned AS (
+  SELECT * FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM unioned GROUP BY o_orderstatus
+""",
+)
+def _q_union(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.union_then_aggregate(
+        [
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        ]
+    )
+
+
+@_register(
+    "a_rollup",
+    f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def _q_rollup(spark, sf_dir):
+    return aggregates.rollup_status_priority(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "a_distinct_counts",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+       COUNT(DISTINCT l_partkey) AS n_parts_exact
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_distinct(spark, sf_dir):
+    return aggregates.distinct_counts(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "a_global_counts",
+    """
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+  (SELECT COUNT(l_quantity) FROM lineitem) AS lineitem_qty_nonnull,
+  (SELECT COUNT(*) FROM orders) AS orders_rows
+""",
+)
+def _q_counts(spark, sf_dir):
+    return aggregates.global_counts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — top-k / ordered output (operators/topk.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s_topk_per_group",
+    """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def _q_topk(spark, sf_dir):
+    out = topk.topk_per_group(_t(spark, sf_dir, "orders"), k=3)
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P14 — filters & pushdown; F1-F15 — scalar battery
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p_filter_pushdown",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_quantity > 25
+""",
+)
+def _q_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 25)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@_register(
+    "f_scalar_battery",
+    """
+SELECT o_orderkey,
+  ROUND(o_totalprice, 1) AS price_r1,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'NaN') AS status_sentinel,
+  LOWER(o_orderpriority) AS prio_lower,
+  SUBSTR(o_orderpriority, 1, 3) AS prio_pfx,
+  INSTR(o_orderpriority, '-') AS dash_pos,
+  REGEXP_REPLACE(o_orderpriority, '[AEIOU]', '', 'g') AS prio_novowel,
+  STRING_SPLIT(o_orderpriority, '-')[1] AS prio_token0,
+  LEN(STRING_SPLIT(o_orderpriority, '-')) AS prio_ntokens,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int
+FROM orders
+""",
+)
+def _q_scalars(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("NaN")).alias(
+            "status_sentinel"
+        ),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_pfx"),
+        F.instr("o_orderpriority", "-").cast("long").alias("dash_pos"),
+        F.regexp_replace("o_orderpriority", "[AEIOU]", "").alias("prio_novowel"),
+        F.split("o_orderpriority", "-").getItem(0).alias("prio_token0"),
+        F.size(F.split("o_orderpriority", "-")).cast("long").alias("prio_ntokens"),
+        # explicit floor: a bare double→int cast truncates in Spark but
+        # rounds in DuckDB
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+    )
+
+
+@_register(
+    "f_date_functions",
+    """
+SELECT o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+  CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_id,
+  CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS year_month,
+  month(o_orderdate) AS order_month,
+  year(o_orderdate) AS order_year,
+  dayofweek(o_orderdate) AS order_dow,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders
+""",
+)
+def _q_dates(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("date_id"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+@_register(
+    "f_json_extract",
+    """
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  COALESCE(json_extract_string(props, '$.missing'), 'NaN') AS missing_sentinel
+FROM events
+""",
+)
+def _q_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing"), F.lit("NaN")
+        ).alias("missing_sentinel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "flagship_windows": _q_flagship,
-    }
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "flagship_windows": _FLAGSHIP_SQL,
-    }
+    return dict(_ORACLES)

@@ -32,8 +32,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one catalog table. Parquet scan → pushdown + pruning free."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one catalog table. Parquet scan → pushdown + pruning free.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
+    as a long. Expose both: ``ts_ns`` (exact, for deterministic
+    ordering/gap math) and ``ts`` (microsecond TimestampType).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

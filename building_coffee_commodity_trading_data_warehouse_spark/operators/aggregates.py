@@ -1,0 +1,103 @@
+"""Aggregation surface (SURVEY.md §2.4) plus the OLAP extensions the
+star schema invites (rollup, approx-distinct).
+
+Reference semantics:
+  A1  global count (row-count reconciliation, STG.py:86,97-100)
+  A3  grouped sums over players (the COT goldens)
+  A4  grouped max-min spread (Spead.csv)
+  A5  vertical concat + re-aggregate (STG.py:304)
+
+All double sums/averages go through decimal-exact accumulation
+(functions/exact.py): order-independent, so results are identical under
+any partitioning — locally and on a 1000-executor cluster. Grouped
+aggregation is one hash shuffle with map-side partial aggregation
+(Spark does partial_sum before the exchange automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dsum
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate: the A1/A3 sum/avg/count
+    battery over returnflag × linestatus."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def minmax_spread(lineitem: DataFrame) -> DataFrame:
+    """A4 (Spead.csv semantics): per day, max(price) - min(price)
+    across the traded series. min/max of doubles pick existing values —
+    exact on any engine, no decimal needed."""
+    return (
+        lineitem.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"))
+        .agg(
+            (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("spread_max_min"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+def union_then_aggregate(orders_slices: list[DataFrame]) -> DataFrame:
+    """A5 + §2.7: unionByName of N slices, then grouped count/sum —
+    the pd.concat → aggregate shape of the PDF-table pipeline."""
+    from .joins import union_all_by_name
+
+    unioned = union_all_by_name(orders_slices)
+    return unioned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+def rollup_status_priority(orders: DataFrame) -> DataFrame:
+    """Rollup over status → priority with subtotal rows labeled 'ALL'
+    (additive OLAP capability, SURVEY.md §2.4 note)."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+def distinct_counts(lineitem: DataFrame) -> DataFrame:
+    """Exact + approximate distinct: count_distinct shuffles the keys,
+    approx_count_distinct (HyperLogLog++) is one pass, no key shuffle —
+    the 100 TB default for cardinality questions."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+
+
+def global_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """A1/A2: global counts + all-null column probe as a 1-row frame —
+    the audit reconciliation numbers (STG.py:97-100, 133-164)."""
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("lineitem_rows"),
+        F.count("l_quantity").alias("lineitem_qty_nonnull"),
+    )
+    od = orders.agg(F.count(F.lit(1)).alias("orders_rows"))
+    return li.crossJoin(od)
