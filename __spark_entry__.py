@@ -23,10 +23,14 @@ from building_coffee_commodity_trading_data_warehouse_spark import catalog
 from building_coffee_commodity_trading_data_warehouse_spark.session import tune
 from building_coffee_commodity_trading_data_warehouse_spark.operators import (
     aggregates,
+    dedup,
     joins,
+    similarity,
+    textstats,
     topk,
     windows,
 )
+from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
 from building_coffee_commodity_trading_data_warehouse_spark.functions.exact import (
     sql_davg,
     sql_dsum,
@@ -497,6 +501,301 @@ def _q_json(spark, sf_dir):
             F.get_json_object("props", "$.missing"), F.lit("NaN")
         ).alias("missing_sentinel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# north-star: text analysis (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "string_split_regex(text, '\\s+')"
+
+
+@_register(
+    "t_token_stats",
+    f"""
+SELECT doc_id,
+  len({_SQL_TOKS}) AS n_tokens,
+  length(text) AS n_chars_measured,
+  len(list_distinct({_SQL_TOKS})) AS n_unique_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+FROM documents
+""",
+)
+def _q_token_stats(spark, sf_dir):
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_HITS = (
+    "len(list_filter({toks}, x -> list_contains({markers}, x)))"
+)
+
+
+def _sql_markers(lang: str) -> str:
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        LANG_MARKERS,
+    )
+
+    return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+@_register(
+    "t_quality_language",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars, text, {_SQL_TOKS} AS toks,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('en'))} AS hits_en,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('de'))} AS hits_de,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('fr'))} AS hits_fr,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('es'))} AS hits_es
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+  len(toks) AS n_tokens,
+  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+    AS punct_ratio,
+  hits_en * 1.0 / len(toks) AS stopword_ratio,
+  len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+  CASE
+    WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+    WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+    WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+    ELSE 'es'
+  END AS lang_guess,
+  hits_en, hits_de, hits_fr, hits_es
+FROM s
+""",
+)
+def _q_quality_language(spark, sf_dir):
+    return textstats.quality_and_language(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "t_fingerprints",
+    f"""
+SELECT doc_id,
+  md5(text) AS content_md5,
+  md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS bag_md5
+FROM documents
+""",
+)
+def _q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# north-star: dedup (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = f"""
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+       UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(s)
+"""
+
+_SQL_JACCARD_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common * 1.0 / (x.n + y.n - n_common) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+"""
+
+
+@_register(
+    "d_exact_dedup",
+    """
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "d_ngram_jaccard",
+    f"SELECT * FROM ({_SQL_JACCARD_PAIRS}) WHERE jaccard >= 0.2",
+)
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.2
+    )
+
+
+@_register(
+    "d_minhash_lsh",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+jac AS ({_SQL_JACCARD_PAIRS})
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.2
+""",
+)
+def _q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, n=2, threshold=0.2
+    )
+
+
+@_register(
+    "d_simhash",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents)
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM((ascii(substr(hh, CAST(j + 1 AS INT), 1)) % 2) * 2 - 1) AS s
+  FROM h CROSS JOIN range(16) r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+# ---------------------------------------------------------------------------
+# north-star: similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_SQL_EX = (
+    "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+    "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings"
+)
+_SQL_NORM = (
+    f"SELECT vec_id, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE)) "
+    f"AS nrm FROM ({_SQL_EX}) GROUP BY vec_id"
+)
+
+
+@_register(
+    "s_cosine_topk",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+  FROM s
+) WHERE rk <= 5
+""",
+)
+def _q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.brute_force_topk(emb, queries_df, k=5)
+
+
+@_register(
+    "s_lsh_buckets",
+    f"""
+WITH ex AS ({_SQL_EX}),
+proj AS (
+  SELECT vec_id, p,
+    CAST(SUM(CAST(val * (CASE WHEN ascii(substr(md5(
+        CAST(p AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 1)) % 2 = 1
+      THEN 1 ELSE -1 END) AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM ex CROSS JOIN range(8) r(p)
+  GROUP BY vec_id, p
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+""",
+)
+def _q_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_buckets(_t(spark, sf_dir, "embeddings"), planes=8)
+
+
+@_register("s_lsh_topk")  # composition of oracle-checked stages; rows-only check
+def _q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.lsh_topk(emb, queries_df, k=5, planes=4, tables=4)
+
+
+@_register(
+    "s_embedding_neardup",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex a JOIN ex b USING (pos)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, dot / (x.nrm * y.nrm) AS cosine
+FROM d JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+WHERE dot / (x.nrm * y.nrm) >= 0.4
+""",
+)
+def _q_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ---------------------------------------------------------------------------
+# north-star: multimodal columns (sources/multimodal.py — pandas-UDF path)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "m_multimodal_features",
+    """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS payload_md5,
+  octet_length(encode(text)) % 64 + 1 AS feature_dim
+FROM documents
+""",
+)
+def _q_multimodal(spark, sf_dir):
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Text analysis over the documents table — the language-ID, quality
+scoring, token counting, and fingerprinting operators a training-data
+pipeline runs before dedup/filtering (north-star surface; not in the
+reference, which has no free-text processing).
+
+Everything is native ``pyspark.sql.functions`` — split/regexp/md5 run
+JVM-side inside whole-stage codegen; no Python UDFs, so the same plan
+scans 100 TB of text without a serde boundary. Ratios are single
+double divisions of exact integer counts, so results are
+engine-portable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker-token tables for the n-gram/stopword language heuristic.
+# Fixed, tiny: shipped as literal arrays into the plan (no join).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "fr": ["le", "et", "les", "des", "une"],
+    "es": ["el", "y", "los", "las", "una"],
+}
+
+_PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), r"\s+")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword count
+    (4 chars ≈ 1 subword, ceil) — the standard cheap token estimate."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+    )
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_and_language(documents: DataFrame) -> DataFrame:
+    """Quality ratios + stopword-marker language ID.
+
+    lang_guess picks the language whose marker tokens hit most often,
+    with a fixed comparison order (en > de > fr > es) so ties resolve
+    identically on any engine.
+    """
+    toks = _tokens()
+    n_tok = F.size(toks)
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    hits = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = hits["en"]
+    for lang in ("de", "fr", "es"):
+        best = F.greatest(best, hits[lang])
+    lang_guess = (
+        F.when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .when(hits["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    stop_ratio = (hits["en"].cast("double") / n_tok).alias("stopword_ratio")
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (punct.cast("double") / F.length("text")).alias("punct_ratio"),
+        stop_ratio,
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("distinct_ratio"),
+        lang_guess.alias("lang_guess"),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: an exact content hash (md5 of the raw
+    text) and an order-insensitive bag-of-words fingerprint (md5 of the
+    sorted distinct token list) — the cheap pre-filter for exact and
+    shuffled-text dedup."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
+        ).alias("bag_md5"),
+    )
