@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via the noop sink (no driver-side
+collect — executor-side consumption only, like a real write)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from building_coffee_commodity_trading_data_warehouse_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+# Headline set: the flagship plus one representative per operator
+# family (join, agg, window, top-k, dedup, similarity, text, UDF path).
+HEADLINE = [
+    "flagship_windows",
+    "a_pricing_summary",
+    "a_minmax_spread",
+    "j_star_join",
+    "j_roleplay_nation",
+    "j_merge_upsert",
+    "s_topk_per_group",
+    "w_sessionize",
+    "d_exact_dedup",
+    "d_ngram_jaccard",
+    "d_minhash_lsh",
+    "t_quality_language",
+    "s_cosine_topk",
+    "s_lsh_topk",
+    "m_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or min(os.cpu_count() or 8, 32)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("coffee_dw_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,82 +1,84 @@
 """Similarity search over embedding columns (north-star surface).
 
-Baseline: brute-force cosine top-k — exact, O(Q·N·D), expressed as an
-explode + equi-join on the vector position so the dot products are
-grouped sums (decimal-exact, engine-portable) rather than a Python
-loop. Scale path: random-hyperplane LSH bucketing — hyperplane signs
-derive from md5 parity (deterministic, no RNG state), vectors only
-compare within their bucket, turning all-pairs into an equality join.
+Plan shape: dot products run ARRAY-NATIVE — ``zip_with`` multiply +
+``aggregate`` into a DECIMAL accumulator, entirely inside one JVM
+projection. No explode, no per-component shuffle: a scan of N vectors
+against Q broadcast queries is one broadcast-nested-loop join of N·Q
+rows, each doing D fused multiply-accumulates. The decimal accumulator
+keeps results order-independent and bit-identical to the DuckDB oracle
+(which sums DECIMAL over an exploded view).
 
-At cluster scale the brute-force join shuffles Q·N·D rows; the LSH
-variant shuffles N·D once for bucketing and then only intra-bucket
-pairs — the standard recall/throughput trade.
+Baseline: brute-force cosine top-k (exact, O(Q·N·D)). Scale path:
+random-hyperplane LSH — hyperplane signs are md5-derived (computed
+once on the driver, shipped as literal arrays), bucketing is a pure
+projection, and only co-bucketed pairs reach a dot product. Multiple
+hash tables trade candidates for recall.
+
+At 100 TB: the candidate scan stays partition-parallel with nothing
+on the driver; queries/planes are broadcast literals; the only
+shuffles are the final per-query top-k window and the LSH bucket
+equi-join.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DOT_DEC = "decimal(38,12)"
+# accumulator is deliberately NARROWER than the per-term cast: Spark
+# widens decimal addition by one digit of precision, and (38,12)+(38,12)
+# would overflow p=38, silently dropping to scale 11 and rounding every
+# step. (26,12)+(26,12) -> (27,12) stays exact, and dot magnitudes here
+# never need >14 integral digits.
+_ACC_DEC = "decimal(26,12)"
 
 
-def exploded(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, pos, val): one row per vector component. pos is
-    1-based to match SQL generate_subscripts."""
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact (order-independent) dot product of two double arrays:
+    per-element IEEE multiply, decimal-exact accumulation."""
+    # per-term cast to scale 12 matches the oracle's DECIMAL(38,12)
+    # rounding; accumulation stays in _ACC_DEC so each addition is exact
+    # (see note above on why (38,12) accumulation would round per step)
+    return (
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast(_ACC_DEC),
+            lambda acc, x: (acc + x.cast(_ACC_DEC)).cast(_ACC_DEC),
+        )
+    ).cast("double")
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def with_norm(embeddings: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+    emb_d = as_double(F.col("embedding"))
     return embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("val").cast("double").alias("val"),
+        F.col("vec_id").alias(id_alias),
+        emb_d.alias(f"{prefix}emb"),
+        norm(emb_d).alias(f"{prefix}norm"),
     )
 
 
-def norms(embeddings: DataFrame) -> DataFrame:
-    """L2 norm per vector via decimal-exact sum of squares."""
-    return (
-        exploded(embeddings)
-        .groupBy("vec_id")
-        .agg(
-            F.sqrt(
-                F.sum((F.col("val") * F.col("val")).cast(_DOT_DEC)).cast("double")
-            ).alias("norm")
-        )
-    )
-
-
-def cosine_pairs(
-    embeddings: DataFrame, queries: DataFrame
-) -> DataFrame:
-    """Exact cosine similarity for every (query, candidate) pair.
-    ``queries`` is any subset of ``embeddings`` (same schema)."""
-    q = exploded(queries).select(
-        F.col("vec_id").alias("q_id"), "pos", F.col("val").alias("q_val")
-    )
-    c = exploded(embeddings).select(
-        F.col("vec_id").alias("c_id"), "pos", F.col("val").alias("c_val")
-    )
-    dots = (
-        q.join(c, "pos")
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum((F.col("q_val") * F.col("c_val")).cast(_DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    nq = norms(queries).select(F.col("vec_id").alias("q_id"), F.col("norm").alias("q_norm"))
-    nc = norms(embeddings).select(
-        F.col("vec_id").alias("c_id"), F.col("norm").alias("c_norm")
-    )
-    return (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(nc, "c_id")
-        .select(
-            "q_id",
-            "c_id",
-            (F.col("dot") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
-        )
+def cosine_pairs(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
+    """Exact cosine for every (query, candidate) pair: candidates scan
+    once, queries broadcast."""
+    q = with_norm(queries, "q_id", "q_")
+    c = with_norm(embeddings, "c_id", "c_")
+    return c.join(F.broadcast(q), F.lit(True)).select(
+        "q_id",
+        "c_id",
+        (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cosine"
+        ),
     )
 
 
@@ -96,39 +98,40 @@ def brute_force_topk(
     )
 
 
-def _plane_sign(plane: int, pos_col: Column, table: int = 0) -> Column:
-    """Deterministic ±1 from md5 parity — the hyperplane 'random'
-    coefficients, reproducible on any engine with md5. ``table``
-    seeds independent hash tables (table 0 keeps the original
-    format for oracle stability)."""
+def _plane_signs(plane: int, dim: int, table: int = 0) -> list[int]:
+    """Deterministic ±1 hyperplane coefficients from md5 parity —
+    identical to the SQL ``ascii(substr(md5(p || '_' || pos),1,1)) % 2``
+    oracle (pos is 1-based). Computed once driver-side, shipped as a
+    literal array."""
     prefix = f"{plane}_" if table == 0 else f"t{table}:{plane}_"
-    h = F.md5(F.concat(F.lit(prefix), pos_col.cast("string")).cast("binary"))
-    return (F.ascii(F.substring(h, 1, 1)) % 2) * 2 - 1
+    out = []
+    for pos in range(1, dim + 1):
+        h = hashlib.md5(f"{prefix}{pos}".encode()).hexdigest()
+        out.append(1 if ord(h[0]) % 2 == 1 else -1)
+    return out
 
 
-def lsh_buckets(embeddings: DataFrame, planes: int = 8, table: int = 0) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit pattern of ``planes``
-    projections. One explode + one grouped aggregate: each projection
-    is a decimal-exact signed sum."""
-    ex = exploded(embeddings)
-    proj = ex.groupBy("vec_id").agg(
-        *[
-            F.sum(
-                (F.col("val") * _plane_sign(p, F.col("pos"), table)).cast(_DOT_DEC)
-            )
-            .cast("double")
-            .alias(f"p{p}")
-            for p in range(planes)
-        ]
-    )
-    bucket = sum(
-        [
-            F.when(F.col(f"p{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(planes)
-        ],
-        F.lit(0),
-    )
-    return proj.select("vec_id", bucket.cast("long").alias("bucket"))
+def _embedding_dim(embeddings: DataFrame) -> int:
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    if row is None:
+        return 0
+    return row["d"]
+
+
+def lsh_buckets(
+    embeddings: DataFrame, planes: int = 8, table: int = 0, dim: int | None = None
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: sign-bit pattern of
+    ``planes`` projections. Pure projection — zero shuffles."""
+    if dim is None:
+        dim = _embedding_dim(embeddings)
+    emb_d = as_double(F.col("embedding"))
+    bucket = F.lit(0)
+    for p in range(planes):
+        signs = F.array(*[F.lit(float(s)) for s in _plane_signs(p, dim, table)])
+        proj = dot(emb_d, signs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
 def lsh_topk(
@@ -137,21 +140,24 @@ def lsh_topk(
     k: int = 5,
     planes: int = 4,
     tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    buckets, then exact cosine + rank within the candidate set.
-
-    Recall lever: ``tables`` independent hash tables of ``planes``
-    bits each — a vector is a candidate if it co-buckets with the
-    query in ANY table (union of equi-joins). 4 tables × 4 planes
-    gives high recall at a fraction of the all-pairs cost; tune both
-    to the corpus density."""
+    """Approximate top-k: a vector is a candidate iff it co-buckets
+    with the query in ANY of ``tables`` independent hash tables; exact
+    cosine + rank over candidates only. Tune planes (bucket size) and
+    tables (recall) to corpus density."""
     from functools import reduce
 
     from pyspark.sql import Window
 
+    if dim is None:
+        dim = _embedding_dim(embeddings)
+
+    c = with_norm(embeddings, "c_id", "c_")
+    q = with_norm(queries, "q_id", "q_")
+
     def _cands(table: int) -> DataFrame:
-        b = lsh_buckets(embeddings, planes, table)
+        b = lsh_buckets(embeddings, planes, table, dim)
         qb = b.join(queries.select("vec_id"), "vec_id").select(
             F.col("vec_id").alias("q_id"), "bucket"
         )
@@ -163,35 +169,17 @@ def lsh_topk(
             .select("q_id", "c_id")
         )
 
-    # prune FIRST: only co-bucketed (q, c) pairs ever reach the dot
-    # product — this is what makes LSH the scale path.
     cand = reduce(DataFrame.unionByName, [_cands(t) for t in range(tables)]).distinct()
-    q = exploded(queries).select(
-        F.col("vec_id").alias("q_id"), "pos", F.col("val").alias("q_val")
-    )
-    c = exploded(embeddings).select(
-        F.col("vec_id").alias("c_id"), "pos", F.col("val").alias("c_val")
-    )
-    dots = (
-        cand.join(q, "q_id")
-        .join(c, ["c_id", "pos"])
-        .groupBy("q_id", "c_id")
-        .agg(
-            F.sum((F.col("q_val") * F.col("c_val")).cast(_DOT_DEC))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    n = norms(embeddings)
-    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm").alias("q_norm"))
-    nc = n.select(F.col("vec_id").alias("c_id"), F.col("norm").alias("c_norm"))
     pairs = (
-        dots.join(F.broadcast(nq), "q_id")
-        .join(nc, "c_id")
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
         .select(
             "q_id",
             "c_id",
-            (F.col("dot") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -205,8 +193,9 @@ def lsh_topk(
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``
-    (doc-level near-dup by representation rather than text)."""
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+    All-pairs here (the exact baseline); at corpus scale run
+    ``lsh_buckets`` first and compare within buckets."""
     pairs = cosine_pairs(embeddings, embeddings).filter(
         F.col("q_id") < F.col("c_id")
     )
