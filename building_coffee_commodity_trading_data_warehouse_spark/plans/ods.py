@@ -1,0 +1,118 @@
+"""ODS star-schema fact build (E3, reference ODS.py:56-114) on the
+domain shape — the pipeline a reference user actually runs.
+
+Input: a ``stg_quotes`` staging table (contract, mo, last, change,
+prev_open, high, low, prev, volume, oi, timing, snapshot_date — the
+column list of ODS.py:59-80) plus two dims: ``ods_date(date_id,
+date_actual)`` and ``ods_contract(contract_id, contract_code)``.
+
+One lazy plan replaces the reference's Postgres window SQL + three
+pandas merges + COPY: windowed analytics (W1-W5) → broadcast dim
+joins, the contract dim role-played twice (J3) → 16-column fact
+projection with nullable prev_contract_id (ODS.py:41,113) →
+date-partitioned overwrite.
+
+Scale: two window shuffles (by mo, by snapshot_date) — the same keys
+Postgres sorted on; dims broadcast (date ~10^3 rows, contract ~10^1),
+so the fact never shuffles for the joins; output partitioned by
+date_id keeps incremental rebuilds partition-pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+
+FACT_COLUMNS = (
+    "date_id",
+    "contract_id",
+    "prev_contract_id",
+    "prev_open",
+    "prev",
+    "mo",
+    "last",
+    "prev_last",
+    "change",
+    "high",
+    "low",
+    "volume",
+    "oi",
+    "spread",
+    "ma_200",
+    "ma_50",
+)
+
+
+def windowed_quotes(stg_quotes: DataFrame) -> DataFrame:
+    """The flagship window statement (ODS.py:59-80) on the domain
+    columns. ``lag(col, -1)`` in the reference ≡ ``lead(col, 1)``:
+    'prev_contract' is really the NEXT contract in the mo-series."""
+    last_d = F.col("last").cast("double")
+    w_mo = Window.partitionBy("mo").orderBy("snapshot_date")
+    w_day = Window.partitionBy("snapshot_date").orderBy(
+        F.col("mo").cast("int").desc()
+    )
+    ma = lambda n: (  # noqa: E731 — decimal-exact trailing mean (W4/W5)
+        F.sum(last_d.cast(DEC)).over(w_mo.rowsBetween(-n, 0)).cast("double")
+        / F.count(last_d).over(w_mo.rowsBetween(-n, 0))
+    ).cast("double")
+    return stg_quotes.select(
+        F.col("snapshot_date").alias("date_actual"),
+        "contract",
+        F.coalesce(
+            F.lead(F.col("contract").cast("string"), 1).over(w_mo), F.lit("NaN")
+        ).alias("prev_contract"),
+        F.col("mo").cast("int").alias("mo"),
+        last_d.alias("last"),
+        F.lead(last_d, 1).over(w_mo).alias("prev_last"),
+        "change",
+        "prev_open",
+        "high",
+        "low",
+        "prev",
+        F.col("volume").cast("long").alias("volume"),
+        F.col("oi").cast("long").alias("oi"),
+        F.round(last_d - F.lag(last_d, 1).over(w_day), 2).alias("spread"),
+        ma(200).alias("ma_200"),
+        ma(50).alias("ma_50"),
+    )
+
+
+def build_fact(
+    stg_quotes: DataFrame, ods_date: DataFrame, ods_contract: DataFrame
+) -> DataFrame:
+    """Windowed staging → dims → 16-column fact (ODS.py:103-113).
+
+    The contract dim is joined twice (role-playing, J3): once for the
+    current contract, once — re-keyed as prev_contract_code — for the
+    next-in-series contract; the edge row's 'NaN' sentinel misses the
+    dim so prev_contract_id is NULL there (nullable Int64 semantics,
+    ODS.py:113)."""
+    q = windowed_quotes(stg_quotes)
+    dim_date = F.broadcast(ods_date.select("date_actual", "date_id"))
+    dim_cur = F.broadcast(
+        ods_contract.select(
+            F.col("contract_id"), F.col("contract_code").alias("contract")
+        )
+    )
+    dim_prev = F.broadcast(
+        ods_contract.select(
+            F.col("contract_id").alias("prev_contract_id"),
+            F.col("contract_code").alias("prev_contract"),
+        )
+    )
+    return (
+        q.join(dim_date, "date_actual", "left")
+        .join(dim_cur, "contract", "left")
+        .join(dim_prev, "prev_contract", "left")
+        .select(*FACT_COLUMNS)
+    )
+
+
+def load_fact(fact: DataFrame, path: str) -> None:
+    """S10 — atomic replace of the fact table, date-partitioned so the
+    commented-out incremental predicates of the reference (ODS.py:38,81)
+    become partition pruning."""
+    fact.write.mode("overwrite").partitionBy("date_id").parquet(path)

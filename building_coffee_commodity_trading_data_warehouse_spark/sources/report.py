@@ -1,0 +1,171 @@
+"""Report-document ingestion (the reference's PDF pipeline, E2).
+
+Reference shape (STG.py:233-315): open a multi-page report, find the
+pages carrying the data tables by marker text, parse the season token,
+extract the tables, keep tables wide enough to be real (>5 columns),
+clean, union, stamp lineage.
+
+Spark-first shape: ``spark.read.format("binaryFile")`` scans the
+report files as (path, content) rows — executors hold the bytes, the
+driver never sees a payload — and a ``mapInPandas`` UDTF runs the
+parser per file, streaming one Arrow batch of table rows out per
+report (1 input row → N output rows, the reference's only true UDTF).
+
+The container has no PDF codecs (tabula/PyPDF2), so the *parser* for
+real PDFs is a documented stub; the fixture parser reads a
+deterministic text format with the same structure (pages, marker,
+season token, embedded tables) and the Spark-side plumbing — binary
+scan, UDTF schema, batching, downstream relational cleanup — is real
+and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.normalize import canonical_header
+
+PAGE_MARKER = "SUPPLY AND DISTRIBUTION"
+SEASON_TOKEN = "Season:"
+MIN_TABLE_COLUMNS = 6  # reference keeps tables with >5 columns (STG.py:299)
+
+REPORT_VALUE_COLUMNS = (
+    "beginning_stocks",
+    "production",
+    "imports",
+    "total_supply",
+    "domestic_use",
+    "loss",
+    "exports",
+    "ending_stocks",
+    "area",
+    "total_dom_cons",
+    "total_distribute",
+)
+
+EXTRACT_SCHEMA = (
+    "report_path string, season string, country string, "
+    + ", ".join(f"{c} string" for c in REPORT_VALUE_COLUMNS)
+)
+
+
+def parse_text_report(content: bytes) -> tuple[str, list[list[list[str]]]]:
+    """Fixture parser: pages separated by form-feed; data pages carry
+    PAGE_MARKER; season is the 7 chars after SEASON_TOKEN (reference
+    parses 'YYYY/YY', STG.py:244,288); tables are CSV blocks between
+    <TABLE> and </TABLE> lines, first line = headers."""
+    text = content.decode("utf-8", errors="replace")
+    season = ""
+    tables: list[list[list[str]]] = []
+    for page in text.split("\f"):
+        if PAGE_MARKER not in page:
+            continue
+        if not season and SEASON_TOKEN in page:
+            after = page.split(SEASON_TOKEN, 1)[1].lstrip()
+            season = after[:7]
+        block: list[list[str]] | None = None
+        for line in page.splitlines():
+            s = line.strip()
+            if s == "<TABLE>":
+                block = []
+            elif s == "</TABLE>":
+                if block:
+                    tables.append(block)
+                block = None
+            elif block is not None and s:
+                import csv as _csv
+
+                block.append([c.strip() for c in next(_csv.reader([s]))])
+    return season, tables
+
+
+def parse_pdf_report(content: bytes) -> tuple[str, list[list[list[str]]]]:
+    """Real-PDF parser slot (tabula.read_pdf + per-page text scan,
+    STG.py:294,279-292). The container ships no PDF toolchain; swap
+    this single function when one is available — the UDTF, schema and
+    downstream cleanup do not change."""
+    raise NotImplementedError(
+        "PDF codecs are not available in this environment; "
+        "use parse_text_report fixtures or install a tabula-compatible parser"
+    )
+
+
+def read_report_files(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFile scan: (path, modificationTime, length, content)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def extract_report_tables(
+    reports: DataFrame,
+    parser: Callable[[bytes], tuple[str, list[list[list[str]]]]] = parse_text_report,
+) -> DataFrame:
+    """The UDTF: one report file in, one row per country/table-row out.
+    Header canonicalization happens inside the parse (per-file, pure
+    Python, executor-side); numeric scrub/cast stay relational
+    downstream (operators/normalize.py)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        value_cols = list(REPORT_VALUE_COLUMNS)
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                season, tables = parser(bytes(content))
+                for table in tables:
+                    if not table or len(table[0]) < MIN_TABLE_COLUMNS:
+                        continue
+                    headers = [canonical_header(h) for h in table[0]]
+                    for cells in table[1:]:
+                        rec = dict(zip(headers, cells))
+                        out.append(
+                            {
+                                "report_path": path,
+                                "season": season,
+                                "country": rec.get("country"),
+                                **{c: rec.get(c) for c in value_cols},
+                            }
+                        )
+            yield pd.DataFrame(
+                out, columns=["report_path", "season", "country", *value_cols]
+            )
+
+    return reports.select("path", "content").mapInPandas(gen, EXTRACT_SCHEMA)
+
+
+def with_lineage(
+    extracted: DataFrame, snapshot_date: str, report_date: str
+) -> DataFrame:
+    """P11 — constant lineage columns (STG.py:309-312)."""
+    return extracted.withColumns(
+        {
+            "snapshot_date": F.lit(snapshot_date).cast("date"),
+            "report_date": F.lit(report_date).cast("date"),
+            "created_date": F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"
+            ),
+        }
+    )
+
+
+def report_pipeline(
+    spark: SparkSession,
+    path: str,
+    snapshot_date: str,
+    report_date: str,
+    parser: Callable[[bytes], tuple[str, list[list[list[str]]]]] = parse_text_report,
+) -> DataFrame:
+    """E2 end-to-end: binary scan → UDTF extract → numeric scrub/cast →
+    lineage. Natural key (country, report_date) feeds plans/ingest
+    merge_into for the idempotent load (E1)."""
+    raw = extract_report_tables(read_report_files(spark, path), parser)
+    cleaned = raw.withColumns(
+        {
+            c: F.regexp_replace(F.col(c), ",", "").cast("long")
+            for c in REPORT_VALUE_COLUMNS
+        }
+    )
+    return with_lineage(cleaned, snapshot_date, report_date)
