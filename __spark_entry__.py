@@ -799,6 +799,237 @@ def _q_multimodal(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ETL surface: normalization battery + sentinel nulls + audit counts
+# (operators/normalize.py, plans/ingest.py — reference E1/E2 semantics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "e_normalize_battery",
+    """
+SELECT p_brand AS country,
+  CAST(p_size AS VARCHAR) || '000' AS beginning_stocks,
+  CAST(p_size * 3 AS VARCHAR) AS production,
+  CAST(p_size % 7 AS VARCHAR) AS loss,
+  CAST(p_size % 7 AS VARCHAR) AS area,
+  CAST(p_size AS VARCHAR) AS imports,
+  CAST(p_size * 2 AS VARCHAR) AS exports
+FROM part
+""",
+)
+def _q_normalize_battery(spark, sf_dir):
+    """P2-P8 composed (STG.py:168-229): a deliberately messy projection
+    of ``part`` — typo'd/joined/unnamed headers, thousands separators,
+    an all-null column, a header-echo row, a sparse row — must come out
+    canonical. The oracle states the expected clean result directly."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import normalize
+
+    p = _t(spark, sf_dir, "part")
+    messy = p.select(
+        F.col("p_brand").alias("Country"),
+        F.concat_ws(",", F.col("p_size").cast("string"), F.lit("000")).alias("beginning"),
+        (F.col("p_size") * 3).cast("string").alias("productio"),
+        F.lit(None).cast("string").alias("Unnamed: 0"),
+        F.lit(None).cast("string").alias("loss"),
+        (F.col("p_size") % 7).cast("string").alias("area"),
+        F.concat_ws(
+            " ", F.col("p_size").cast("string"), (F.col("p_size") * 2).cast("string")
+        ).alias("imports exports"),
+    )
+    ddl = (
+        "`Country` string, `beginning` string, `productio` string, "
+        "`Unnamed: 0` string, `loss` string, `area` string, `imports exports` string"
+    )
+    echo = spark.createDataFrame(
+        [("country", "beginning", "productio", None, None, "area", "imports exports")],
+        ddl,
+    )
+    # the lone value sits in a column that is nobody's repair donor, so
+    # the row still has <2 non-nulls after P4 and is dropped (P6)
+    sparse = spark.createDataFrame([(None, None, "9", None, None, None, None)], ddl)
+    return normalize.clean_extracted_table(messy.unionByName(echo).unionByName(sparse))
+
+
+@_register(
+    "e_sentinel_nulls",
+    """
+SELECT o_orderkey,
+  COALESCE(NULLIF(
+    CASE WHEN o_orderstatus = 'P' THEN 'null' ELSE CAST(o_custkey AS VARCHAR) END,
+    'null'), 'NaN') AS cust_or_nan
+FROM orders
+""",
+)
+def _q_sentinel_nulls(spark, sf_dir):
+    """Sentinel-null fidelity (KC=F.csv 'null' cells + the 'NaN'
+    coalesce of ODS.py:62): sentinel → real NULL → sentinel out."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import normalize
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "null")
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("cust_or_nan"),
+    )
+    return normalize.sentinel_to_null(o).withColumn(
+        "cust_or_nan", F.coalesce(F.col("cust_or_nan"), F.lit("NaN"))
+    )
+
+
+@_register(
+    "e_audit_counts",
+    """
+SELECT 'orders' AS table_name, COUNT(*) AS n_rows FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+""",
+)
+def _q_audit_counts(spark, sf_dir):
+    """A1 reconciliation counts (STG.py:86,97-100) as one relational
+    plan — the audit layer's source/target row comparison."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.joins import (
+        union_all_by_name,
+    )
+
+    parts = [
+        _t(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in ("orders", "lineitem", "customer")
+    ]
+    return union_all_by_name(parts)
+
+
+# ---------------------------------------------------------------------------
+# streaming: watermarked windows + foreachBatch merge (streaming/)
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = iter(range(10**9))
+
+_SQL_TS = "strftime({0}, '%Y-%m-%d %H:%M:%S')"
+
+
+def _stream_events(spark, sf_dir):
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    return pipeline.stream_events(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "st_tumbling_counts",
+    f"""
+SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+       {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR")} AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def _q_st_tumbling(spark, sf_dir):
+    """Tumbling-window counts through the REAL streaming engine
+    (availableNow drain to a memory sink), checked against batch SQL —
+    Spark's unified semantics make them comparable."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.tumbling_counts(_stream_events(spark, sf_dir))
+    return pipeline.run_available_now(agg, f"st_tumbling_{next(_STREAM_SEQ)}")
+
+
+@_register(
+    "st_sliding_counts",
+    f"""
+WITH wins AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events
+)
+SELECT {_SQL_TS.format("ws")} AS window_start,
+       {_SQL_TS.format("ws + INTERVAL 1 HOUR")} AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM wins GROUP BY 1, 2, 3
+""",
+)
+def _q_st_sliding(spark, sf_dir):
+    """Sliding windows (1h width, 30m slide): every event lands in two
+    overlapping windows; the oracle materializes both assignments."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.sliding_counts(_stream_events(spark, sf_dir))
+    return pipeline.run_available_now(agg, f"st_sliding_{next(_STREAM_SEQ)}")
+
+
+@_register(
+    "st_session_windows",
+    f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, {_SQL_TS.format("MIN(ts)")} AS session_start,
+       {_SQL_TS.format("MAX(ts) + INTERVAL 30 MINUTE")} AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def _q_st_sessions(spark, sf_dir):
+    """Native session_window through the streaming engine vs the
+    lag/gap/cumsum SQL formulation — same sessions, two formulations."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.session_windows(_stream_events(spark, sf_dir))
+    return pipeline.run_available_now(agg, f"st_sessions_{next(_STREAM_SEQ)}")
+
+
+@_register(
+    "st_merge_stream",
+    """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+""",
+)
+def _q_st_merge(spark, sf_dir):
+    """foreachBatch incremental load: stream the events table through
+    the J4 dedup-merge into a parquet target, then aggregate the target
+    — identical to aggregating the source iff the merge lost/duped
+    nothing."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    q = pipeline.merge_stream(
+        _stream_events(spark, sf_dir),
+        f"{tmp}/target",
+        keys=["event_id"],
+        checkpoint=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{tmp}/target")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 

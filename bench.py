@@ -37,6 +37,9 @@ HEADLINE = [
     "s_cosine_topk",
     "s_lsh_topk",
     "m_multimodal_features",
+    "e_normalize_battery",
+    "st_tumbling_counts",
+    "st_merge_stream",
 ]
 
 

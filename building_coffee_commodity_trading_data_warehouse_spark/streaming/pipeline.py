@@ -1,0 +1,86 @@
+"""Structured Streaming veneer (SURVEY.md §2.9/§7.7).
+
+The reference is strictly batch, but its design *wants* incremental:
+snapshot-stamped idempotent loads (STG.py:102-115) and commented-out
+2-month refresh predicates (ODS.py:38,81). Here that becomes a
+file-source stream over the landing directory whose every micro-batch
+runs the same dedup-merge the batch path uses (foreachBatch →
+plans/ingest.merge_into) — one code path for batch and streaming,
+watermarked window aggregations for the analytics layer.
+
+Scale: file-source streams list incrementally; state for windowed aggs
+is bounded by the watermark; foreachBatch merges touch only the
+partitions holding matched keys on a date-partitioned target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.ingest import merge_into
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong it arrives
+# as a long (see session.tune) — the stream reader converts like
+# catalog.table does.
+EVENTS_SCHEMA_NANOS = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events landing path. Spark's file
+    stream source requires a DIRECTORY; a single-file path is exposed
+    through a symlinked landing dir (read-only testdata stays
+    untouched)."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        land = tempfile.mkdtemp(prefix="spark_graft_landing_")
+        os.symlink(path, os.path.join(land, os.path.basename(path)))
+        path = land
+    df = spark.readStream.schema(EVENTS_SCHEMA_NANOS).format("parquet").load(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain everything currently available through the streaming
+    engine into an in-memory table and return it as a DataFrame —
+    the batch-parity harness for streaming queries."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def merge_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    partition_by: str | None = None,
+):
+    """foreachBatch incremental load: every micro-batch runs the SAME
+    dedup-merge as the batch loader (J4) — late re-deliveries of a key
+    replace, never duplicate. Returns the StreamingQuery."""
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_into(batch.sparkSession, target_path, batch, keys, partition_by)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

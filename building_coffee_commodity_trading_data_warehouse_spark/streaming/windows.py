@@ -1,0 +1,89 @@
+"""Watermarked window aggregations over event streams.
+
+Tumbling / sliding / session windows with late-data bounds — the
+streaming analytics surface (additive over the reference, which is
+batch-only). All three run identically on a batch DataFrame (Spark's
+unified semantics), which is how the oracle checks them: the driver
+compares the streamed availableNow result against plain SQL.
+
+State scale: watermark bounds the window state; keys are
+(window, event_type) or (user) — low cardinality relative to events,
+partial aggregation happens map-side before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+
+
+def _fmt(col: str):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per event_type counts + exact value sums in tumbling windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            _fmt("w.start").alias("window_start"),
+            _fmt("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window event counts: each event lands in width/slide
+    overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _fmt("w.start").alias("window_start"),
+            _fmt("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based): a session closes after
+    ``gap`` of inactivity; window end = last event + gap. The batch
+    twin of operators/windows.sessionize, expressed with the native
+    session_window operator so the SAME code streams with state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _fmt("w.start").alias("session_start"),
+            _fmt("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
