@@ -82,14 +82,87 @@ def cosine_pairs(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
     )
 
 
+def _vectorized_topk_partials(
+    embeddings: DataFrame, queries: DataFrame, limit: int
+) -> DataFrame:
+    """Phase 1 of the vectorized top-k: one Arrow-batched numpy matmul
+    per candidate batch against the BROADCAST query matrix, emitting
+    each batch's local top-``limit`` per query. Top-k is distributive,
+    so the union of batch-local top-k supersets the global top-k.
+    The candidate scan stays partition-parallel; only ~Q·limit rows per
+    batch leave the executors."""
+    import numpy as np
+    import pandas as pd
+
+    q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded: query batch
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_mat = np.stack(q_pd["embedding"].to_numpy()).astype("float64")
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def gen(batches):
+        ids, Q, qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            c_ids = pdf["vec_id"].to_numpy()
+            cn = np.sqrt((C * C).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (C @ Q.T) / (cn[:, None] * qn[None, :])
+            out_q, out_c = [], []
+            for j in range(len(ids)):
+                col = S[:, j].copy()
+                col[c_ids == ids[j]] = -np.inf  # exclude self-match
+                m = min(limit, len(col))
+                top = np.argpartition(-col, m - 1)[:m] if m < len(col) else np.arange(len(col))
+                top = top[np.isfinite(col[top])]
+                out_q.extend([ids[j]] * len(top))
+                out_c.extend(c_ids[top])
+            yield pd.DataFrame({"q_id": np.asarray(out_q, dtype="int64"),
+                                "c_id": np.asarray(out_c, dtype="int64")})
+
+    # a small parquet table arrives as ONE split — spread the scan so
+    # the numpy batches use every core (cheap: rows are narrow)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    return (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(gen, "q_id long, c_id long")
+    )
+
+
 def brute_force_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, margin: int = 8
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-match excluded),
-    deterministic tiebreak on candidate id."""
+    deterministic tiebreak on candidate id.
+
+    Two-phase plan: a vectorized numpy scan ranks candidates in double
+    precision and keeps the top k+``margin`` per query; the survivors
+    (Q·(k+margin) pairs — tiny) are re-scored with the decimal-exact
+    ``dot`` and re-ranked, so the OUTPUT is bit-identical to the pure
+    exact formulation while the O(N·Q·D) work runs as fused
+    multiply-accumulates in numpy instead of interpreted per-row
+    expressions. ``margin`` absorbs double-vs-decimal rank jitter
+    (differences are ~1e-15 relative; 8 is generous)."""
     from pyspark.sql import Window
 
-    pairs = cosine_pairs(embeddings, queries).filter(F.col("q_id") != F.col("c_id"))
+    cand = _vectorized_topk_partials(embeddings, queries, k + margin)
+    c = with_norm(embeddings, "c_id", "c_")
+    q = with_norm(queries, "q_id", "q_")
+    pairs = (
+        cand.join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -194,11 +267,56 @@ def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
-    All-pairs here (the exact baseline); at corpus scale run
-    ``lsh_buckets`` first and compare within buckets."""
-    pairs = cosine_pairs(embeddings, embeddings).filter(
-        F.col("q_id") < F.col("c_id")
+    All-pairs baseline, two-phase like brute_force_topk: a vectorized
+    numpy sweep (corpus matrix broadcast) keeps pairs whose double
+    cosine clears ``threshold`` minus a safety epsilon; the survivors
+    are re-scored decimal-exact and filtered at the true threshold —
+    same output as the pure exact formulation. At corpus scale run
+    ``lsh_buckets`` first and sweep within buckets."""
+    import numpy as np
+    import pandas as pd
+
+    all_pd = embeddings.select("vec_id", "embedding").toPandas()  # exact baseline only
+    ids = all_pd["vec_id"].to_numpy()
+    mat = np.stack(all_pd["embedding"].to_numpy()).astype("float64")
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+    eps = 1e-9
+
+    def gen(batches):
+        b_ids, B, bn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            a_ids = pdf["vec_id"].to_numpy()
+            an = np.sqrt((A * A).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (A @ B.T) / (an[:, None] * bn[None, :])
+            keep = (S >= threshold - eps) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[i].astype("int64"), "vec_b": b_ids[j].astype("int64")}
+            )
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(gen, "vec_a long, vec_b long")
     )
-    return pairs.filter(F.col("cosine") >= threshold).select(
-        F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"), "cosine"
+    a = with_norm(embeddings, "vec_a", "a_")
+    b = with_norm(embeddings, "vec_b", "b_")
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

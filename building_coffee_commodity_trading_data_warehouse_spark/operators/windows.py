@@ -54,24 +54,44 @@ def next_values(lineitem: DataFrame) -> DataFrame:
 def moving_averages(lineitem: DataFrame) -> DataFrame:
     """W4+W5 (ODS.py:66-67): 200- and 50-row trailing moving averages
     per series, ROWS frames, exact accumulation."""
-    w = w_series()
-    out = lineitem.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
+    out = with_trailing_means(
+        lineitem.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+        ),
         "l_extendedprice",
-        _ma("l_extendedprice", w, 200).alias("ma_200"),
-        _ma("l_extendedprice", w, 50).alias("ma_50"),
+        w_series(),
+        (200, 50),
     )
     return out
 
 
-def _ma(col: str, w: Window, preceding: int) -> F.Column:
-    frame = w.rowsBetween(-preceding, 0)
-    return (
-        F.sum(F.col(col).cast(DEC)).over(frame).cast("double")
-        / F.count(F.col(col)).over(frame)
-    ).cast("double")
+def with_trailing_means(
+    df: DataFrame, col: str, w: Window, precedings: tuple[int, ...], prefix: str = "ma_"
+) -> DataFrame:
+    """Trailing ROWS-frame means via PREFIX SUMS: a naive
+    ``ROWS BETWEEN n PRECEDING`` aggregate makes Spark re-scan the
+    n-row buffer for EVERY row (O(n·frame) per partition); a running
+    cumulative sum is maintained incrementally (O(n)), and the frame
+    sum is ``cumsum - lag(cumsum, n+1)``. Decimal arithmetic keeps the
+    subtraction bit-exact with the direct frame sum, so oracle parity
+    is unaffected. One extra projection, same single shuffle+sort
+    (both window specs share partitioning and ordering)."""
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    tmp = df.withColumns(
+        {
+            "_cum_sum": F.sum(F.col(col).cast(DEC)).over(cum),
+            "_cum_cnt": F.count(F.col(col)).over(cum),
+        }
+    )
+    outs = {}
+    for n in precedings:
+        prev_sum = F.coalesce(F.lag("_cum_sum", n + 1).over(w), F.lit(0).cast(DEC))
+        prev_cnt = F.coalesce(F.lag("_cum_cnt", n + 1).over(w), F.lit(0))
+        outs[f"{prefix}{n}"] = (
+            (F.col("_cum_sum") - prev_sum).cast("double")
+            / (F.col("_cum_cnt") - prev_cnt)
+        ).cast("double")
+    return tmp.withColumns(outs).drop("_cum_sum", "_cum_cnt")
 
 
 def calendar_spread(lineitem: DataFrame) -> DataFrame:
@@ -103,14 +123,12 @@ def flagship(lineitem: DataFrame) -> DataFrame:
     w_day = Window.partitionBy("l_shipdate").orderBy(
         F.col("l_partkey").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
-    return lineitem.select(
+    base = lineitem.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        # dates surface as strings: engine-portable (a Spark DATE and a
-        # DuckDB DATE round-trip differently through pandas)
-        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
-        F.col("l_extendedprice").alias("price"),
+        "l_shipdate",
+        F.col("l_extendedprice").alias("l_extendedprice"),
         F.coalesce(
             F.lead(F.col("l_suppkey").cast("string"), 1).over(w_mo), F.lit("NaN")
         ).alias("next_supp"),
@@ -118,8 +136,20 @@ def flagship(lineitem: DataFrame) -> DataFrame:
         F.round(
             F.col("l_extendedprice") - F.lag("l_extendedprice", 1).over(w_day), 2
         ).alias("spread"),
-        _ma("l_extendedprice", w_mo, 200).alias("ma_200"),
-        _ma("l_extendedprice", w_mo, 50).alias("ma_50"),
+    )
+    return with_trailing_means(base, "l_extendedprice", w_mo, (200, 50)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        # dates surface as strings: engine-portable (a Spark DATE and a
+        # DuckDB DATE round-trip differently through pandas)
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+        "next_supp",
+        "next_price",
+        "spread",
+        "ma_200",
+        "ma_50",
     )
 
 

@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import DEC
-
 FACT_COLUMNS = (
     "date_id",
     "contract_id",
@@ -49,22 +47,21 @@ def windowed_quotes(stg_quotes: DataFrame) -> DataFrame:
     """The flagship window statement (ODS.py:59-80) on the domain
     columns. ``lag(col, -1)`` in the reference ≡ ``lead(col, 1)``:
     'prev_contract' is really the NEXT contract in the mo-series."""
+    from ..operators.windows import with_trailing_means
+
     last_d = F.col("last").cast("double")
     w_mo = Window.partitionBy("mo").orderBy("snapshot_date")
     w_day = Window.partitionBy("snapshot_date").orderBy(
         F.col("mo").cast("int").desc()
     )
-    ma = lambda n: (  # noqa: E731 — decimal-exact trailing mean (W4/W5)
-        F.sum(last_d.cast(DEC)).over(w_mo.rowsBetween(-n, 0)).cast("double")
-        / F.count(last_d).over(w_mo.rowsBetween(-n, 0))
-    ).cast("double")
-    return stg_quotes.select(
+    base = stg_quotes.select(
         F.col("snapshot_date").alias("date_actual"),
         "contract",
         F.coalesce(
             F.lead(F.col("contract").cast("string"), 1).over(w_mo), F.lit("NaN")
         ).alias("prev_contract"),
-        F.col("mo").cast("int").alias("mo"),
+        F.col("mo").cast("int").alias("mo_int"),
+        F.col("mo"),
         last_d.alias("last"),
         F.lead(last_d, 1).over(w_mo).alias("prev_last"),
         "change",
@@ -75,8 +72,27 @@ def windowed_quotes(stg_quotes: DataFrame) -> DataFrame:
         F.col("volume").cast("long").alias("volume"),
         F.col("oi").cast("long").alias("oi"),
         F.round(last_d - F.lag(last_d, 1).over(w_day), 2).alias("spread"),
-        ma(200).alias("ma_200"),
-        ma(50).alias("ma_50"),
+        F.col("snapshot_date"),
+    )
+    # prefix-sum trailing means (see with_trailing_means): O(n), exact
+    out = with_trailing_means(base, "last", w_mo, (200, 50))
+    return out.select(
+        "date_actual",
+        "contract",
+        "prev_contract",
+        F.col("mo_int").alias("mo"),
+        "last",
+        "prev_last",
+        "change",
+        "prev_open",
+        "high",
+        "low",
+        "prev",
+        "volume",
+        "oi",
+        "spread",
+        "ma_200",
+        "ma_50",
     )
 
 
