@@ -836,17 +836,23 @@ def _q_normalize_battery(spark, sf_dir):
             " ", F.col("p_size").cast("string"), (F.col("p_size") * 2).cast("string")
         ).alias("imports exports"),
     )
-    ddl = (
-        "`Country` string, `beginning` string, `productio` string, "
-        "`Unnamed: 0` string, `loss` string, `area` string, `imports exports` string"
-    )
-    echo = spark.createDataFrame(
-        [("country", "beginning", "productio", None, None, "area", "imports exports")],
-        ddl,
-    )
+    # literal rows come from range(1)+lit, NOT createDataFrame: a
+    # python-list DataFrame re-serializes through a Python RDD on every
+    # job, which would tax each downstream action by ~1s
+    null_s = F.lit(None).cast("string")
+
+    def _row(vals):
+        return spark.range(1).select(
+            *[
+                (F.lit(v) if v is not None else null_s).alias(c)
+                for c, v in zip(messy.columns, vals)
+            ]
+        )
+
+    echo = _row(["country", "beginning", "productio", None, None, "area", "imports exports"])
     # the lone value sits in a column that is nobody's repair donor, so
     # the row still has <2 non-nulls after P4 and is dropped (P6)
-    sparse = spark.createDataFrame([(None, None, "9", None, None, None, None)], ddl)
+    sparse = _row([None, None, "9", None, None, None, None])
     return normalize.clean_extracted_table(messy.unionByName(echo).unionByName(sparse))
 
 

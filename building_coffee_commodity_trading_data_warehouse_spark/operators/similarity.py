@@ -110,7 +110,7 @@ def _vectorized_topk_partials(
             cn = np.sqrt((C * C).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 S = (C @ Q.T) / (cn[:, None] * qn[None, :])
-            out_q, out_c = [], []
+            out_q, out_c, out_s = [], [], []
             for j in range(len(ids)):
                 col = S[:, j].copy()
                 col[c_ids == ids[j]] = -np.inf  # exclude self-match
@@ -119,8 +119,10 @@ def _vectorized_topk_partials(
                 top = top[np.isfinite(col[top])]
                 out_q.extend([ids[j]] * len(top))
                 out_c.extend(c_ids[top])
+                out_s.extend(col[top])
             yield pd.DataFrame({"q_id": np.asarray(out_q, dtype="int64"),
-                                "c_id": np.asarray(out_c, dtype="int64")})
+                                "c_id": np.asarray(out_c, dtype="int64"),
+                                "cos_d": np.asarray(out_s, dtype="float64")})
 
     # a small parquet table arrives as ONE split — spread the scan so
     # the numpy batches use every core (cheap: rows are narrow)
@@ -128,7 +130,7 @@ def _vectorized_topk_partials(
     return (
         embeddings.select("vec_id", "embedding")
         .repartition(par)
-        .mapInPandas(gen, "q_id long, c_id long")
+        .mapInPandas(gen, "q_id long, c_id long, cos_d double")
     )
 
 
@@ -148,7 +150,74 @@ def brute_force_topk(
     (differences are ~1e-15 relative; 8 is generous)."""
     from pyspark.sql import Window
 
-    cand = _vectorized_topk_partials(embeddings, queries, k + margin)
+    partials = _vectorized_topk_partials(embeddings, queries, k + margin)
+    cand = _prune_by_double(partials, k + margin)
+    return _exact_topk_rerank(cand, embeddings, queries, k)
+
+
+def _prune_by_double(scored: DataFrame, limit: int) -> DataFrame:
+    """Global prune on the double score: per-partition partials can be
+    30× the final candidate count; ranking them on the already-computed
+    double score means the decimal re-score touches only Q·limit
+    pairs."""
+    from pyspark.sql import Window
+
+    w_d = Window.partitionBy("q_id").orderBy(F.col("cos_d").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk_d", F.row_number().over(w_d))
+        .filter(F.col("rk_d") <= limit)
+        .select("q_id", "c_id")
+    )
+
+
+def _np_pair_scores(
+    cand: DataFrame, embeddings: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Double-precision cosine for an explicit (q_id, c_id) pair list,
+    vectorized: arrays joined in, one einsum per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    c_arr = embeddings.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_raw")
+    )
+    q_arr = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_raw")
+    )
+    joined = (
+        cand.join(c_arr, "c_id")
+        .join(F.broadcast(q_arr), "q_id")
+        .select("q_id", "c_id", "q_raw", "c_raw")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["q_raw"].to_numpy()).astype("float64")
+            B = np.stack(pdf["c_raw"].to_numpy()).astype("float64")
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = num / den
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "c_id": pdf["c_id"].to_numpy(),
+                    "cos_d": cos,
+                }
+            )
+
+    return joined.mapInPandas(gen, "q_id long, c_id long, cos_d double")
+
+
+def _exact_topk_rerank(
+    cand: DataFrame, embeddings: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Decimal-exact cosine + final rank over a pruned candidate list —
+    the tiny tail that pins oracle-exact values and tie order."""
+    from pyspark.sql import Window
+
     c = with_norm(embeddings, "c_id", "c_")
     q = with_norm(queries, "q_id", "q_")
     pairs = (
@@ -219,48 +288,70 @@ def lsh_topk(
     with the query in ANY of ``tables`` independent hash tables; exact
     cosine + rank over candidates only. Tune planes (bucket size) and
     tables (recall) to corpus density."""
-    from functools import reduce
-
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
     if dim is None:
         dim = _embedding_dim(embeddings)
 
-    c = with_norm(embeddings, "c_id", "c_")
-    q = with_norm(queries, "q_id", "q_")
+    # all tables' sign-buckets in ONE vectorized pass: the 16 decimal
+    # dot-projections per row that the relational formulation needs are
+    # a single (N×D)@(D×tables·planes) matmul here. Candidates are
+    # heuristic by definition (bucket collisions), so double-precision
+    # signs are semantically fine; the oracle-gated lsh_buckets query
+    # keeps the decimal-exact path.
+    signs = np.array(
+        [
+            [_plane_signs(p, dim, t) for p in range(planes)]
+            for t in range(tables)
+        ],
+        dtype="float64",
+    ).reshape(tables * planes, dim)
+    weights = np.array([1 << p for p in range(planes)], dtype="int64")
+    bc = embeddings.sparkSession.sparkContext.broadcast((signs, weights))
 
-    def _cands(table: int) -> DataFrame:
-        b = lsh_buckets(embeddings, planes, table, dim)
-        qb = b.join(queries.select("vec_id"), "vec_id").select(
-            F.col("vec_id").alias("q_id"), "bucket"
-        )
-        cb = b.select(F.col("vec_id").alias("c_id"), "bucket")
-        return (
-            F.broadcast(qb)
-            .join(cb, "bucket")
-            .filter(F.col("q_id") != F.col("c_id"))
-            .select("q_id", "c_id")
-        )
+    def buckets_gen(batches):
+        S, W = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            proj = C @ S.T  # N × tables·planes
+            bits = (proj > 0).reshape(len(C), tables, planes)
+            bucket = (bits * W[None, None, :]).sum(axis=2)  # N × tables
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, tables),
+                    "table_id": np.tile(np.arange(tables, dtype="int64"), len(C)),
+                    "bucket": bucket.reshape(-1).astype("int64"),
+                }
+            )
 
-    cand = reduce(DataFrame.unionByName, [_cands(t) for t in range(tables)]).distinct()
-    pairs = (
-        cand.join(F.broadcast(q), "q_id")
-        .join(c, "c_id")
-        .select(
-            "q_id",
-            "c_id",
-            (
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cosine"),
-        )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    b = (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(buckets_gen, "vec_id long, table_id long, bucket long")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "c_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    qb = b.join(queries.select("vec_id"), "vec_id").select(
+        F.col("vec_id").alias("q_id"), "table_id", "bucket"
     )
+    cb = b.select(F.col("vec_id").alias("c_id"), "table_id", "bucket")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["table_id", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    # candidates can be 100× k per query: score them vectorized in
+    # double, prune to k+margin, decimal-rerank the survivors (same
+    # exactness argument as brute_force_topk)
+    margin = 8
+    scored = _np_pair_scores(cand, embeddings, queries)
+    pruned = _prune_by_double(scored, k + margin)
+    return _exact_topk_rerank(pruned, embeddings, queries, k)
 
 
 def embedding_neardup_pairs(
