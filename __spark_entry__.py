@@ -798,6 +798,60 @@ def _q_multimodal(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+@_register(
+    "m_frame_counts",
+    """
+SELECT doc_id,
+       (octet_length(encode(text)) // 64 + 3) // 4 AS n_frames
+FROM documents
+WHERE octet_length(encode(text)) // 64 > 0
+""",
+)
+def _q_frame_counts(spark, sf_dir):
+    """Video-style frame sampling (UDTF: 1 row → N frames) audited by
+    row count per document: frames = ceil((bytes div 64) / 4)."""
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, frame_bytes=64, every_n=4)
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@_register("m_decode_resize")  # raw-buffer ops; not SQL-expressible -> rows-only
+def _q_decode_resize(spark, sf_dir):
+    """decode (deterministic fake codec) → REAL nearest-neighbor resize
+    over raw buffers; emits shape + checksum per doc."""
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    resized = multimodal.resize_images(multimodal.decode_image(media), 8, 8)
+    return resized.select(
+        "doc_id", "width", "height", "channels", F.md5("pixels").alias("pixels_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits (§2.6): global order for output parity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s_global_sort",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def _q_global_sort(spark, sf_dir):
+    """Global ORDER BY + LIMIT: Spark plans TakeOrderedAndProject —
+    per-partition top-N then a single merge, never a full global sort
+    for a bounded output."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL surface: normalization battery + sentinel nulls + audit counts
 # (operators/normalize.py, plans/ingest.py — reference E1/E2 semantics)

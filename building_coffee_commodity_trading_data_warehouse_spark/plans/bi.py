@@ -1,0 +1,70 @@
+"""BI aggregates over the domain star schema — the layer whose
+materialized outputs are the reference's golden CSVs (Data Processed/).
+
+  * COT positioning by date and player, and summed across players
+    (A3; golden: 'COT_Long by date_actual and player.csv',
+    'CO_Net and Short by date_actual.csv' — CIT_Net = CIT_Long +
+    CIT_Short with shorts stored negated)
+  * calendar spread max−min per date across contract months
+    (A4; golden: 'Spead.csv' × 'NY prices.csv' — verified
+    2020-01-02: 131.45 − 129.40 = 2.05)
+  * MA50/MA200 price series (W4/W5; golden: 'MA50 MA200.csv') via the
+    O(n) prefix-sum trailing means
+
+Exact decimal accumulation throughout (functions/exact.py) so sums are
+identical under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..operators.windows import with_trailing_means
+
+
+def cot_totals_by_date(cot: DataFrame) -> DataFrame:
+    """A3 — per date, positions summed across the 4 players.
+    Input: (date_actual, player, cit_long ≥ 0, cit_short ≤ 0,
+    cit_net = long + short)."""
+    return (
+        cot.groupBy("date_actual")
+        .agg(
+            dsum("cit_long").alias("cit_long"),
+            dsum("cit_short").alias("cit_short"),
+            dsum("cit_net").alias("cit_net"),
+        )
+    )
+
+
+def cot_by_player(cot: DataFrame) -> DataFrame:
+    """Golden per-player series, date-ordered, net re-derived (the
+    long/short/net consistency the reference's outputs encode)."""
+    return cot.select(
+        "date_actual",
+        "player",
+        "cit_long",
+        "cit_short",
+        (F.col("cit_long") + F.col("cit_short")).alias("cit_net"),
+    )
+
+
+def price_spread_by_date(prices: DataFrame) -> DataFrame:
+    """A4 — Spread_max_min per date across contract months
+    (max − min of 'last'); equals price(far mo) − price(near mo) when
+    exactly two months trade (the golden cross-check)."""
+    return prices.groupBy("date_actual").agg(
+        (F.max("last") - F.min("last")).alias("spread_max_min"),
+        F.count(F.lit(1)).alias("n_contracts"),
+    )
+
+
+def ma_series(prices: DataFrame) -> DataFrame:
+    """W4/W5 — MA200/MA50/price per (mo, date): the 'MA50 MA200.csv'
+    shape, computed O(n) via prefix sums."""
+    w = Window.partitionBy("mo").orderBy("date_actual")
+    out = with_trailing_means(
+        prices.select("mo", "date_actual", "last"), "last", w, (200, 50)
+    )
+    return out.select("mo", "date_actual", F.col("last").alias("price"), "ma_200", "ma_50")

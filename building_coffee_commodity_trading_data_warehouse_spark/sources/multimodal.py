@@ -89,3 +89,140 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = "doc_id long, width int, height int, channels int, pixels binary"
+RESIZED_SCHEMA = "doc_id long, width int, height int, channels int, pixels binary"
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
+AUDIO_SCHEMA = "doc_id long, n_samples long, rms double, peak long"
+
+
+def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Image decode: payload → raw (H, W, C) pixel buffer.
+
+    ``codec='fake'`` derives a deterministic raw image from the payload
+    bytes (dims from the byte length, pixels by tiling the payload) so
+    the downstream RAW-BUFFER operators (resize, frame sample, stats)
+    exercise real logic under test. ``codec='pil'`` is the real-decoder
+    slot — unavailable in this container."""
+    if codec == "pil":  # pragma: no cover
+        raise NotImplementedError(
+            "no image codec in this environment; the mapInPandas plumbing "
+            "is codec-agnostic — swap this branch for PIL/libav when present"
+        )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(b: bytes):
+            b = bytes(b)
+            w = len(b) % 16 + 2
+            h = len(b) % 8 + 2
+            c = 3
+            need = w * h * c
+            buf = _np.frombuffer((b * (need // max(len(b), 1) + 1))[:need], dtype=_np.uint8)
+            return w, h, c, buf.tobytes()
+
+        for pdf in it:
+            rows = [_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "channels": [r[2] for r in rows],
+                    "pixels": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=DECODED_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over raw pixel buffers (no codec
+    needed): numpy fancy-indexing per image, Arrow-batched. The row
+    count is unchanged — pure map, partition-parallel."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _resize(px: bytes, w: int, h: int, c: int) -> bytes:
+            img = _np.frombuffer(bytes(px), dtype=_np.uint8).reshape(h, w, c)
+            yi = (_np.arange(out_h) * h) // out_h
+            xi = (_np.arange(out_w) * w) // out_w
+            return img[yi[:, None], xi[None, :], :].tobytes()
+
+        for pdf in it:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": [
+                        _resize(p, w, h, c)
+                        for p, w, h, c in zip(
+                            pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
+                        )
+                    ],
+                }
+            )
+
+    return decoded.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame sampling (UDTF shape, 1 row → N rows): treat the payload
+    as a sequence of fixed-size raw frames, emit every ``every_n``-th.
+    With a real container format the split comes from the demuxer; the
+    fan-out plumbing — per-batch explode inside mapInPandas, no driver
+    involvement — is identical."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            out_id, out_idx, out_frame = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // frame_bytes
+                for i in range(0, n, every_n):
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield _pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame}
+            )
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL signal stats over raw PCM-like buffers: bytes as signed
+    8-bit samples → RMS and peak via numpy. A real audio file would
+    pass through a decoder first (decode_image's codec slot twin)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _stats(b: bytes):
+            x = _np.frombuffer(bytes(b), dtype=_np.int8).astype("float64")
+            if not len(x):
+                return 0, 0.0, 0
+            return len(x), float(_np.sqrt((x * x).mean())), int(_np.abs(x).max())
+
+        for pdf in it:
+            rows = [_stats(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": [r[0] for r in rows],
+                    "rms": [r[1] for r in rows],
+                    "peak": [r[2] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_SCHEMA)

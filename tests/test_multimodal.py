@@ -1,0 +1,85 @@
+"""Multimodal raw-buffer operators: deterministic expected values
+computed in pure Python/numpy against the Spark pipeline."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal as mm
+
+
+def _media(spark, payloads):
+    return spark.createDataFrame(
+        [(i, "application/octet-stream", p, "test", len(p)) for i, p in enumerate(payloads)],
+        "doc_id long, media_type string, payload binary, meta_source string, meta_n_bytes long",
+    )
+
+
+def test_decode_image_deterministic(spark):
+    payload = b"hello world!"  # 12 bytes -> w=14, h=6, c=3
+    out = mm.decode_image(_media(spark, [payload])).collect()[0]
+    assert (out["width"], out["height"], out["channels"]) == (14, 6, 3)
+    px = bytes(out["pixels"])
+    assert len(px) == 14 * 6 * 3
+    assert px == (payload * (len(px) // 12 + 1))[: len(px)]  # tiling
+
+
+def test_resize_nearest_neighbor(spark):
+    # 2x2 RGB image with distinct pixels, upscaled to 4x4
+    img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    decoded = spark.createDataFrame(
+        [(0, 2, 2, 3, img.tobytes())],
+        "doc_id long, width int, height int, channels int, pixels binary",
+    )
+    out = mm.resize_images(decoded, 4, 4).collect()[0]
+    got = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    yi = (np.arange(4) * 2) // 4
+    xi = (np.arange(4) * 2) // 4
+    assert (got == img[yi[:, None], xi[None, :], :]).all()
+    assert (out["width"], out["height"]) == (4, 4)
+
+
+def test_sample_frames(spark):
+    payload = bytes(range(256)) + bytes(44)  # 300 bytes -> 4 full frames of 64
+    rows = mm.sample_frames(_media(spark, [payload]), frame_bytes=64, every_n=2).collect()
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 2]
+    f0 = [r for r in rows if r["frame_idx"] == 0][0]
+    assert bytes(f0["frame"]) == payload[:64]
+
+
+def test_audio_stats(spark):
+    samples = np.array([3, -4, 0, 5], dtype=np.int8)
+    out = mm.audio_stats(_media(spark, [samples.tobytes()])).collect()[0]
+    x = samples.astype("float64")
+    assert out["n_samples"] == 4
+    assert abs(out["rms"] - float(np.sqrt((x * x).mean()))) < 1e-12
+    assert out["peak"] == 5
+
+
+def test_decode_codec_slot_raises(spark):
+    try:
+        mm.decode_image(_media(spark, [b"x"]), codec="pil")
+        raised = False
+    except NotImplementedError:
+        raised = True
+    assert raised
+
+
+def test_full_media_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10), (2, "gamma", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = mm.to_media_table(docs)
+    resized = mm.resize_images(mm.decode_image(media), 3, 3)
+    rows = resized.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(bytes(r["pixels"])) == 3 * 3 * 3
+    # determinism: same input -> same checksum
+    h1 = [hashlib.md5(bytes(r["pixels"])).hexdigest() for r in sorted(rows, key=lambda r: r["doc_id"])]
+    rows2 = mm.resize_images(mm.decode_image(media), 3, 3).collect()
+    h2 = [hashlib.md5(bytes(r["pixels"])).hexdigest() for r in sorted(rows2, key=lambda r: r["doc_id"])]
+    assert h1 == h2
