@@ -1089,6 +1089,70 @@ def _q_st_merge(spark, sf_dir):
     )
 
 
+@_register(
+    "q_sql_surface",
+    """
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def _q_sql_surface(spark, sf_dir):
+    """The thin SQL surface (SURVEY.md §7): every catalog table is a
+    temp view, queries run as spark.sql text — same Catalyst plans as
+    the DataFrame surface."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT n.n_name, COUNT(*) AS n_customers "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name"
+    )
+
+
+@_register(
+    "j_salted_skew",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def _q_salted_skew(spark, sf_dir):
+    """Salted equi-join (skew guard): row-identical to the plain join,
+    but the hot side's key space is widened by a deterministic salt so
+    one pathological key spreads over N reducers."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.joins import (
+        salted_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.exact import dsum
+
+    joined = salted_join(li, od, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@_register("st_stateful_totals")  # custom stateful op — rows-only check
+def _q_st_stateful(spark, sf_dir):
+    """applyInPandasWithState running per-user totals through the real
+    streaming engine (availableNow drain). Custom state, not SQL-
+    expressible — pytest cross-checks it against the batch aggregate."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    totals = stateful.running_user_totals(_stream_events(spark, sf_dir))
+    return pipeline.run_available_now(
+        totals, f"st_stateful_{next(_STREAM_SEQ)}", output_mode="update"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -85,3 +85,29 @@ def semi_anti(orders: DataFrame, customer: DataFrame) -> DataFrame:
 def union_all_by_name(dfs: list[DataFrame]) -> DataFrame:
     """A5 (STG.py:304 pd.concat): column-name-aware union of N frames."""
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-buster equi-join: the HOT side gets a deterministic salt
+    (hash of its other columns mod N), the small side is replicated N×
+    with every salt value, and the join key becomes (key, salt) — one
+    hot key now spreads over N reducers instead of melting one.
+
+    Result is row-identical to ``left.join(right, key, how)``. AQE's
+    skew-join split handles moderate skew automatically; explicit
+    salting is for the pathological keys a 100 TB fact table meets
+    (null-heavy FKs, default values). Deterministic: no rand(), so the
+    plan replays identically (speculative retries, AQE re-optimization).
+    """
+    other = [c for c in left.columns if c != key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in other]), F.lit(salt_buckets))
+    salted_left = left.withColumn("_salt", salt.cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    salted_right = right.withColumn("_salt", salts)
+    return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")

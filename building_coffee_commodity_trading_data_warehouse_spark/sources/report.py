@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.normalize import canonical_header
+from ..operators.normalize import HEADER_CANON
 
 PAGE_MARKER = "SUPPLY AND DISTRIBUTION"
 SEASON_TOKEN = "Season:"
@@ -102,23 +102,72 @@ def read_report_files(spark: SparkSession, path: str) -> DataFrame:
 
 def extract_report_tables(
     reports: DataFrame,
-    parser: Callable[[bytes], tuple[str, list[list[list[str]]]]] = parse_text_report,
+    parser: Callable[[bytes], tuple[str, list[list[list[str]]]]] | None = None,
 ) -> DataFrame:
     """The UDTF: one report file in, one row per country/table-row out.
     Header canonicalization happens inside the parse (per-file, pure
     Python, executor-side); numeric scrub/cast stay relational
-    downstream (operators/normalize.py)."""
+    downstream (operators/normalize.py).
+
+    Everything the workers execute is a NESTED closure over plain data
+    (the canon dict, marker strings): cloudpickle ships it by value, so
+    the operator runs even when this package isn't importable on the
+    workers (module-level functions would pickle by reference)."""
+    canon = dict(HEADER_CANON)
+    marker, season_token = PAGE_MARKER, SEASON_TOKEN
+    min_cols = MIN_TABLE_COLUMNS
+    value_cols = list(REPORT_VALUE_COLUMNS)
+
+    def _canon_header(name: str) -> str:
+        # by-value twin of operators.normalize.canonical_header
+        key = name.strip().lower()
+        if key in canon:
+            return canon[key]
+        if " " in key:
+            return key
+        best, hit = "", key
+        for raw, target in canon.items():
+            if (key.startswith(raw) or raw.startswith(key)) and len(raw) > len(best):
+                best, hit = raw, target
+        return hit if best else key
+
+    def _default_parser(content: bytes):
+        # by-value twin of parse_text_report
+        import csv as _csv
+
+        text = content.decode("utf-8", errors="replace")
+        season, tables = "", []
+        for page in text.split("\f"):
+            if marker not in page:
+                continue
+            if not season and season_token in page:
+                season = page.split(season_token, 1)[1].lstrip()[:7]
+            block = None
+            for line in page.splitlines():
+                s = line.strip()
+                if s == "<TABLE>":
+                    block = []
+                elif s == "</TABLE>":
+                    if block:
+                        tables.append(block)
+                    block = None
+                elif block is not None and s:
+                    block.append([c.strip() for c in next(_csv.reader([s]))])
+        return season, tables
+
+    use_parser = parser or _default_parser
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        value_cols = list(REPORT_VALUE_COLUMNS)
+        import pandas as _pd
+
         for pdf in batches:
             out: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                season, tables = parser(bytes(content))
+                season, tables = use_parser(bytes(content))
                 for table in tables:
-                    if not table or len(table[0]) < MIN_TABLE_COLUMNS:
+                    if not table or len(table[0]) < min_cols:
                         continue
-                    headers = [canonical_header(h) for h in table[0]]
+                    headers = [_canon_header(h) for h in table[0]]
                     for cells in table[1:]:
                         rec = dict(zip(headers, cells))
                         out.append(
@@ -129,7 +178,7 @@ def extract_report_tables(
                                 **{c: rec.get(c) for c in value_cols},
                             }
                         )
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 out, columns=["report_path", "season", "country", *value_cols]
             )
 
@@ -156,7 +205,7 @@ def report_pipeline(
     path: str,
     snapshot_date: str,
     report_date: str,
-    parser: Callable[[bytes], tuple[str, list[list[list[str]]]]] = parse_text_report,
+    parser: Callable[[bytes], tuple[str, list[list[list[str]]]]] | None = None,
 ) -> DataFrame:
     """E2 end-to-end: binary scan → UDTF extract → numeric scrub/cast →
     lineage. Natural key (country, report_date) feeds plans/ingest

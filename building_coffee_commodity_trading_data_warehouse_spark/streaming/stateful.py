@@ -1,0 +1,66 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+Running per-user position tracker: every micro-batch folds its events
+into persistent per-key state (event count, cumulative value, last
+timestamp) and emits the updated snapshot — the streaming twin of a
+running-total window, but with state the engine checkpoints and
+restores. This is the extension point for operators the built-in
+windowed aggregations can't express (per-key custom accumulators,
+decaying counters, CEP-ish logic).
+
+Scale: state lives in the state store partitioned by the grouping key;
+each micro-batch shuffles only its delta. State per key is O(1) here —
+bounded regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+STATE_SCHEMA = "n_events long, total_value double, last_ts timestamp"
+OUTPUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, last_ts timestamp"
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Stateful per-user running totals. ``events`` must be a STREAMING
+    DataFrame with (user_id, ts, value); each trigger emits one updated
+    row per user seen in that batch.
+
+    The tracker is a SELF-CONTAINED closure (imports inside, no module
+    references): Spark's Python workers pickle it by value, so the
+    operator runs even when this package isn't on the workers' path.
+    """
+
+    def _track(key, batches, state):
+        import pandas as _pd
+
+        (user_id,) = key
+        if state.exists:
+            n, total, last = state.get
+        else:
+            n, total, last = 0, 0.0, None
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, total, last))
+        yield _pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _track,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
