@@ -430,23 +430,11 @@ FROM orders
 """,
 )
 def _q_scalars(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.round("o_totalprice", 1).alias("price_r1"),
-        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("NaN")).alias(
-            "status_sentinel"
-        ),
-        F.lower("o_orderpriority").alias("prio_lower"),
-        F.substring("o_orderpriority", 1, 3).alias("prio_pfx"),
-        F.instr("o_orderpriority", "-").cast("long").alias("dash_pos"),
-        F.regexp_replace("o_orderpriority", "[AEIOU]", "").alias("prio_novowel"),
-        F.split("o_orderpriority", "-").getItem(0).alias("prio_token0"),
-        F.size(F.split("o_orderpriority", "-")).cast("long").alias("prio_ntokens"),
-        # explicit floor: a bare double→int cast truncates in Spark but
-        # rounds in DuckDB
-        F.floor("o_totalprice").cast("long").alias("price_int"),
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.scalars import (
+        scalar_battery,
     )
+
+    return scalar_battery(_t(spark, sf_dir, "orders"))
 
 
 @_register(
@@ -460,26 +448,17 @@ SELECT o_orderkey,
   month(o_orderdate) AS order_month,
   year(o_orderdate) AS order_year,
   dayofweek(o_orderdate) AS order_dow,
-  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  strftime(o_orderdate + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS local_ts
 FROM orders
 """,
 )
 def _q_dates(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
-        F.date_format("o_orderdate", "yyyyMMdd").cast("long").alias("date_id"),
-        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
-        F.month("o_orderdate").cast("long").alias("order_month"),
-        F.year("o_orderdate").cast("long").alias("order_year"),
-        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
-        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
-        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
-            "due_date"
-        ),
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.scalars import (
+        date_battery,
     )
+
+    return date_battery(_t(spark, sf_dir, "orders"))
 
 
 @_register(
