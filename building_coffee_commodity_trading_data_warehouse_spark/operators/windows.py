@@ -123,21 +123,23 @@ def flagship(lineitem: DataFrame) -> DataFrame:
     w_day = Window.partitionBy("l_shipdate").orderBy(
         F.col("l_partkey").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
+    # STAGE ORDER = SHUFFLE ORDER: all w_mo windows (lead/lag, then the
+    # prefix-sum means, then their lags) stack on ONE Exchange+Sort by
+    # l_partkey; the w_day spread runs last on its own Exchange. Mixing
+    # them in one select costs a third exchange (mo → day → mo).
     base = lineitem.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         "l_shipdate",
-        F.col("l_extendedprice").alias("l_extendedprice"),
+        "l_extendedprice",
         F.coalesce(
             F.lead(F.col("l_suppkey").cast("string"), 1).over(w_mo), F.lit("NaN")
         ).alias("next_supp"),
         F.lead("l_extendedprice", 1).over(w_mo).alias("next_price"),
-        F.round(
-            F.col("l_extendedprice") - F.lag("l_extendedprice", 1).over(w_day), 2
-        ).alias("spread"),
     )
-    return with_trailing_means(base, "l_extendedprice", w_mo, (200, 50)).select(
+    with_mas = with_trailing_means(base, "l_extendedprice", w_mo, (200, 50))
+    return with_mas.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
@@ -147,7 +149,9 @@ def flagship(lineitem: DataFrame) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         "next_supp",
         "next_price",
-        "spread",
+        F.round(
+            F.col("l_extendedprice") - F.lag("l_extendedprice", 1).over(w_day), 2
+        ).alias("spread"),
         "ma_200",
         "ma_50",
     )

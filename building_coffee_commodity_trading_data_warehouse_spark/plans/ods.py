@@ -71,11 +71,15 @@ def windowed_quotes(stg_quotes: DataFrame) -> DataFrame:
         "prev",
         F.col("volume").cast("long").alias("volume"),
         F.col("oi").cast("long").alias("oi"),
-        F.round(last_d - F.lag(last_d, 1).over(w_day), 2).alias("spread"),
         F.col("snapshot_date"),
     )
-    # prefix-sum trailing means (see with_trailing_means): O(n), exact
-    out = with_trailing_means(base, "last", w_mo, (200, 50))
+    # prefix-sum trailing means (see with_trailing_means): O(n), exact.
+    # The w_day spread is computed AFTER all w_mo windows so the plan
+    # needs only two exchanges (mo, then snapshot_date), not three.
+    out = with_trailing_means(base, "last", w_mo, (200, 50)).withColumn(
+        "spread",
+        F.round(F.col("last") - F.lag(F.col("last"), 1).over(w_day), 2),
+    )
     return out.select(
         "date_actual",
         "contract",
