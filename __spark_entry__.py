@@ -805,6 +805,64 @@ def _q_decode_resize(spark, sf_dir):
     )
 
 
+@_register(
+    "a_cube",
+    f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def _q_cube(spark, sf_dir):
+    """CUBE over status × priority — all 4 grouping-set combinations in
+    one pass (rollup's sibling; SURVEY.md §2.4 extension)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.exact import dsum
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+@_register(
+    "w_rank_battery",
+    """
+SELECT o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
+  DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def _q_rank_battery(spark, sf_dir):
+    """Ranking functions (row_number / rank / dense_rank) — beyond the
+    reference's ROWS-frame-only windows (SURVEY.md §2.5 note)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    w2 = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w2).cast("long").alias("rnk"),
+        F.dense_rank().over(w2).cast("long").alias("drnk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sorts / limits (§2.6): global order for output parity
 # ---------------------------------------------------------------------------
