@@ -1174,6 +1174,16 @@ def _q_salted_skew(spark, sf_dir):
     )
 
 
+@_register("s_ivf_topk")  # approximate by design — rows-only check
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN: spherical-k-means cells, nprobe probing, vectorized
+    scoring, decimal-exact rerank. Recall vs brute force is pinned in
+    tests/test_similarity_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
+
+
 @_register("st_stateful_totals")  # custom stateful op — rows-only check
 def _q_st_stateful(spark, sf_dir):
     """applyInPandasWithState running per-user totals through the real

@@ -354,6 +354,115 @@ def lsh_topk(
     return _exact_topk_rerank(pruned, embeddings, queries, k)
 
 
+def _train_centroids(
+    embeddings: DataFrame, n_centroids: int, iters: int = 5, sample: int = 4096
+):
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    deterministic sample (first ``sample`` vectors by id — at corpus
+    scale the sample is the only thing that leaves the executors).
+    Returns a unit-normalized (n_centroids × D) numpy matrix."""
+    import numpy as np
+
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # deterministic init: evenly spaced sample rows (sorted by vec_id)
+    idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 1e-12:
+                    C[j] = c / n
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    margin: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k: a coarse quantizer (spherical k-means)
+    partitions the corpus into cells; each query probes only its
+    ``nprobe`` closest cells, so the scan fraction is ~nprobe/n_centroids.
+    Candidates are scored vectorized and decimal-reranked like
+    brute_force_topk — the ANN error is ONLY cell-miss, never scoring.
+
+    Scale: centroids are a broadcast literal; cell assignment is one
+    vectorized pass; the candidate join is an equi-join on cell id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = _train_centroids(embeddings, n_centroids, iters)
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    def assign_gen(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": np.argmax(X @ CC.T, axis=1).astype("int64"),
+                }
+            )
+
+    def probe_gen(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            S = X @ CC.T
+            m = min(nprobe, S.shape[1])
+            top = np.argpartition(-S, m - 1, axis=1)[:, :m]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cell": top.reshape(-1).astype("int64"),
+                }
+            )
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    cells = (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(assign_gen, "vec_id long, cell long")
+        .select(F.col("vec_id").alias("c_id"), "cell")
+    )
+    probes = queries.select("vec_id", "embedding").mapInPandas(
+        probe_gen, "q_id long, cell long"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    scored = _np_pair_scores(cand, embeddings, queries)
+    pruned = _prune_by_double(scored, k + margin)
+    return _exact_topk_rerank(pruned, embeddings, queries, k)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.99
 ) -> DataFrame:

@@ -71,17 +71,34 @@ def merge_into(
     """J4 materialized: read target, anti-join + union, overwrite.
     Missing target = first load (bootstrap append). The staged plan is
     evaluated once; rerunning with the same snapshot is a no-op on
-    content (reference idempotency, STG.py:102-115)."""
+    content (reference idempotency, STG.py:102-115).
+
+    PARTITIONED targets merge at partition granularity: only partitions
+    that the staged snapshot touches are read back, merged, and
+    rewritten (``partitionOverwriteMode=dynamic``) — on a 100 TB
+    date-partitioned fact a daily snapshot rewrites one day, not the
+    table. Unpartitioned targets fall back to a full materialize+swap
+    (the merged plan reads the path it overwrites, so it must be
+    materialized first — Delta's MERGE would remove that copy)."""
     try:
         target = spark.read.parquet(target_path)
     except Exception:
         truncate_reload(staged, target_path, partition_by)
         return
-    merged = merge_upsert(target, staged, keys)
-    # self-overwrite: the merged plan reads target_path, so materialize
-    # through a checkpoint-free local collect-less path — write to a
-    # sibling then swap is the cluster-safe move; locally we cache.
-    merged = merged.localCheckpoint(eager=True)
+    if partition_by:
+        touched = staged.select(partition_by).distinct()
+        affected = target.join(F.broadcast(touched), partition_by, "left_semi")
+        merged = merge_upsert(affected, staged, keys).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_by).parquet(
+                target_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+    merged = merge_upsert(target, staged, keys).localCheckpoint(eager=True)
     truncate_reload(merged, target_path, partition_by)
 
 

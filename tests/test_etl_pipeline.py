@@ -311,3 +311,35 @@ def test_parquet_scan_pushdown(spark, sf_dir):
     assert explain.has_pushed_filter(df, "l_partkey")
     read = explain.read_schema_columns(df)
     assert set(read) == {"l_partkey", "l_extendedprice"}  # pruning
+
+
+def test_partitioned_merge_touches_only_affected_partitions(spark, tmp_path):
+    import os
+
+    target = str(tmp_path / "fact_parted")
+    base = spark.createDataFrame(
+        [("2020-01-01", "Brazil", 1), ("2020-01-01", "Vietnam", 2),
+         ("2020-01-02", "Brazil", 3), ("2020-01-03", "India", 4)],
+        "day string, country string, v int",
+    )
+    ingest.truncate_reload(base, target, partition_by="day")
+    untouched = f"{target}/day=2020-01-03"
+    before = {f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)
+              if f.endswith(".parquet")}
+
+    staged = spark.createDataFrame(
+        [("2020-01-01", "Brazil", 10), ("2020-01-04", "Kenya", 5)],
+        "day string, country string, v int",
+    )
+    ingest.merge_into(spark, target, staged, ["day", "country"], partition_by="day")
+
+    # partition-dir values are type-inferred on read (string -> DATE)
+    got = {(str(r["day"]), r["country"]): r["v"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {("2020-01-01", "Brazil"): 10, ("2020-01-01", "Vietnam"): 2,
+                   ("2020-01-02", "Brazil"): 3, ("2020-01-03", "India"): 4,
+                   ("2020-01-04", "Kenya"): 5}
+    # dynamic partition overwrite must NOT have rewritten 2020-01-03
+    after = {f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)
+             if f.endswith(".parquet")}
+    assert after == before
