@@ -1174,6 +1174,38 @@ def _q_salted_skew(spark, sf_dir):
     )
 
 
+@_register(
+    "st_dedup_stream",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+""",
+)
+def _q_st_dedup(spark, sf_dir):
+    """Streaming exact dedup: the landing dir delivers the SAME events
+    file twice (at-least-once delivery); dropDuplicates state must
+    collapse it back to one copy — aggregate equals the clean batch."""
+    import os
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    land = tempfile.mkdtemp(prefix="spark_graft_dup_landing_")
+    src = f"{sf_dir}/events.parquet"
+    os.symlink(src, os.path.join(land, "delivery_1.parquet"))
+    os.symlink(src, os.path.join(land, "delivery_2.parquet"))
+    stream = pipeline.stream_events(spark, land)
+    deduped = pipeline.dedup_stream(stream, ["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.lit(1)).alias("n_unique"),
+    )
+    return pipeline.run_available_now(
+        agg, f"st_dedup_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+
+
 @_register("s_ivf_topk")  # approximate by design — rows-only check
 def _q_ivf_topk(spark, sf_dir):
     """IVF ANN: spherical-k-means cells, nprobe probing, vectorized

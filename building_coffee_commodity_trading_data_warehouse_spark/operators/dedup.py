@@ -184,13 +184,17 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(documents, n)
     if strategy == "auto":
+        # corpus size short-circuits BEFORE any shingle materialization:
+        # a web-scale corpus never pays the vocab count. A small corpus
+        # caches the (small) shingle frame — the downstream plan scans
+        # it 3-4× (vocab, dictionary, sizes, join/bitmap build).
         n_docs = documents.count()
-        n_vocab = sh.select("shingle").distinct().count()
-        strategy = (
-            "bitmap"
-            if n_vocab <= _BITMAP_MAX_VOCAB and n_docs <= _BITMAP_MAX_DOCS
-            else "join"
-        )
+        if n_docs <= _BITMAP_MAX_DOCS:
+            sh = sh.persist()
+            n_vocab = sh.select("shingle").distinct().count()
+            strategy = "bitmap" if n_vocab <= _BITMAP_MAX_VOCAB else "join"
+        else:
+            strategy = "join"
     if strategy == "bitmap":
         return _bitmap_jaccard_pairs(sh, threshold)
     if max_df is not None:

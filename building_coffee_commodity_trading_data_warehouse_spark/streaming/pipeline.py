@@ -64,6 +64,13 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     return stream_df.sparkSession.table(query_name)
 
 
+def dedup_stream(stream_df: DataFrame, keys: list[str], watermark_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: the engine keeps per-key state bounded by
+    the watermark and drops re-deliveries of the same key — the
+    streaming twin of exact_dedup for at-least-once sources."""
+    return stream_df.withWatermark(watermark_col, watermark).dropDuplicates(keys)
+
+
 def merge_stream(
     stream_df: DataFrame,
     target_path: str,
