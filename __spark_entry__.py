@@ -32,6 +32,7 @@ from building_coffee_commodity_trading_data_warehouse_spark.operators import (
 )
 from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
 from building_coffee_commodity_trading_data_warehouse_spark.functions.exact import (
+    dsum,
     sql_davg,
     sql_dsum,
 )
@@ -1230,6 +1231,105 @@ def _q_st_stateful(spark, sf_dir):
     return pipeline.run_available_now(
         totals, f"st_stateful_{next(_STREAM_SEQ)}", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of / range joins + percentiles (operators/asof.py, aggregates.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j_asof_quote",
+    """
+WITH trades AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), quotes AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT t.event_id AS trade_id, t.user_id,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') AS trade_ts,
+       q.value AS quote_asof,
+       strftime(q.ts, '%Y-%m-%d %H:%M:%S.%f') AS quote_ts_asof
+FROM trades t LEFT JOIN LATERAL (
+  SELECT value, ts FROM quotes q
+  WHERE q.user_id = t.user_id AND q.ts <= t.ts
+  ORDER BY q.ts DESC, q.event_id DESC LIMIT 1
+) q ON true
+""",
+)
+def _q_asof(spark, sf_dir):
+    """Point-in-time join: each trade (click) picks the latest quote
+    (view) of the same user at-or-before its timestamp — the 'price as
+    of this trade' primitive. One shuffle, no range explosion."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("trade_id"), "user_id", "ts"
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("value").alias("quote")
+    )
+    joined = asof.asof_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["quote"], tiebreak="event_id",
+    )
+    return joined.select(
+        "trade_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("trade_ts"),
+        F.col("quote_asof").alias("quote_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("quote_ts_asof"),
+    )
+
+
+@_register(
+    "j_range_join",
+    f"""
+WITH bands AS (
+  SELECT i AS band_id, i * 25.0 AS lo, i * 25.0 + 40.0 AS hi
+  FROM generate_series(0, 19) t(i)
+)
+SELECT band_id, COUNT(*) AS n_events, {sql_dsum('e.value')} AS sum_value
+FROM bands b JOIN events e ON e.value BETWEEN b.lo AND b.hi
+GROUP BY band_id
+""",
+)
+def _q_range_join(spark, sf_dir):
+    """Point-in-interval join against OVERLAPPING value bands via bin
+    bucketing: interval explodes to covered bins, point hashes to one
+    bin, equi-join + residual BETWEEN — no cross product."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 40.0).alias("hi"),
+    )
+    joined = asof.range_join_bins(ev, bands, "value", "lo", "hi", bin_width=25.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+@_register(
+    "a_percentiles",
+    """
+SELECT l_returnflag,
+       MIN(l_quantity) AS q_min,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       MAX(l_quantity) AS q_max,
+       COUNT(l_quantity) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_percentiles(spark, sf_dir):
+    """Exact PERCENTILE_CONT quartile battery per group (interpolated,
+    engine-portable at exact binary quartile positions)."""
+    return aggregates.quantity_percentiles(_t(spark, sf_dir, "lineitem"))
 
 
 # ---------------------------------------------------------------------------

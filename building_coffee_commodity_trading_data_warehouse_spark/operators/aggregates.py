@@ -101,3 +101,20 @@ def global_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     )
     od = orders.agg(F.count(F.lit(1)).alias("orders_rows"))
     return li.crossJoin(od)
+
+
+def quantity_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact linear-interpolation percentiles (ANSI PERCENTILE_CONT
+    semantics) per group. Exact percentile sorts every group member —
+    fine per-group here; at 100 TB prefer approx_percentile (t-digest
+    sketch, one pass, mergeable) and keep exact for audits. Quartile
+    positions are exact binary fractions, so interpolated values are
+    bit-identical across engines."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("q_min"),
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.max("l_quantity").alias("q_max"),
+        F.count("l_quantity").alias("n_rows"),
+    )

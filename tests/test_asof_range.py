@@ -1,0 +1,99 @@
+"""Edge semantics of the as-of join and binned range join
+(operators/asof.py): tie-breaking, equal-timestamp inclusion,
+boundary inclusivity, overlapping intervals, bin-width invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+_T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(sec):
+    return _T0 + dt.timedelta(seconds=sec)
+
+
+def test_asof_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts(10)),  # after q@5 and q@10 -> equal-ts quote wins
+            (2, "A", _ts(4)),   # before any quote -> NULL
+            (3, "A", _ts(30)),  # after the tie pair at ts=20
+            (4, "B", _ts(10)),  # other key: only B quotes visible
+        ],
+        "trade_id long, key string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100, "A", _ts(5), 1.0),
+            (101, "A", _ts(10), 2.0),   # exactly simultaneous with trade 1
+            (102, "A", _ts(20), 3.0),   # tie on ts with 103
+            (103, "A", _ts(20), 4.0),   # higher tiebreak id -> wins
+            (104, "B", _ts(1), 9.0),
+        ],
+        "qid long, key string, ts timestamp, px double",
+    )
+    out = asof.asof_join(
+        trades, quotes, on=["key"], left_ts="ts", right_ts="ts",
+        value_cols=["px"], tiebreak="qid",
+    )
+    got = {r["trade_id"]: r["px_asof"] for r in out.collect()}
+    assert got == {1: 2.0, 2: None, 3: 4.0, 4: 9.0}
+    # matched quote timestamp comes back too
+    ts_got = {r["trade_id"]: r["ts_asof"] for r in out.collect()}
+    assert ts_got[1] == _ts(10) and ts_got[2] is None and ts_got[3] == _ts(20)
+
+
+def test_asof_join_single_shuffle(spark):
+    trades = spark.createDataFrame([(1, "A", _ts(1))], "trade_id long, key string, ts timestamp")
+    quotes = spark.createDataFrame([(9, "A", _ts(0), 1.0)], "qid long, key string, ts timestamp, px double")
+    plan = (
+        asof.asof_join(trades, quotes, ["key"], "ts", "ts", ["px"], "qid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash partitioning on the key serves the whole plan: no join
+    # operator at all, a single window over the unioned sides
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_boundaries_and_overlap(spark):
+    points = spark.createDataFrame(
+        [(1, -5.0), (2, 0.0), (3, 10.0), (4, 15.0), (5, 99.0)], "pid long, v double"
+    )
+    intervals = spark.createDataFrame(
+        [(10, -10.0, 0.0), (11, 0.0, 10.0), (12, 5.0, 20.0)],
+        "iid long, lo double, hi double",
+    )
+    out = asof.range_join_bins(points, intervals, "v", "lo", "hi", bin_width=7.0)
+    pairs = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert pairs == {
+        (1, 10),            # interior, negative values
+        (2, 10), (2, 11),   # lo/hi boundaries are BOTH inclusive
+        (3, 11), (3, 12),   # overlapping intervals -> two rows
+        (4, 12),
+    }                        # pid 5 matches nothing
+
+
+def test_range_join_bin_width_invariance(spark):
+    points = spark.range(200).select(
+        F.col("id").alias("pid"), (F.col("id") * 0.7 - 30).alias("v")
+    )
+    intervals = spark.range(12).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 9.0 - 40).alias("lo"),
+        (F.col("id") * 9.0 - 40 + 13.0).alias("hi"),
+    )
+    expected = None
+    for w in (1.0, 6.5, 13.0, 40.0):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in asof.range_join_bins(points, intervals, "v", "lo", "hi", w).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected and len(got) > 0
