@@ -68,7 +68,7 @@ def shingles(documents: DataFrame, n: int = 2) -> DataFrame:
     )
 
 
-def shingle_bitmaps(sh: DataFrame) -> tuple[DataFrame, int]:
+def shingle_bitmaps(sh: DataFrame, n_vocab: int | None = None) -> tuple[DataFrame, int]:
     """Per-document shingle-set BITMAP over a dense shingle dictionary:
     (doc_id, n_shingles, w0..w{width-1} long columns). Intersection
     sizes become popcounts of ANDed words — flat columns keep every
@@ -78,10 +78,12 @@ def shingle_bitmaps(sh: DataFrame) -> tuple[DataFrame, int]:
     The dictionary is built with a global row_number over the distinct
     shingles — a single-partition sort of *vocabulary-sized* data (the
     caller guarantees vocab ≤ _BITMAP_MAX_VOCAB), never of the corpus.
-    Returns (docs, width).
+    Returns (docs, width). Pass ``n_vocab`` when the caller already
+    counted the vocabulary (the auto-strategy did) to skip a recount.
     """
     vocab = sh.select("shingle").distinct()
-    n_vocab = vocab.count()
+    if n_vocab is None:
+        n_vocab = vocab.count()
     ids = vocab.select(
         "shingle",
         (F.row_number().over(Window.orderBy("shingle")) - 1).alias("sid"),
@@ -136,13 +138,21 @@ def _bitmap_sides(docs: DataFrame, width: int) -> tuple[DataFrame, DataFrame]:
     return a, b
 
 
-def _bitmap_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+def _bitmap_jaccard_pairs(
+    sh: DataFrame, threshold: float, n_vocab: int | None = None
+) -> DataFrame:
     """All-pairs Jaccard via bitmap popcount: right for DENSE corpora
     (small vocabulary, most pairs overlapping), where candidate pruning
     is useless and the shingle self-join's pair stream (Σ df²) dwarfs
     the N² popcount loop. Both sides broadcast-or-scan; no shuffle at
-    all beyond the per-doc groupBy."""
-    docs, width = shingle_bitmaps(sh)
+    all beyond the per-doc groupBy.
+
+    The per-doc bitmap frame is persisted before fanning into the two
+    join sides — it is corpus-cardinality-sized (one short row per doc,
+    the caller bounds docs at _BITMAP_MAX_DOCS) and would otherwise be
+    rebuilt once per side (stream + broadcast)."""
+    docs, width = shingle_bitmaps(sh, n_vocab)
+    docs = docs.persist()
     a, b = _bitmap_sides(docs, width)
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
@@ -183,6 +193,7 @@ def ngram_jaccard_pairs(
         the bitmap bounds.
     """
     sh = shingles(documents, n)
+    n_vocab = None
     if strategy == "auto":
         # corpus size short-circuits BEFORE any shingle materialization:
         # a web-scale corpus never pays the vocab count. A small corpus
@@ -196,7 +207,7 @@ def ngram_jaccard_pairs(
         else:
             strategy = "join"
     if strategy == "bitmap":
-        return _bitmap_jaccard_pairs(sh, threshold)
+        return _bitmap_jaccard_pairs(sh, threshold, n_vocab)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
