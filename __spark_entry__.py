@@ -665,6 +665,39 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=16)
 
 
+@_register(
+    "d_neardup_clusters",
+    f"""
+WITH RECURSIVE
+jac AS ({_SQL_JACCARD_PAIRS}),
+p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM p
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id,
+       CAST(node = MIN(lab) AS BIGINT) AS is_keeper
+FROM reach GROUP BY node
+""",
+)
+def _q_neardup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → one keeper per cluster
+    (``dedup.connected_components`` min-label propagation +
+    ``neardup_clusters``). The reference's dedup is key-equality only
+    (STG.py:102-110); this is the training-data extension: transitive
+    closure over similarity pairs, oracle-checked against a DuckDB
+    recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.2)
+    return dedup.neardup_clusters(docs, pairs)
+
+
 # ---------------------------------------------------------------------------
 # north-star: similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------

@@ -393,3 +393,84 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         .alias("simhash"),
     )
     return sig
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation: (node, comp) where comp converges to the smallest node
+    id in the component — the GraphX/GraphFrames algorithm expressed as
+    DataFrame joins, so near-dup PAIRS become dedup CLUSTERS.
+
+    Iteration is driver-coordinated (one job per round, the MLlib
+    pattern); round count = graph diameter, small for near-dup graphs
+    (clusters are near-cliques, so 2-3 rounds in practice). Each round
+    shuffles one (node, label) stream into a min-groupBy — map-side
+    partial mins keep it at one row per node per partition. Lineage is
+    truncated per round with localCheckpoint so the plan stays flat in
+    the iteration count. Labels decrease monotonically, so the global
+    label sum is a convergence certificate: one scalar aggregate per
+    round, no join against the previous state.
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, F.col("a") == F.col("node")).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("comp")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def neardup_clusters(
+    documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster assignment for EVERY document: (doc_id, cluster_id,
+    is_keeper) — paired docs get their component's min id, singletons
+    get themselves. The component frame covers only paired docs (tiny
+    next to a web corpus), joined back to the full corpus; is_keeper
+    marks the one representative kept per cluster."""
+    comp = connected_components(pairs)
+    return (
+        documents.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_keeper", (F.col(id_col) == F.col("cluster_id")).cast("long")
+        )
+    )
+
+
+def neardup_dedup(
+    documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The actual dedup: documents minus non-representatives. Losers
+    (comp < node) anti-join the corpus — the corpus itself never
+    shuffles, only the loser id list does."""
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("comp") != F.col("node"))
+        .select(F.col("node").alias(id_col))
+    )
+    return documents.join(losers, id_col, "left_anti")

@@ -74,3 +74,31 @@ def test_trailing_mean_matches_python(spark, prices, frame):
         lo = max(0, i - frame)
         want = sum(vals[lo : i + 1]) / (i + 1 - lo)
         assert abs(g - want) < 1e-9
+
+
+def test_connected_components_path_graph(spark):
+    """Min-label propagation needs diameter-many rounds: a 5-node path
+    (1-2-3-4-5) must fully collapse to component 1, a separate edge
+    (8,9) to 8, and the convergence certificate must stop the loop."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        connected_components,
+        neardup_clusters,
+        neardup_dedup,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 5, 7, 8, 9]], "doc_id long, text string"
+    )
+    cl = neardup_clusters(docs, pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in cl}
+    # singleton 7 keeps itself; only min ids are keepers
+    assert got[7] == (7, 1)
+    assert got[1] == (1, 1) and got[5] == (1, 0) and got[9] == (8, 0)
+    kept = sorted(r["doc_id"] for r in neardup_dedup(docs, pairs).collect())
+    assert kept == [1, 7, 8]
