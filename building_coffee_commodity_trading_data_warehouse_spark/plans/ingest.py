@@ -167,3 +167,30 @@ def audit_append(spark: SparkSession, report: LoadReport, audit_path: str, creat
         F.lit(created_by).alias("created_by"),
     )
     append(row, audit_path)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    keys: list[str],
+    buckets: int = 32,
+    sorted_by: list[str] | None = None,
+) -> None:
+    """Co-located join layout: hash-bucket (and sort) the table on its
+    join/aggregation keys so every later equi-join or groupBy on those
+    keys reads pre-partitioned data and skips its Exchange entirely —
+    the bucketing answer to "co-locate joins via pre-partitioning".
+
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every query and shuffling it ONCE at write time: two
+    tables bucketed on the same keys with the same bucket count
+    sort-merge-join with zero Exchange on either side (pinned by
+    tests/test_plan_shapes.py). Bucket count bounds per-bucket file
+    size; sorting inside buckets makes the merge phase stream."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, *keys)
+        .sortBy(*(sorted_by or keys))
+    )
+    w.saveAsTable(table)

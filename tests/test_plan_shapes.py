@@ -73,3 +73,33 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
         assert len(spans) >= 4, plan[:500]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key with the same bucket count
+    must sort-merge-join with ZERO shuffle exchanges — the write-once
+    co-location contract of plans.ingest.write_bucketed."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.ingest import write_bucketed
+
+    orders = catalog.table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], buckets=8)
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            ["o_orderkey"],
+            buckets=8,
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        n_rows = joined.count()
+        assert n_rows == li.count()  # every lineitem has its order
+        assert _exchanges(joined) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
