@@ -23,6 +23,7 @@ from building_coffee_commodity_trading_data_warehouse_spark import catalog
 from building_coffee_commodity_trading_data_warehouse_spark.session import tune
 from building_coffee_commodity_trading_data_warehouse_spark.operators import (
     aggregates,
+    curate,
     dedup,
     joins,
     similarity,
@@ -696,6 +697,79 @@ def _q_neardup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.2)
     return dedup.neardup_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# north-star: dataset curation (operators/curate.py) — deterministic
+# hash splitting/sampling and fixed-window chunking. Boundaries are
+# inlined as exact integer literals so both engines compare the same
+# bucket thresholds (no float-cast rounding ambiguity).
+# ---------------------------------------------------------------------------
+
+_SQL_BUCKET = (
+    "CAST(concat('0x', substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+_B_TRAIN = int(0.9 * (1 << 32))
+_B_VAL = int(0.95 * (1 << 32))
+_B_QUARTER = int(0.25 * (1 << 32))
+
+
+@_register(
+    "c_hash_split",
+    f"""
+SELECT doc_id,
+       CASE WHEN {_SQL_BUCKET.format(seed="split")} < {_B_TRAIN} THEN 'train'
+            WHEN {_SQL_BUCKET.format(seed="split")} < {_B_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (content-addressed, no
+    RNG): stable under corpus growth, so eval sets stay uncontaminated
+    across dataset versions."""
+    return curate.hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
+@_register(
+    "c_hash_sample",
+    f"""
+SELECT doc_id FROM documents
+WHERE {_SQL_BUCKET.format(seed="sample")} < {_B_QUARTER}
+""",
+)
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic 25% sample — reproducible across runs and
+    partitionings, unlike RNG-based df.sample."""
+    return curate.hash_sample(
+        _t(spark, sf_dir, "documents").select("doc_id"), fraction=0.25
+    )
+
+
+@_register(
+    "c_chunk_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS BIGINT) AS chunk_id,
+       CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+FROM s
+""",
+)
+def _q_chunk_documents(spark, sf_dir):
+    """Fixed-window chunking with overlap (64-token windows, stride
+    48) — context-window packing, array-native (sequence + explode +
+    slice), no Python in the path."""
+    return curate.chunk_documents(_t(spark, sf_dir, "documents"), chunk=64, stride=48)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,93 @@
+"""Dataset-curation operators a training-data pipeline needs between
+"deduplicated corpus" and "training shards": deterministic train/val/
+test splitting, deterministic sampling, and fixed-window document
+chunking.
+
+All assignment is CONTENT-ADDRESSED (md5 of the id, no RNG state): a
+document's split/sample fate depends only on its id and the seed, so
+it is reproducible across runs, stable when the corpus grows (new docs
+never reshuffle old assignments — the property that keeps eval sets
+uncontaminated across dataset versions), and needs no driver-side
+state, ordering, or sampling RNG. Everything is a pure projection /
+filter — no shuffle at all, embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 buckets from the first 8 hex chars of md5 — uniform enough that
+# split ratios hold to ~1e-4 at corpus scale.
+_BUCKETS = 1 << 32
+
+
+def hash_bucket(id_col: Column, seed: str) -> Column:
+    """Deterministic uniform bucket in [0, 2^32): first 8 md5 hex chars
+    of ``seed|id``. Portable: identical bytes on any engine with md5."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), id_col.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column assigning each row to train/val/test by
+    cumulative weight over the hash bucket. Assignment is a function of
+    (seed, id) only — growing the corpus never moves an existing row
+    between splits."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: str = "sample"
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose bucket falls
+    below fraction·2^32. Unlike ``df.sample`` this is reproducible
+    across runs/partitionings and composable (nested fractions nest)."""
+    return df.filter(hash_bucket(F.col(id_col), seed) < int(fraction * _BUCKETS))
+
+
+def chunk_documents(
+    documents: DataFrame, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """Fixed-window chunking with overlap (context-window packing for
+    training / RAG): whitespace tokens → windows of ``chunk`` tokens
+    every ``stride`` tokens, tail windows shorter. One generator
+    expression (sequence + explode + slice) — array-native, no Python,
+    output rows ≈ n_tokens/stride per doc. Chunk ids are derived from
+    the window start, so re-chunking a changed document is locally
+    idempotent."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = F.split(F.col("text"), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        documents.select("doc_id", toks.alias("_toks"), F.explode(starts).alias("_start"))
+        .select(
+            "doc_id",
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.least(F.lit(chunk), F.size("_toks") - F.col("_start")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.concat_ws(" ", F.slice("_toks", F.col("_start") + 1, chunk)).alias(
+                "chunk_text"
+            ),
+        )
+    )

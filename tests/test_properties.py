@@ -102,3 +102,37 @@ def test_connected_components_path_graph(spark):
     assert got[1] == (1, 1) and got[5] == (1, 0) and got[9] == (8, 0)
     kept = sorted(r["doc_id"] for r in neardup_dedup(docs, pairs).collect())
     assert kept == [1, 7, 8]
+
+
+def test_hash_split_stability_and_chunk_reconstruction(spark):
+    """Split assignment is a function of (seed, id) alone — subsetting
+    the corpus never moves a surviving row between splits — and
+    non-overlapping chunking (stride == chunk) reconstructs the
+    original token stream exactly."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import (
+        chunk_documents,
+        hash_sample,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(i % 7 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    assert set(full.values()) == {"train", "val", "test"}
+
+    s = hash_sample(docs, 0.5).count()
+    assert 60 <= s <= 140  # deterministic, roughly half
+
+    chunks = chunk_documents(docs, chunk=3, stride=3).collect()
+    rebuilt = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        rebuilt[r["doc_id"]] = (rebuilt.get(r["doc_id"], "") + " " + r["chunk_text"]).strip()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rebuilt == orig
