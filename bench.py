@@ -38,6 +38,7 @@ HEADLINE = [
     "d_ngram_jaccard",
     "d_minhash_lsh",
     "t_quality_language",
+    "c_chunk_documents",
     "s_cosine_topk",
     "s_lsh_topk",
     "e_normalize_battery",
