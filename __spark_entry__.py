@@ -865,6 +865,51 @@ def _q_embedding_neardup(spark, sf_dir):
     )
 
 
+@_register(
+    "s_embedding_clusters",
+    f"""
+WITH RECURSIVE
+ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex a JOIN ex b USING (pos)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT vec_a, vec_b FROM d
+  JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+  WHERE dot / (x.nrm * y.nrm) >= 0.4
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM p
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM p
+),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS vec_id, MIN(lab) AS cluster_id,
+       CAST(node = MIN(lab) AS BIGINT) AS is_keeper
+FROM reach GROUP BY node
+""",
+)
+def _q_embedding_clusters(spark, sf_dir):
+    """Embedding-space dedup end-to-end: cosine near-dup pairs →
+    connected components → one keeper per cluster. Same clustering
+    core as d_neardup_clusters, driven by the vector pair generator —
+    semantic dedup for a training corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup.neardup_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+
+
 # ---------------------------------------------------------------------------
 # north-star: multimodal columns (sources/multimodal.py — pandas-UDF path)
 # ---------------------------------------------------------------------------
