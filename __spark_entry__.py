@@ -772,6 +772,44 @@ def _q_chunk_documents(spark, sf_dir):
     return curate.chunk_documents(_t(spark, sf_dir, "documents"), chunk=64, stride=48)
 
 
+@_register(
+    "c_quality_filter",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars, text, {_SQL_TOKS} AS toks,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('en'))} AS hits_en,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('de'))} AS hits_de,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('fr'))} AS hits_fr,
+    {_SQL_HITS.format(toks=_SQL_TOKS, markers=_sql_markers('es'))} AS hits_es
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+      AS punct_ratio,
+    hits_en * 1.0 / len(toks) AS stopword_ratio,
+    len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio,
+    CASE
+      WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+      WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+      WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+      ELSE 'es'
+    END AS lang_guess,
+    hits_en, hits_de, hits_fr, hits_es
+  FROM s
+)
+SELECT * FROM m
+WHERE n_tokens >= 20 AND punct_ratio <= 0.3 AND distinct_ratio >= 0.4
+""",
+)
+def _q_quality_filter(spark, sf_dir):
+    """Pretraining quality gate: survivors of the length / punctuation /
+    lexical-diversity thresholds, with their scores — a pure filter
+    over the t_quality_language scoring pass (no join, no shuffle)."""
+    return curate.quality_filter(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # north-star: similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------

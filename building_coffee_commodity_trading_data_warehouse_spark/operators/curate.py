@@ -91,3 +91,27 @@ def chunk_documents(
             ),
         )
     )
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.3,
+    min_distinct_ratio: float = 0.4,
+) -> DataFrame:
+    """Corpus quality gate (the filter step a pretraining pipeline runs
+    after dedup): keep documents whose length / punctuation-density /
+    lexical-diversity scores clear the thresholds, returning survivors
+    WITH their scores. Pure projection + filter over the textstats
+    scoring pass — no join, no shuffle; the metrics are computed once
+    inline and the predicate is pushed into the same stage."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        quality_and_language,
+    )
+
+    q = quality_and_language(documents)
+    return q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    )
