@@ -13,6 +13,16 @@ operators — no UDFs, no driver-side data movement — so they hold at
   ONE shuffle on the key columns, O(1) running state per row, and no
   row explosion — unlike the naive range-join (quadratic candidate
   pairs) or a per-key ``collect_list`` (driver/executor memory blowup).
+  All matched columns travel in ONE struct filled by a single
+  ``last(ignorenulls=True)``, so every output column comes from the
+  SAME matched right row (a NULL value in the newest quote surfaces as
+  NULL — never back-filled from an older quote).
+* ``asof_join_bucketed`` is the skew escape hatch: rows pre-split by a
+  coarse time bucket so the per-key sort becomes per-(key, bucket);
+  only one carry row per bucket (the last quote of everything before
+  it) crosses bucket boundaries, computed with a per-bucket aggregate
+  plus a window over the tiny (key × bucket) relation. Identical output
+  to ``asof_join`` (parity-tested), worth it only for monster keys.
 * ``range_join_bins`` is the bucketed interval join: intervals are
   exploded into the fixed-width bins they cover, points hash to exactly
   one bin, and the join becomes an equi-join on the bin id followed by
@@ -25,9 +35,66 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 _SIDE = "__asof_side"
 _TIE = "__asof_tie"
+_PAY = "__asof_pay"
+_BKT = "__asof_bucket"
+
+
+def _payload_type(right: DataFrame, fill_cols: list[str]) -> StructType:
+    return StructType(
+        [StructField(c, right.schema[c].dataType) for c in fill_cols]
+    )
+
+
+def _tag_sides(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    fill_cols: list[str],
+    tiebreak: str,
+):
+    """Union-ready (left, right) with the matched columns packed into a
+    single struct column ``_PAY`` (NULL on left rows): one
+    ``last(_PAY, ignorenulls=True)`` then yields ALL matched columns
+    from the same right row — no torn rows when a value column is NULL
+    in the newest quote."""
+    pay_t = _payload_type(right, fill_cols)
+    l_tagged = left.select(
+        *left.columns,
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias(_TIE),
+        F.lit(None).cast(pay_t).alias(_PAY),
+    )
+    r_tagged = right.select(
+        *[
+            (
+                F.col(c)
+                if c in on
+                else F.col(right_ts).alias(left_ts)
+                if c == left_ts
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            )
+            for c in left.columns
+        ],
+        F.lit(0).alias(_SIDE),
+        F.col(tiebreak).alias(_TIE),
+        F.struct(*[F.col(c).alias(c) for c in fill_cols]).alias(_PAY),
+    )
+    return l_tagged, r_tagged
+
+
+def _project_matched(
+    filled: DataFrame, left_cols: list[str], fill_cols: list[str], suffix: str
+) -> DataFrame:
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *left_cols,
+        *[F.col(_PAY)[c].alias(c + suffix) for c in fill_cols],
+    )
 
 
 def asof_join(
@@ -46,42 +113,22 @@ def asof_join(
 
     Returns all of ``left``'s columns plus, for each ``c`` in
     ``value_cols``, a column ``c + suffix`` (NULL when no right row
-    precedes), plus ``right_ts + suffix`` — the matched quote time.
+    precedes), plus ``right_ts + suffix`` — the matched quote time. All
+    ``+ suffix`` columns come from the SAME matched right row (LATERAL
+    top-1 semantics).
 
     Plan shape: union the two sides, then one window pass
-    ``last(value, ignorenulls=True)`` ordered by (ts, side, tiebreak)
+    ``last(struct, ignorenulls=True)`` ordered by (ts, side, tiebreak)
     with right rows sorting BEFORE left rows at equal ts, so an exactly
     simultaneous quote is visible to the trade (<= semantics). A single
     hash partitioning on ``on`` serves the whole plan; at 100 TB the
-    sort is the only cost and it is per-key local. Skewed keys can be
-    pre-split by coarse time-bucket since only intra-bucket state (the
-    last fill of the previous bucket) crosses the boundary.
+    sort is the only cost and it is per-key local. For monster keys use
+    ``asof_join_bucketed``.
     """
     tiebreak = tiebreak or right_ts
     fill_cols = list(value_cols) + [right_ts]
-    l_tagged = left.select(
-        *left.columns,
-        F.lit(1).alias(_SIDE),
-        F.lit(None).cast(right.schema[tiebreak].dataType).alias(_TIE),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-            for c in fill_cols
-        ],
-    )
-    r_tagged = right.select(
-        *[
-            (
-                F.col(c)
-                if c in on
-                else F.col(right_ts).alias(left_ts)
-                if c == left_ts
-                else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            )
-            for c in left.columns
-        ],
-        F.lit(0).alias(_SIDE),
-        F.col(tiebreak).alias(_TIE),
-        *[F.col(c).alias(c + suffix) for c in fill_cols],
+    l_tagged, r_tagged = _tag_sides(
+        left, right, on, left_ts, right_ts, fill_cols, tiebreak
     )
     w = (
         Window.partitionBy(*on)
@@ -91,9 +138,104 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         *left.columns,
         F.col(_SIDE),
-        *[F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix) for c in fill_cols],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    return _project_matched(filled, left.columns, fill_cols, suffix)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """``asof_join`` with the per-key sort pre-split by a coarse time
+    bucket — the skew escape hatch for keys whose row count exceeds one
+    task's comfort (a single instrument holding a large share of 100 TB
+    of ticks would otherwise serialize into one sort).
+
+    Mechanics: rows hash-partition on (key, floor(ts / bucket)) so each
+    sort covers one bucket of one key. Cross-bucket state is exactly one
+    row per bucket — the most recent quote strictly before the bucket —
+    computed as a per-(key, bucket) ``max_by`` aggregate chained through
+    a window over the (key × bucket) relation (negligible cardinality),
+    then injected into each bucket as a synthetic quote that sorts first
+    (its timestamp is strictly below the bucket's range). Output is
+    IDENTICAL to ``asof_join`` (parity-tested in tests/test_asof_range.py);
+    the extra cost is one small aggregate + one extra shuffle, so use it
+    only when key skew is real.
+    """
+    tiebreak = tiebreak or right_ts
+    fill_cols = list(value_cols) + [right_ts]
+    l_tagged, r_tagged = _tag_sides(
+        left, right, on, left_ts, right_ts, fill_cols, tiebreak
+    )
+    bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / F.lit(bucket_seconds))
+    l_b = l_tagged.withColumn(_BKT, bucket)
+    r_b = r_tagged.withColumn(_BKT, bucket)
+
+    # carry chain: last quote payload of each (key, bucket), laddered to
+    # "last quote of any EARLIER bucket" over the tiny bucket relation
+    order = F.struct(F.col(left_ts), F.col(_TIE))
+    last_in_bucket = r_b.groupBy(*on, _BKT).agg(
+        F.max_by(F.col(_PAY), order).alias("__blast")
+    )
+    all_buckets = (
+        l_b.select(*on, _BKT).union(r_b.select(*on, _BKT)).distinct()
+    )
+    w_chain = (
+        Window.partitionBy(*on)
+        .orderBy(_BKT)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_buckets.join(last_in_bucket, [*on, _BKT], "left")
+        .select(
+            *on,
+            _BKT,
+            F.last("__blast", ignorenulls=True).over(w_chain).alias(_PAY),
+        )
+        .filter(F.col(_PAY).isNotNull())
+    )
+    # synthetic right row per bucket: the carried quote, entering the
+    # bucket with its ORIGINAL timestamp (strictly below the bucket's
+    # ts range, so it sorts first without an extra ordering column)
+    carry_rows = carry.select(
+        *[
+            (
+                F.col(c)
+                if c in on
+                else F.col(_PAY)[right_ts].alias(left_ts)
+                if c == left_ts
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            )
+            for c in left.columns
+        ],
+        F.lit(0).alias(_SIDE),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias(_TIE),
+        F.col(_PAY),
+        F.col(_BKT),
+    )
+    w = (
+        Window.partitionBy(*on, _BKT)
+        .orderBy(F.col(left_ts), F.col(_SIDE), F.col(_TIE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l_b.unionByName(r_b)
+        .unionByName(carry_rows)
+        .select(
+            *left.columns,
+            F.col(_SIDE),
+            F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+        )
+    )
+    return _project_matched(filled, left.columns, fill_cols, suffix)
 
 
 def _bin(col: Column, width: float) -> Column:

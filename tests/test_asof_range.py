@@ -48,6 +48,65 @@ def test_asof_join_semantics(spark):
     assert ts_got[1] == _ts(10) and ts_got[2] is None and ts_got[3] == _ts(20)
 
 
+def test_asof_join_no_torn_rows(spark):
+    """All matched columns must come from the SAME right row: when the
+    newest matching quote has NULL in one value column, that NULL
+    surfaces (LATERAL top-1 semantics) instead of back-filling the
+    column from an older quote."""
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(30))], "trade_id long, key string, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (100, "A", _ts(10), 1.0, 5.0),
+            (101, "A", _ts(20), None, 7.0),  # newest: px NULL, sz 7.0
+        ],
+        "qid long, key string, ts timestamp, px double, sz double",
+    )
+    row = asof.asof_join(
+        trades, quotes, on=["key"], left_ts="ts", right_ts="ts",
+        value_cols=["px", "sz"], tiebreak="qid",
+    ).collect()[0]
+    assert row["px_asof"] is None          # NOT 1.0 from the older quote
+    assert row["sz_asof"] == 7.0
+    assert row["ts_asof"] == _ts(20)
+
+
+def test_asof_join_bucketed_parity(spark):
+    """Skew-bucketed variant returns byte-identical output to the plain
+    formulation, including carries across empty buckets and NULL value
+    columns."""
+    import random
+
+    rng = random.Random(7)
+    trades = spark.createDataFrame(
+        [
+            (i, rng.choice(["A", "B"]), _ts(rng.randrange(0, 400)))
+            for i in range(60)
+        ],
+        "trade_id long, key string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (
+                100 + i,
+                rng.choice(["A", "B", "C"]),
+                _ts(rng.randrange(0, 400)),
+                None if i % 7 == 0 else float(i),
+            )
+            for i in range(40)
+        ],
+        "qid long, key string, ts timestamp, px double",
+    )
+    kw = dict(on=["key"], left_ts="ts", right_ts="ts",
+              value_cols=["px"], tiebreak="qid")
+    plain = asof.asof_join(trades, quotes, **kw)
+    # 60 s buckets over a 400 s span -> ~7 buckets, several empty per key
+    bucketed = asof.asof_join_bucketed(trades, quotes, bucket_seconds=60, **kw)
+    key = lambda r: r["trade_id"]
+    assert sorted(plain.collect(), key=key) == sorted(bucketed.collect(), key=key)
+
+
 def test_asof_join_single_shuffle(spark):
     trades = spark.createDataFrame([(1, "A", _ts(1))], "trade_id long, key string, ts timestamp")
     quotes = spark.createDataFrame([(9, "A", _ts(0), 1.0)], "qid long, key string, ts timestamp, px double")
