@@ -171,10 +171,15 @@ def _prune_by_double(scored: DataFrame, limit: int) -> DataFrame:
 
 
 def _np_pair_scores(
-    cand: DataFrame, embeddings: DataFrame, queries: DataFrame
+    cand: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Double-precision cosine for an explicit (q_id, c_id) pair list,
-    vectorized: arrays joined in, one einsum per Arrow batch."""
+    vectorized: arrays joined in, one einsum per Arrow batch. Broadcast
+    the query side only when it is a bounded query batch — corpus-vs-
+    corpus pair lists (near-dup) must shuffle-join both sides."""
     import numpy as np
     import pandas as pd
 
@@ -184,9 +189,11 @@ def _np_pair_scores(
     q_arr = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_raw")
     )
+    if broadcast_queries:
+        q_arr = F.broadcast(q_arr)
     joined = (
         cand.join(c_arr, "c_id")
-        .join(F.broadcast(q_arr), "q_id")
+        .join(q_arr, "q_id")
         .select("q_id", "c_id", "q_raw", "c_raw")
     )
 
@@ -276,30 +283,21 @@ def lsh_buckets(
     return embeddings.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
-def lsh_topk(
-    embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    planes: int = 4,
-    tables: int = 4,
-    dim: int | None = None,
+def multi_table_buckets(
+    embeddings: DataFrame, planes: int, tables: int, dim: int | None = None
 ) -> DataFrame:
-    """Approximate top-k: a vector is a candidate iff it co-buckets
-    with the query in ANY of ``tables`` independent hash tables; exact
-    cosine + rank over candidates only. Tune planes (bucket size) and
-    tables (recall) to corpus density."""
+    """(vec_id, table_id, bucket) for ``tables`` independent LSH hash
+    tables in ONE vectorized pass: the tables·planes decimal
+    dot-projections the relational formulation would run per row are a
+    single (N×D)@(D×tables·planes) matmul. Bucket membership is
+    heuristic by definition (sign collisions), so double-precision
+    signs are semantically fine; the oracle-gated ``lsh_buckets`` query
+    keeps the decimal-exact path."""
     import numpy as np
     import pandas as pd
 
     if dim is None:
         dim = _embedding_dim(embeddings)
-
-    # all tables' sign-buckets in ONE vectorized pass: the 16 decimal
-    # dot-projections per row that the relational formulation needs are
-    # a single (N×D)@(D×tables·planes) matmul here. Candidates are
-    # heuristic by definition (bucket collisions), so double-precision
-    # signs are semantically fine; the oracle-gated lsh_buckets query
-    # keeps the decimal-exact path.
     signs = np.array(
         [
             [_plane_signs(p, dim, t) for p in range(planes)]
@@ -317,23 +315,39 @@ def lsh_topk(
                 continue
             C = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             proj = C @ S.T  # N × tables·planes
-            bits = (proj > 0).reshape(len(C), tables, planes)
+            n_tables = len(S) // len(W)
+            bits = (proj > 0).reshape(len(C), n_tables, len(W))
             bucket = (bits * W[None, None, :]).sum(axis=2)  # N × tables
             ids = pdf["vec_id"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(ids, tables),
-                    "table_id": np.tile(np.arange(tables, dtype="int64"), len(C)),
+                    "vec_id": np.repeat(ids, n_tables),
+                    "table_id": np.tile(np.arange(n_tables, dtype="int64"), len(C)),
                     "bucket": bucket.reshape(-1).astype("int64"),
                 }
             )
 
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    b = (
+    return (
         embeddings.select("vec_id", "embedding")
         .repartition(par)
         .mapInPandas(buckets_gen, "vec_id long, table_id long, bucket long")
     )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: a vector is a candidate iff it co-buckets
+    with the query in ANY of ``tables`` independent hash tables; exact
+    cosine + rank over candidates only. Tune planes (bucket size) and
+    tables (recall) to corpus density."""
+    b = multi_table_buckets(embeddings, planes, tables, dim)
     qb = b.join(queries.select("vec_id"), "vec_id").select(
         F.col("vec_id").alias("q_id"), "table_id", "bucket"
     )
@@ -463,48 +477,13 @@ def ivf_topk(
     return _exact_topk_rerank(pruned, embeddings, queries, k)
 
 
-def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.99
+def _verify_pairs_exact(
+    cand: DataFrame, embeddings: DataFrame, threshold: float
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``.
-    All-pairs baseline, two-phase like brute_force_topk: a vectorized
-    numpy sweep (corpus matrix broadcast) keeps pairs whose double
-    cosine clears ``threshold`` minus a safety epsilon; the survivors
-    are re-scored decimal-exact and filtered at the true threshold —
-    same output as the pure exact formulation. At corpus scale run
-    ``lsh_buckets`` first and sweep within buckets."""
-    import numpy as np
-    import pandas as pd
-
-    all_pd = embeddings.select("vec_id", "embedding").toPandas()  # exact baseline only
-    ids = all_pd["vec_id"].to_numpy()
-    mat = np.stack(all_pd["embedding"].to_numpy()).astype("float64")
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat, nrm))
-    eps = 1e-9
-
-    def gen(batches):
-        b_ids, B, bn = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            a_ids = pdf["vec_id"].to_numpy()
-            an = np.sqrt((A * A).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = (A @ B.T) / (an[:, None] * bn[None, :])
-            keep = (S >= threshold - eps) & (a_ids[:, None] < b_ids[None, :])
-            i, j = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": a_ids[i].astype("int64"), "vec_b": b_ids[j].astype("int64")}
-            )
-
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    cand = (
-        embeddings.select("vec_id", "embedding")
-        .repartition(par)
-        .mapInPandas(gen, "vec_a long, vec_b long")
-    )
+    """Decimal-exact cosine over an explicit (vec_a, vec_b) candidate
+    list, filtered at the true threshold — the tiny tail every
+    candidate-generation strategy funnels into, pinning oracle-exact
+    values regardless of how candidates were found."""
     a = with_norm(embeddings, "vec_a", "a_")
     b = with_norm(embeddings, "vec_b", "b_")
     return (
@@ -520,3 +499,166 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _blocked_candidate_pairs(
+    embeddings: DataFrame, threshold: float, block_size: int = 4096
+) -> DataFrame:
+    """EXACT all-pairs candidate generation, executor-side: the corpus
+    is hashed into ⌈N/block_size⌉ blocks, every unordered block pair
+    becomes one applyInPandas group holding both tiles, and each task
+    emits the tile-product pairs clearing ``threshold`` (minus a double
+    -vs-decimal epsilon). Nothing corpus-sized ever lands on the
+    driver; per-task memory is 2·block_size·D doubles; shuffle volume
+    is N·(B+1) narrow rows. The O(N²/B per task) compute is inherent to
+    exact all-pairs at permissive thresholds — for high thresholds the
+    LSH strategy prunes instead of tiling."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+    eps = 1e-9
+
+    blk = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("__blk"),
+    )
+    i = spark.range(n_blocks).select(F.col("id").alias("bi"))
+    j = spark.range(n_blocks).select(F.col("id").alias("bj"))
+    block_pairs = i.join(j, F.col("bi") <= F.col("bj")).select(
+        (F.col("bi") * n_blocks + F.col("bj")).alias("pair_id"),
+        "bi",
+        "bj",
+        (F.col("bi") == F.col("bj")).alias("diag"),
+    )
+    lo = blk.join(F.broadcast(block_pairs), blk["__blk"] == block_pairs["bi"]).select(
+        "pair_id", "diag", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    hi = blk.join(
+        F.broadcast(block_pairs),
+        (blk["__blk"] == block_pairs["bj"]) & ~block_pairs["diag"],
+    ).select("pair_id", "diag", F.lit(1).alias("side"), "vec_id", "embedding")
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_pdf = pdf[pdf["side"] == 0]
+        ids_a = a_pdf["vec_id"].to_numpy()
+        A = np.stack(a_pdf["embedding"].to_numpy()).astype("float64")
+        an = np.sqrt((A * A).sum(axis=1))
+        if bool(pdf["diag"].iloc[0]):
+            ids_b, B, bn = ids_a, A, an
+        else:
+            b_pdf = pdf[pdf["side"] == 1]
+            ids_b = b_pdf["vec_id"].to_numpy()
+            B = np.stack(b_pdf["embedding"].to_numpy()).astype("float64")
+            bn = np.sqrt((B * B).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (A @ B.T) / (an[:, None] * bn[None, :])
+        keep = S >= threshold - eps
+        if bool(pdf["diag"].iloc[0]):
+            # same tile on both axes: upper triangle avoids self + dup
+            keep &= ids_a[:, None] < ids_b[None, :]
+        r, c = np.nonzero(keep)
+        # hash-blocking doesn't order ids across tiles — canonicalize
+        x, y = ids_a[r].astype("int64"), ids_b[c].astype("int64")
+        return pd.DataFrame(
+            {"vec_a": np.minimum(x, y), "vec_b": np.maximum(x, y)}
+        )
+
+    return (
+        lo.unionByName(hi)
+        .groupBy("pair_id")
+        .applyInPandas(tile, "vec_a long, vec_b long")
+    )
+
+
+def _lsh_tables_for(threshold: float, planes: int, miss_prob: float = 1e-6) -> int:
+    """Number of independent hash tables so that a pair at exactly
+    ``threshold`` cosine is missed with probability < ``miss_prob``:
+    per-table collision is (1 − θ/π)^planes for angle θ, so miss over T
+    tables is (1 − r^planes)^T."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    r = 1.0 - theta / math.pi
+    per_table = r**planes
+    if per_table >= 1.0:
+        return 1
+    return max(4, min(64, math.ceil(math.log(miss_prob) / math.log(1.0 - per_table))))
+
+
+def _lsh_candidate_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    planes: int = 8,
+    tables: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates via multi-table LSH co-bucketing: a pair is
+    a candidate iff it shares a bucket in ANY table. Sub-quadratic —
+    candidate volume ~ T·Σ|bucket|², and a true pair at ``threshold``
+    escapes all tables with probability < 1e-6 (see _lsh_tables_for).
+    Candidates are double-scored vectorized and pruned before the
+    decimal verify, so the expensive exact path touches only pairs that
+    already clear threshold − ε."""
+    if tables is None:
+        tables = _lsh_tables_for(threshold, planes)
+    b = multi_table_buckets(embeddings, planes, tables, dim)
+    a_side = b.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    b_side = b.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
+    cand = (
+        a_side.join(b_side, ["table_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    scored = _np_pair_scores(
+        cand.withColumnRenamed("vec_a", "q_id").withColumnRenamed("vec_b", "c_id"),
+        embeddings,
+        embeddings,
+        broadcast_queries=False,
+    )
+    return (
+        scored.filter(F.col("cos_d") >= threshold - 1e-9)
+        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"))
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    strategy: str = "auto",
+    block_size: int = 4096,
+    planes: int = 8,
+    tables: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``
+    (vec_a < vec_b). Candidate generation is strategy-selected, then
+    every candidate is re-scored decimal-exact and filtered at the true
+    threshold, so values are oracle-exact for any strategy:
+
+    * ``"blocked"`` — exact tile cross-join: all pairs scored, corpus
+      stays executor-side in block-pair tasks. The named exact
+      baseline; right whenever the threshold is too permissive for LSH
+      to prune (θ/π large).
+    * ``"lsh"`` — multi-table co-bucket candidates, sub-quadratic; the
+      100 TB semantic-dedup path for tight thresholds (≥ ~0.8), tables
+      auto-sized so a threshold-grade pair is missed w.p. < 1e-6
+      (recall pinned in tests/test_similarity_recall.py).
+    * ``"auto"`` — ``lsh`` iff ``threshold >= 0.8`` else ``blocked``.
+
+    Nothing corpus-sized is ever collected to the driver on any path.
+    """
+    if strategy == "auto":
+        strategy = "lsh" if threshold >= 0.8 else "blocked"
+    if strategy == "blocked":
+        cand = _blocked_candidate_pairs(embeddings, threshold, block_size)
+    elif strategy == "lsh":
+        cand = _lsh_candidate_pairs(embeddings, threshold, planes, tables)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return _verify_pairs_exact(cand, embeddings, threshold)

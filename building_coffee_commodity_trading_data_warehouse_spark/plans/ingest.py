@@ -61,6 +61,21 @@ def append(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     w.parquet(path)
 
 
+def _delete_partition_dir(
+    spark: SparkSession, target_path: str, partition_by: str, value: str
+) -> None:
+    """Drop one hive-style partition directory (``col=value``). Used for
+    partitions emptied by a cross-partition key delete, which dynamic
+    overwrite cannot remove (it only replaces partitions present in the
+    written data). Values with characters Spark escapes in directory
+    names (rare for date/int partition columns) are not handled."""
+    jsc = spark.sparkContext._jsc
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{partition_by}={value}")
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def merge_into(
     spark: SparkSession,
     target_path: str,
@@ -73,13 +88,20 @@ def merge_into(
     evaluated once; rerunning with the same snapshot is a no-op on
     content (reference idempotency, STG.py:102-115).
 
-    PARTITIONED targets merge at partition granularity: only partitions
-    that the staged snapshot touches are read back, merged, and
-    rewritten (``partitionOverwriteMode=dynamic``) — on a 100 TB
-    date-partitioned fact a daily snapshot rewrites one day, not the
-    table. Unpartitioned targets fall back to a full materialize+swap
-    (the merged plan reads the path it overwrites, so it must be
-    materialized first — Delta's MERGE would remove that copy)."""
+    PARTITIONED targets merge at partition granularity: partitions the
+    staged snapshot touches are read back, merged, and rewritten
+    (``partitionOverwriteMode=dynamic``) — on a 100 TB date-partitioned
+    fact a daily snapshot rewrites one day, not the table. Key semantics
+    stay GLOBAL like the reference's DELETE WHERE EXISTS (STG.py:102-115):
+    a staged key living in a partition the snapshot does NOT touch (the
+    record's partition value changed) is found by a column-pruned probe
+    of (keys, partition) against the broadcast staged keys, and its
+    partition is rewritten too — no stale duplicate survives. A stale
+    partition emptied by that delete writes no rows under dynamic
+    overwrite, so its directory is dropped explicitly. Unpartitioned
+    targets fall back to a full materialize+swap (the merged plan reads
+    the path it overwrites, so it must be materialized first — Delta's
+    MERGE would remove that copy)."""
     try:
         target = spark.read.parquet(target_path)
     except Exception:
@@ -87,8 +109,20 @@ def merge_into(
         return
     if partition_by:
         touched = staged.select(partition_by).distinct()
-        affected = target.join(F.broadcast(touched), partition_by, "left_semi")
+        staged_keys = staged.select(*keys).distinct()
+        stale = (
+            target.join(F.broadcast(touched), partition_by, "left_anti")
+            .join(F.broadcast(staged_keys), keys, "left_semi")
+            .select(partition_by)
+            .distinct()
+        )
+        parts = touched.unionByName(stale).distinct()
+        part_vals = [str(r[0]) for r in parts.collect()]  # bounded: partition count
+        affected = target.join(F.broadcast(parts), partition_by, "left_semi")
         merged = merge_upsert(affected, staged, keys).localCheckpoint(eager=True)
+        out_vals = {
+            str(r[0]) for r in merged.select(partition_by).distinct().collect()
+        }
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -97,6 +131,9 @@ def merge_into(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for v in part_vals:
+            if v not in out_vals:
+                _delete_partition_dir(spark, target_path, partition_by, v)
         return
     merged = merge_upsert(target, staged, keys).localCheckpoint(eager=True)
     truncate_reload(merged, target_path, partition_by)

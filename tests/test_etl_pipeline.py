@@ -313,6 +313,34 @@ def test_parquet_scan_pushdown(spark, sf_dir):
     assert set(read) == {"l_partkey", "l_extendedprice"}  # pruning
 
 
+def test_partitioned_merge_key_moves_partition(spark, tmp_path):
+    """Global DELETE-WHERE-EXISTS semantics (STG.py:102-115): when a
+    staged key's partition value CHANGED, the stale copy in the old
+    (otherwise untouched) partition is deleted — and a partition emptied
+    by that delete disappears entirely."""
+    target = str(tmp_path / "fact_moved")
+    base = spark.createDataFrame(
+        [("2020-01-01", "Brazil", 1), ("2020-01-01", "Vietnam", 2),
+         ("2020-01-03", "Kenya", 3)],
+        "day string, country string, v int",
+    )
+    ingest.truncate_reload(base, target, partition_by="day")
+    # keys EXCLUDE the partition column: Brazil moves 01 -> 02, Kenya
+    # moves 03 -> 02 (emptying the 03 partition)
+    staged = spark.createDataFrame(
+        [("2020-01-02", "Brazil", 10), ("2020-01-02", "Kenya", 30)],
+        "day string, country string, v int",
+    )
+    ingest.merge_into(spark, target, staged, ["country"], partition_by="day")
+    got = {(str(r["day"]), r["country"]): r["v"]
+           for r in spark.read.parquet(target).collect()}
+    assert got == {("2020-01-01", "Vietnam"): 2,
+                   ("2020-01-02", "Brazil"): 10,
+                   ("2020-01-02", "Kenya"): 30}
+    import os
+    assert not os.path.exists(f"{target}/day=2020-01-03")
+
+
 def test_partitioned_merge_touches_only_affected_partitions(spark, tmp_path):
     import os
 

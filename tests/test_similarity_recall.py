@@ -39,3 +39,56 @@ def test_lsh_recall_floor(spark, sf_dir):
     approx = _pairs(similarity.lsh_topk(emb, qs, k=5, planes=3, tables=8))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def _neardup_set(df):
+    return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+
+def test_neardup_blocked_multiblock_is_exact(spark, sf_dir):
+    """Tiny block_size forces many block-pair tiles (incl. off-diagonal
+    tiles where hash order disagrees with id order); output must equal
+    the single-block formulation exactly."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    one = similarity.embedding_neardup_pairs(
+        emb, threshold=0.4, strategy="blocked", block_size=1 << 20
+    )
+    many = similarity.embedding_neardup_pairs(
+        emb, threshold=0.4, strategy="blocked", block_size=37
+    )
+    assert _neardup_set(one) == _neardup_set(many) != set()
+
+
+def test_neardup_lsh_recall_on_synthetic_neardups(spark):
+    """The LSH strategy must find EVERY pair at realistic near-dup
+    thresholds: 100 jittered copies at cosine ~0.97 against 300 base
+    vectors; auto-sized tables put the miss probability per pair below
+    1e-6, so recall is 1.0 (deterministic: md5 planes, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(300, 64))
+    jit = base[:100] + rng.normal(scale=0.08, size=(100, 64))
+    allv = np.vstack([base, jit])
+    sdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in allv[i]]) for i in range(len(allv))],
+        "vec_id long, embedding array<double>",
+    )
+    exact = _neardup_set(
+        similarity.embedding_neardup_pairs(sdf, threshold=0.95, strategy="blocked")
+    )
+    lsh = _neardup_set(
+        similarity.embedding_neardup_pairs(sdf, threshold=0.95, strategy="lsh")
+    )
+    assert len(exact) == 100
+    assert lsh == exact  # recall 1.0 AND exact-precision (decimal verify)
+
+
+def test_neardup_auto_strategy_split():
+    assert similarity._lsh_tables_for(0.95, 8) <= 32
+    # permissive thresholds would need pathological table counts -> auto
+    # must route them to the blocked exact path instead
+    assert similarity._lsh_tables_for(0.4, 8) == 64  # capped: lsh futile here
