@@ -873,8 +873,57 @@ def _q_lsh_buckets(spark, sf_dir):
     return similarity.lsh_buckets(_t(spark, sf_dir, "embeddings"), planes=8)
 
 
-@_register("s_lsh_topk")  # composition of oracle-checked stages; rows-only check
+@_register(
+    "s_lsh_topk",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+proj AS (
+  SELECT vec_id, t, p,
+    CAST(SUM(CAST(val * (CASE WHEN ascii(substr(md5(
+        CASE WHEN t = 0
+          THEN CAST(p AS VARCHAR) || '_' || CAST(pos AS VARCHAR)
+          ELSE 't' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR)
+               || '_' || CAST(pos AS VARCHAR) END
+        ), 1, 1)) % 2 = 1
+      THEN 1 ELSE -1 END) AS DECIMAL(38,12))) AS DOUBLE) AS s
+  FROM ex CROSS JOIN range(4) tt(t) CROSS JOIN range(4) r(p)
+  GROUP BY vec_id, t, p
+),
+bk AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+),
+d AS (
+  SELECT cand.q_id, cand.c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand
+  JOIN ex q ON q.vec_id = cand.q_id
+  JOIN ex c ON c.vec_id = cand.c_id AND c.pos = q.pos
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+  FROM s
+) WHERE rk <= 5
+""",
+)
 def _q_lsh_topk(spark, sf_dir):
+    """LSH ANN end-to-end, value-checked: the oracle recomputes the
+    4-table × 4-plane md5-parity buckets in SQL (same formula as the
+    s_lsh_buckets oracle, table-prefixed), co-bucket candidates, exact
+    decimal cosine, rank. Deterministic because planes are md5-derived
+    and tiebreaks are pinned."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.lsh_topk(emb, queries_df, k=5, planes=4, tables=4)
@@ -1520,6 +1569,14 @@ def _q_percentiles(spark, sf_dir):
     """Exact PERCENTILE_CONT quartile battery per group (interpolated,
     engine-portable at exact binary quartile positions)."""
     return aggregates.quantity_percentiles(_t(spark, sf_dir, "lineitem"))
+
+
+@_register("a_percentiles_approx")  # t-digest sketch: engine-specific -> rows-only
+def _q_percentiles_approx(spark, sf_dir):
+    """The 100 TB percentile path: mergeable one-pass approx_percentile
+    sketch instead of a full per-group sort. Error vs exact is pinned
+    in tests/test_oracle_parity.py."""
+    return aggregates.quantity_percentiles_approx(_t(spark, sf_dir, "lineitem"))
 
 
 # ---------------------------------------------------------------------------

@@ -118,3 +118,23 @@ def quantity_percentiles(lineitem: DataFrame) -> DataFrame:
         F.max("l_quantity").alias("q_max"),
         F.count("l_quantity").alias("n_rows"),
     )
+
+
+def quantity_percentiles_approx(
+    lineitem: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB path for quantity_percentiles: approx_percentile's
+    mergeable one-pass sketch (map-side partial aggregation, bounded
+    state per group) instead of the exact formulation's full per-group
+    sort. Error is bounded by 1/accuracy of rank; min/max/count stay
+    exact. Sketch internals differ across engines, so the driver gate
+    is rows-only; the exact-vs-approx error bound is pinned in
+    tests/test_oracle_parity.py."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("q_min"),
+        F.approx_percentile("l_quantity", 0.25, accuracy).alias("q25"),
+        F.approx_percentile("l_quantity", 0.5, accuracy).alias("q50"),
+        F.approx_percentile("l_quantity", 0.75, accuracy).alias("q75"),
+        F.max("l_quantity").alias("q_max"),
+        F.count("l_quantity").alias("n_rows"),
+    )

@@ -169,11 +169,19 @@ def _bitmap_jaccard_pairs(
     )
 
 
+def default_max_df(n_docs: int) -> int:
+    """Skew cap the join strategy applies when ``max_df="auto"``:
+    ``max(1000, 1% of corpus)``. Any corpus under 1000 docs is never
+    capped (exact output), and at web scale a stop-shingle present in
+    every document is dropped instead of emitting |corpus|² pairs."""
+    return max(1000, n_docs // 100)
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 2,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
     strategy: str = "auto",
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity.
@@ -185,6 +193,9 @@ def ngram_jaccard_pairs(
         shingles present in more than that many documents before the
         self-join — the skew guard for web-scale corpora (a shingle in
         every document would otherwise produce |corpus|² pairs).
+        Default ``"auto"`` caps at ``default_max_df(n_docs)`` (never
+        binding under 1000 docs); pass ``max_df=None`` for exact
+        uncapped semantics regardless of corpus shape.
       * ``bitmap`` — per-doc shingle bitset, popcount over ANDed words;
         right for DENSE corpora (small vocabulary), where Σ df² ≈
         |docs|²·|avg set| makes the join plan quadratic-with-a-shuffle
@@ -194,6 +205,7 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(documents, n)
     n_vocab = None
+    n_docs = None
     if strategy == "auto":
         # corpus size short-circuits BEFORE any shingle materialization:
         # a web-scale corpus never pays the vocab count. A small corpus
@@ -208,6 +220,10 @@ def ngram_jaccard_pairs(
             strategy = "join"
     if strategy == "bitmap":
         return _bitmap_jaccard_pairs(sh, threshold, n_vocab)
+    if max_df == "auto":
+        if n_docs is None:
+            n_docs = documents.count()
+        max_df = default_max_df(n_docs)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(

@@ -1,0 +1,51 @@
+"""Skew guard for the n-gram Jaccard join strategy: the auto max_df
+cap must drop stop-shingles before the self-join (a shingle in every
+document would emit |corpus|² candidate pairs) while never binding on
+small corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+
+def _stopword_corpus(spark, n_docs):
+    # every doc shares the bigram "the x"; each doc also has one unique
+    # bigram, so the capped plan still sees per-doc shingles
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the x u"), F.col("id")).alias("text"),
+    )
+
+
+def test_auto_max_df_shrinks_stop_shingle_pair_stream(spark):
+    docs = _stopword_corpus(spark, 1200)  # cap = max(1000, 12) = 1000 < df
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.0, strategy="join", max_df=None
+    )
+    capped = dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.0, strategy="join", max_df="auto"
+    )
+    # the shared "the x" shingle alone forces C(1200,2) candidate pairs
+    # uncapped; with the df>1000 shingle dropped, no pair shares one
+    assert uncapped.count() == 1200 * 1199 // 2
+    assert capped.count() == 0
+
+
+def test_auto_max_df_never_binds_small_corpus(spark):
+    docs = _stopword_corpus(spark, 300)  # df=300 < floor cap 1000
+    exact = dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.0, strategy="join", max_df=None
+    )
+    auto = dedup.ngram_jaccard_pairs(
+        docs, n=2, threshold=0.0, strategy="join", max_df="auto"
+    )
+    a = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in exact.collect()}
+    b = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in auto.collect()}
+    assert a == b != set()
+
+
+def test_default_max_df_formula():
+    assert dedup.default_max_df(500) == 1000
+    assert dedup.default_max_df(10**9) == 10**7

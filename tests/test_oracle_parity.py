@@ -30,3 +30,28 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.schema.fieldNames()
+
+
+def test_approx_percentiles_error_bound(spark, sf_dir):
+    """The sketch path (rows-only driver gate) is pinned against the
+    exact operator here: min/max/count identical, quartiles within one
+    quantity unit (approx_percentile returns a data value; exact
+    interpolates between adjacent values)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    li = entry_mod._t(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r for r in aggregates.quantity_percentiles(li).collect()}
+    approx = {
+        r["l_returnflag"]: r
+        for r in aggregates.quantity_percentiles_approx(li).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert (a["q_min"], a["q_max"], a["n_rows"]) == (
+            e["q_min"], e["q_max"], e["n_rows"],
+        )
+        for q in ("q25", "q50", "q75"):
+            assert abs(a[q] - e[q]) <= 1.0, (flag, q, a[q], e[q])
