@@ -52,10 +52,22 @@ def cot_by_player(cot: DataFrame) -> DataFrame:
 
 def price_spread_by_date(prices: DataFrame) -> DataFrame:
     """A4 — Spread_max_min per date across contract months
-    (max − min of 'last'); equals price(far mo) − price(near mo) when
-    exactly two months trade (the golden cross-check)."""
+    (max − min of 'last'); equals |price(far mo) − price(near mo)| when
+    exactly two months trade."""
     return prices.groupBy("date_actual").agg(
         (F.max("last") - F.min("last")).alias("spread_max_min"),
+        F.count(F.lit(1)).alias("n_contracts"),
+    )
+
+
+def calendar_spread_by_date(prices: DataFrame) -> DataFrame:
+    """The golden Spead.csv's ACTUAL semantics: farthest-month price
+    minus nearest-month price per date — SIGNED, negative under
+    backwardation (e.g. golden 2020-03-18 = −0.15, where max−min would
+    give +0.15; full-file parity in tests/test_reference_goldens.py).
+    One map-side-combinable aggregate via max_by/min_by on mo."""
+    return prices.groupBy("date_actual").agg(
+        (F.max_by("last", "mo") - F.min_by("last", "mo")).alias("spread_max_min"),
         F.count(F.lit(1)).alias("n_contracts"),
     )
 
