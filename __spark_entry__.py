@@ -810,6 +810,108 @@ def _q_quality_filter(spark, sf_dir):
     return curate.quality_filter(_t(spark, sf_dir, "documents"))
 
 
+_SQL_STRATUM = (
+    "CASE WHEN length(text) < 250 THEN 'short' "
+    "WHEN length(text) < 400 THEN 'mid' ELSE 'long' END"
+)
+
+
+@_register(
+    "c_stratified_sample",
+    f"""
+WITH s AS (SELECT doc_id, {_SQL_STRATUM} AS stratum FROM documents)
+SELECT doc_id, stratum FROM s
+WHERE {_SQL_BUCKET.format(seed="strat")} <
+      CASE stratum WHEN 'short' THEN {1 << 32}
+                   WHEN 'mid' THEN {_B_QUARTER}
+                   ELSE {int(0.05 * (1 << 32))} END
+""",
+)
+def _q_stratified_sample(spark, sf_dir):
+    """Training-mix rebalancing: keep all short docs, 25% of mid, 5% of
+    long — per-stratum thresholds over one content-addressed bucket, a
+    pure filter (no shuffle, stable under corpus growth)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.length("text") < 250, "short")
+        .when(F.length("text") < 400, "mid")
+        .otherwise("long")
+        .alias("stratum"),
+    )
+    return curate.stratified_sample(
+        docs, "stratum", {"short": 1.0, "mid": 0.25}, default_fraction=0.05
+    )
+
+
+@_register(
+    "c_pack_chunks",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t
+),
+ch AS (
+  SELECT doc_id,
+         CAST(start // 48 AS BIGINT) AS chunk_id,
+         CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+         doc_id % 4 AS shard
+  FROM s
+),
+p AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+            AS pack_offset
+  FROM ch
+)
+SELECT shard, doc_id, chunk_id, n_tokens,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(pack_offset // 256 AS BIGINT) AS pack_id
+FROM p
+""",
+)
+def _q_pack_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 256-token packs, four
+    shards packed independently (the shard is the parallelism unit —
+    one running-sum window per shard, never a global order)."""
+    ch = curate.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk=64, stride=48
+    ).withColumn("shard", F.pmod("doc_id", F.lit(4)))
+    packed = curate.pack_chunks(ch, max_tokens=256, shard_col="shard")
+    return packed.select(
+        "shard", "doc_id", "chunk_id", "n_tokens", "pack_offset", "pack_id"
+    )
+
+
+@_register(
+    "d_decontaminate",
+    """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+tri AS (
+  SELECT doc_id, s AS shingle
+  FROM tok, UNNEST(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(s)
+),
+bsh AS (SELECT DISTINCT shingle FROM tri WHERE doc_id % 97 = 0),
+bad AS (
+  SELECT DISTINCT doc_id FROM tri WHERE shingle IN (SELECT shingle FROM bsh)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+)
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 97th document plays the eval
+    benchmark; documents sharing any TRIGRAM with it are dropped
+    (broadcast semi-join on the benchmark shingle set — the corpus
+    never shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.decontaminate(docs, benchmark, n=3).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # north-star: similarity search (operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -1597,6 +1699,9 @@ _VERIFY_FIRST = [
     "s_ivf_topk",
     "st_stateful_totals",
     "s_lsh_topk",
+    "c_stratified_sample",
+    "c_pack_chunks",
+    "d_decontaminate",
 ]
 
 

@@ -93,6 +93,65 @@ def chunk_documents(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (rebalancing a training mix:
+    keep 100% of rare strata, downsample dominant ones). Same
+    content-addressed bucket as ``hash_sample``; only the threshold
+    varies by stratum, so the predicate stays a pure filter — no
+    shuffle, no per-group state, stable under corpus growth. Strata
+    absent from ``fractions`` fall back to ``default_fraction``."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    thr: Column | None = None
+    for val, frac in fractions.items():
+        cond = F.col(strata_col) == val
+        t = F.lit(int(frac * _BUCKETS))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default = F.lit(int(default_fraction * _BUCKETS))
+    thr = default if thr is None else thr.otherwise(default)
+    return df.filter(bucket < thr)
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    max_tokens: int,
+    shard_col: str = "shard",
+    order_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (LLM pretraining shard
+    assembly): chunks are laid end-to-end in deterministic order within
+    each shard and a chunk belongs to the pack its START offset falls
+    in — ``pack_id = floor(offset / max_tokens)`` — so packs are filled
+    back-to-back and a chunk may straddle a boundary, exactly like the
+    standard concat-then-slice pretraining pipeline.
+
+    One running-sum window PER SHARD: the shard column is the
+    parallelism unit (a global pack order would serialize into one
+    task at 100 TB — shard first, e.g. by ``hash_split`` or date, then
+    pack within shards)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    offset = (cum - F.col(token_col)).cast("long")
+    return chunks.select(
+        "*",
+        offset.alias("pack_offset"),
+        F.floor(offset / F.lit(max_tokens)).cast("long").alias("pack_id"),
+    )
+
+
 def quality_filter(
     documents: DataFrame,
     min_tokens: int = 20,

@@ -490,3 +490,26 @@ def neardup_dedup(
         .select(F.col("node").alias(id_col))
     )
     return documents.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY word
+    n-gram with the benchmark corpus — the standard guard against eval
+    leakage into a pretraining set.
+
+    Shape: benchmark shingles are a distinct projection (benchmarks are
+    tiny next to the corpus) BROADCAST into a semi-join against the
+    corpus shingle stream; the contaminated id list then anti-joins the
+    corpus. The corpus itself never shuffles — only its shingle stream
+    scans once and the (small) contaminated id set moves. Default n=3:
+    trigram overlap is the common contamination test."""
+    doc_sh = shingles(documents, n)
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    contaminated = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return documents.join(contaminated, "doc_id", "left_anti")

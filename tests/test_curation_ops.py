@@ -1,0 +1,95 @@
+"""Semantics of the curation additions: stratified sampling, sequence
+packing, benchmark decontamination. (Oracle parity for their gates is
+covered by test_oracle_parity.py automatically.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from building_coffee_commodity_trading_data_warehouse_spark.operators import curate, dedup
+
+
+def test_stratified_sample_keeps_rare_stratum_fully(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, "rare").otherwise("common").alias("stratum"),
+    )
+    out = curate.stratified_sample(
+        df, "stratum", {"rare": 1.0, "common": 0.1}
+    ).groupBy("stratum").count().collect()
+    got = {r["stratum"]: r["count"] for r in out}
+    assert got["rare"] == 20  # fraction 1.0 keeps every row
+    assert 100 <= got["common"] <= 300  # ~10% of 1980
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    """A row's fate depends only on (seed, id): growing the corpus
+    never flips old rows in or out."""
+    small = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("stratum")
+    )
+    big = spark.range(1500).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("stratum")
+    )
+    frac = {"s": 0.3}
+    a = {r["doc_id"] for r in curate.stratified_sample(small, "stratum", frac).collect()}
+    b = {r["doc_id"] for r in curate.stratified_sample(big, "stratum", frac).collect()}
+    assert a == {x for x in b if x < 500}
+
+
+def test_pack_chunks_layout(spark):
+    chunks = spark.createDataFrame(
+        [("a", 1, 0, 60), ("a", 1, 1, 60), ("a", 2, 0, 60),
+         ("b", 3, 0, 100), ("b", 3, 1, 100)],
+        "shard string, doc_id long, chunk_id long, n_tokens long",
+    )
+    out = {
+        (r["shard"], r["doc_id"], r["chunk_id"]): (r["pack_offset"], r["pack_id"])
+        for r in curate.pack_chunks(chunks, max_tokens=128).collect()
+    }
+    # shard a: offsets 0,60,120 -> chunk at 120 STRADDLES into pack 0
+    # (concat-and-chunk: pack membership is by start offset)
+    assert out[("a", 1, 0)] == (0, 0)
+    assert out[("a", 1, 1)] == (60, 0)
+    assert out[("a", 2, 0)] == (120, 0)
+    # shard b packs independently of shard a
+    assert out[("b", 3, 0)] == (0, 0)
+    assert out[("b", 3, 1)] == (100, 0)
+
+
+def test_pack_chunks_boundary(spark):
+    chunks = spark.createDataFrame(
+        [("s", 1, i, 64) for i in range(5)],
+        "shard string, doc_id long, chunk_id long, n_tokens long",
+    )
+    out = sorted(
+        (r["chunk_id"], r["pack_id"])
+        for r in curate.pack_chunks(chunks, max_tokens=128).collect()
+    )
+    # offsets 0,64,128,192,256 with max 128 -> packs 0,0,1,1,2
+    assert out == [(0, 0), (1, 0), (2, 1), (3, 1), (4, 2)]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_drops_trigram_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),      # contains benchmark trigram
+            (2, "entirely different words here"),  # clean
+            (3, "quick brown fox somewhere else"), # shares 'quick brown fox'
+        ],
+    )
+    benchmark = _docs(spark, [(99, "a quick brown fox appeared")])
+    kept = {r["doc_id"] for r in dedup.decontaminate(docs, benchmark, n=3).collect()}
+    assert kept == {2}
+
+
+def test_decontaminate_empty_benchmark_keeps_all(spark):
+    docs = _docs(spark, [(1, "alpha beta gamma delta"), (2, "x y z w")])
+    benchmark = _docs(spark, []).limit(0)
+    kept = {r["doc_id"] for r in dedup.decontaminate(docs, benchmark, n=3).collect()}
+    assert kept == {1, 2}
