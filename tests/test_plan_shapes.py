@@ -75,6 +75,69 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_stratified_sample_is_pure_filter(spark, sf_dir):
+    """Per-stratum sampling must stay a projection+filter: zero
+    exchanges, no aggregation, and the scan parallelism untouched."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = catalog.table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.length("text") < 250, "short").otherwise("long").alias("stratum"),
+    )
+    df = curate.stratified_sample(docs, "stratum", {"short": 1.0}, 0.05)
+    plan = explain.plan_string(df)
+    assert _exchanges(df) == 0
+    assert "Aggregate" not in plan and "Join" not in plan
+
+
+def test_pack_chunks_single_shard_exchange(spark, sf_dir):
+    """Packing shuffles once on the shard column — the parallelism
+    unit — and never adds a global (single-partition) sort."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    ch = curate.chunk_documents(
+        catalog.table(spark, sf_dir, "documents"), 64, 48
+    ).withColumn("shard", F.pmod("doc_id", F.lit(4)))
+    df = curate.pack_chunks(ch, max_tokens=256, shard_col="shard")
+    plan = explain.plan_string(df)
+    assert _exchanges(df) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast into the semi-join; the
+    corpus shingle stream itself never hash-shuffles for it."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    df = dedup.decontaminate(docs, bench, n=3)
+    plan = explain.plan_string(df)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+
+
+def test_asof_bucketed_partitions_by_key_and_bucket(spark):
+    """The skew variant's heavy window must hash-partition on
+    (key, time-bucket) — the whole point of the pre-split."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    t0 = dt.datetime(2024, 1, 1)
+    trades = spark.createDataFrame(
+        [(1, "A", t0)], "trade_id long, key string, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(9, "A", t0, 1.0)], "qid long, key string, ts timestamp, px double"
+    )
+    df = asof.asof_join_bucketed(
+        trades, quotes, ["key"], "ts", "ts", ["px"], "qid", bucket_seconds=3600
+    )
+    plan = explain.plan_string(df)
+    assert re.search(r"hashpartitioning\(key[^)]*__asof_bucket", plan)
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Two tables bucketed on the join key with the same bucket count
     must sort-merge-join with ZERO shuffle exchanges — the write-once
