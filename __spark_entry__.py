@@ -1681,6 +1681,65 @@ def _q_percentiles_approx(spark, sf_dir):
     return aggregates.quantity_percentiles_approx(_t(spark, sf_dir, "lineitem"))
 
 
+_SQL_GSETS = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@_register("a_grouping_sets", _SQL_GSETS)
+def _q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (detail + per-flag subtotal + grand total in one
+    pass) through the engine's SQL surface — Spark expands the sets
+    into a single expand+aggregate, no multi-scan union."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SQL_GSETS)
+
+
+@_register(
+    "w_time_range_mean",
+    f"""
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS trailing_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def _q_time_range_mean(spark, sf_dir):
+    """Time-based RANGE frame (trailing 1 h mean per user): frames by
+    TIME over epoch seconds, not row count — deterministic under
+    timestamp ties because RANGE includes peers."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as w
+
+    return w.trailing_time_mean(_t(spark, sf_dir, "events"), window_seconds=3600)
+
+
+@_register(
+    "a_pivot_event_types",
+    f"""
+SELECT user_id,
+       {sql_dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+       {sql_dsum("CASE WHEN event_type = 'view' THEN value END")} AS view,
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+       {sql_dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+       {sql_dsum("CASE WHEN event_type = 'error' THEN value END")} AS error
+FROM events GROUP BY user_id
+""",
+)
+def _q_pivot_event_types(spark, sf_dir):
+    """Long-to-wide pivot (the per-player COT golden shape) with an
+    explicit value list: single-pass, stable schema, decimal-exact
+    cells."""
+    return aggregates.pivot_value_by_type(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1702,6 +1761,9 @@ _VERIFY_FIRST = [
     "c_stratified_sample",
     "c_pack_chunks",
     "d_decontaminate",
+    "a_grouping_sets",
+    "w_time_range_mean",
+    "a_pivot_event_types",
 ]
 
 

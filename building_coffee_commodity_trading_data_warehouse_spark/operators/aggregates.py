@@ -138,3 +138,15 @@ def quantity_percentiles_approx(
         F.max("l_quantity").alias("q_max"),
         F.count("l_quantity").alias("n_rows"),
     )
+
+
+def pivot_value_by_type(
+    events: DataFrame, types: list[str] | None = None
+) -> DataFrame:
+    """Long-to-wide pivot with exact sums — the shape of the
+    reference's per-player COT goldens (one column per player). An
+    EXPLICIT value list keeps the plan single-pass (no distinct-values
+    pre-scan) and the output schema stable at 100 TB; each cell is a
+    map-side-combinable decimal sum."""
+    types = types or ["click", "view", "purchase", "signup", "error"]
+    return events.groupBy("user_id").pivot("event_type", types).agg(dsum("value"))

@@ -170,3 +170,39 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             by_user.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def trailing_time_mean(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Time-based trailing mean: avg of ``value_col`` over the last
+    ``window_seconds`` per key — a RANGE frame over epoch seconds, not
+    a ROWS frame, so gaps and bursts are handled by TIME ("30-day
+    trailing average" semantics a trading desk expects, vs. the
+    reference's row-count frames, ODS.py:66-67).
+
+    Deterministic even with timestamp ties: a RANGE frame includes all
+    peers of the current row, so no tiebreak ordering is needed. Sum
+    runs in DECIMAL (order-independent); one exchange on the key.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col)).alias("__epoch")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__epoch"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    v = F.col(value_col)
+    mean = (F.sum(v.cast(DEC)).over(w).cast("double") / F.count(v).over(w)).alias(
+        "trailing_mean"
+    )
+    return events.select("event_id", key_col, ts_col, value_col, epoch).select(
+        "event_id",
+        key_col,
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        value_col,
+        mean,
+    )
