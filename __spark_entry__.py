@@ -1558,19 +1558,36 @@ def _q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
 
 
-@_register("st_stateful_totals")  # custom stateful op — rows-only check
+@_register(
+    "st_stateful_totals",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts_s
+FROM events GROUP BY user_id
+""",
+)
 def _q_st_stateful(spark, sf_dir):
     """applyInPandasWithState running per-user totals through the real
-    streaming engine (availableNow drain). Custom state, not SQL-
-    expressible — pytest cross-checks it against the batch aggregate."""
+    streaming engine (availableNow drain). Value-checked: the tracker's
+    integer-micros accumulation equals a DECIMAL(38,6) sum exactly, and
+    the single-file fixture drains as one micro-batch so the final
+    update per user is the full-stream total (multi-batch state
+    persistence is pinned separately in tests/test_streaming_stateful)."""
     from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
         pipeline,
         stateful,
     )
 
     totals = stateful.running_user_totals(_stream_events(spark, sf_dir))
-    return pipeline.run_available_now(
+    out = pipeline.run_available_now(
         totals, f"st_stateful_{next(_STREAM_SEQ)}", output_mode="update"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts_s"),
     )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-STATE_SCHEMA = "n_events long, total_value double, last_ts timestamp"
+STATE_SCHEMA = "n_events long, total_micros long, last_ts timestamp"
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, last_ts timestamp"
 )
@@ -29,30 +29,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     DataFrame with (user_id, ts, value); each trigger emits one updated
     row per user seen in that batch.
 
+    The running value total accumulates as INTEGER MICROS (each value
+    rounded to 6 decimals — the repo-wide DECIMAL(38,6) policy of
+    functions/exact.py): exact integer addition makes the emitted total
+    independent of batch boundaries and row order, bit-identical to a
+    decimal-sum oracle, where a naive float accumulator would drift per
+    micro-batch.
+
     The tracker is a SELF-CONTAINED closure (imports inside, no module
     references): Spark's Python workers pickle it by value, so the
     operator runs even when this package isn't on the workers' path.
     """
 
     def _track(key, batches, state):
+        import numpy as _np
         import pandas as _pd
 
         (user_id,) = key
         if state.exists:
-            n, total, last = state.get
+            n, micros, last = state.get
         else:
-            n, total, last = 0, 0.0, None
+            n, micros, last = 0, 0, None
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            micros += int(
+                _np.round(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
+            )
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
-        state.update((n, total, last))
+        state.update((n, micros, last))
         yield _pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [total],
+                "total_value": [micros / 1_000_000],
                 "last_ts": [last],
             }
         )
