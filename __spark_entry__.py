@@ -1698,6 +1698,77 @@ def _q_percentiles_approx(spark, sf_dir):
     return aggregates.quantity_percentiles_approx(_t(spark, sf_dir, "lineitem"))
 
 
+@_register(
+    "t_repetition_stats",
+    f"""
+WITH base AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok FROM base
+),
+runs AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(tok) OVER w IS NULL OR lag(tok) OVER w <> tok
+         THEN 1 ELSE 0 END AS brk
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+rid AS (
+  SELECT doc_id, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM runs
+),
+mr AS (
+  SELECT doc_id, MAX(n) AS max_token_run
+  FROM (SELECT doc_id, run_id, COUNT(*) AS n FROM rid GROUP BY 1, 2)
+  GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, len(t) AS n_tokens, t[i] || ' ' || t[i+1] AS bg
+  FROM base, UNNEST(range(1, len(t))) u(i)
+),
+top AS (
+  SELECT doc_id, n_tokens, MAX(c) AS top_bigram_n
+  FROM (SELECT doc_id, n_tokens, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+)
+SELECT top.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, top_bigram_n,
+       top_bigram_n * 1.0 / (n_tokens - 1) AS top_bigram_frac, max_token_run
+FROM top JOIN mr ON top.doc_id = mr.doc_id
+""",
+)
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: longest repeated-token run and
+    single-bigram dominance per document — the boilerplate/spam signals
+    a pretraining pipeline scores after quality filtering."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "t_tfidf_topterms",
+    f"""
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT doc_id, term, tf, df,
+         tf * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df AS tfidf
+  FROM tf JOIN d USING (term)
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM s
+) WHERE rk <= 3
+""",
+)
+def _q_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·idf with RATIONAL idf
+    (N/df, no ln): one correctly-rounded division keeps rankings
+    engine-exact where libm log differs in the last ulp."""
+    return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 _SQL_GSETS = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_quantity')} AS sum_qty,
@@ -1781,6 +1852,8 @@ _VERIFY_FIRST = [
     "a_grouping_sets",
     "w_time_range_mean",
     "a_pivot_event_types",
+    "t_repetition_stats",
+    "t_tfidf_topterms",
 ]
 
 

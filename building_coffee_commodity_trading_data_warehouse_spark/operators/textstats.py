@@ -96,3 +96,112 @@ def fingerprints(documents: DataFrame) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
         ).alias("bag_md5"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (the filters a
+    pretraining pipeline runs after quality scoring): longest run of a
+    repeated token, and the fraction of all bigrams taken by the single
+    most frequent bigram. High values mark boilerplate/spam.
+
+    Plan: one posexplode of the token array; run boundaries via lag +
+    running sum (the sessionize trick applied to tokens); bigram
+    dominance via a NON-distinct bigram explode and a grouped max.
+    Everything hash-partitions on doc_id — embarrassingly parallel
+    across documents at 100 TB, bounded state per doc."""
+    from pyspark.sql import Window
+
+    toks = _tokens()
+    base = documents.select("doc_id", toks.alias("t"))
+
+    pos = base.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = pos.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("tok").over(w).isNull() | (F.lag("tok").over(w) != F.col("tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    run_ids = runs.select(
+        "doc_id",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    max_run = (
+        run_ids.groupBy("doc_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_token_run"))
+    )
+
+    m = F.greatest(F.size("t") - 1, F.lit(0))
+    bigrams = base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.slice(
+                F.zip_with(
+                    "t",
+                    F.slice("t", 2, m),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+                1,
+                m,
+            )
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", F.col("n_tokens"), "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("top_bigram_n"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "top_bigram_n",
+            (F.col("top_bigram_n") / (F.col("n_tokens") - 1)).alias("top_bigram_frac"),
+        )
+    )
+    return top_bg.join(max_run, "doc_id")
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf with a
+    RATIONAL idf (``N / df``, no logarithm): rankings stay engine-exact
+    (a single correctly-rounded division) where ``ln`` differs in the
+    last ulp across libm implementations and flips near-ties. Ties
+    break on the term text, so output is fully deterministic.
+
+    Plan: non-distinct token explode → per-(doc, term) counts; df is a
+    per-term aggregate joined back (term dictionary is vocabulary-
+    sized, shuffles on the term key); final per-doc top-k is one window
+    over k + ties rows. No driver data path except the corpus count."""
+    from pyspark.sql import Window
+
+    n_docs = documents.count()  # one scalar to the driver
+    tf = (
+        documents.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(float(n_docs))) / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )

@@ -93,3 +93,43 @@ def test_decontaminate_empty_benchmark_keeps_all(spark):
     benchmark = _docs(spark, []).limit(0)
     kept = {r["doc_id"] for r in dedup.decontaminate(docs, benchmark, n=3).collect()}
     assert kept == {1, 2}
+
+
+# ------------------------------------------------- text repetition / tfidf
+
+
+def test_repetition_stats_planted(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam unique tail"),
+            (2, "a b a b a b a b"),
+            (3, "all words fully distinct here now"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    assert out[1]["max_token_run"] == 4
+    assert out[1]["top_bigram_n"] == 3          # 'spam spam' x3
+    assert out[2]["max_token_run"] == 1
+    assert out[2]["top_bigram_n"] == 4          # 'a b' x4 of 7 bigrams
+    assert abs(out[2]["top_bigram_frac"] - 4 / 7) < 1e-12
+    assert out[3]["max_token_run"] == 1 and out[3]["top_bigram_n"] == 1
+
+
+def test_tfidf_unique_term_ranks_first(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common other other"),
+        ],
+    )
+    out = textstats.tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "zebra"   # df=1 beats tf-heavy 'common' (df=3)
+    assert top[3] == "other"
