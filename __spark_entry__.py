@@ -1559,6 +1559,55 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "st_stream_join",
+    """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+""",
+)
+def _q_stream_join(spark, sf_dir):
+    """Stream-stream interval join through the real engine: clicks
+    joined to the same user's views in the trailing 2 hours, both
+    sides watermarked (state bounded by the watermark horizon). The
+    availableNow drain of a static dir equals the batch inner join —
+    the oracle."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    joined = pipeline.interval_join(clicks, views, cond, ("click_ts", "view_ts"))
+    out = pipeline.run_available_now(
+        joined, f"st_sjoin_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )
+
+
+@_register(
     "st_stateful_totals",
     """
 SELECT user_id, COUNT(*) AS n_events,
@@ -1854,6 +1903,7 @@ _VERIFY_FIRST = [
     "a_pivot_event_types",
     "t_repetition_stats",
     "t_tfidf_topterms",
+    "st_stream_join",
 ]
 
 
