@@ -1748,6 +1748,50 @@ def _q_percentiles_approx(spark, sf_dir):
 
 
 @_register(
+    "a_retention_cohorts",
+    """
+WITH w AS (
+  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1),
+active AS (SELECT DISTINCT user_id, week AS active_week FROM w)
+SELECT cohort_week, active_week, COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def _q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (first-seen week × active week distinct
+    users): two map-side-combinable aggregations + one join."""
+    return aggregates.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "a_funnel_steps",
+    """
+WITH f AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(t_signup) AS n_signup,
+       COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_then_click,
+       COUNT(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END)
+         AS n_full_funnel
+FROM f
+""",
+)
+def _q_funnel_steps(spark, sf_dir):
+    """Ordered signup→click→purchase funnel via conditional-min
+    aggregation — sequence tests as column comparisons, no per-step
+    self-join."""
+    return aggregates.funnel_steps(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "t_repetition_stats",
     f"""
 WITH base AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
@@ -1904,6 +1948,8 @@ _VERIFY_FIRST = [
     "t_repetition_stats",
     "t_tfidf_topterms",
     "st_stream_join",
+    "a_retention_cohorts",
+    "a_funnel_steps",
 ]
 
 

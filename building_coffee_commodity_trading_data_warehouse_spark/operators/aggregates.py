@@ -150,3 +150,48 @@ def pivot_value_by_type(
     map-side-combinable decimal sum."""
     types = types or ["click", "view", "purchase", "signup", "error"]
     return events.groupBy("user_id").pivot("event_type", types).agg(dsum("value"))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, per
+    (cohort_week, active_week) distinct-user counts — the classic
+    product-analytics rollup. Two hash aggregations on user_id (both
+    map-side combinable) and one join; no window, no driver data."""
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    first = (
+        events.select("user_id", week.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = events.select("user_id", week.alias("active_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """Ordered funnel: users whose first signup precedes their first
+    click precedes their first purchase. Conditional-min aggregation
+    per user (one shuffle), then a single global count row — the
+    sequence test runs as plain column comparisons, no UDF, no
+    self-join per step."""
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_signup_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
