@@ -1748,6 +1748,39 @@ def _q_percentiles_approx(spark, sf_dir):
 
 
 @_register(
+    "d_chunk_dedup",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 64)) AS start
+  FROM t
+),
+ch AS (
+  SELECT doc_id,
+         CAST(start // 64 AS BIGINT) AS chunk_id,
+         CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+         md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+           AS chunk_md5
+  FROM s
+),
+firsts AS (
+  SELECT chunk_md5, MIN(ROW(doc_id, chunk_id)) AS first, COUNT(*) AS n_copies
+  FROM ch GROUP BY 1
+)
+SELECT ch.doc_id, ch.chunk_id, ch.n_tokens, ch.chunk_md5, f.n_copies,
+       ROW(ch.doc_id, ch.chunk_id) = f.first AS is_keeper
+FROM ch JOIN firsts f ON ch.chunk_md5 = f.chunk_md5
+""",
+)
+def _q_chunk_dedup(spark, sf_dir):
+    """Chunk-level (paragraph) dedup: non-overlapping 64-token windows
+    content-hashed; repeats of a chunk seen elsewhere are flagged, the
+    lexicographically first (doc, chunk) is the keeper. One groupBy on
+    the 32-byte hash."""
+    return dedup.chunk_dedup(_t(spark, sf_dir, "documents"), chunk=64)
+
+
+@_register(
     "a_retention_cohorts",
     """
 WITH w AS (
@@ -1950,6 +1983,7 @@ _VERIFY_FIRST = [
     "st_stream_join",
     "a_retention_cohorts",
     "a_funnel_steps",
+    "d_chunk_dedup",
 ]
 
 

@@ -513,3 +513,45 @@ def decontaminate(
         .distinct()
     )
     return documents.join(contaminated, "doc_id", "left_anti")
+
+
+def chunk_dedup(
+    documents: DataFrame, chunk: int = 64
+) -> DataFrame:
+    """Chunk-level (paragraph-style) dedup: split every document into
+    NON-overlapping ``chunk``-token windows, content-hash each, and
+    mark every repetition of a chunk already seen elsewhere — the
+    boilerplate-paragraph remover of training-data pipelines (the
+    chunk-granular practical cousin of substring dedup à la
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Keeper = lexicographically first (doc_id, chunk_id) per content
+    hash, so output is deterministic. One groupBy on the 32-byte hash —
+    shuffle volume is |chunks| narrow rows regardless of text size."""
+    from .curate import chunk_documents
+
+    ch = chunk_documents(documents, chunk=chunk, stride=chunk)
+    hashed = ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+    firsts = hashed.groupBy("chunk_md5").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("first"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        hashed.join(firsts, "chunk_md5")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            "chunk_md5",
+            "n_copies",
+            (
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("chunk_id") == F.col("first.chunk_id"))
+            ).alias("is_keeper"),
+        )
+    )

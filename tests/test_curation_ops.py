@@ -133,3 +133,24 @@ def test_tfidf_unique_term_ranks_first(spark):
     top = {r["doc_id"]: r["term"] for r in out}
     assert top[1] == "zebra"   # df=1 beats tf-heavy 'common' (df=3)
     assert top[3] == "other"
+
+
+def test_chunk_dedup_planted_boilerplate(spark):
+    shared = " ".join(f"w{i}" for i in range(64))  # one full shared chunk
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " unique one tail"),
+            (2, shared + " other tail text"),
+            (3, "completely different words entirely"),
+        ],
+    )
+    out = dedup.chunk_dedup(docs, chunk=64).collect()
+    by_key = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    # the shared 64-token chunk: doc 1 keeps, doc 2's copy is flagged
+    assert by_key[(1, 0)]["is_keeper"] and by_key[(1, 0)]["n_copies"] == 2
+    assert not by_key[(2, 0)]["is_keeper"]
+    assert by_key[(2, 0)]["chunk_md5"] == by_key[(1, 0)]["chunk_md5"]
+    # tails and unrelated docs are unique keepers
+    assert by_key[(1, 1)]["is_keeper"] and by_key[(1, 1)]["n_copies"] == 1
+    assert by_key[(3, 0)]["is_keeper"]
