@@ -84,3 +84,63 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     # reports the running total of all 3
     assert sorted(r["n_events"] for r in snaps) == [2, 3]
     assert max(r["total_value"] for r in snaps) == 10.0
+
+
+def test_interval_join_across_batches(spark, tmp_path):
+    """Stream-stream interval join state must bridge micro-batches: a
+    click arriving in batch 2 joins a view buffered from batch 1."""
+    import glob
+    import os
+
+    land = tmp_path / "sj_landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "sj_ckpt")
+    out_dir = str(tmp_path / "sj_out")
+
+    def _write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.parquet(f"{tmp_path}/sj_stage_{name}")
+        src = glob.glob(f"{tmp_path}/sj_stage_{name}/part-*.parquet")[0]
+        os.rename(src, land / f"{name}.parquet")
+        import shutil as _sh
+
+        _sh.rmtree(f"{tmp_path}/sj_stage_{name}")
+
+    ns = 10**9
+    ev = pipeline.stream_events(spark, str(land))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    joined = pipeline.interval_join(clicks, views, cond, ("click_ts", "view_ts"))
+
+    def _drain():
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: a view only — no output yet, but it enters join state
+    _write_batch("b1", [(1, 100 * ns, 7, "view", 1.0, "{}")])
+    _drain()
+    # batch 2: a click 5 min later -> must join the buffered view
+    _write_batch("b2", [(2, 400 * ns, 7, "click", 2.0, "{}")])
+    _drain()
+    got = spark.read.parquet(out_dir).collect()
+    assert [(r["click_id"], r["view_id"], r["user_id"]) for r in got] == [(2, 1, 7)]
