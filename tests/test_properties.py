@@ -136,3 +136,60 @@ def test_hash_split_stability_and_chunk_reconstruction(spark):
         rebuilt[r["doc_id"]] = (rebuilt.get(r["doc_id"], "") + " " + r["chunk_text"]).strip()
     orig = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert rebuilt == orig
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),    # shard
+        st.integers(0, 5),    # doc_id
+        st.integers(0, 3),    # chunk_id
+        st.integers(1, 300),  # n_tokens
+    ),
+    min_size=0,
+    max_size=14,
+    unique_by=lambda r: (r[0], r[1], r[2]),
+)
+
+
+@given(_pack_rows, st.integers(16, 512))
+@_settings
+def test_pack_chunks_matches_prefix_sum(spark, rows, max_tokens):
+    """pack_offset is exactly the per-shard prefix sum of token counts
+    in (doc_id, chunk_id) order, and pack_id = offset // max_tokens —
+    for ANY chunk stream and pack size."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import pack_chunks
+
+    df = spark.createDataFrame(
+        [(str(s), d, c, n) for s, d, c, n in rows],
+        "shard string, doc_id long, chunk_id long, n_tokens long",
+    )
+    got = {
+        (r["shard"], r["doc_id"], r["chunk_id"]): (r["pack_offset"], r["pack_id"])
+        for r in pack_chunks(df, max_tokens=max_tokens).collect()
+    }
+    by_shard: dict = {}
+    for s, d, c, n in sorted(rows):
+        off = by_shard.get(str(s), 0)
+        assert got[(str(s), d, c)] == (off, off // max_tokens), (s, d, c)
+        by_shard[str(s)] = off + n
+
+
+@given(st.integers(0, 1000), st.floats(0.0, 1.0))
+@_settings
+def test_stratified_sample_composes_with_hash_sample(spark, n, frac):
+    """A single-stratum stratified sample with fraction f and seed s is
+    EXACTLY hash_sample(f, seed=s): same bucket, same threshold."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("stratum")
+    )
+    a = {r["doc_id"] for r in hash_sample(df, frac, seed="z").collect()}
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(df, "stratum", {"only": frac}, seed="z").collect()
+    }
+    assert a == b
