@@ -30,3 +30,35 @@ def test_jdbc_partition_bounds():
     flat = [x for lo, hi in bounds for x in range(lo, hi)]
     assert flat == list(range(10))
     assert jdbc.partition_bounds(3, 8) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_orc_and_jsonlines_round_trip(spark, sf_dir, tmp_path):
+    """Format breadth beyond parquet/CSV: the same table written as ORC
+    and as JSON-lines reads back value-identical (ORC is the other
+    columnar format Spark ships; JSON-lines is the standard training-
+    data interchange shape)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars", "text")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    want = [tuple(r) for r in docs.collect()]
+
+    orc_path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(orc_path)
+    got_orc = [
+        tuple(r)
+        for r in spark.read.orc(orc_path).orderBy("doc_id").collect()
+    ]
+    assert got_orc == want
+
+    json_path = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(json_path)
+    got_json = [
+        tuple(r)
+        for r in spark.read.schema(docs.schema).json(json_path).orderBy("doc_id").collect()
+    ]
+    assert got_json == want
