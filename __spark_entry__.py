@@ -1955,6 +1955,136 @@ def _q_pivot_event_types(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# classic warehouse analytics (plans/analytics.py) — the BI query shapes
+# the reference's Power BI layer would serve from the ODS star schema
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_shipping_priority",
+    f"""
+SELECT o.o_orderkey,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_orderpriority
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top open-revenue orders in one segment.
+    Segment-pruned customers broadcast-semi onto orders; one orderkey
+    shuffle; TakeOrderedAndProject top-10."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_register(
+    "q_local_supplier_volume",
+    f"""
+SELECT n.n_name,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+""",
+)
+def _q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: local-supplier revenue by nation in one region.
+    All dims broadcast; the only shuffle is lineitem ⋈ orders."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.local_supplier_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_register(
+    "q_returned_customers",
+    f"""
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, p.revenue, c.c_acctbal, n.n_name AS nation
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+ORDER BY p.revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def _q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue. Aggregate FIRST
+    (per-custkey), then broadcast dims onto the small result — the
+    join order that survives 100 TB."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.returned_item_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_register(
+    "q_priority_late_orders",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def _q_priority_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: orders with ≥1 late-shipping line, per priority.
+    EXISTS decorrelates to a left_semi with a residual lateness
+    predicate — no row explosion."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.priority_delivery_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1984,6 +2114,10 @@ _VERIFY_FIRST = [
     "a_retention_cohorts",
     "a_funnel_steps",
     "d_chunk_dedup",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_customers",
+    "q_priority_late_orders",
 ]
 
 

@@ -195,3 +195,42 @@ def funnel_steps(events: DataFrame) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+def grouped_partials(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Mergeable partial aggregate for incremental view maintenance:
+    per-key (count, decimal sum). Keeping the sum in DECIMAL(38,6)
+    (exact, associative) is what makes the partials MERGEABLE —
+    re-aggregating partials gives bit-identical results to a full
+    re-scan, under any split of the input."""
+    return events.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value_dec"),
+    )
+
+
+def merge_partials(*partials: DataFrame) -> DataFrame:
+    """Incremental materialized-view refresh: merge per-key partials
+    (base snapshot + delta batches) into the full aggregate WITHOUT
+    re-scanning the base — the 100 TB refresh path (re-aggregate the
+    tiny delta, merge with the stored partial; cost scales with the
+    delta, not the table).
+
+    Equivalent to a full group-by over the union of the inputs because
+    count and decimal-sum are commutative monoids."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), partials)
+    key_cols = [c for c in merged.columns if c not in ("n_events", "sum_value_dec")]
+    return (
+        merged.groupBy(*key_cols)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").alias("sum_value_dec"),
+        )
+        .select(
+            *key_cols,
+            F.col("n_events"),
+            F.col("sum_value_dec").cast("double").alias("total_value"),
+        )
+    )

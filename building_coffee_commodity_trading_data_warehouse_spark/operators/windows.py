@@ -206,3 +206,32 @@ def trailing_time_mean(
         value_col,
         mean,
     )
+
+
+def gap_islands(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    key (streak detection — "n-day activity streaks" product metric).
+
+    Classic anchor trick, fully relational: distinct active days per
+    key, row_number within key by day, then day − row_number is
+    constant within a consecutive run — group on that anchor. Plan:
+    distinct (one exchange on key+day), window on key (second
+    exchange), final agg partial-aggregates map-side. No UDF, no self
+    join, survives any key cardinality."""
+    days = (
+        events.select(F.col(key_col), F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    anchored = days.withColumn(
+        "__anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy(key_col, "__anchor")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).cast("int").alias("n_days"),
+        )
+        .drop("__anchor")
+    )

@@ -1,0 +1,192 @@
+"""Classic warehouse analytics over the star schema — the BI query
+shapes a commodity-trading warehouse serves daily (reference intent:
+the Power BI layer consuming the ODS tables, SURVEY.md §0/§3; the
+reference itself materializes only the MA/spread marts at ODS.py:59-80,
+so these are the natural next queries a user of that warehouse asks).
+
+Every query here is a composition of the operator surface the package
+already proves (broadcast dim joins, shuffle fact joins, decimal-exact
+aggregation, top-k) — no new physical machinery, just the plans.
+
+Scale notes (100 TB posture):
+  * Dims (customer, supplier, nation, region) are broadcast — the fact
+    side (lineitem/orders) is never shuffled for a dim lookup.
+  * The one unavoidable big shuffle is lineitem ⋈ orders on orderkey;
+    both sides are pre-filtered (date / segment / returnflag) BEFORE
+    the join so the shuffle moves only qualifying rows, and the
+    parquet scan sees the pushed-down filters.
+  * Revenue sums go through DECIMAL(38,6) accumulation
+    (functions/exact.py) — order-independent, so results are
+    bit-identical across partitionings and reruns.
+  * Top-N terminates in TakeOrderedAndProject (per-partition heap +
+    driver merge of N·P rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+
+REVENUE = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    topn: int = 10,
+) -> DataFrame:
+    """Unshipped-revenue ranking (TPC-H Q3 shape): orders placed before
+    ``cutoff`` in one market segment, revenue from line items still
+    shipping after it, top-N orders by open revenue.
+
+    Plan: segment filter prunes customers → broadcast semi to orders →
+    one shuffle join to pre-filtered lineitem → hash agg on orderkey →
+    TakeOrderedAndProject.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ord_f = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ord_f.join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey, "left_semi")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(REVENUE).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.col("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(topn)
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """Local-supplier revenue by nation (TPC-H Q5 shape): revenue from
+    line items where the supplier and the ordering customer share a
+    nation inside one region, grouped by nation.
+
+    The "local" condition (c_nationkey = s_nationkey) is enforced as an
+    equi-predicate after two broadcast dim joins — the fact table is
+    shuffled once (lineitem ⋈ orders on orderkey); everything else is
+    broadcast.
+    """
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    ).select("n_nationkey", "n_name")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    cust = customer.select("c_custkey", "c_nationkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(dsum(REVENUE).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-07-01",
+    topn: int = 20,
+) -> DataFrame:
+    """Returned-item loss ranking (TPC-H Q10 shape): customers who
+    returned the most revenue in a half-year window, with their nation.
+
+    lineitem is filtered to returnflag='R' BEFORE the orderkey shuffle;
+    customer and nation are broadcast onto the aggregated (small)
+    per-customer totals — the cheapest join order at 100 TB.
+    """
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(REVENUE).alias("revenue"))
+    )
+    cust = customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("revenue"),
+            F.col("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(topn)
+    )
+
+
+def priority_delivery_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """Late-order counts per priority (TPC-H Q4 shape): orders in a
+    window that have AT LEAST ONE line item shipping more than
+    ``late_days`` after the order date, counted per priority.
+
+    EXISTS decorrelates to a left_semi join keyed on orderkey with the
+    lateness predicate as a residual condition — one shuffle, no
+    row explosion (semi joins emit each left row at most once).
+    """
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = ord_f.join(
+        li,
+        (ord_f.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )

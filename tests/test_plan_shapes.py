@@ -166,3 +166,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_analytics_queries_broadcast_dims_and_topn(spark, sf_dir):
+    """The classic-warehouse plans (plans/analytics.py) must keep every
+    dim lookup broadcast and terminate top-N in TakeOrderedAndProject;
+    the only hash exchanges allowed are the orderkey fact join and the
+    group-by — the shape that survives 100 TB."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q3 = analytics.shipping_priority(t("customer"), t("orders"), t("lineitem"))
+        plan = explain.plan_string(q3)
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("BroadcastHashJoin") >= 1  # segment semi-join
+        # fact join on orderkey + final agg: at most 3 hash exchanges
+        assert _exchanges(q3) <= 3
+
+        q10 = analytics.returned_item_customers(
+            t("customer"), t("orders"), t("lineitem"), t("nation")
+        )
+        plan10 = explain.plan_string(q10)
+        assert "TakeOrderedAndProject" in plan10
+        # customer + nation joins onto the aggregated result: broadcast
+        assert plan10.count("BroadcastHashJoin") >= 2
+
+        q5 = analytics.local_supplier_volume(
+            t("customer"), t("orders"), t("lineitem"),
+            t("supplier"), t("nation"), t("region"),
+        )
+        plan5 = explain.plan_string(q5)
+        assert plan5.count("BroadcastHashJoin") >= 3  # cust, supp, nation
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
