@@ -2085,6 +2085,88 @@ def _q_priority_late_orders(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SCD2 / streaks / incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j_scd2_dim",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type AS attr,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       COALESCE(strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         '%Y-%m-%d %H:%M:%S.%f'),
+                '9999-12-31 00:00:00.000000') AS valid_to,
+       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+FROM changes
+""",
+)
+def _q_scd2_dim(spark, sf_dir):
+    """SCD2 change-capture compaction of the event log: versioned
+    validity intervals per user (the reference's dims are type-1
+    truncate-reload — this is the history-preserving upgrade). One
+    exchange; both window passes share it."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import scd2
+
+    return scd2.scd2_compact(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "w_gap_islands",
+    """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM days
+)
+SELECT user_id,
+       strftime(MIN(day), '%Y-%m-%d') AS streak_start,
+       strftime(MAX(day), '%Y-%m-%d') AS streak_end,
+       CAST(COUNT(*) AS INT) AS n_days
+FROM anchored
+GROUP BY user_id, anchor
+""",
+)
+def _q_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal consecutive-day activity streaks per
+    user via the day − row_number anchor — no self-join, no UDF."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as w
+
+    return w.gap_islands(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "a_mv_incremental",
+    f"""
+SELECT user_id, COUNT(*) AS n_events,
+       {sql_dsum("value")} AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def _q_mv_incremental(spark, sf_dir):
+    """Incremental materialized-view refresh: per-key partials of two
+    disjoint halves (base snapshot + delta batch) MERGED — provably
+    equal to a full re-aggregation because count / decimal-sum are
+    commutative monoids. At 100 TB the refresh cost scales with the
+    delta, not the base."""
+    ev = _t(spark, sf_dir, "events")
+    base = aggregates.grouped_partials(ev.filter(F.col("event_id") % 2 == 0))
+    delta = aggregates.grouped_partials(ev.filter(F.col("event_id") % 2 == 1))
+    return aggregates.merge_partials(base, delta)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2118,6 +2200,9 @@ _VERIFY_FIRST = [
     "q_local_supplier_volume",
     "q_returned_customers",
     "q_priority_late_orders",
+    "j_scd2_dim",
+    "w_gap_islands",
+    "a_mv_incremental",
 ]
 
 

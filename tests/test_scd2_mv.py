@@ -1,0 +1,91 @@
+"""SCD2 compaction, gaps-and-islands, and incremental-MV merge:
+semantics on hand-built fixtures plus the plan/mergeability properties
+the 100 TB posture depends on."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from building_coffee_commodity_trading_data_warehouse_spark import catalog
+from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+    aggregates,
+    scd2,
+    windows,
+)
+from building_coffee_commodity_trading_data_warehouse_spark.plans import explain
+
+
+def _exchanges(df) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", explain.plan_string(df)))
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_collapses_noop_updates_and_versions(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "bronze"),
+        (1, _ts("2024-01-02T00:00:00"), 2, "bronze"),  # no-op update
+        (1, _ts("2024-01-03T00:00:00"), 3, "silver"),
+        (1, _ts("2024-01-04T00:00:00"), 4, "bronze"),  # back again → NEW version
+        (2, _ts("2024-01-01T00:00:00"), 5, "gold"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    out = {(r["user_id"], r["version"]): r for r in scd2.scd2_compact(ev).collect()}
+    assert len(out) == 4  # the no-op row collapsed
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1["attr"], v2["attr"], v3["attr"]) == ("bronze", "silver", "bronze")
+    # intervals chain: each valid_to equals the next valid_from
+    assert v1["valid_to"] == v2["valid_from"]
+    assert v2["valid_to"] == v3["valid_from"]
+    assert v3["is_current"] and v3["valid_to"] == scd2.OPEN_END
+    assert not v1["is_current"] and not v2["is_current"]
+    assert out[(2, 1)]["is_current"]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Change detection + interval close + versioning must share ONE
+    key exchange — the property that keeps SCD2 cheap on a 100 TB log."""
+    df = scd2.scd2_compact(catalog.table(spark, sf_dir, "events"))
+    assert _exchanges(df) == 1
+
+
+def test_scd2_current_is_one_row_per_key(spark, sf_dir):
+    dim = scd2.scd2_compact(catalog.table(spark, sf_dir, "events"))
+    cur = scd2.scd2_current(dim)
+    per_key = cur.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert per_key == 0
+
+
+def test_gap_islands_semantics(spark):
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05", "2024-02-01"]
+    rows = [(1, _ts(d + "T12:00:00"), i) for i, d in enumerate(days)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sorted(
+        windows.gap_islands(ev).collect(), key=lambda r: r["streak_start"]
+    )
+    assert [(r["streak_start"], r["streak_end"], r["n_days"]) for r in out] == [
+        ("2024-01-01", "2024-01-03", 3),
+        ("2024-01-05", "2024-01-05", 1),
+        ("2024-02-01", "2024-02-01", 1),
+    ]
+
+
+def test_merge_partials_invariant_to_split(spark, sf_dir):
+    """The MV-refresh identity: merging per-key partials of ANY
+    disjoint split equals the full aggregate, bit-for-bit (decimal
+    accumulation is associative+commutative)."""
+    ev = catalog.table(spark, sf_dir, "events")
+    full = aggregates.merge_partials(aggregates.grouped_partials(ev))
+    split3 = aggregates.merge_partials(
+        aggregates.grouped_partials(ev.filter(F.col("event_id") % 3 == 0)),
+        aggregates.grouped_partials(ev.filter(F.col("event_id") % 3 == 1)),
+        aggregates.grouped_partials(ev.filter(F.col("event_id") % 3 == 2)),
+    )
+    a = {r["user_id"]: (r["n_events"], r["total_value"]) for r in full.collect()}
+    b = {r["user_id"]: (r["n_events"], r["total_value"]) for r in split3.collect()}
+    assert a == b
