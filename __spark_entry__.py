@@ -2167,6 +2167,102 @@ def _q_mv_incremental(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# retrieval / decontamination / n-gram statistics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s_knn_join",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS (
+  SELECT vec_id, sqrt(list_sum(list(val * val ORDER BY pos))) AS nrm
+  FROM ({_SQL_EX}) GROUP BY vec_id
+),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_sum(list(q.val * c.val ORDER BY q.pos)) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+  FROM s
+) WHERE rk <= 3
+""",
+)
+def _q_knn_join(spark, sf_dir):
+    """Exact k-NN SELF-join (every row a query — nothing broadcastable)
+    via bounded-memory block-pair tiles + decimal rerank. block_size
+    128 forces the multi-tile path even at gate scale."""
+    return similarity.knn_join(_t(spark, sf_dir, "embeddings"), k=3, block_size=128)
+
+
+@_register(
+    "d_semantic_decontaminate",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 97 = 0 AND c.vec_id % 97 <> 0
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT DISTINCT d.c_id
+  FROM d JOIN n x ON d.q_id = x.vec_id JOIN n y ON d.c_id = y.vec_id
+  WHERE dot / (x.nrm * y.nrm) >= 0.95
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id % 97 <> 0 AND vec_id NOT IN (SELECT c_id FROM hits)
+""",
+)
+def _q_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC benchmark decontamination (the embedding-space twin of
+    the text-overlap d_decontaminate): drop training vectors within
+    cosine 0.95 of any eval vector. Eval set broadcast (it is small by
+    construction); corpus scans once; anti-join removes hits."""
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    hits = (
+        similarity.cosine_pairs(corpus, evals)
+        .filter(F.col("cosine") >= 0.95)
+        .select("c_id")
+        .distinct()
+    )
+    return corpus.join(
+        hits, corpus.vec_id == hits.c_id, "left_anti"
+    ).select("vec_id", "label")
+
+
+@_register(
+    "t_bigram_counts",
+    f"""
+WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(2, len(toks) + 1),
+                               i -> toks[i - 1] || ' ' || toks[i])) AS bigram
+  FROM t WHERE len(toks) > 1
+)
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
+""",
+)
+def _q_bigram_counts(spark, sf_dir):
+    """Corpus bigram frequency top-100: one array transform + explode,
+    map-side-combinable count, TakeOrderedAndProject."""
+    return textstats.bigram_counts(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2203,6 +2299,9 @@ _VERIFY_FIRST = [
     "j_scd2_dim",
     "w_gap_islands",
     "a_mv_incremental",
+    "s_knn_join",
+    "d_semantic_decontaminate",
+    "t_bigram_counts",
 ]
 
 

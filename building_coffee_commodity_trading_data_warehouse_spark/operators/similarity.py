@@ -662,3 +662,153 @@ def embedding_neardup_pairs(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return _verify_pairs_exact(cand, embeddings, threshold)
+
+
+def knn_join(
+    embeddings: DataFrame, k: int = 3, block_size: int = 4096, margin: int = 8
+) -> DataFrame:
+    """Exact k-NN SELF-join: every vector's k nearest neighbors by
+    cosine (self excluded) — the retrieval primitive behind semantic
+    dedup, clustering seeds, and hard-negative mining, where EVERY row
+    is a query (so the query side can never be broadcast, unlike
+    brute_force_topk's bounded query batch).
+
+    Plan: the corpus is hashed into ⌈N/B⌉ blocks; every unordered block
+    pair becomes one applyInPandas tile task that emits, per row, its
+    local top-(k+margin) matches in double precision (one numpy matmul
+    per tile, both directions for off-diagonal tiles). A global
+    window prune keeps k+margin per vector, and the surviving
+    N·(k+margin) pairs re-score decimal-exact and re-rank — output
+    bit-identical to the pure exact formulation (margin absorbs
+    double-vs-decimal rank jitter).
+
+    Scale: exact k-NN join is inherently O(N²·D/B) compute — that cost
+    is the spec, spread evenly over ⌈N/B⌉² bounded-memory tasks with
+    nothing corpus-sized on the driver. When approximate recall is
+    acceptable, the sub-quadratic path is the same tail fed by LSH
+    co-bucket candidates (lsh_topk / _lsh_candidate_pairs)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    m = k + margin
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+
+    blk = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("__blk"),
+    )
+    i = spark.range(n_blocks).select(F.col("id").alias("bi"))
+    j = spark.range(n_blocks).select(F.col("id").alias("bj"))
+    block_pairs = i.join(j, F.col("bi") <= F.col("bj")).select(
+        (F.col("bi") * n_blocks + F.col("bj")).alias("pair_id"),
+        "bi",
+        "bj",
+        (F.col("bi") == F.col("bj")).alias("diag"),
+    )
+    lo = blk.join(F.broadcast(block_pairs), blk["__blk"] == block_pairs["bi"]).select(
+        "pair_id", "diag", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    hi = blk.join(
+        F.broadcast(block_pairs),
+        (blk["__blk"] == block_pairs["bj"]) & ~block_pairs["diag"],
+    ).select("pair_id", "diag", F.lit(1).alias("side"), "vec_id", "embedding")
+
+    def _local_topm(ids_q, ids_c, S):
+        """Per-row top-m columns of S (self never included by caller)."""
+        mm = min(m, S.shape[1])
+        part = np.argpartition(-S, mm - 1, axis=1)[:, :mm]
+        rows = np.repeat(np.arange(S.shape[0]), mm)
+        cols = part.ravel()
+        return pd.DataFrame(
+            {
+                "q_id": ids_q[rows].astype("int64"),
+                "c_id": ids_c[cols].astype("int64"),
+                "cos_d": S[rows, cols],
+            }
+        )
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_pdf = pdf[pdf["side"] == 0]
+        ids_a = a_pdf["vec_id"].to_numpy()
+        A = np.stack(a_pdf["embedding"].to_numpy()).astype("float64")
+        an = np.sqrt((A * A).sum(axis=1))
+        diag = bool(pdf["diag"].iloc[0])
+        if diag:
+            ids_b, B, bn = ids_a, A, an
+        else:
+            b_pdf = pdf[pdf["side"] == 1]
+            ids_b = b_pdf["vec_id"].to_numpy()
+            B = np.stack(b_pdf["embedding"].to_numpy()).astype("float64")
+            bn = np.sqrt((B * B).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (A @ B.T) / (an[:, None] * bn[None, :])
+        if diag:
+            np.fill_diagonal(S, -np.inf)
+            return _local_topm(ids_a, ids_b, S)
+        return pd.concat(
+            [_local_topm(ids_a, ids_b, S), _local_topm(ids_b, ids_a, S.T)],
+            ignore_index=True,
+        )
+
+    partials = (
+        lo.unionByName(hi)
+        .groupBy("pair_id")
+        .applyInPandas(tile, "q_id long, c_id long, cos_d double")
+    )
+    cand = _prune_by_double(partials, m)
+
+    # fold-order exact rerank WITHOUT broadcasting the query side (it
+    # is the whole corpus): two shuffle joins over N·m narrow rows.
+    # dot_fold (not the decimal dot): with every pair in play, decimal
+    # per-term rounding WILL hit an engine-sensitive boundary somewhere
+    c = with_norm_fold(embeddings, "c_id", "c_")
+    q = with_norm_fold(embeddings, "q_id", "q_")
+    pairs = (
+        cand.join(c, "c_id")
+        .join(q, "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot_fold(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Fixed-order DOUBLE dot product: left fold over element order.
+
+    Cross-engine determinism without decimals: both engines fold the
+    SAME IEEE doubles in the SAME order (Spark ``aggregate`` over the
+    array; DuckDB ``list_sum(list(... ORDER BY pos))``), so results are
+    bit-identical. Used for all-pairs gates where per-term decimal
+    casts are engine-sensitive (Spark rounds the exact binary
+    expansion HALF_UP; DuckDB rounds the shortest repr half-even —
+    they disagree when a product lands on a scale-12 boundary)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_norm_fold(embeddings: DataFrame, id_alias: str, prefix: str) -> DataFrame:
+    emb_d = as_double(F.col("embedding"))
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias),
+        emb_d.alias(f"{prefix}emb"),
+        F.sqrt(dot_fold(emb_d, emb_d)).alias(f"{prefix}norm"),
+    )

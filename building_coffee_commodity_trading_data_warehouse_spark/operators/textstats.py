@@ -205,3 +205,28 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def bigram_counts(documents: DataFrame, topn: int = 100) -> DataFrame:
+    """Corpus bigram frequency table (top-N): the n-gram statistic
+    behind contamination probes, boilerplate detection, and LM
+    vocabulary studies. Adjacent-token pairs come from one array
+    transform (no self-join, no posexplode join-back); the count is a
+    map-side-combinable hash aggregate and the top-N terminates in
+    TakeOrderedAndProject — at 100 TB the shuffle carries only
+    (bigram, partial_count) rows."""
+    toks = _tokens()
+    bigrams = F.when(
+        F.size(toks) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(topn)
+    )

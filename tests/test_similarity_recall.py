@@ -92,3 +92,17 @@ def test_neardup_auto_strategy_split():
     # permissive thresholds would need pathological table counts -> auto
     # must route them to the blocked exact path instead
     assert similarity._lsh_tables_for(0.4, 8) == 64  # capped: lsh futile here
+
+
+def test_knn_join_invariant_to_block_size(spark, sf_dir):
+    """The blocked tiling is pure mechanics: k-NN self-join output must
+    be IDENTICAL for any block size (1 block == brute force)."""
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import similarity
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    one = similarity.knn_join(emb, k=2, block_size=1 << 20)
+    tiled = similarity.knn_join(emb, k=2, block_size=16)
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, tiled.collect()))
+    assert a == b
