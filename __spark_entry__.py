@@ -2263,6 +2263,150 @@ def _q_bigram_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# tolerance as-of / rank battery / dispersion / sketches / stream-static
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j_asof_tolerance",
+    """
+WITH trades AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), quotes AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT t.event_id AS trade_id, t.user_id,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') AS trade_ts,
+       q.value AS quote_asof,
+       strftime(q.ts, '%Y-%m-%d %H:%M:%S.%f') AS quote_ts_asof
+FROM trades t LEFT JOIN LATERAL (
+  SELECT value, ts FROM quotes q
+  WHERE q.user_id = t.user_id AND q.ts <= t.ts
+    AND q.ts >= t.ts - INTERVAL 30 MINUTE
+  ORDER BY q.ts DESC, q.event_id DESC LIMIT 1
+) q ON true
+""",
+)
+def _q_asof_tolerance(spark, sf_dir):
+    """As-of join with bounded staleness (merge_asof tolerance): a
+    quote older than 30 min must NOT price the trade — the row survives
+    with NULLs. Same one-shuffle plan; the bound is a projection."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("trade_id"), "user_id", "ts"
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("value").alias("quote")
+    )
+    joined = asof.asof_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["quote"], tiebreak="event_id", tolerance_seconds=1800,
+    )
+    return joined.select(
+        "trade_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("trade_ts"),
+        F.col("quote_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("quote_ts_asof"),
+    )
+
+
+@_register(
+    "w_percentile_ranks",
+    """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber)
+""",
+)
+def _q_percentile_ranks(spark, sf_dir):
+    """percent_rank / cume_dist / ntile battery; ntile is not
+    tie-stable so the ordering pins a full unique tiebreak."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as w
+
+    return w.percentile_ranks(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "a_variance_stats",
+    f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       {sql_dsum("l_quantity")} / COUNT(*) AS mean_qty,
+       {sql_dsum("l_quantity * l_quantity")} / COUNT(*)
+         - ({sql_dsum("l_quantity")} / COUNT(*)) * ({sql_dsum("l_quantity")} / COUNT(*))
+         AS var_pop_qty,
+       sqrt({sql_dsum("l_quantity * l_quantity")} / COUNT(*)
+         - ({sql_dsum("l_quantity")} / COUNT(*)) * ({sql_dsum("l_quantity")} / COUNT(*)))
+         AS stddev_pop_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_variance_stats(spark, sf_dir):
+    """Dispersion from exact decimal moments (Σx, Σx²) combined in a
+    fixed double expression tree — deterministic under any
+    partitioning, unlike native var_pop partial merges."""
+    return aggregates.variance_stats(_t(spark, sf_dir, "lineitem"))
+
+
+@_register("a_approx_distinct")
+def _q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct sketches (rows-only gate: sketch
+    estimates are engine-specific; the ≤3·rsd error vs exact is pinned
+    in tests/test_scd2_mv.py)."""
+    return aggregates.distinct_counts_approx(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "st_static_enrich",
+    """
+WITH dim AS (
+  SELECT user_id, event_type AS first_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       e.event_type, d.first_type
+FROM events e LEFT JOIN dim d USING (user_id)
+""",
+)
+def _q_static_enrich(spark, sf_dir):
+    """Stream-static enrichment through the real engine: each event
+    joins a batch-side per-user dim (first-seen event type), broadcast
+    into every micro-batch — stateless, no watermark, the standard
+    stream-enrichment pattern."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    ev_stream = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    batch = _t(spark, sf_dir, "events")
+    dim = batch.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "first_type"
+        )
+    )
+    enriched = pipeline.static_enrich(ev_stream, dim, ["user_id"])
+    out = pipeline.run_available_now(
+        enriched, f"st_enrich_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_type",
+        "first_type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2302,6 +2446,11 @@ _VERIFY_FIRST = [
     "s_knn_join",
     "d_semantic_decontaminate",
     "t_bigram_counts",
+    "j_asof_tolerance",
+    "w_percentile_ranks",
+    "a_variance_stats",
+    "a_approx_distinct",
+    "st_static_enrich",
 ]
 
 

@@ -234,3 +234,37 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
             F.col("sum_value_dec").cast("double").alias("total_value"),
         )
     )
+
+
+def variance_stats(lineitem: DataFrame) -> DataFrame:
+    """Exact-moment dispersion per group: variance/stddev from decimal
+    Σx and Σx² (each order-independent), combined in double with a
+    FIXED expression tree — deterministic on any engine and any
+    partitioning, unlike native var_pop over doubles (whose partial
+    merges are order-sensitive at the last bit)."""
+    x = F.col("l_quantity")
+    sx = F.sum(x.cast("decimal(38,6)")).cast("double")
+    sx2 = F.sum((x * x).cast("decimal(38,6)")).cast("double")
+    n = F.count(F.lit(1))
+    mean = sx / n
+    var = sx2 / n - (sx / n) * (sx / n)
+    return lineitem.groupBy("l_returnflag").agg(
+        n.alias("n_rows"),
+        mean.alias("mean_qty"),
+        var.alias("var_pop_qty"),
+        F.sqrt(var).alias("stddev_pop_qty"),
+    )
+
+
+def distinct_counts_approx(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """The 100 TB distinct-count path: HyperLogLog++ sketches
+    (approx_count_distinct) — mergeable, bounded memory, one map-side-
+    combinable pass; the exact twin (distinct_counts) needs a full
+    distinct shuffle per column. Sketch output is engine-specific, so
+    the driver gate is rows-only; the error bound vs exact is pinned
+    in tests."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("n_supps_approx"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("n_orders_approx"),
+    )

@@ -106,6 +106,7 @@ def asof_join(
     value_cols: list[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every ``left`` row, attach the ``right``
     row with the greatest ``right_ts`` <= ``left_ts`` within the same
@@ -124,6 +125,12 @@ def asof_join(
     hash partitioning on ``on`` serves the whole plan; at 100 TB the
     sort is the only cost and it is per-key local. For monster keys use
     ``asof_join_bucketed``.
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``
+    tolerance): a match older than the bound is rejected — the row
+    survives with NULL matched columns (an expired quote must not
+    price a trade). Applied AFTER the window fill as a pure projection
+    — the plan shape is unchanged.
     """
     tiebreak = tiebreak or right_ts
     fill_cols = list(value_cols) + [right_ts]
@@ -140,6 +147,15 @@ def asof_join(
         F.col(_SIDE),
         F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
+    if tolerance_seconds is not None:
+        pay_t = _payload_type(right, fill_cols)
+        stale = (
+            F.col(left_ts).cast("double") - F.col(_PAY)[right_ts].cast("double")
+        ) > float(tolerance_seconds)
+        filled = filled.withColumn(
+            _PAY,
+            F.when(stale, F.lit(None).cast(pay_t)).otherwise(F.col(_PAY)),
+        )
     return _project_matched(filled, left.columns, fill_cols, suffix)
 
 

@@ -235,3 +235,24 @@ def gap_islands(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         )
         .drop("__anchor")
     )
+
+
+def percentile_ranks(lineitem: DataFrame) -> DataFrame:
+    """Distribution-position battery: percent_rank / cume_dist / ntile
+    quartiles per group. percent_rank and cume_dist are tie-aware
+    (peers share a value) so they are deterministic by definition;
+    ntile is NOT tie-stable, so the ordering pins a full unique
+    tiebreak — the difference between a reproducible quartile
+    assignment and one that reshuffles per run at 100 TB."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -115,3 +115,15 @@ def interval_join(
     return left_stream.withWatermark(l_col, watermark).join(
         right_stream.withWatermark(r_col, watermark), cond, "inner"
     )
+
+
+def static_enrich(
+    stream_df: DataFrame, static_dim: DataFrame, on: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins the CURRENT snapshot
+    of a batch-side dimension (Spark re-plans the static side per
+    batch, so a dim refresh is picked up without restarting the query).
+    Stateless — no watermark, no join state: the static side is
+    broadcast into each micro-batch, which is exactly the 100 TB/day
+    enrichment pattern (dims are small; the stream never shuffles)."""
+    return stream_df.join(F.broadcast(static_dim), on, how)

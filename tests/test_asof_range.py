@@ -156,3 +156,31 @@ def test_range_join_bin_width_invariance(spark):
         if expected is None:
             expected = got
         assert got == expected and len(got) > 0
+
+
+def test_asof_tolerance_rejects_stale_quotes(spark):
+    import datetime as dt
+
+    mk = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    trades = spark.createDataFrame(
+        [(1, 7, mk("2024-01-01T12:00:00"))],
+        "trade_id long, user_id long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(10, 7, mk("2024-01-01T11:49:00"), 5.0),
+         (11, 7, mk("2024-01-01T10:00:00"), 9.0)],
+        "event_id long, user_id long, ts timestamp, quote double",
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    # 11:49 quote is inside a 15-min bound; with a 5-min bound nothing is
+    fresh = asof.asof_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["quote"], tiebreak="event_id", tolerance_seconds=900,
+    ).collect()[0]
+    assert fresh["quote_asof"] == 5.0
+    stale = asof.asof_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["quote"], tiebreak="event_id", tolerance_seconds=300,
+    ).collect()[0]
+    assert stale["quote_asof"] is None and stale["ts_asof"] is None

@@ -89,3 +89,21 @@ def test_merge_partials_invariant_to_split(spark, sf_dir):
     a = {r["user_id"]: (r["n_events"], r["total_value"]) for r in full.collect()}
     b = {r["user_id"]: (r["n_events"], r["total_value"]) for r in split3.collect()}
     assert a == b
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimates within 3·rsd of exact for every group/column."""
+    li = catalog.table(spark, sf_dir, "lineitem")
+    exact = {r["l_returnflag"]: r for r in aggregates.distinct_counts(li).collect()}
+    approx = {
+        r["l_returnflag"]: r
+        for r in aggregates.distinct_counts_approx(li, rsd=0.01).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for ec, ac in (
+            ("n_orders_exact", "n_orders_approx"),
+            ("n_parts_exact", "n_parts_approx"),
+        ):
+            assert abs(a[ac] - e[ec]) <= max(3, 0.03 * e[ec]), (flag, ec)
