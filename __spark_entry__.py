@@ -2407,6 +2407,75 @@ def _q_static_enrich(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# function-surface completion (§2.8 / §2.5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f_string_battery2",
+    """
+SELECT p_partkey,
+  lpad(p_brand, 12, '*') AS brand_lpad,
+  rpad(p_brand, 12, '*') AS brand_rpad,
+  reverse(p_name) AS name_rev,
+  translate(p_name, 'aeiou', 'AEIOU') AS name_upvowel,
+  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+  trim(lpad(p_brand, 12, ' ')) AS brand_retrim,
+  p_brand || '|' || p_type AS brand_type
+FROM part
+""",
+)
+def _q_string_battery2(spark, sf_dir):
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.scalars import (
+        string_battery2,
+    )
+
+    return string_battery2(_t(spark, sf_dir, "part"))
+
+
+@_register(
+    "f_array_battery",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  array_to_string(list_sort(toks)[1:5], ' ') AS first5_sorted,
+  array_to_string(list_sort(list_distinct(toks)), ' ') AS vocab_sorted,
+  len(list_distinct(toks)) AS n_distinct,
+  list_contains(toks, 'the') AS has_the,
+  list_aggregate(toks, 'max') AS max_token,
+  list_aggregate(toks, 'min') AS min_token
+FROM t
+""",
+)
+def _q_array_battery(spark, sf_dir):
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.scalars import (
+        array_battery,
+    )
+
+    return array_battery(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "w_frame_values",
+    """
+SELECT l_orderkey, l_linenumber, l_partkey,
+  first_value(l_extendedprice) OVER w AS first_price,
+  last_value(l_extendedprice) OVER w AS last_price,
+  nth_value(l_extendedprice, 2) OVER w AS second_price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def _q_frame_values(spark, sf_dir):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as w
+
+    return w.frame_values(_t(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2451,6 +2520,9 @@ _VERIFY_FIRST = [
     "a_variance_stats",
     "a_approx_distinct",
     "st_static_enrich",
+    "f_string_battery2",
+    "f_array_battery",
+    "w_frame_values",
 ]
 
 

@@ -85,3 +85,40 @@ def date_battery(orders: DataFrame) -> DataFrame:
             "local_ts"
         ),
     )
+
+
+def string_battery2(part: DataFrame) -> DataFrame:
+    """Second string battery: padding, reverse, translate, edit
+    distance, trims — completing §2.8 beyond the F1-F8 set. All
+    JVM-codegen'd built-ins; levenshtein is the only O(len²) one and
+    runs on short brand/type strings."""
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, "*").alias("brand_rpad"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_upvowel"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.trim(F.lpad("p_brand", 12, " ")).alias("brand_retrim"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def array_battery(documents: DataFrame) -> DataFrame:
+    """Array-function battery over the token array: sort, slice,
+    distinct, membership, extremum — §2.8's collection-type surface.
+    Arrays leave the query as joined strings (engine-portable
+    representation; array cells round-trip differently through pandas).
+    """
+    toks = F.split(F.col("text"), r"\s+")
+    sorted_toks = F.array_sort(toks)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(sorted_toks, 1, 5)).alias("first5_sorted"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).alias("vocab_sorted"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_max(toks).alias("max_token"),
+        F.array_min(toks).alias("min_token"),
+    )

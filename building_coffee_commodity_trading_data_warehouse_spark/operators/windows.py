@@ -256,3 +256,24 @@ def percentile_ranks(lineitem: DataFrame) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+def frame_values(lineitem: DataFrame) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit
+    whole-partition ROWS frame (the ANSI default frame silently stops
+    at CURRENT ROW for last_value — the classic window bug; pinning the
+    frame makes the semantics, and the cross-engine results, exact).
+    Ordering carries a full unique tiebreak."""
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+    )

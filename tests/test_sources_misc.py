@@ -62,3 +62,41 @@ def test_orc_and_jsonlines_round_trip(spark, sf_dir, tmp_path):
         for r in spark.read.schema(docs.schema).json(json_path).orderBy("doc_id").collect()
     ]
     assert got_json == want
+
+
+def test_compaction_packs_small_files(spark, sf_dir, tmp_path):
+    """64 tiny files → a handful of packed files, content IDENTICAL
+    (compaction is layout-only) and partitioned compaction keeps the
+    Hive layout."""
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    src = str(tmp_path / "small")
+    ev = catalog.table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.repartition(64).write.parquet(src)
+    n_before, total = maintenance.table_file_stats(spark.read.parquet(src))
+    assert n_before == 64
+
+    dest = str(tmp_path / "packed")
+    n_after = maintenance.compact_table(
+        spark, src, dest, target_file_bytes=max(total // 4, 1)
+    )
+    assert n_after <= 8  # ceil(total/target)=4..5 plus partition rounding
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    assert a == b
+
+    # partitioned variant keeps the dir layout
+    dest2 = str(tmp_path / "packed_part")
+    maintenance.compact_table(
+        spark, src, dest2, target_file_bytes=max(total // 4, 1),
+        partition_by="event_type",
+    )
+    import os
+    subdirs = {d for d in os.listdir(dest2) if d.startswith("event_type=")}
+    assert len(subdirs) >= 3
+    c = sorted(map(tuple, spark.read.parquet(dest2)
+                   .select("event_id", "user_id", "event_type", "value").collect()))
+    assert a == c
