@@ -2475,6 +2475,144 @@ def _q_frame_values(spark, sf_dir):
     return w.frame_values(_t(spark, sf_dir, "lineitem"))
 
 
+@_register(
+    "q_market_share",
+    f"""
+SELECT year(o.o_orderdate) AS o_year,
+       {sql_dsum("CASE WHEN n.n_name = 'NATION_2' THEN l.l_extendedprice * (1.0 - l.l_discount) END")}
+         / {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS mkt_share,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS total_revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE o.o_custkey IN (
+  SELECT c_custkey FROM customer c
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r  ON cn.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'AMERICA')
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year
+""",
+)
+def _q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's yearly revenue share of a region's
+    orders — a single conditional aggregation; share = ratio of two
+    decimal-exact sums."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.market_share(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_register(
+    "q_top_suppliers",
+    f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         {sql_dsum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, p.total_rev
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.total_rev = (SELECT MAX(total_rev) FROM per_supp)
+ORDER BY s.s_suppkey
+""",
+)
+def _q_top_suppliers(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly top supplier(s), ties kept —
+    aggregate first, global window max over the tiny aggregate,
+    equality filter, broadcast dim onto the winners."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.top_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_register(
+    "c_curation_pipeline",
+    f"""
+WITH RECURSIVE
+surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, {_SQL_TOKS} AS toks,
+      length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 / length(text)
+        AS punct_ratio
+    FROM documents)
+  WHERE len(toks) >= 20 AND punct_ratio <= 0.3
+    AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.4
+),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+corpus1 AS (SELECT s.doc_id, s.text FROM surv s JOIN ex USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM corpus1),
+       UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) u(s)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM p
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM corpus1
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS comp FROM reach GROUP BY node),
+kept AS (SELECT doc_id FROM comp WHERE doc_id = comp)
+SELECT doc_id,
+       CASE WHEN {_SQL_BUCKET.format(seed="split")} < {_B_TRAIN} THEN 'train'
+            WHEN {_SQL_BUCKET.format(seed="split")} < {_B_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM kept
+""",
+)
+def _q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation: quality gate → exact dedup → near-dup
+    dedup (Jaccard 0.2 components, min-id keeper) → deterministic
+    train/val/test assignment — the full pretraining data path as ONE
+    composed query, oracle-exact against the same pipeline spelled out
+    in SQL (incl. a recursive CTE for the components). Every stage is
+    the already-gated operator; the composition proves they snap
+    together without driver round-trips."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = curate.quality_filter(docs).select("doc_id")
+    clean = docs.join(survivors, "doc_id", "left_semi")
+    keepers = dedup.exact_dedup(clean).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    d1 = clean.join(keepers, "doc_id", "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(d1, n=2, threshold=0.2)
+    d2 = dedup.neardup_dedup(d1, pairs)
+    return curate.hash_split(
+        d2.select("doc_id"), weights={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2523,6 +2661,9 @@ _VERIFY_FIRST = [
     "f_string_battery2",
     "f_array_battery",
     "w_frame_values",
+    "q_market_share",
+    "q_top_suppliers",
+    "c_curation_pipeline",
 ]
 
 

@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
@@ -189,4 +189,97 @@ def priority_delivery_counts(
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_late_orders"))
         .orderBy("o_orderpriority")
+    )
+
+
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "AMERICA",
+    supp_nation: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """National market share (TPC-H Q8 shape): within one region's
+    customer orders, the yearly revenue fraction supplied by one
+    nation. The share is a ratio of two decimal-exact sums — a single
+    conditional aggregation, not two passes.
+
+    Plan: region-pruned customers and the supplier→nation lookup are
+    broadcast; lineitem ⋈ orders is the one big shuffle; the final agg
+    is per-year (tiny)."""
+    cust_in_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == region.r_regionkey,
+                    "left_semi",
+                )
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+    ).select("c_custkey")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    supp_nat = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord_f, F.col("l_orderkey") == ord_f.o_orderkey)
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == supp_nation, rev))
+                / dsum(rev)
+            ).alias("mkt_share"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def top_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """Top supplier(s) by quarterly revenue, ties kept (TPC-H Q15
+    shape — the classic view + window-max pattern). Aggregate first
+    (per-suppkey revenue, one shuffle), then a single global window max
+    over the TINY aggregate and an equality filter; the supplier dim
+    broadcasts onto the one-or-few winners."""
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(rev).alias("total_rev"))
+    )
+    w = Window.partitionBy()
+    winners = per_supp.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return (
+        winners.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            winners.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
     )
