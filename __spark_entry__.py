@@ -2476,6 +2476,34 @@ def _q_frame_values(spark, sf_dir):
 
 
 @_register(
+    "w_cumulative_distinct",
+    """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_distinct_types_seen
+FROM flagged
+""",
+)
+def _q_cumulative_distinct(spark, sf_dir):
+    """Running distinct count via first-occurrence flag + cumulative
+    sum (distinct is not frame-decomposable — this is the exact
+    relational rewrite)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as w
+
+    return w.cumulative_distinct(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "q_market_share",
     f"""
 SELECT year(o.o_orderdate) AS o_year,
@@ -2664,6 +2692,7 @@ _VERIFY_FIRST = [
     "q_market_share",
     "q_top_suppliers",
     "c_curation_pipeline",
+    "w_cumulative_distinct",
 ]
 
 

@@ -277,3 +277,32 @@ def frame_values(lineitem: DataFrame) -> DataFrame:
         F.last("l_extendedprice").over(w).alias("last_price"),
         F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
     )
+
+
+def cumulative_distinct(events: DataFrame) -> DataFrame:
+    """Running COUNT(DISTINCT) over time — not directly expressible as
+    a window aggregate (distinct isn't frame-decomposable), so it
+    composes: first-occurrence flag (row_number == 1 per
+    (key, value) pair) then a cumulative sum of flags per key. Two
+    window passes on different keys → two exchanges, both carrying
+    narrow rows; no state beyond the running sum. The 100 TB
+    alternative for APPROX semantics is a merging HLL sketch per
+    frame; this is the exact path."""
+    first_seen = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.withColumn(
+        "__first", (F.row_number().over(first_seen) == 1).cast("long")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "event_type",
+        F.sum("__first").over(running).alias("n_distinct_types_seen"),
+    )

@@ -100,3 +100,27 @@ def test_compaction_packs_small_files(spark, sf_dir, tmp_path):
     c = sorted(map(tuple, spark.read.parquet(dest2)
                    .select("event_id", "user_id", "event_type", "value").collect()))
     assert a == c
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution at rest: a v2 writer adds a column; mergeSchema
+    unifies, v1 rows read NULL for the new column — the append-only
+    evolution contract a long-lived 100 TB table needs."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+
+    base = str(tmp_path / "evolving")
+    ev = catalog.table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    v1 = ev.filter(F.col("event_id") % 2 == 0)
+    v2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "quality_score", F.col("value") * 0.5
+    )
+    v1.write.parquet(base + "/batch=1")
+    v2.write.parquet(base + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert "quality_score" in merged.columns
+    n_total = ev.count()
+    assert merged.count() == n_total
+    assert merged.filter(F.col("quality_score").isNull()).count() == v1.count()
