@@ -2476,6 +2476,78 @@ def _q_frame_values(spark, sf_dir):
 
 
 @_register(
+    "w_forward_fill",
+    """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       sparse_value,
+       last_value(sparse_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'view' THEN value END AS sparse_value
+      FROM events)
+""",
+)
+def _q_forward_fill(spark, sf_dir):
+    """LOCF forward-fill: only 'view' events carry a value; every other
+    row holds the user's latest view value (sparse→dense market-data
+    repair, one window pass)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as w
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("sparse_value"),
+    )
+    filled = w.forward_fill(ev, "user_id", ["ts", "event_id"], "sparse_value")
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "sparse_value",
+        "filled",
+    )
+
+
+@_register(
+    "j_full_outer_reconcile",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_val FROM orders WHERE o_orderkey % 13 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(o_totalprice * 1.1 AS DOUBLE) ELSE o_totalprice END AS new_val
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       o.old_val, n.new_val,
+       CASE WHEN o.old_val IS NULL THEN 'added'
+            WHEN n.new_val IS NULL THEN 'removed'
+            WHEN o.old_val <> n.new_val THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+""",
+)
+def _q_full_outer_reconcile(spark, sf_dir):
+    """Snapshot reconciliation: full-outer diff of two table versions
+    with per-key change classification — row-level audit evidence (the
+    upgrade of the reference's count-only reconciliation)."""
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, (F.col("o_totalprice") * 1.1).cast("double")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return joins.reconcile_snapshots(old, new, "o_orderkey", "o_totalprice")
+
+
+@_register(
     "w_cumulative_distinct",
     """
 WITH flagged AS (
@@ -2693,6 +2765,8 @@ _VERIFY_FIRST = [
     "q_top_suppliers",
     "c_curation_pipeline",
     "w_cumulative_distinct",
+    "w_forward_fill",
+    "j_full_outer_reconcile",
 ]
 
 

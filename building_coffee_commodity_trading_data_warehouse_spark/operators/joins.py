@@ -111,3 +111,27 @@ def salted_join(
     salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     salted_right = right.withColumn("_salt", salts)
     return salted_left.join(salted_right, [key, "_salt"], how).drop("_salt")
+
+
+def reconcile_snapshots(
+    old: DataFrame, new: DataFrame, key: str, value_col: str
+) -> DataFrame:
+    """Snapshot reconciliation: full-outer join two table versions on
+    the natural key and classify every key as added / removed /
+    changed / unchanged — the audit diff behind every warehouse reload
+    (the relational form of the reference's before/after row-count
+    checks, STG.py:97-100, upgraded to row-level evidence).
+
+    One co-partitioned shuffle on the key for both sides (sort-merge at
+    scale); the classification is a projection."""
+    o = old.select(F.col(key), F.col(value_col).alias("old_val"))
+    n = new.select(F.col(key), F.col(value_col).alias("new_val"))
+    change = (
+        F.when(F.col("old_val").isNull(), "added")
+        .when(F.col("new_val").isNull(), "removed")
+        .when(F.col("old_val") != F.col("new_val"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(n, key, "full_outer").select(
+        key, "old_val", "new_val", change.alias("change")
+    )

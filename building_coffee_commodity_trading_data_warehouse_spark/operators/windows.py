@@ -306,3 +306,24 @@ def cumulative_distinct(events: DataFrame) -> DataFrame:
         "event_type",
         F.sum("__first").over(running).alias("n_distinct_types_seen"),
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """LOCF (last-observation-carried-forward): NULLs take the latest
+    preceding non-NULL per key — the standard sparse-to-dense repair
+    for market data (hold the last quote until a new one arrives).
+    One window pass, one exchange on the key; `last(ignorenulls)` is
+    O(1) running state per row (the same primitive the as-of join
+    builds on)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
