@@ -721,16 +721,23 @@ def knn_join(
     ).select("pair_id", "diag", F.lit(1).alias("side"), "vec_id", "embedding")
 
     def _local_topm(ids_q, ids_c, S):
-        """Per-row top-m columns of S (self never included by caller)."""
+        """Per-row top-m columns of S. Non-finite scores are dropped
+        (mirrors _vectorized_topk_partials): the -inf diagonal mask and
+        any zero-norm NaN must not survive into the candidate set —
+        when a block holds <= m rows argpartition keeps EVERY column,
+        including the masked self-pair, and the exact rerank would
+        re-score it to cosine 1.0 at rank 1."""
         mm = min(m, S.shape[1])
         part = np.argpartition(-S, mm - 1, axis=1)[:, :mm]
         rows = np.repeat(np.arange(S.shape[0]), mm)
         cols = part.ravel()
+        scores = S[rows, cols]
+        keep = np.isfinite(scores)
         return pd.DataFrame(
             {
-                "q_id": ids_q[rows].astype("int64"),
-                "c_id": ids_c[cols].astype("int64"),
-                "cos_d": S[rows, cols],
+                "q_id": ids_q[rows[keep]].astype("int64"),
+                "c_id": ids_c[cols[keep]].astype("int64"),
+                "cos_d": scores[keep],
             }
         )
 

@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
@@ -258,10 +258,13 @@ def top_suppliers(
     date_to: str = "1997-04-01",
 ) -> DataFrame:
     """Top supplier(s) by quarterly revenue, ties kept (TPC-H Q15
-    shape — the classic view + window-max pattern). Aggregate first
-    (per-suppkey revenue, one shuffle), then a single global window max
-    over the TINY aggregate and an equality filter; the supplier dim
-    broadcasts onto the one-or-few winners."""
+    shape). Aggregate first (per-suppkey revenue, one shuffle); the
+    global max is then a 1-ROW ``agg(F.max)`` broadcast-cross-joined
+    back with an equality filter — NOT an empty-``partitionBy()``
+    window, which would funnel the whole per-supplier aggregate through
+    a single task's sort (fine at 10⁴ suppliers, a straggler at 10⁷).
+    The partial-max runs map-side, the driver merges one row per
+    partition, and the aggregate itself never re-shuffles."""
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     per_supp = (
         lineitem.filter(
@@ -271,10 +274,10 @@ def top_suppliers(
         .groupBy("l_suppkey")
         .agg(dsum(rev).alias("total_rev"))
     )
-    w = Window.partitionBy()
-    winners = per_supp.withColumn("max_rev", F.max("total_rev").over(w)).filter(
+    global_max = per_supp.agg(F.max("total_rev").alias("max_rev"))
+    winners = per_supp.crossJoin(F.broadcast(global_max)).filter(
         F.col("total_rev") == F.col("max_rev")
-    )
+    )  # deliberate N×1 broadcast cross join
     return (
         winners.join(
             F.broadcast(supplier.select("s_suppkey", "s_name")),

@@ -63,6 +63,7 @@ def test_grouped_agg_has_partial_aggregation(spark, sf_dir):
 def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
     # AQE wraps the plan before codegen spans are visible — inspect the
     # non-adaptive physical plan for this assertion only
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = windows.flagship(catalog.table(spark, sf_dir, "lineitem"))
@@ -72,7 +73,7 @@ def test_whole_stage_codegen_covers_flagship(spark, sf_dir):
         spans = set(re.findall(r"\*\((\d+)\)", plan))
         assert len(spans) >= 4, plan[:500]
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_stratified_sample_is_pure_filter(spark, sf_dir):
@@ -176,6 +177,7 @@ def test_analytics_queries_broadcast_dims_and_topn(spark, sf_dir):
     from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
 
     t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         q3 = analytics.shipping_priority(t("customer"), t("orders"), t("lineitem"))
@@ -200,4 +202,23 @@ def test_analytics_queries_broadcast_dims_and_topn(spark, sf_dir):
         plan5 = explain.plan_string(q5)
         assert plan5.count("BroadcastHashJoin") >= 3  # cust, supp, nation
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+
+
+def test_top_suppliers_no_single_partition_funnel(spark, sf_dir):
+    """The global max over the per-supplier aggregate must be a 1-row
+    aggregate broadcast back — never an empty-partitionBy() window,
+    which funnels the whole aggregate through ONE task."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    df = analytics.top_suppliers(
+        catalog.table(spark, sf_dir, "supplier"),
+        catalog.table(spark, sf_dir, "lineitem"),
+    )
+    plan = explain.plan_string(df)
+    assert "Window" not in plan
+    # the only SinglePartition exchange allowed is the 1-row global max
+    # partial->final merge; the per-supplier aggregate itself must not
+    # funnel (its exchange is hashpartitioning on l_suppkey)
+    assert "hashpartitioning(l_suppkey" in plan
+    assert plan.count("BroadcastExchange") >= 2  # global max + supplier dim

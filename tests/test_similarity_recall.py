@@ -94,6 +94,29 @@ def test_neardup_auto_strategy_split():
     assert similarity._lsh_tables_for(0.4, 8) == 64  # capped: lsh futile here
 
 
+def test_knn_join_tiny_corpus_never_self_pairs(spark):
+    """Regression: when a block holds <= k+margin rows, argpartition
+    keeps every column including the -inf-masked diagonal; the exact
+    rerank would then re-score the self-pair to cosine 1.0 at rank 1.
+    _local_topm must drop non-finite scores before they reach the
+    candidate set."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(6, 16))  # n=6 <= k+margin+1 with defaults
+    sdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.knn_join(sdf, k=3).collect()
+    assert all(r["q_id"] != r["c_id"] for r in out)
+    # every query still gets its full k (n-1 >= k candidates exist)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], set()).add(r["rk"])
+    assert by_q == {i: {1, 2, 3} for i in range(6)}
+
+
 def test_knn_join_invariant_to_block_size(spark, sf_dir):
     """The blocked tiling is pure mechanics: k-NN self-join output must
     be IDENTICAL for any block size (1 block == brute force)."""
