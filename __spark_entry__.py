@@ -1559,6 +1559,91 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "s_ivf_probeall",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+  FROM s
+) WHERE rk <= 5
+""",
+)
+def _q_ivf_probeall(spark, sf_dir):
+    """IVF at nprobe = n_centroids: every cell is probed, the candidate
+    set is the full corpus, so the result is PROVABLY the exact
+    brute-force top-k (pytest test_ivf_probe_all_cells_is_exact) — a
+    hash-checked oracle row for the IVF machinery itself (cell
+    assignment, candidate equi-join, decimal rerank), complementing the
+    rows-only s_ivf_topk approximate gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=16)
+
+
+@_register(
+    "m_compact_table",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       TRUE AS packed_ok
+FROM events GROUP BY event_type
+""",
+)
+def _q_compact_table(spark, sf_dir):
+    """Small-file compaction is LAYOUT-ONLY: events written as 64 tiny
+    files, bin-packed by plans/maintenance.compact_table (partitioned by
+    event_type, salted so oversized partitions still split), then
+    re-aggregated — per-type counts and decimal sums must equal the
+    pristine table, and the file count must actually shrink
+    (packed_ok). Exercises the operational twin of the ingest path."""
+    import shutil
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    work = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    try:
+        src = f"{work}/small"
+        ev = _t(spark, sf_dir, "events")
+        ev.repartition(64).write.parquet(src)
+        n_before, total = maintenance.table_file_stats(spark.read.parquet(src))
+        dest = f"{work}/packed"
+        n_after = maintenance.compact_table(
+            spark,
+            src,
+            dest,
+            target_file_bytes=max(total // 4, 1),
+            partition_by="event_type",
+        )
+        out = (
+            spark.read.parquet(dest)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("sum_value"),
+            )
+            .withColumn("packed_ok", F.lit(n_after < n_before))
+        )
+        # materialize before the workdir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@_register(
     "st_stream_join",
     """
 SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
@@ -2718,55 +2803,71 @@ def _q_curation_pipeline(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-# Names the driver must verify FIRST: queries that had no CORRECTNESS
-# row last round (the harness appears to stop after ~50 entries, and
-# these were the last 5 registered) plus gates new this round. The rest
-# follow in registration order — anything past a harness cutoff is then
-# a query already hash-verified in a previous round.
+# Gate-rotation policy (the driver samples ~50 of the registry per
+# round, in the order queries()/oracle_sql() yield them):
+#   tier 1 — gates whose implementation CHANGED since their last driver
+#            row (a green row against old code proves nothing);
+#   tier 2 — gates NEW this round (no row yet);
+#   tier 3 — longest-stale gates (verified in the oldest round and
+#            untouched since), oldest first;
+#   tier 4 — everything else in registration order, past the cutoff.
+# Each round: promote changed/new gates to tiers 1-2, rebuild tier 3
+# from the latest CORRECTNESS_r*.json coverage, demote freshly
+# re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    "j_asof_quote",
-    "j_range_join",
-    "a_percentiles",
-    "a_percentiles_approx",
-    "s_ivf_topk",
-    "st_stateful_totals",
-    "s_lsh_topk",
-    "c_stratified_sample",
-    "c_pack_chunks",
-    "d_decontaminate",
-    "a_grouping_sets",
-    "w_time_range_mean",
-    "a_pivot_event_types",
-    "t_repetition_stats",
-    "t_tfidf_topterms",
-    "st_stream_join",
-    "a_retention_cohorts",
-    "a_funnel_steps",
-    "d_chunk_dedup",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_returned_customers",
-    "q_priority_late_orders",
-    "j_scd2_dim",
-    "w_gap_islands",
-    "a_mv_incremental",
+    # tier 1 — rewritten in r2 (similarity.py:504-665, dedup.py:172-255),
+    # only pre-rewrite r1 rows exist; r02/r03 sampled identical sets and
+    # skipped them both times (VERDICT r3 item 1).
+    "s_embedding_neardup",
+    "s_embedding_clusters",
+    "d_ngram_jaccard",
+    # tier 1 — changed this round (commit 8bc8387: _local_topm finite
+    # filter; top_suppliers global-max rewrite).
     "s_knn_join",
-    "d_semantic_decontaminate",
-    "t_bigram_counts",
-    "j_asof_tolerance",
-    "w_percentile_ranks",
-    "a_variance_stats",
-    "a_approx_distinct",
-    "st_static_enrich",
-    "f_string_battery2",
-    "f_array_battery",
-    "w_frame_values",
-    "q_market_share",
     "q_top_suppliers",
-    "c_curation_pipeline",
-    "w_cumulative_distinct",
-    "w_forward_fill",
-    "j_full_outer_reconcile",
+    # tier 2 — new gates this round.
+    "s_ivf_probeall",
+    "m_compact_table",
+    # tier 3 — r1-only rows, code unchanged; refresh before they age out.
+    "a_cube",
+    "a_distinct_counts",
+    "a_global_counts",
+    "a_minmax_spread",
+    "a_rollup",
+    "a_union_aggregate",
+    "c_chunk_documents",
+    "c_hash_sample",
+    "c_hash_split",
+    "c_quality_filter",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_neardup_clusters",
+    "d_simhash",
+    "e_audit_counts",
+    "e_normalize_battery",
+    "e_sentinel_nulls",
+    "f_date_functions",
+    "f_json_extract",
+    "f_scalar_battery",
+    "j_salted_skew",
+    "m_decode_resize",
+    "m_frame_counts",
+    "m_multimodal_features",
+    "p_filter_pushdown",
+    "q_sql_surface",
+    "s_cosine_topk",
+    "s_global_sort",
+    "s_lsh_buckets",
+    "s_topk_per_group",
+    "st_dedup_stream",
+    "st_merge_stream",
+    "st_session_windows",
+    "st_sliding_counts",
+    "st_tumbling_counts",
+    "t_fingerprints",
+    "t_quality_language",
+    "t_token_stats",
+    "w_rank_battery",
 ]
 
 

@@ -4,12 +4,18 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized via the noop sink (no driver-side
-collect — executor-side consumption only, like a real write)."""
+collect — executor-side consumption only, like a real write).
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the per-query MEDIAN; a noisy-sandbox outlier rep (GC pause, cold page
+cache, co-tenant CPU burst) then cannot poison a round's number the
+way a single-shot run can."""
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,13 +60,17 @@ def main() -> None:
     spark = get_spark("coffee_dw_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3") or 3))
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     out = {
         "metric": "headline_queries_wall_sec",
@@ -70,6 +80,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "n_queries": len(timings),
+        "reps": reps,
+        "agg": "median_per_query",
     }
     print(json.dumps(out))
 

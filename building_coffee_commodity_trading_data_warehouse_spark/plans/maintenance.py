@@ -23,10 +23,22 @@ def table_file_stats(df: DataFrame) -> tuple[int, int]:
     """(n_files, total_bytes) of the parquet files behind a scan.
     Driver-side listing of FILE METADATA only (paths + sizes — never
     data); at 100 TB this is the same listing the planner already does.
+
+    Local-scheme only: on ``s3://``/``hdfs://`` paths ``os.path.getsize``
+    can't stat the object, and silently summing 0 would make
+    ``compact_table`` collapse the whole table into ONE file — so any
+    non-``file:`` scheme raises instead (swap point: Hadoop
+    ``FileSystem.listStatus`` via the JVM gateway).
     """
     files = df.inputFiles()
     total = 0
     for f in files:
+        if "://" in f and not f.startswith("file:"):
+            raise NotImplementedError(
+                f"table_file_stats: non-local scheme in {f!r}; wire the "
+                "Hadoop FileSystem listing here before compacting remote "
+                "tables"
+            )
         p = f.removeprefix("file:")
         try:
             total += os.path.getsize(p)
@@ -45,12 +57,16 @@ def compact_table(
     """Rewrite ``src_path`` into ``dest_path`` with files bin-packed to
     ``target_file_bytes``. Returns the output file count.
 
-    File count = ceil(total_bytes / target). The rewrite uses
-    ``repartition(n)`` (round-robin) — a single narrow-row shuffle that
-    equalizes output file sizes regardless of input skew; with
-    ``partition_by`` the repartition keys on the partition column so
-    each Hive partition writes its own packed files. Content is
-    unchanged (tested): compaction is layout-only.
+    File count = ceil(total_bytes / target). Unpartitioned: one
+    round-robin ``repartition(n_out)`` equalizes output sizes regardless
+    of input skew. Partitioned: hashing on the partition column ALONE
+    would put each Hive partition's rows in one shuffle partition — an
+    oversized partition would still write one oversized file. Instead the
+    repartition keys on (partition column, salt) where salt =
+    ``pmod(xxhash64(monotonically_increasing_id()), files_per_partition)``,
+    so a partition holding K× the target bytes fans out across ~K packed
+    files while small partitions stay at 1. Content is unchanged
+    (tested): compaction is layout-only.
     """
     df = spark.read.parquet(src_path)
     _, total = table_file_stats(df)
@@ -58,8 +74,16 @@ def compact_table(
     if partition_by:
         from pyspark.sql import functions as F
 
+        n_parts = df.select(partition_by).distinct().count()
+        files_per_partition = max(1, math.ceil(n_out / max(1, n_parts)))
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()),
+            F.lit(files_per_partition),
+        )
         (
-            df.repartition(n_out, F.col(partition_by))
+            df.withColumn("__salt", salt)
+            .repartition(n_out, F.col(partition_by), F.col("__salt"))
+            .drop("__salt")
             .write.mode("overwrite")
             .partitionBy(partition_by)
             .parquet(dest_path)

@@ -124,3 +124,65 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     n_total = ev.count()
     assert merged.count() == n_total
     assert merged.filter(F.col("quality_score").isNull()).count() == v1.count()
+
+
+def test_compaction_splits_oversized_partition(spark, sf_dir, tmp_path):
+    """One Hive partition holding ~90% of the bytes must fan out across
+    MULTIPLE packed files (salted repartition), not collapse into one
+    oversized file — the skew case that keying on the partition column
+    alone gets wrong."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    src = str(tmp_path / "skewed")
+    ev = (
+        catalog.table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .withColumn(
+            "bucket",
+            F.when(F.col("event_id") % 10 == 0, F.lit("rare")).otherwise(F.lit("hot")),
+        )
+    )
+    ev.repartition(32).write.parquet(src)
+    _, total = maintenance.table_file_stats(spark.read.parquet(src))
+
+    dest = str(tmp_path / "packed_skew")
+    # target = total/8 bytes -> ~8 output files for 2 partition values:
+    # the hot partition must get >1 of them.
+    maintenance.compact_table(
+        spark, src, dest, target_file_bytes=max(total // 8, 1), partition_by="bucket"
+    )
+    hot_files = [
+        f for f in os.listdir(os.path.join(dest, "bucket=hot")) if f.endswith(".parquet")
+    ]
+    assert len(hot_files) > 1, "oversized partition wrote a single file"
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(
+        map(
+            tuple,
+            spark.read.parquet(dest)
+            .select("event_id", "user_id", "value", "bucket")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_file_stats_rejects_remote_scheme():
+    """Silently summing 0 bytes for s3:// objects would make
+    compact_table collapse a remote table to ONE file; the stats helper
+    must refuse instead."""
+    import pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    class _FakeScan:
+        def inputFiles(self):
+            return ["s3://bucket/tbl/part-000.parquet"]
+
+    with pytest.raises(NotImplementedError, match="non-local scheme"):
+        maintenance.table_file_stats(_FakeScan())
