@@ -130,9 +130,8 @@ def _q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    gap_s = (F.col("ts_ns") / F.lit(1000000000)).cast("long") - (
-        F.lag("ts_ns", 1).over(w) / F.lit(1000000000)
-    ).cast("long")
+    sec = F.expr("ts_ns div 1000000000")
+    gap_s = sec - F.lag(sec, 1).over(w)
     new_s = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
     return (
         ev.select("user_id", "event_id", new_s.alias("new_s"))
@@ -2799,6 +2798,90 @@ def _q_curation_pipeline(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# trading analytics II + curation mix (plans/bi.py, operators/windows.py,
+# operators/curate.py) — OHLCV resample, rolling volatility, temperature
+# sampling
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w_ohlcv_bars",
+    f"""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar_hour,
+       arg_min(value, printf('%020d%012d', epoch_us(ts), event_id)) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close,
+       {sql_dsum("value")} AS volume,
+       COUNT(*) AS n_ticks
+FROM events
+GROUP BY 1, 2
+""",
+)
+def _q_ohlcv_bars(spark, sf_dir):
+    """Tick→bar OHLCV resample per (user, hour): open/close via
+    min_by/max_by on a zero-padded epoch||id string key (total order
+    both engines agree on), volume decimal-exact. One combinable
+    aggregate, one exchange on the bucket key."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+    return bi.ohlcv_bars(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "w_rolling_volatility",
+    """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value,
+       COUNT(value) OVER w AS n_obs,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS roll_mean,
+       sqrt(greatest(0.0,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           / COUNT(value) OVER w
+         - (CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+              / COUNT(value) OVER w)
+           * (CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+              / COUNT(value) OVER w)
+       )) AS roll_vol
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def _q_rolling_volatility(spark, sf_dir):
+    """Trailing 20-event realized volatility per user from decimal
+    Σx/Σx² combined in one fixed double expression tree — the
+    deterministic dispersion recipe (a_variance_stats) under a moving
+    frame."""
+    return windows.rolling_volatility(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "c_temperature_mix",
+    """
+WITH c AS (
+  SELECT lang AS stratum, COUNT(*) AS n_docs,
+         CAST(sqrt(COUNT(*)) AS DECIMAL(38,12)) AS wd
+  FROM documents GROUP BY lang
+),
+t AS (SELECT SUM(wd) AS tw, SUM(n_docs) AS tn FROM c)
+SELECT stratum, n_docs,
+       CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE) AS sample_weight,
+       CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE) * tn AS expected_docs
+FROM c, t
+""",
+)
+def _q_temperature_mix(spark, sf_dir):
+    """Multilingual temperature sampling (T=2): sqrt-flattened counts
+    normalized by a decimal-exact total broadcast back over the strata
+    — correctly-rounded ops only, no libm pow."""
+    return curate.temperature_mix(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -2825,9 +2908,28 @@ _VERIFY_FIRST = [
     # filter; top_suppliers global-max rewrite).
     "s_knn_join",
     "q_top_suppliers",
+    # tier 1 — events.ts physical-type migration (catalog.table +
+    # streaming.pipeline.stream_events now normalize TIMESTAMP_NTZ as
+    # well as nanos-as-long; asof tolerance via unix_micros): every
+    # events-sourced gate runs through the new normalization.
+    "j_asof_quote",
+    "j_asof_tolerance",
+    "w_sessionize",
+    "st_tumbling_counts",
+    "st_sliding_counts",
+    "st_session_windows",
+    "st_dedup_stream",
+    "st_merge_stream",
+    "st_stateful_totals",
+    "st_stream_join",
+    "st_static_enrich",
+    "w_time_range_mean",
     # tier 2 — new gates this round.
     "s_ivf_probeall",
     "m_compact_table",
+    "w_ohlcv_bars",
+    "w_rolling_volatility",
+    "c_temperature_mix",
     # tier 3 — r1-only rows, code unchanged; refresh before they age out.
     "a_cube",
     "a_distinct_counts",
@@ -2859,11 +2961,6 @@ _VERIFY_FIRST = [
     "s_global_sort",
     "s_lsh_buckets",
     "s_topk_per_group",
-    "st_dedup_stream",
-    "st_merge_stream",
-    "st_session_windows",
-    "st_sliding_counts",
-    "st_tumbling_counts",
     "t_fingerprints",
     "t_quality_language",
     "t_token_stats",

@@ -34,18 +34,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Parquet scan → pushdown + pruning free.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
-    as a long. Expose both: ``ts_ns`` (exact, for deterministic
-    ordering/gap math) and ``ts`` (microsecond TimestampType).
+    ``events.ts`` has shipped as two physical types across driver data
+    generations: TIMESTAMP(NANOS) (arrives as a long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and TIMESTAMP_NTZ
+    (microseconds). Either way the engine's contract is the same two
+    columns: ``ts`` as instant TimestampType (session tz is pinned to
+    UTC, so the NTZ cast is wall-clock-preserving) and ``ts_ns`` as an
+    exact integer epoch for deterministic ordering/gap math.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     return df
 
 

@@ -149,9 +149,16 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         pay_t = _payload_type(right, fill_cols)
+        # unix_micros over a timestamp cast works for TIMESTAMP and
+        # TIMESTAMP_NTZ alike (a direct numeric cast of NTZ is rejected
+        # by the analyzer); both sides convert identically, so the
+        # session-tz interpretation cancels in the difference.
+        def _micros(c):
+            return F.unix_micros(c.cast("timestamp"))
+
         stale = (
-            F.col(left_ts).cast("double") - F.col(_PAY)[right_ts].cast("double")
-        ) > float(tolerance_seconds)
+            _micros(F.col(left_ts)) - _micros(F.col(_PAY)[right_ts])
+        ) > float(tolerance_seconds) * 1e6
         filled = filled.withColumn(
             _PAY,
             F.when(stale, F.lit(None).cast(pay_t)).otherwise(F.col(_PAY)),

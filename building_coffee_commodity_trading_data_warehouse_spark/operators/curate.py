@@ -174,3 +174,36 @@ def quality_filter(
         & (F.col("punct_ratio") <= max_punct_ratio)
         & (F.col("distinct_ratio") >= min_distinct_ratio)
     )
+
+
+def temperature_mix(documents: DataFrame, by: str = "lang") -> DataFrame:
+    """Temperature-based sampling mix (T=2, i.e. count^(1/2)) across
+    languages — the standard rebalancing step for multilingual
+    pretraining corpora: raw frequency under-trains tail languages, so
+    sampling weights flatten counts through a sub-linear power before
+    normalizing. sqrt keeps every arithmetic step correctly rounded
+    (IEEE sqrt + division), and the cross-group normalizer accumulates
+    in DECIMAL, so the weights are bit-identical on any engine and any
+    partitioning — no libm pow in sight.
+
+    Scale shape: one groupBy on the stratum key (#strata rows out),
+    then a 1-row global total broadcast back — nothing funnels through
+    a single-partition window, nothing corpus-sized leaves the
+    executors."""
+    wd = F.sqrt(F.col("n_docs")).cast("decimal(38,12)")
+    counts = documents.groupBy(F.col(by).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn("__wd", wd)
+    totals = counts.agg(
+        F.sum("__wd").alias("__tw"), F.sum("n_docs").alias("__tn")
+    )
+    share = F.col("__wd").cast("double") / F.col("__tw").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "n_docs",
+            share.alias("sample_weight"),
+            (share * F.col("__tn")).alias("expected_docs"),
+        )
+    )

@@ -327,3 +327,39 @@ def forward_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def rolling_volatility(events: DataFrame, window_rows: int = 20) -> DataFrame:
+    """Trailing realized volatility per user: stddev of ``value`` over
+    the last ``window_rows`` events — the rolling risk metric a
+    commodity desk keeps next to the MA50/MA200 the reference charts
+    (ODS.py:66-67 frames, dispersion instead of mean).
+
+    Determinism recipe (same as aggregates.variance_stats): the frame's
+    Σx and Σx² accumulate in DECIMAL (order-independent, exact), then
+    variance combines them in ONE fixed double expression tree —
+    engine- and partitioning-independent, unlike native stddev whose
+    double partial merges drift at the last bit. greatest(0, ·) clamps
+    the catastrophic-cancellation epsilon so sqrt never sees a negative.
+    One exchange on user_id; frame evaluation is O(frame) per row on a
+    sorted run, never a second shuffle."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    v = F.col("value")
+    n = F.count(v).over(w)
+    sx = F.sum(v.cast(DEC)).over(w).cast("double")
+    sx2 = F.sum((v * v).cast(DEC)).over(w).cast("double")
+    mean = sx / n
+    var = F.greatest(F.lit(0.0), sx2 / n - mean * mean)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        n.alias("n_obs"),
+        mean.alias("roll_mean"),
+        F.sqrt(var).alias("roll_vol"),
+    )

@@ -80,3 +80,37 @@ def ma_series(prices: DataFrame) -> DataFrame:
         prices.select("mo", "date_actual", "last"), "last", w, (200, 50)
     )
     return out.select("mo", "date_actual", F.col("last").alias("price"), "ma_200", "ma_50")
+
+
+def ohlcv_bars(events: DataFrame) -> DataFrame:
+    """Candlestick (OHLCV) bars per (user, hour) over the event stream
+    — the resample step every trading desk runs on tick data (the
+    reference charts daily OHLC from its price table; this derives the
+    bars from raw ticks instead of ingesting them pre-built).
+
+    One map-side-combinable aggregate, no window: open/close are
+    min_by/max_by on a zero-padded ``epoch_micros || event_id`` string
+    key — a total order that both engines (and any partitioning) agree
+    on, so first/last tick is deterministic even with timestamp ties.
+    Exactly one exchange on (user, bucket); at 100 TB the partial
+    aggregates reduce each bucket to one row per map task before the
+    shuffle, so shuffle volume is #buckets, not #ticks."""
+    tick_key = F.format_string(
+        "%020d%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    bucket = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+    return (
+        events.groupBy(
+            F.col("user_id"), bucket.alias("bar_hour")
+        )
+        .agg(
+            F.min_by("value", tick_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tick_key).alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

@@ -24,9 +24,10 @@ EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
-# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong it arrives
-# as a long (see session.tune) — the stream reader converts like
-# catalog.table does.
+# Legacy landing format: TIMESTAMP(NANOS) parquet arrives as a long
+# under nanosAsLong. Still the declared schema for an EMPTY landing
+# directory (nothing to probe yet) — incremental producers in the test
+# harness write this shape.
 EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -37,16 +38,35 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events landing path. Spark's file
     stream source requires a DIRECTORY; a single-file path is exposed
     through a symlinked landing dir (read-only testdata stays
-    untouched)."""
+    untouched).
+
+    The stream reader needs an explicit schema; probe it from a batch
+    scan of the same files so both physical ``ts`` generations work
+    (nanos-as-long and TIMESTAMP_NTZ — see catalog.table), then
+    normalize to instant TimestampType exactly like the batch catalog.
+    An empty landing dir can't be probed — it declares the legacy
+    nanos schema.
+    """
     import os
     import tempfile
+
+    from pyspark.errors import AnalysisException
 
     if os.path.isfile(path):
         land = tempfile.mkdtemp(prefix="spark_graft_landing_")
         os.symlink(path, os.path.join(land, os.path.basename(path)))
         path = land
-    df = spark.readStream.schema(EVENTS_SCHEMA_NANOS).format("parquet").load(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        probe = spark.read.parquet(path)
+        schema, ts_type = probe.schema, dict(probe.dtypes).get("ts")
+    except AnalysisException:
+        schema, ts_type = EVENTS_SCHEMA_NANOS, "bigint"
+    df = spark.readStream.schema(schema).format("parquet").load(path)
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:

@@ -1,0 +1,98 @@
+"""Planted-value tests for the trading analytics II operators:
+OHLCV tick→bar resample, rolling realized volatility, and the
+temperature sampling mix (each also oracle-gated in __spark_entry__)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from building_coffee_commodity_trading_data_warehouse_spark.operators import curate, windows
+from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def _t(h, m, s):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_ohlcv_bars_planted(spark):
+    ev = _events(
+        spark,
+        [
+            # user 7, hour 09: open 10 (earliest), close 30 (latest),
+            # high 40, low 5
+            (1, _t(9, 0, 1), 7, 10.0),
+            (2, _t(9, 15, 0), 7, 40.0),
+            (3, _t(9, 30, 0), 7, 5.0),
+            (4, _t(9, 59, 59), 7, 30.0),
+            # user 7, hour 10: single tick — open=close=high=low
+            (5, _t(10, 5, 0), 7, 12.5),
+        ],
+    )
+    out = {
+        (r["user_id"], r["bar_hour"]): r for r in bi.ohlcv_bars(ev).collect()
+    }
+    bar = out[(7, "2024-01-01 09:00")]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (10.0, 40.0, 5.0, 30.0)
+    assert bar["volume"] == 85.0 and bar["n_ticks"] == 4
+    single = out[(7, "2024-01-01 10:00")]
+    assert (
+        single["open"] == single["close"] == single["high"] == single["low"] == 12.5
+    )
+
+
+def test_ohlcv_tie_breaks_on_event_id(spark):
+    # two ticks at the SAME timestamp: lower event_id is the open,
+    # higher is the close — the composite epoch||id key decides.
+    ev = _events(
+        spark,
+        [(10, _t(9, 0, 0), 1, 111.0), (11, _t(9, 0, 0), 1, 222.0)],
+    )
+    bar = bi.ohlcv_bars(ev).collect()[0]
+    assert bar["open"] == 111.0 and bar["close"] == 222.0
+
+
+def test_rolling_volatility_constant_and_known(spark):
+    ev = _events(
+        spark,
+        [
+            # constant series -> vol 0 at every step
+            (1, _t(9, 0, 1), 1, 4.0),
+            (2, _t(9, 0, 2), 1, 4.0),
+            (3, _t(9, 0, 3), 1, 4.0),
+            # user 2: [3, 7] -> mean 5, var ((9+49)/2 - 25) = 4, vol 2
+            (4, _t(9, 0, 1), 2, 3.0),
+            (5, _t(9, 0, 2), 2, 7.0),
+        ],
+    )
+    out = {r["event_id"]: r for r in windows.rolling_volatility(ev).collect()}
+    assert all(out[i]["roll_vol"] == 0.0 for i in (1, 2, 3))
+    assert out[5]["n_obs"] == 2
+    assert out[5]["roll_mean"] == 5.0
+    assert out[5]["roll_vol"] == 2.0
+
+
+def test_temperature_mix_flattens_toward_tail(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "vi") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = {r["stratum"]: r for r in curate.temperature_mix(docs).collect()}
+    assert out["en"]["n_docs"] == 90 and out["vi"]["n_docs"] == 10
+    w_en, w_vi = out["en"]["sample_weight"], out["vi"]["sample_weight"]
+    assert abs(w_en + w_vi - 1.0) < 1e-12
+    # sqrt flattening: tail share rises above raw frequency (0.10),
+    # head drops below 0.90, ordering preserved
+    assert 0.10 < w_vi < w_en < 0.90
+    assert math.isclose(w_vi / w_en, math.sqrt(10.0 / 90.0), rel_tol=1e-12)
+    assert math.isclose(
+        out["en"]["expected_docs"] + out["vi"]["expected_docs"], 100.0, rel_tol=1e-12
+    )
