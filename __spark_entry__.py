@@ -2805,6 +2805,117 @@ def _q_curation_pipeline(spark, sf_dir):
 
 
 @_register(
+    "d_containment",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common * 1.0 / x.n AS containment_a,
+       n_common * 1.0 / y.n AS containment_b
+FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE greatest(n_common * 1.0 / x.n, n_common * 1.0 / y.n) >= 0.5
+""",
+)
+def _q_containment(spark, sf_dir):
+    """Directed shingle containment (|A∩B|/|A|) — catches the
+    short-doc-inside-long-doc duplication Jaccard misses; df-capped
+    shingle join, per-pair divisions only."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.5, max_df=None
+    )
+
+
+@_register(
+    "q_order_cadence",
+    """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       COUNT(gap_days) AS n_gaps,
+       CAST(SUM(CAST(gap_days AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(gap_days) AS mean_gap_days,
+       MIN(gap_days) AS min_gap_days,
+       MAX(gap_days) AS max_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+""",
+)
+def _q_order_cadence(spark, sf_dir):
+    """Customer re-order cadence: per-customer day gaps between
+    consecutive orders (lag window) reduced to count/mean/min/max —
+    the repeat-purchase-interval metric a trading-desk CRM reads.
+    One exchange on custkey serves both the window and the aggregate
+    (partial aggregation map-side)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.order_cadence(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "j_bucketed_join",
+    f"""
+SELECT o.o_orderstatus,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def _q_bucketed_join(spark, sf_dir):
+    """Co-located join on a bucketed layout (plans/ingest.py
+    write_bucketed): orders and lineitem written hash-bucketed + sorted
+    on the order key, then sort-merge-joined with ZERO shuffle
+    exchanges — the merge hint keeps the tiny sf0.01 side from
+    broadcasting so the gate exercises the same plan the 100 TB layout
+    would use (no-Exchange pin in tests/test_plan_shapes.py). Values
+    must equal the plain-join oracle — layout changes the plan, never
+    the result."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import ingest
+
+    tag = uuid.uuid4().hex[:8]
+    ln, rn = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    work = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+    try:
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        ingest.write_bucketed(orders, ln, ["o_orderkey"], buckets=8, path=f"{work}/o")
+        ingest.write_bucketed(li, rn, ["l_orderkey"], buckets=8, path=f"{work}/l")
+        lt, rt = spark.table(ln), spark.table(rn)
+        j = lt.hint("merge").join(rt, lt["o_orderkey"] == rt["l_orderkey"])
+        out = j.groupBy("o_orderstatus").agg(
+            dsum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for name in (ln, rn):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@_register(
     "w_ohlcv_bars",
     f"""
 SELECT user_id,
@@ -2930,6 +3041,9 @@ _VERIFY_FIRST = [
     "w_ohlcv_bars",
     "w_rolling_volatility",
     "c_temperature_mix",
+    "j_bucketed_join",
+    "d_containment",
+    "q_order_cadence",
     # tier 3 — r1-only rows, code unchanged; refresh before they age out.
     "a_cube",
     "a_distinct_counts",

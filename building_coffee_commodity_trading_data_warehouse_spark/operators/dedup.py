@@ -255,6 +255,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 2,
+    threshold: float = 0.8,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Directed shingle CONTAINMENT — the subset-duplication detector
+    Jaccard structurally misses: a short document fully embedded in a
+    long one has containment 1.0 but Jaccard ≈ |short|/|long| ≈ 0
+    (quotes, boilerplate wrappers, excerpt pages — all common in web
+    corpora). Emits pairs where either direction's containment
+    |A∩B| / |A| clears the threshold, with both directions reported so
+    the caller can keep the superset doc and drop the contained one.
+
+    Same physical shape and skew guard as the Jaccard join strategy
+    (shingle equi-join, df-capped by default, grouped intersection
+    counts) — at web scale the plan cost is the capped pair stream, and
+    the two divisions are per-pair projections."""
+    sh = shingles(documents, n)
+    if max_df == "auto":
+        max_df = default_max_df(documents.count())
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    c_a = (F.col("n_common") / F.col("na")).cast("double")
+    c_b = (F.col("n_common") / F.col("nb")).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+        )
+    )
+
+
 def minhash_signatures_wide(documents: DataFrame, k: int = 8, n: int = 2) -> DataFrame:
     """MinHash signatures, one row per doc: (doc_id, mh_0..mh_{k-1}).
     All k hashes are projected per shingle row and min-aggregated in

@@ -286,3 +286,35 @@ def top_suppliers(
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
+
+
+def order_cadence(orders: DataFrame) -> DataFrame:
+    """Per-customer re-order cadence: day gaps between consecutive
+    orders (lag window on custkey) reduced to count / exact-decimal
+    mean / min / max — the repeat-purchase-interval metric served off
+    the same star schema as the reference's BI layer.
+
+    One exchange on o_custkey serves both the window and the final
+    aggregate (the groupBy key equals the window partition key, so
+    AQE reuses the partitioning); gaps accumulate in DECIMAL so the
+    mean is engine- and partitioning-exact."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate", 1).over(w))
+    ).cast("long")
+    return (
+        orders.select("o_custkey", gap.alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            (
+                F.sum(F.col("gap_days").cast("decimal(38,6)")).cast("double")
+                / F.count("gap_days")
+            ).alias("mean_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+    )

@@ -212,6 +212,7 @@ def write_bucketed(
     keys: list[str],
     buckets: int = 32,
     sorted_by: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Co-located join layout: hash-bucket (and sort) the table on its
     join/aggregation keys so every later equi-join or groupBy on those
@@ -230,4 +231,9 @@ def write_bucketed(
         .bucketBy(buckets, *keys)
         .sortBy(*(sorted_by or keys))
     )
+    if path is not None:
+        # external table at an explicit location — callers that cannot
+        # rely on a writable spark.sql.warehouse.dir (the session's cwd
+        # by default) pass their own workdir
+        w = w.option("path", path)
     w.saveAsTable(table)

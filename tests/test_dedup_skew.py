@@ -49,3 +49,26 @@ def test_auto_max_df_never_binds_small_corpus(spark):
 def test_default_max_df_formula():
     assert dedup.default_max_df(500) == 1000
     assert dedup.default_max_df(10**9) == 10**7
+
+
+def test_containment_finds_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment 1.0 from
+    the short side even though Jaccard is far below any dedup
+    threshold — the case the directed metric exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, long_), (2, short), (3, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    out = dedup.containment_pairs(docs, n=2, threshold=0.9, max_df=None).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    # every shingle of the short doc is in the long doc
+    assert r["containment_b"] == 1.0
+    assert r["containment_a"] < 0.2  # Jaccard-style view would miss it
+    # and the same corpus at a Jaccard threshold finds nothing
+    assert (
+        dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5, max_df=None).count() == 0
+    )
