@@ -1354,6 +1354,34 @@ def _stream_events(spark, sf_dir):
 
 
 @_register(
+    "st_ohlcv_bars",
+    f"""
+SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+       user_id,
+       arg_min(value, printf('%020d%012d', epoch_us(ts), event_id)) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+       COUNT(*) AS n_ticks
+FROM events GROUP BY 1, 2
+""",
+)
+def _q_st_ohlcv(spark, sf_dir):
+    """Live OHLCV bars through the REAL streaming engine (availableNow
+    drain): watermarked tumbling windows, open/close by the same total
+    tick order as the batch operator — streamed result must equal the
+    batch SQL oracle."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.tumbling_ohlcv(_stream_events(spark, sf_dir))
+    return pipeline.run_available_now(agg, f"st_ohlcv_{next(_STREAM_SEQ)}")
+
+
+@_register(
     "st_tumbling_counts",
     f"""
 SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
@@ -2971,6 +2999,87 @@ def _q_rolling_volatility(spark, sf_dir):
 
 
 @_register(
+    "w_drawdown",
+    """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value,
+       MAX(value) OVER w AS peak,
+       MAX(value) OVER w - value AS drawdown
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""",
+)
+def _q_drawdown(spark, sf_dir):
+    """Running peak / drawdown per user (high-water-mark distance):
+    running MAX plus one same-lattice subtraction — nothing
+    accumulates, nothing drifts."""
+    return windows.drawdown(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "q_pareto_customers",
+    """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue_dec
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT SUM(revenue_dec) AS total_dec FROM per),
+rk AS (
+  SELECT o_custkey, revenue_dec,
+         SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_dec
+  FROM per
+)
+SELECT o_custkey,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       CAST(cum_dec AS DOUBLE) AS cum_revenue,
+       CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share
+FROM rk, t
+WHERE cum_dec - revenue_dec < total_dec * 0.8
+""",
+)
+def _q_pareto_customers(spark, sf_dir):
+    """Pareto/ABC cut: smallest descending-revenue prefix of customers
+    covering 80% of revenue — computed as a DISTRIBUTED prefix sum
+    (deterministic width_bucket ranges + per-bucket windows + tiny
+    offset broadcast), exact decimals at the cutoff comparison."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.pareto_customers(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "w_ewma",
+    """
+WITH r AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       a.value,
+       COUNT(*) AS n_terms,
+       CAST(SUM(CAST(b.value * CAST(1::BIGINT << (19 - (a.rn - b.rn)) AS DOUBLE)
+                     AS DECIMAL(38,2))) AS DOUBLE) / 524288.0 AS ewma
+FROM r a JOIN r b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+GROUP BY a.user_id, a.event_id, a.ts, a.value
+""",
+)
+def _q_ewma(spark, sf_dir):
+    """Truncated EMA (decay 1/2, 20-tick frame) with NO rounding step
+    anywhere: terms scale UP by 2^(19-k) (2-decimal ticks times a
+    power of two stay on the 0.01 lattice → DECIMAL(38,2) exact),
+    fold exactly, one final /2^19. Spark's array fold and the
+    oracle's self-join sum agree bit-for-bit."""
+    return windows.ewma(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "c_temperature_mix",
     """
 WITH c AS (
@@ -3044,6 +3153,10 @@ _VERIFY_FIRST = [
     "j_bucketed_join",
     "d_containment",
     "q_order_cadence",
+    "st_ohlcv_bars",
+    "w_ewma",
+    "w_drawdown",
+    "q_pareto_customers",
     # tier 3 — r1-only rows, code unchanged; refresh before they age out.
     "a_cube",
     "a_distinct_counts",

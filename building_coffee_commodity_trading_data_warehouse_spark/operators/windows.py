@@ -363,3 +363,84 @@ def rolling_volatility(events: DataFrame, window_rows: int = 20) -> DataFrame:
         mean.alias("roll_mean"),
         F.sqrt(var).alias("roll_vol"),
     )
+
+
+def ewma(events: DataFrame, window_rows: int = 20) -> DataFrame:
+    """Truncated exponential moving average per user with decay 1/2 —
+    EMA is the other half of the reference's moving-average toolkit
+    (MA50/MA200 are flat windows; MACD-style signals weight recent
+    ticks more). Truncation at ``window_rows`` bounds the relative
+    error at 2^-window_rows (~1e-6 of the oldest tick) and keeps the
+    state a fixed-size frame.
+
+    Cross-engine exactness without libm: the decay is a POWER OF TWO,
+    so every weight ``2^-k`` is an exact double and ``value / 2^k`` is
+    a single correctly-rounded (here: exact) division — no ``pow``.
+    Each term is pinned to DECIMAL(38,28) (one deterministic rounding
+    of the same binary double on any engine), summed exactly in a
+    fold that re-casts the accumulator each step (order-fixed,
+    overflow-free: 10 integer digits cover any frame sum), and the
+    result leaves through the proven ROUND(·, 6) → DOUBLE path.
+    One exchange on user_id; the frame is a 20-element array per row."""
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    acc_t = "decimal(38,2)"
+    top = window_rows - 1
+    with_frame = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(order).alias("__rn"),
+        F.collect_list(F.struct(F.row_number().over(order).alias("rn"), F.col("value")))
+        .over(order.rowsBetween(-top, 0))
+        .alias("__frame"),
+    )
+
+    # Scale every term UP by 2^(top-k) instead of down by 2^-k: a
+    # 2-decimal tick times an integer power of two stays on the 0.01
+    # lattice, so the DECIMAL(38,2) cast and the fold are EXACT — one
+    # final division by 2^top (an exponent shift) lands the EWMA. The
+    # weights are literal exact doubles; no runtime pow, no rounding
+    # step anywhere for a tie to live in.
+    scale_up = F.array(*[F.lit(float(2 ** (top - k))) for k in range(window_rows)])
+
+    def term(s):
+        k = F.col("__rn") - s.getField("rn")
+        return (s.getField("value") * F.element_at(scale_up, k + 1)).cast(acc_t)
+
+    folded = F.aggregate(
+        F.col("__frame"),
+        F.lit(0).cast(acc_t),
+        lambda acc, s: (acc + term(s)).cast(acc_t),
+    )
+    return with_frame.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        F.size(F.col("__frame")).alias("n_terms"),
+        (folded.cast("double") / F.lit(float(2**top))).alias("ewma"),
+    )
+
+
+def drawdown(events: DataFrame) -> DataFrame:
+    """Running peak and drawdown per user over the tick sequence — the
+    risk metric read off every equity curve (how far below the
+    high-water mark is this series right now). Peak is a running MAX
+    (unbounded-preceding frame, O(1) state per row); drawdown is one
+    subtraction of two same-lattice doubles — no accumulation, nothing
+    to drift, identical on any engine. One exchange on user_id."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("value").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        peak.alias("peak"),
+        (peak - F.col("value")).alias("drawdown"),
+    )

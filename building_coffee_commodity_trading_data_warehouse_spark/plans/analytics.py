@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
@@ -317,4 +317,77 @@ def order_cadence(orders: DataFrame) -> DataFrame:
             F.min("gap_days").alias("min_gap_days"),
             F.max("gap_days").alias("max_gap_days"),
         )
+    )
+
+
+def pareto_customers(
+    orders: DataFrame, share: float = 0.8, n_buckets: int = 64
+) -> DataFrame:
+    """ABC / Pareto analysis: the smallest prefix of customers (by
+    descending revenue) that covers ``share`` of total revenue — the
+    who-matters cut every commodity sales desk runs.
+
+    Exactness: per-customer revenue and the running prefix accumulate
+    in DECIMAL (order-independent); the cutoff compares exact decimals
+    against ``share × total`` (share is a 1-decimal literal, so the
+    product is exact too) — no float comparison at the boundary.
+
+    Scale — a DISTRIBUTED prefix sum, not an empty-``partitionBy()``
+    window (which would funnel every customer through one task — the
+    exact anti-pattern top_suppliers was rewritten away from): rows
+    bucket by deterministic value ranges (width_bucket over the
+    broadcast min/max — a pure function of the revenue, no sampled
+    boundaries), each bucket prefix-sums under its own window, and the
+    cross-bucket offsets come from the tiny per-bucket totals (≤
+    ``n_buckets`` rows) broadcast back. Uneven revenue distributions
+    skew bucket sizes, never correctness."""
+    dec = "decimal(38,6)"
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(dec)).alias("revenue_dec")
+    )
+    stats = per_cust.agg(
+        F.sum("revenue_dec").alias("total_dec"),
+        F.min(F.col("revenue_dec").cast("double")).alias("lo"),
+        F.max(F.col("revenue_dec").cast("double")).alias("hi"),
+    )
+    with_stats = per_cust.crossJoin(F.broadcast(stats))
+    bucket = F.when(F.col("lo") == F.col("hi"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(n_buckets),
+            F.width_bucket(
+                F.col("revenue_dec").cast("double"),
+                F.col("lo"),
+                F.col("hi"),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    bucketed = with_stats.withColumn("__b", bucket)
+    # within-bucket running sum (descending revenue): one exchange on __b
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc("revenue_dec"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("__cum_in", F.sum("revenue_dec").over(w_in))
+    # offsets: total revenue of all HIGHER buckets (tiny relation)
+    btot = bucketed.groupBy("__b").agg(F.sum("revenue_dec").alias("__btot"))
+    w_off = Window.orderBy(F.desc("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.withColumn(
+        "__off", F.coalesce(F.sum("__btot").over(w_off), F.lit(0).cast(dec))
+    ).select("__b", "__off")
+    cum = (F.col("__cum_in") + F.col("__off")).alias("cum_dec")
+    ranked = local.join(F.broadcast(offs), "__b").select(
+        "o_custkey", "revenue_dec", "total_dec", cum
+    )
+    return ranked.filter(
+        F.col("cum_dec") - F.col("revenue_dec")
+        < F.col("total_dec") * F.lit(share).cast("decimal(2,1)")
+    ).select(
+        "o_custkey",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.col("cum_dec").cast("double").alias("cum_revenue"),
+        (F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+            "cum_share"
+        ),
     )

@@ -87,3 +87,42 @@ def session_windows(
             "sum_value",
         )
     )
+
+
+def tumbling_ohlcv(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user OHLCV candles in tumbling event-time windows — the
+    streaming twin of plans/bi.ohlcv_bars: a trading desk's live bar
+    builder, late ticks bounded by the watermark. open/close are
+    min_by/max_by on the same zero-padded epoch‖id key as the batch
+    operator, so a tick arriving out of order still lands in the right
+    position; all aggregates merge associatively, so state per
+    (window, user) is one row regardless of tick volume."""
+    tick_key = F.format_string(
+        "%020d%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "user_id")
+        .agg(
+            F.min_by("value", tick_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", tick_key).alias("close"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            _fmt("w.start").alias("window_start"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_ticks",
+        )
+    )

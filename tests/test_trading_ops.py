@@ -96,3 +96,51 @@ def test_temperature_mix_flattens_toward_tail(spark):
     assert math.isclose(
         out["en"]["expected_docs"] + out["vi"]["expected_docs"], 100.0, rel_tol=1e-12
     )
+
+
+def test_ewma_planted_values(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _t(9, 0, 1), 1, 4.0),
+            (2, _t(9, 0, 2), 1, 8.0),
+            (3, _t(9, 0, 3), 1, 2.0),
+        ],
+    )
+    out = {r["event_id"]: r for r in windows.ewma(ev).collect()}
+    assert out[1]["ewma"] == 4.0                      # single tick
+    assert out[2]["ewma"] == 8.0 + 4.0 / 2            # newest full weight
+    assert out[3]["ewma"] == 2.0 + 8.0 / 2 + 4.0 / 4
+    assert out[3]["n_terms"] == 3
+
+
+def test_drawdown_planted_path(spark):
+    ev = _events(
+        spark,
+        [
+            (1, _t(9, 0, 1), 1, 10.0),
+            (2, _t(9, 0, 2), 1, 7.0),   # below peak 10
+            (3, _t(9, 0, 3), 1, 12.0),  # new peak
+            (4, _t(9, 0, 4), 1, 9.0),   # 3 below peak 12
+        ],
+    )
+    out = {r["event_id"]: r for r in windows.drawdown(ev).collect()}
+    assert [out[i]["peak"] for i in (1, 2, 3, 4)] == [10.0, 10.0, 12.0, 12.0]
+    assert [out[i]["drawdown"] for i in (1, 2, 3, 4)] == [0.0, 3.0, 0.0, 3.0]
+
+
+def test_pareto_smallest_covering_prefix(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    orders = spark.createDataFrame(
+        # revenue per customer: 50, 30, 15, 5 -> 80% of 100 is covered
+        # by {1, 2} (80); customer 3 tips past, 4 never needed
+        [(1, 1, 50.0), (2, 2, 30.0), (3, 3, 15.0), (4, 4, 5.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    out = sorted(
+        analytics.pareto_customers(orders).collect(), key=lambda r: r["o_custkey"]
+    )
+    assert [r["o_custkey"] for r in out] == [1, 2]
+    assert out[-1]["cum_revenue"] == 80.0
+    assert out[-1]["cum_share"] == 0.8
