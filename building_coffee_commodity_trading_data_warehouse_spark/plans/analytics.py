@@ -342,8 +342,13 @@ def pareto_customers(
     ``n_buckets`` rows) broadcast back. Uneven revenue distributions
     skew bucket sizes, never correctness."""
     dec = "decimal(38,6)"
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(dec)).alias("revenue_dec")
+    # persisted: the per-customer aggregate feeds three subtrees (stats,
+    # the bucketed windows, the bucket totals) — without the cache Spark
+    # re-scans orders once per subtree. One short row per customer.
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(dec)).alias("revenue_dec"))
+        .persist()
     )
     stats = per_cust.agg(
         F.sum("revenue_dec").alias("total_dec"),
@@ -362,7 +367,7 @@ def pareto_customers(
             ),
         )
     )
-    bucketed = with_stats.withColumn("__b", bucket)
+    bucketed = with_stats.withColumn("__b", bucket).persist()
     # within-bucket running sum (descending revenue): one exchange on __b
     w_in = (
         Window.partitionBy("__b")

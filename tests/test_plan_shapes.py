@@ -222,3 +222,41 @@ def test_top_suppliers_no_single_partition_funnel(spark, sf_dir):
     # funnel (its exchange is hashpartitioning on l_suppkey)
     assert "hashpartitioning(l_suppkey" in plan
     assert plan.count("BroadcastExchange") >= 2  # global max + supplier dim
+
+
+def test_trading_windows_single_exchange(spark, sf_dir):
+    """Each trading window operator (EWMA, drawdown, rolling vol,
+    OHLCV bars, order cadence) must run on exactly ONE hash exchange —
+    the window/aggregate shares the key partitioning, nothing funnels
+    through a single partition."""
+    import __spark_entry__ as entry_mod
+
+    for name in (
+        "w_ewma",
+        "w_drawdown",
+        "w_rolling_volatility",
+        "w_ohlcv_bars",
+        "q_order_cadence",
+    ):
+        df = entry_mod.queries()[name](spark, sf_dir)
+        plan = explain.plan_string(df)
+        assert _exchanges(df) == 1, (name, plan)
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_pareto_no_unbounded_single_partition(spark, sf_dir):
+    """The Pareto prefix sum must not run a global window over the
+    per-customer aggregate: every SinglePartition exchange in the plan
+    sits over a bounded relation (1-row stats, <=64-row bucket
+    totals), and the customer-cardinality windows partition by the
+    value bucket."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_pareto_customers"](spark, sf_dir)
+    plan = explain.plan_string(df)
+    # the per-bucket running sum partitions by __b
+    assert re.search(r"Window .*windowspecdefinition\(__b", plan), plan
+    # no global window over the full per-customer relation: the only
+    # empty-partition window spec is over the bucket-totals aggregate
+    n_global_windows = len(re.findall(r"windowspecdefinition\(__b#\d+L? DESC", plan))
+    assert n_global_windows >= 1, plan
