@@ -138,14 +138,13 @@ def _bitmap_sides(docs: DataFrame, width: int) -> tuple[DataFrame, DataFrame]:
     return a, b
 
 
-def _bitmap_jaccard_pairs(
-    sh: DataFrame, threshold: float, n_vocab: int | None = None
-) -> DataFrame:
-    """All-pairs Jaccard via bitmap popcount: right for DENSE corpora
-    (small vocabulary, most pairs overlapping), where candidate pruning
-    is useless and the shingle self-join's pair stream (Σ df²) dwarfs
-    the N² popcount loop. Both sides broadcast-or-scan; no shuffle at
-    all beyond the per-doc groupBy.
+def _bitmap_pair_counts(sh: DataFrame, n_vocab: int | None = None) -> DataFrame:
+    """All-pairs intersection counts via bitmap popcount — the shared
+    engine under the bitmap Jaccard and containment paths. Right for
+    DENSE corpora (small vocabulary, most pairs overlapping), where
+    candidate pruning is useless and the shingle self-join's pair
+    stream (Σ df²) dwarfs the N² popcount loop. Both sides
+    broadcast-or-scan; no shuffle at all beyond the per-doc groupBy.
 
     The per-doc bitmap frame is persisted before fanning into the two
     join sides — it is corpus-cardinality-sized (one short row per doc,
@@ -154,17 +153,21 @@ def _bitmap_jaccard_pairs(
     docs, width = shingle_bitmaps(sh, n_vocab)
     docs = docs.persist()
     a, b = _bitmap_sides(docs, width)
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .withColumn("n_common", _popcount_common(width))
         .filter(F.col("n_common") > 0)
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            jac.cast("double").alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", "n_common", "na", "nb")
+    )
+
+
+def _bitmap_jaccard_pairs(
+    sh: DataFrame, threshold: float, n_vocab: int | None = None
+) -> DataFrame:
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        _bitmap_pair_counts(sh, n_vocab)
+        .select("doc_a", "doc_b", "n_common", jac.cast("double").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -260,6 +263,7 @@ def containment_pairs(
     n: int = 2,
     threshold: float = 0.8,
     max_df: int | str | None = "auto",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Directed shingle CONTAINMENT — the subset-duplication detector
     Jaccard structurally misses: a short document fully embedded in a
@@ -269,13 +273,43 @@ def containment_pairs(
     |A∩B| / |A| clears the threshold, with both directions reported so
     the caller can keep the superset doc and drop the contained one.
 
-    Same physical shape and skew guard as the Jaccard join strategy
-    (shingle equi-join, df-capped by default, grouped intersection
-    counts) — at web scale the plan cost is the capped pair stream, and
-    the two divisions are per-pair projections."""
+    Same dual physical strategy as ngram_jaccard_pairs, same exact
+    result: ``bitmap`` popcount for dense/small corpora (a dense
+    corpus makes the shingle self-join's Σ df² stream quadratic —
+    measured 25× slower than the bitmap at sf0.1), the df-capped
+    shingle equi-join for sparse web-scale ones; ``auto`` picks by the
+    same vocab/corpus bounds. The two divisions are per-pair
+    projections either way."""
     sh = shingles(documents, n)
+    n_vocab = None
+    n_docs = None
+    if strategy == "auto":
+        n_docs = documents.count()
+        if n_docs <= _BITMAP_MAX_DOCS:
+            sh = sh.persist()
+            n_vocab = sh.select("shingle").distinct().count()
+            strategy = "bitmap" if n_vocab <= _BITMAP_MAX_VOCAB else "join"
+        else:
+            strategy = "join"
+    c_a = (F.col("n_common") / F.col("na")).cast("double")
+    c_b = (F.col("n_common") / F.col("nb")).cast("double")
+    keep = F.greatest(c_a, c_b) >= threshold
+    if strategy == "bitmap":
+        return (
+            _bitmap_pair_counts(sh, n_vocab)
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                c_a.alias("containment_a"),
+                c_b.alias("containment_b"),
+            )
+            .filter(keep)
+        )
     if max_df == "auto":
-        max_df = default_max_df(documents.count())
+        if n_docs is None:
+            n_docs = documents.count()
+        max_df = default_max_df(n_docs)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(
@@ -293,8 +327,6 @@ def containment_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    c_a = (F.col("n_common") / F.col("na")).cast("double")
-    c_b = (F.col("n_common") / F.col("nb")).cast("double")
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -305,9 +337,7 @@ def containment_pairs(
             c_a.alias("containment_a"),
             c_b.alias("containment_b"),
         )
-        .filter(
-            F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
-        )
+        .filter(keep)
     )
 
 
