@@ -1575,14 +1575,43 @@ def _q_st_dedup(spark, sf_dir):
     )
 
 
-@_register("s_ivf_topk")  # approximate by design — rows-only check
+@_register(
+    "s_ivf_topk",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+),
+topk AS (
+  SELECT q_id FROM (
+    SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+    FROM s
+  ) WHERE rk <= 5
+)
+SELECT q_id, COUNT(*) AS k_exact, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM topk GROUP BY q_id
+""",
+)
 def _q_ivf_topk(spark, sf_dir):
-    """IVF ANN: spherical-k-means cells, nprobe probing, vectorized
-    scoring, decimal-exact rerank. Recall vs brute force is pinned in
-    tests/test_similarity_recall.py."""
+    """IVF ANN CERTIFIED (VERDICT r4 item 7): the former rows-only gate
+    now hash-checks (a) the exact-top-k cardinality per query and (b)
+    booleans proving per-query and mean recall clear conservative
+    floors (nprobe=8/16 measures mean 0.85 / min 0.6 at sf0.01;
+    certified floors 0.65/0.2). The ANN ids themselves stay out of the
+    output — they depend on the quantizer — so the oracle is plain
+    exact SQL + TRUE literals, and a recall regression breaks the hash."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=4)
+    return similarity.ivf_topk_certified(emb, qs, k=5, n_centroids=16, nprobe=8)
 
 
 @_register(
@@ -1851,12 +1880,27 @@ def _q_percentiles(spark, sf_dir):
     return aggregates.quantity_percentiles(_t(spark, sf_dir, "lineitem"))
 
 
-@_register("a_percentiles_approx")  # t-digest sketch: engine-specific -> rows-only
+@_register(
+    "a_percentiles_approx",
+    """
+SELECT l_returnflag,
+       MIN(l_quantity) AS q_min,
+       MAX(l_quantity) AS q_max,
+       COUNT(l_quantity) AS n_rows,
+       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def _q_percentiles_approx(spark, sf_dir):
-    """The 100 TB percentile path: mergeable one-pass approx_percentile
-    sketch instead of a full per-group sort. Error vs exact is pinned
-    in tests/test_oracle_parity.py."""
-    return aggregates.quantity_percentiles_approx(_t(spark, sf_dir, "lineitem"))
+    """The 100 TB percentile path CERTIFIED (VERDICT r4 item 7): the
+    mergeable one-pass approx_percentile sketch, with its rank-error
+    contract (|rank(v) − p·n| ≤ n/accuracy) emitted as hash-covered
+    booleans next to the exact min/max/count. The sketch VALUES stay
+    out of the output (engine-specific); a sketch that drifts past its
+    bound now breaks the driver hash instead of hiding in rows-only."""
+    return aggregates.quantity_percentiles_certified(
+        _t(spark, sf_dir, "lineitem")
+    )
 
 
 @_register(
@@ -2466,12 +2510,23 @@ def _q_variance_stats(spark, sf_dir):
     return aggregates.variance_stats(_t(spark, sf_dir, "lineitem"))
 
 
-@_register("a_approx_distinct")
+@_register(
+    "a_approx_distinct",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       TRUE AS parts_ok, TRUE AS supps_ok, TRUE AS orders_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def _q_approx_distinct(spark, sf_dir):
-    """HyperLogLog++ distinct sketches (rows-only gate: sketch
-    estimates are engine-specific; the ≤3·rsd error vs exact is pinned
-    in tests/test_scd2_mv.py)."""
-    return aggregates.distinct_counts_approx(_t(spark, sf_dir, "lineitem"))
+    """HLL++ distinct sketches CERTIFIED (VERDICT r4 item 7): exact
+    per-group distinct counts plus booleans proving each sketch landed
+    within 3·rsd of exact. Estimates themselves are engine-specific
+    and excluded; the 3·rsd contract is now part of the driver hash."""
+    return aggregates.distinct_counts_certified(_t(spark, sf_dir, "lineitem"))
 
 
 @_register(
@@ -3118,70 +3173,27 @@ def _q_temperature_mix(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # tier 1 — rewritten in r2 (similarity.py:504-665, dedup.py:172-255),
-    # only pre-rewrite r1 rows exist; r02/r03 sampled identical sets and
-    # skipped them both times (VERDICT r3 item 1).
-    "s_embedding_neardup",
-    "s_embedding_clusters",
+    # ---- round-5 priority order (driver samples ~50 of 104 gates) ----
+    # tier 1 — refactored after the r4 sweep (commit 698e92f moved
+    # containment onto _bitmap_pair_counts) AND changed this round: the
+    # df-cap now runs as a broadcast LEFT ANTI against the stop-shingle
+    # list (dedup.py _drop_stop_shingles) instead of broadcasting the
+    # vocabulary-sized kept dictionary (VERDICT r4 items 1-2).
     "d_ngram_jaccard",
-    # tier 1 — changed this round (commit 8bc8387: _local_topm finite
-    # filter; top_suppliers global-max rewrite).
-    "s_knn_join",
-    "q_top_suppliers",
-    # tier 1 — events.ts physical-type migration (catalog.table +
-    # streaming.pipeline.stream_events now normalize TIMESTAMP_NTZ as
-    # well as nanos-as-long; asof tolerance via unix_micros): every
-    # events-sourced gate runs through the new normalization.
-    "j_asof_quote",
-    "j_asof_tolerance",
-    "w_sessionize",
-    "st_tumbling_counts",
-    "st_sliding_counts",
-    "st_session_windows",
-    "st_dedup_stream",
-    "st_merge_stream",
-    "st_stateful_totals",
-    "st_stream_join",
-    "st_static_enrich",
-    "w_time_range_mean",
-    # tier 2 — new gates this round.
-    "s_ivf_probeall",
-    "m_compact_table",
-    "w_ohlcv_bars",
-    "w_rolling_volatility",
-    "c_temperature_mix",
-    "j_bucketed_join",
     "d_containment",
-    "q_order_cadence",
-    "st_ohlcv_bars",
-    "w_ewma",
-    "w_drawdown",
+    # tier 1 — analytics.pareto persists moved to the bounded
+    # scoped_persist registry this round.
     "q_pareto_customers",
-    # tier 3 — r1-only rows, code unchanged; refresh before they age out.
-    "a_cube",
-    "a_distinct_counts",
-    "a_global_counts",
-    "a_minmax_spread",
-    "a_rollup",
-    "a_union_aggregate",
-    "c_chunk_documents",
-    "c_hash_sample",
-    "c_hash_split",
-    "c_quality_filter",
-    "d_exact_dedup",
-    "d_minhash_lsh",
-    "d_neardup_clusters",
-    "d_simhash",
-    "e_audit_counts",
-    "e_normalize_battery",
-    "e_sentinel_nulls",
-    "f_date_functions",
-    "f_json_extract",
-    "f_scalar_battery",
-    "j_salted_skew",
-    "m_decode_resize",
-    "m_frame_counts",
+    # tier 1 — sketch gates rewritten this round to carry their error
+    # bound as a hash-covered boolean (VERDICT r4 item 7).
+    "a_approx_distinct",
+    "a_percentiles_approx",
+    "s_ivf_topk",
+    # tier 2 — newest driver row is r1 (three rounds of driver/testdata
+    # drift without a hard signal; VERDICT r4 item 3).
     "m_multimodal_features",
+    "m_frame_counts",
+    "m_decode_resize",
     "p_filter_pushdown",
     "q_sql_surface",
     "s_cosine_topk",
@@ -3192,6 +3204,46 @@ _VERIFY_FIRST = [
     "t_quality_language",
     "t_token_stats",
     "w_rank_battery",
+    # tier 3 — newest row is r3; round-robin refresh (overflow past the
+    # driver's sample size rolls to r6).
+    "flagship_windows",
+    "j_star_join",
+    "j_merge_upsert",
+    "j_semi_anti",
+    "j_roleplay_nation",
+    "j_range_join",
+    "j_scd2_dim",
+    "j_full_outer_reconcile",
+    "a_pricing_summary",
+    "s_lsh_topk",
+    "d_chunk_dedup",
+    "d_decontaminate",
+    "d_semantic_decontaminate",
+    "c_stratified_sample",
+    "c_pack_chunks",
+    "c_curation_pipeline",
+    "a_funnel_steps",
+    "a_grouping_sets",
+    "a_mv_incremental",
+    "a_percentiles",
+    "a_pivot_event_types",
+    "a_retention_cohorts",
+    "a_variance_stats",
+    "f_array_battery",
+    "f_string_battery2",
+    "q_local_supplier_volume",
+    "q_market_share",
+    "q_priority_late_orders",
+    "q_returned_customers",
+    "q_shipping_priority",
+    "t_bigram_counts",
+    "t_repetition_stats",
+    "t_tfidf_topterms",
+    "w_cumulative_distinct",
+    "w_forward_fill",
+    "w_frame_values",
+    "w_gap_islands",
+    "w_percentile_ranks",
 ]
 
 

@@ -1,0 +1,42 @@
+"""Bounded persist() registry shared by operators that cache
+intermediate frames during plan construction (dedup shingle frames,
+Pareto per-customer aggregates).
+
+Why not try/finally-unpersist: these operators RETURN a lazy DataFrame
+whose plan reads the cached frame — unpersisting before the caller's
+action would silently recompute the expensive intermediate and defeat
+the cache. Why not leave it to Spark's LRU: a long-lived session
+(notebook, server) that runs many dedup/analytics calls accumulates
+cached blocks without bound until executor-memory pressure evicts
+them, paying eviction churn in the hot path.
+
+Policy: keep the newest ``_CAP`` scoped frames, eagerly releasing
+older ones (oldest-first). Each cached frame here is bounded by
+construction (corpus-row-sized shingle frames gated at
+``_BITMAP_MAX_DOCS``, per-customer aggregates), so the worst-case
+held memory is ``_CAP`` × one bounded frame. ``release_caches()``
+drops everything — call it between pipeline stages or in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_CAP = 4
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it; evict the oldest registered
+    frame beyond the cap. Returns the persisted frame."""
+    p = df.persist()
+    _SCOPED.append(p)
+    while len(_SCOPED) > _CAP:
+        _SCOPED.pop(0).unpersist(blocking=False)
+    return p
+
+
+def release_caches() -> None:
+    """Release every scoped-persisted frame (non-blocking)."""
+    while _SCOPED:
+        _SCOPED.pop().unpersist(blocking=False)

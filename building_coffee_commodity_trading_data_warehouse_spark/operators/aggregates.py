@@ -16,7 +16,7 @@ aggregation is one hash shuffle with map-side partial aggregation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg, dsum
@@ -267,4 +267,96 @@ def distinct_counts_approx(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd).alias("n_parts_approx"),
         F.approx_count_distinct("l_suppkey", rsd).alias("n_supps_approx"),
         F.approx_count_distinct("l_orderkey", rsd).alias("n_orders_approx"),
+    )
+
+
+def distinct_counts_certified(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """HLL++ sketches CERTIFIED against the exact counts in one result:
+    per group, the exact distinct counts (value-portable) plus a
+    boolean per column asserting the sketch landed within 3·rsd of
+    exact (the standard ±3σ bound, floored at an absolute 3 for tiny
+    groups). The approx values themselves are engine-specific and are
+    deliberately NOT in the output — the booleans are, so a
+    cross-engine value check also proves the sketch bound.
+
+    Cost note: this is the VERIFICATION query (exact + sketch in one
+    pass, the exact side paying the distinct expand); production code
+    wanting only estimates uses distinct_counts_approx."""
+    ag = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.approx_count_distinct("l_partkey", rsd).alias("__ap"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("__as"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("__ao"),
+    )
+
+    def ok(approx: str, exact: str) -> Column:
+        bound = F.greatest(F.lit(3.0), F.lit(3.0 * rsd) * F.col(exact))
+        return F.abs(F.col(approx) - F.col(exact)) <= bound
+
+    return ag.select(
+        "l_returnflag",
+        "n_parts",
+        "n_supps",
+        "n_orders",
+        ok("__ap", "n_parts").alias("parts_ok"),
+        ok("__as", "n_supps").alias("supps_ok"),
+        ok("__ao", "n_orders").alias("orders_ok"),
+    )
+
+
+def quantity_percentiles_certified(
+    lineitem: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """approx_percentile CERTIFIED by its rank-error contract: the
+    sketch guarantees the returned value's rank is within n/accuracy
+    of the target rank. Per group the output carries the exact
+    min/max/count plus one boolean per percentile asserting the rank
+    window [count(x < v), count(x ≤ v)] overlaps
+    p·n ± (n/accuracy + 1). Approx values are engine-specific and
+    excluded; the booleans make the bound hash-checkable cross-engine.
+
+    Plan: two aggregations over lineitem (sketch pass, then a rank
+    count pass with the tiny per-group sketch row broadcast back) —
+    both map-side combinable, no sort at any scale."""
+    ap = lineitem.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("q_min"),
+        F.approx_percentile("l_quantity", 0.25, accuracy).alias("__a25"),
+        F.approx_percentile("l_quantity", 0.5, accuracy).alias("__a50"),
+        F.approx_percentile("l_quantity", 0.75, accuracy).alias("__a75"),
+        F.max("l_quantity").alias("q_max"),
+        F.count("l_quantity").alias("n_rows"),
+    )
+    j = lineitem.select("l_returnflag", "l_quantity").join(
+        F.broadcast(ap), "l_returnflag"
+    )
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    q = F.col("l_quantity")
+    ranks = j.groupBy("l_returnflag").agg(
+        *[
+            agg
+            for p in ("25", "50", "75")
+            for agg in (
+                cnt(q < F.col(f"__a{p}")).alias(f"__lo{p}"),
+                cnt(q <= F.col(f"__a{p}")).alias(f"__hi{p}"),
+            )
+        ]
+    )
+
+    def ok(p: str, frac: float) -> Column:
+        target = F.col("n_rows") * F.lit(frac)
+        eps = F.col("n_rows") / F.lit(float(accuracy)) + F.lit(1.0)
+        return (F.col(f"__lo{p}") <= target + eps) & (
+            F.col(f"__hi{p}") >= target - eps
+        )
+
+    return ap.join(ranks, "l_returnflag").select(
+        "l_returnflag",
+        "q_min",
+        "q_max",
+        "n_rows",
+        ok("25", 0.25).alias("q25_ok"),
+        ok("50", 0.50).alias("q50_ok"),
+        ok("75", 0.75).alias("q75_ok"),
     )

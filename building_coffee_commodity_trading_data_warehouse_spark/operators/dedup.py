@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 # auto-strategy bounds for the bitmap Jaccard path (see
 # ngram_jaccard_pairs): vocab must fit a flat per-doc bitmap (width =
 # vocab/64 long COLUMNS — kept small enough for whole-stage codegen),
@@ -151,7 +153,7 @@ def _bitmap_pair_counts(sh: DataFrame, n_vocab: int | None = None) -> DataFrame:
     the caller bounds docs at _BITMAP_MAX_DOCS) and would otherwise be
     rebuilt once per side (stream + broadcast)."""
     docs, width = shingle_bitmaps(sh, n_vocab)
-    docs = docs.persist()
+    docs = scoped_persist(docs)
     a, b = _bitmap_sides(docs, width)
     return (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
@@ -178,6 +180,21 @@ def default_max_df(n_docs: int) -> int:
     capped (exact output), and at web scale a stop-shingle present in
     every document is dropped instead of emitting |corpus|² pairs."""
     return max(1000, n_docs // 100)
+
+
+def _drop_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop everywhere-shingles (``df > max_df``) via a broadcast
+    LEFT ANTI join against the STOP list — the provably tiny side.
+
+    The stop list has at most ``total_shingle_rows / max_df`` distinct
+    shingles (each stop shingle accounts for > max_df rows), so it
+    broadcasts at any corpus scale. Broadcasting the KEPT list instead
+    — the obvious inner-join formulation — is vocabulary-sized
+    (billions of shingles at 100 TB) and OOMs every executor; the two
+    formulations keep exactly the same rows."""
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    stop = df_counts.filter(F.col("df") > max_df).select("shingle")
+    return sh.join(F.broadcast(stop), "shingle", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -216,7 +233,7 @@ def ngram_jaccard_pairs(
         # it 3-4× (vocab, dictionary, sizes, join/bitmap build).
         n_docs = documents.count()
         if n_docs <= _BITMAP_MAX_DOCS:
-            sh = sh.persist()
+            sh = scoped_persist(sh)
             n_vocab = sh.select("shingle").distinct().count()
             strategy = "bitmap" if n_vocab <= _BITMAP_MAX_VOCAB else "join"
         else:
@@ -228,11 +245,7 @@ def ngram_jaccard_pairs(
             n_docs = documents.count()
         max_df = default_max_df(n_docs)
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
-            "shingle",
-        )
+        sh = _drop_stop_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -286,7 +299,7 @@ def containment_pairs(
     if strategy == "auto":
         n_docs = documents.count()
         if n_docs <= _BITMAP_MAX_DOCS:
-            sh = sh.persist()
+            sh = scoped_persist(sh)
             n_vocab = sh.select("shingle").distinct().count()
             strategy = "bitmap" if n_vocab <= _BITMAP_MAX_VOCAB else "join"
         else:
@@ -311,11 +324,7 @@ def containment_pairs(
             n_docs = documents.count()
         max_df = default_max_df(n_docs)
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") <= max_df).select("shingle")),
-            "shingle",
-        )
+        sh = _drop_stop_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -819,3 +819,55 @@ def with_norm_fold(embeddings: DataFrame, id_alias: str, prefix: str) -> DataFra
         emb_d.alias(f"{prefix}emb"),
         F.sqrt(dot_fold(emb_d, emb_d)).alias(f"{prefix}norm"),
     )
+
+
+def ivf_topk_certified(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    min_recall: float = 0.2,
+    min_mean_recall: float = 0.65,
+) -> DataFrame:
+    """IVF ANN CERTIFIED against exact brute force in one result: per
+    query, the exact-top-k cardinality (value-portable) plus booleans
+    asserting per-query recall ≥ ``min_recall`` and corpus-wide mean
+    recall ≥ ``min_mean_recall``. The default floors sit well under the
+    measured sf0.01 distribution (nprobe=8/16: mean 0.85, min 0.6) so
+    a fresh data generation cannot flake them, while still proving the
+    probe path finds real neighbors; tests/test_similarity_recall pins
+    the tighter aggregate floors per parameter point. The ANN neighbor ids themselves depend on the quantizer and
+    are deliberately NOT in the output — the booleans are, so a
+    cross-engine value check also proves the recall bound.
+
+    This is the VERIFICATION query (it runs BOTH the IVF probe and the
+    exact scan); production ANN uses ivf_topk alone."""
+    exact = brute_force_topk(embeddings, queries, k).select("q_id", "c_id")
+    ann = ivf_topk(embeddings, queries, k, n_centroids, nprobe).select(
+        "q_id", "c_id"
+    )
+    hits = (
+        exact.join(ann, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    per_q = (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("k_exact"))
+        .join(hits, "q_id", "left")
+        .withColumn("__hits", F.coalesce("__hits", F.lit(0)))
+        .withColumn("__recall", F.col("__hits") / F.col("k_exact"))
+    )
+    mean_ok = per_q.agg(
+        (F.avg("__recall") >= F.lit(min_mean_recall)).alias("mean_recall_ok")
+    )
+    return (
+        per_q.crossJoin(F.broadcast(mean_ok))
+        .select(
+            "q_id",
+            "k_exact",
+            (F.col("__recall") >= F.lit(min_recall)).alias("recall_ok"),
+            "mean_recall_ok",
+        )
+    )

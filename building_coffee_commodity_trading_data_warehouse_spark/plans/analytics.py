@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 from ..functions.exact import dsum
 
 REVENUE = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -348,7 +350,7 @@ def pareto_customers(
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast(dec)).alias("revenue_dec"))
-        .persist()
+        .transform(scoped_persist)
     )
     stats = per_cust.agg(
         F.sum("revenue_dec").alias("total_dec"),
@@ -367,7 +369,7 @@ def pareto_customers(
             ),
         )
     )
-    bucketed = with_stats.withColumn("__b", bucket).persist()
+    bucketed = scoped_persist(with_stats.withColumn("__b", bucket))
     # within-bucket running sum (descending revenue): one exchange on __b
     w_in = (
         Window.partitionBy("__b")

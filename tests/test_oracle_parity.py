@@ -55,3 +55,24 @@ def test_approx_percentiles_error_bound(spark, sf_dir):
         )
         for q in ("q25", "q50", "q75"):
             assert abs(a[q] - e[q]) <= 1.0, (flag, q, a[q], e[q])
+
+
+def test_certified_sketch_gates_all_true(spark, sf_dir):
+    """The certified sketch variants (VERDICT r4 item 7) embed their
+    error-bound contract as boolean columns — every boolean must be
+    TRUE on real data, making the bound part of the driver hash."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+        similarity,
+    )
+    from pyspark.sql import functions as F
+
+    li = entry_mod._t(spark, sf_dir, "lineitem")
+    for row in aggregates.distinct_counts_certified(li).collect():
+        assert row["parts_ok"] and row["supps_ok"] and row["orders_ok"], row
+    for row in aggregates.quantity_percentiles_certified(li).collect():
+        assert row["q25_ok"] and row["q50_ok"] and row["q75_ok"], row
+    emb = entry_mod._t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    for row in similarity.ivf_topk_certified(emb, qs).collect():
+        assert row["recall_ok"] and row["mean_recall_ok"], row

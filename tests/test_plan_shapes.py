@@ -260,3 +260,36 @@ def test_pareto_no_unbounded_single_partition(spark, sf_dir):
     # empty-partition window spec is over the bucket-totals aggregate
     n_global_windows = len(re.findall(r"windowspecdefinition\(__b#\d+L? DESC", plan))
     assert n_global_windows >= 1, plan
+
+
+def test_ngram_join_broadcasts_stop_list_not_vocabulary(spark, sf_dir):
+    """The df-cap must run as a broadcast LEFT ANTI join against the
+    tiny stop-shingle list (df > max_df, provably ≤ rows/max_df
+    entries) — never as an inner join broadcasting the KEPT shingle
+    dictionary, which is vocabulary-sized (billions of shingles at
+    100 TB) and OOMs every executor."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    # kill size-based auto-broadcast: at test scale Spark happily
+    # broadcasts the whole shingle side of the pair self-join (correct
+    # for tiny data, impossible at 100 TB). With the threshold off,
+    # every surviving BroadcastHashJoin is an explicit hint — exactly
+    # the set this test audits.
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (dedup.ngram_jaccard_pairs, dedup.containment_pairs):
+            df = fn(docs, strategy="join", max_df=50)
+            plan = explain.plan_string(df)
+            assert re.search(
+                r"BroadcastHashJoin .*LeftAnti, BuildRight", plan
+            ), plan[:800]
+            # every hinted broadcast on the shingle key must be the
+            # stop-list anti-join — a hinted INNER broadcast there is
+            # the kept-dictionary anti-pattern
+            for line in plan.splitlines():
+                if "BroadcastHashJoin" in line and "shingle" in line:
+                    assert "LeftAnti" in line, line
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
