@@ -135,4 +135,3 @@ def reconcile_snapshots(
     return o.join(n, key, "full_outer").select(
         key, "old_val", "new_val", change.alias("change")
     )
-

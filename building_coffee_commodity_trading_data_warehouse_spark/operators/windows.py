@@ -374,13 +374,13 @@ def ewma(events: DataFrame, window_rows: int = 20) -> DataFrame:
     state a fixed-size frame.
 
     Cross-engine exactness without libm: the decay is a POWER OF TWO,
-    so every weight ``2^-k`` is an exact double and ``value / 2^k`` is
-    a single correctly-rounded (here: exact) division — no ``pow``.
-    Each term is pinned to DECIMAL(38,28) (one deterministic rounding
-    of the same binary double on any engine), summed exactly in a
-    fold that re-casts the accumulator each step (order-fixed,
-    overflow-free: 10 integer digits cover any frame sum), and the
-    result leaves through the proven ROUND(·, 6) → DOUBLE path.
+    and every term is scaled UP by ``2^(top−k)`` — a 2-decimal tick
+    times an integer power of two stays exactly on the 0.01 grid, so
+    the whole weighted sum accumulates in DECIMAL(38,2) with zero
+    rounding anywhere (no per-term 2^-k division, no high-scale
+    decimal). The single inexact step is the LAST one: the exact
+    decimal total divided by ``2^top`` after a cast to double — one
+    correctly-rounded IEEE division, bit-identical on any engine.
     One exchange on user_id; the frame is a 20-element array per row."""
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     acc_t = "decimal(38,2)"

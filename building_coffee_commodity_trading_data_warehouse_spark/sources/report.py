@@ -85,14 +85,35 @@ def parse_text_report(content: bytes) -> tuple[str, list[list[list[str]]]]:
 
 
 def parse_pdf_report(content: bytes) -> tuple[str, list[list[list[str]]]]:
-    """Real-PDF parser slot (tabula.read_pdf + per-page text scan,
-    STG.py:294,279-292). The container ships no PDF toolchain; swap
-    this single function when one is available — the UDTF, schema and
-    downstream cleanup do not change."""
-    raise NotImplementedError(
-        "PDF codecs are not available in this environment; "
-        "use parse_text_report fixtures or install a tabula-compatible parser"
-    )
+    """Real-PDF parser (the reference's PyPDF2 page scan + tabula
+    table extraction, STG.py:233-253,294), reimplemented pure-Python
+    in sources/pdf_text.py — no third-party toolchain.
+
+    Mirrors ``find_page_table``/``read_data_report`` semantics: scan
+    each page's extracted text for the marker, take the 7-char season
+    token, pull positional tables from the marker pages, keep tables
+    wide enough to be real. A page with NO text layer extracts as ''
+    — exactly what PyPDF2 returns for such pages — so a vector-outline
+    report (the reference's own ``COT Report Sample.pdf`` draws every
+    glyph as paths; zero /Font objects) legitimately yields
+    ``("", [])`` rather than an error; callers can distinguish that
+    case via ``pdf_text.has_text_layer``."""
+    from . import pdf_text
+
+    texts = pdf_text.page_texts(content)
+    season = ""
+    marker_pages = []
+    for i, text in enumerate(texts):
+        if PAGE_MARKER in text:
+            marker_pages.append(i)
+            if not season and SEASON_TOKEN in text:
+                season = text.split(SEASON_TOKEN, 1)[1].lstrip()[:7]
+    tables: list[list[list[str]]] = []
+    if marker_pages:
+        per_page = pdf_text.page_tables(content)
+        for i in marker_pages:
+            tables.extend(t for t in per_page[i] if t and len(t[0]) >= 2)
+    return season, tables
 
 
 def read_report_files(spark: SparkSession, path: str) -> DataFrame:

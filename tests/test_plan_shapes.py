@@ -256,10 +256,17 @@ def test_pareto_no_unbounded_single_partition(spark, sf_dir):
     plan = explain.plan_string(df)
     # the per-bucket running sum partitions by __b
     assert re.search(r"Window .*windowspecdefinition\(__b", plan), plan
-    # no global window over the full per-customer relation: the only
-    # empty-partition window spec is over the bucket-totals aggregate
-    n_global_windows = len(re.findall(r"windowspecdefinition\(__b#\d+L? DESC", plan))
-    assert n_global_windows >= 1, plan
+    # EVERY empty-partitionBy window spec must be the bucket-totals
+    # offset window (ordered by __b DESC over ≤ n_buckets rows). A
+    # windowspecdefinition whose FIRST argument carries a sort
+    # direction has no partition key — if one ever appears over a
+    # customer-cardinality column (revenue, custkey), that's the
+    # global-funnel regression this test exists to block.
+    first_args = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    empty_partition = [a for a in first_args if " DESC" in a or " ASC" in a]
+    assert empty_partition, plan  # the bucket-totals offset window
+    for a in empty_partition:
+        assert a.startswith("__b#"), (a, plan)
 
 
 def test_ngram_join_broadcasts_stop_list_not_vocabulary(spark, sf_dir):
