@@ -3156,6 +3156,152 @@ def _q_temperature_mix(spark, sf_dir):
     return curate.temperature_mix(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "e_pdf_report",
+    """
+SELECT '2023/24' AS season,
+       'doc' || CAST(doc_id AS VARCHAR) AS country,
+       CAST(doc_id AS VARCHAR) AS beginning_stocks,
+       CAST(n_chars AS VARCHAR) AS production,
+       lang AS imports,
+       source AS total_supply,
+       'x' AS exports
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10)
+""",
+)
+def _q_pdf_report(spark, sf_dir):
+    """S3 end-to-end under the driver gate (was pytest-only): render a
+    REAL text-layer PDF from the first 10 documents rows (pure-Python
+    writer, deterministic bytes), land it, and run the full ingest
+    path — binaryFile scan → mapInPandas UDTF → pure-Python PDF
+    extractor (marker-page scan, season token, positional tables,
+    reference STG.py:233-253,294 semantics) — back to relational rows
+    the oracle reproduces with plain SQL over the same table. The
+    10-row driver materialization is bounded by construction."""
+    import os
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        pdf_text,
+        report,
+    )
+
+    # the UDTF's parser closure references this package on the
+    # executors — ship it (the --py-files analogue; a no-op per session)
+    ship_package(spark)
+
+    rows = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", "lang", "source")
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    )
+    headers = [
+        "Country",
+        "Beginning Stocks",
+        "Production",
+        "Imports",
+        "Total Supply",
+        "Exports",
+    ]
+    body = (
+        b"BT /F1 10 Tf\n"
+        b"1 0 0 1 40 760 Tm (COFFEE: SUPPLY AND DISTRIBUTION) Tj\n"
+        b"1 0 0 1 40 740 Tm (Season: 2023/24) Tj\n"
+        + pdf_text.text_cells_ops(700, headers, dx=90)
+    )
+    y = 680
+    for r in rows:
+        body += pdf_text.text_cells_ops(
+            y,
+            [
+                f"doc{r['doc_id']}",
+                str(r["doc_id"]),
+                str(r["n_chars"]),
+                r["lang"],
+                r["source"],
+                "x",
+            ],
+            dx=90,
+        )
+        y -= 20
+    body += b"ET\n"
+    cover = b"BT /F1 12 Tf\n1 0 0 1 200 700 Tm (Cover) Tj\nET\n"
+    land = tempfile.mkdtemp(prefix="spark_graft_pdf_landing_")
+    with open(os.path.join(land, "report.pdf"), "wb") as f:
+        f.write(pdf_text.build_pdf([cover, body]))
+    return report.extract_report_tables(
+        report.read_report_files(spark, land), parser=report.parse_pdf_report
+    ).select(
+        "season",
+        "country",
+        "beginning_stocks",
+        "production",
+        "imports",
+        "total_supply",
+        "exports",
+    )
+
+
+@_register(
+    "c_pii_scrub",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.org/d' || CAST(doc_id AS VARCHAR)
+              || ' tel +15550001234' AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+  FROM t
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(text, '\+[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+       md5(clean_text) AS clean_md5
+FROM c
+""",
+)
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (curate.pii_scrub): emails/URLs/phones redacted to
+    typed tokens with audit counts — pure regexp projection, no
+    shuffle. The corpus has no organic PII, so each document gets a
+    deterministic doc_id-derived email, URL, and phone appended; the
+    gate proves detection (counts ≥ 1) and byte-exact redaction
+    (clean_md5) against the oracle's regex engine."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.org/d"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +15550001234"),
+        ).alias("text"),
+    )
+    out = curate.pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "clean_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3189,6 +3335,10 @@ _VERIFY_FIRST = [
     "a_approx_distinct",
     "a_percentiles_approx",
     "s_ivf_topk",
+    # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
+    # PII scrubbing (curation family).
+    "e_pdf_report",
+    "c_pii_scrub",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata
     # drift without a hard signal; VERDICT r4 item 3).
     "m_multimodal_features",

@@ -207,3 +207,38 @@ def temperature_mix(documents: DataFrame, by: str = "lang") -> DataFrame:
             (share * F.col("__tn")).alias("expected_docs"),
         )
     )
+
+
+# Conservative PII patterns, chosen to parse identically in Java
+# (Spark) and RE2-flavored (DuckDB) regex dialects: plain character
+# classes and bounded quantifiers only — no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_PHONE = r"\+[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass every pretraining corpus
+    runs before anything else: emails, URLs, and international-format
+    phone numbers are replaced by typed placeholder tokens, with
+    per-document match counts kept for audit.
+
+    Everything is native regexp_replace/regexp_count over one
+    projection: no shuffle, no UDF, scan-parallel at any corpus size;
+    the cleaned text is returned alongside an md5 so audits can
+    content-address results without re-reading documents. Order of
+    application matters and is fixed: URLs first (an email-looking
+    userinfo inside a URL must redact as part of the URL), then
+    emails, then phones."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_URL, "<URL>")
+    clean = F.regexp_replace(clean, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_URL)).alias("n_urls"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        clean.alias("clean_text"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )

@@ -47,3 +47,44 @@ def tune(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers
+    regardless of the driver's sys.path — the programmatic twin of
+    ``spark-submit --py-files pkg.zip``, which is how the package
+    deploys on a real cluster.
+
+    Needed whenever an executor-side closure references module-level
+    functions from this package (cloudpickle serializes those BY
+    REFERENCE, so the worker re-imports the module): a driver that
+    merely ``sys.path``-hacked the repo in does not propagate that
+    path to forked workers. Zips the package once per (session,
+    process) and registers it via ``addPyFile``."""
+    import tempfile
+    import zipfile
+
+    key = f"{id(spark)}:{__package__}"
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{pkg_name}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)

@@ -371,3 +371,64 @@ def has_text_layer(data: bytes) -> bool:
 
 def n_pages(data: bytes) -> int:
     return len(_page_objects(_objects(data)))
+
+
+# --------------------------------------------------------------- writer
+# A minimal PDF *writer* — the inverse of the extractor, used to build
+# deterministic report fixtures (tests, the e_pdf_report driver gate)
+# and as a genuine text-layer PDF emitter for pipeline outputs. Bytes
+# are a pure function of the inputs: no timestamps, no ids.
+
+
+def escape_pdf_string(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def text_cells_ops(
+    y: float, cells: list[str], x0: float = 40.0, dx: float = 75.0
+) -> bytes:
+    """Content-stream ops drawing one visual row: each cell its own Tm
+    + Tj at a fixed column pitch."""
+    return b"".join(
+        b"1 0 0 1 %.2f %.2f Tm (%s) Tj\n"
+        % (x0 + i * dx, y, escape_pdf_string(c).encode("latin-1", "replace"))
+        for i, c in enumerate(cells)
+    )
+
+
+def build_pdf(pages: list[bytes], compress: bool = True) -> bytes:
+    """Assemble an n-page PDF from raw content streams: catalog →
+    pages tree → page+content pairs, one shared Helvetica font. No
+    xref table (readers that require one rebuild it in repair mode;
+    this module's reader scans objects linearly)."""
+    objs: list[bytes] = []
+    kids = []
+    font_num = 3 + 2 * len(pages)
+    for i, content in enumerate(pages):
+        pnum = 3 + 2 * i
+        cnum = pnum + 1
+        kids.append(b"%d 0 R" % pnum)
+        data = zlib.compress(content) if compress else content
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            b"%d 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>\nendobj\n"
+            % (pnum, cnum, font_num)
+        )
+        objs.append(
+            b"%d 0 obj\n<< /Length %d %s>>\nstream\n" % (cnum, len(data), filt)
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+    objs.append(
+        b"%d 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        % font_num
+    )
+    head = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids ["
+        + b" ".join(kids)
+        + b"] /Count %d >>\nendobj\n" % len(pages)
+    )
+    return head + b"".join(objs) + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"

@@ -154,3 +154,25 @@ def test_chunk_dedup_planted_boilerplate(spark):
     # tails and unrelated docs are unique keepers
     assert by_key[(1, 1)]["is_keeper"] and by_key[(1, 1)]["n_copies"] == 1
     assert by_key[(3, 0)]["is_keeper"]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "write a.b+c@ex-am.ple.org or see https://x.io/a?b=c@d today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_urls"]) == (1, 1)
+    # the email inside the URL's query string redacts as part of the
+    # URL (URL pass runs first), not as a second email
+    assert rows[1]["clean_text"] == "write <EMAIL> or see <URL> today"
+    assert rows[2]["n_phones"] == 1
+    assert rows[2]["clean_text"] == "call <PHONE> now"
+    assert rows[3]["clean_text"] == "no pii here"
+    assert (rows[3]["n_emails"], rows[3]["n_urls"], rows[3]["n_phones"]) == (0, 0, 0)

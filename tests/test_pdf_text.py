@@ -15,57 +15,11 @@ Two proof obligations:
 
 from __future__ import annotations
 
-import zlib
-
 import pytest
 
 from building_coffee_commodity_trading_data_warehouse_spark.sources import pdf_text, report
 
 SAMPLE_PDF = "/root/reference/Data Sample/COT Report Sample.pdf"
-
-
-def _pdf(pages: list[bytes], compress: bool = True) -> bytes:
-    """Assemble a minimal n-page PDF: catalog → pages → page+content
-    pairs, one Helvetica font. No xref (parsers that need one can
-    rebuild it; ours scans objects linearly, like repair mode)."""
-    objs: list[bytes] = []
-    page_nums = []
-    font_num = 3 + 2 * len(pages)
-    kids = []
-    for i, content in enumerate(pages):
-        pnum = 3 + 2 * i
-        cnum = pnum + 1
-        page_nums.append(pnum)
-        kids.append(f"{pnum} 0 R".encode())
-        data = zlib.compress(content) if compress else content
-        filt = b"/Filter /FlateDecode " if compress else b""
-        objs.append(
-            b"%d 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>\nendobj\n"
-            % (pnum, cnum, font_num)
-        )
-        objs.append(
-            b"%d 0 obj\n<< /Length %d %s>>\nstream\n" % (cnum, len(data), filt)
-            + data
-            + b"\nendstream\nendobj\n"
-        )
-    objs.append(
-        b"%d 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
-        % font_num
-    )
-    head = (
-        b"%PDF-1.4\n"
-        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
-        b"2 0 obj\n<< /Type /Pages /Kids [" + b" ".join(kids) + b"] /Count %d >>\nendobj\n" % len(pages)
-    )
-    return head + b"".join(objs) + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
-
-
-def _row(y: int, cells: list[str], x0: int = 40, dx: int = 75) -> bytes:
-    return b"".join(
-        b"1 0 0 1 %d %d Tm (%s) Tj\n" % (x0 + i * dx, y, c.encode())
-        for i, c in enumerate(cells)
-    )
 
 
 HEADERS = [
@@ -88,12 +42,12 @@ def _report_pdf() -> bytes:
         # T* newline — the positioning ops real generators use
         b"20 TL\n1 0 0 1 40 730 Tm [(Season:) -400 (2023/24)] TJ\n"
         b"T* (units: thousand bags) Tj\n"
-        + _row(690, HEADERS)
-        + _row(670, ["Brazil", "100", "3200", "5", "3305", "2400", "905"])
-        + _row(650, ["Vietnam", "80", "1700", "2", "1782", "1500", "282"])
+        + pdf_text.text_cells_ops(690, HEADERS)
+        + pdf_text.text_cells_ops(670, ["Brazil", "100", "3200", "5", "3305", "2400", "905"])
+        + pdf_text.text_cells_ops(650, ["Vietnam", "80", "1700", "2", "1782", "1500", "282"])
         + b"ET\n"
     )
-    return _pdf([cover, data_page])
+    return pdf_text.build_pdf([cover, data_page])
 
 
 def test_parse_pdf_report_text_layer():
@@ -134,7 +88,7 @@ def test_uncompressed_streams_and_escapes():
         b"1 0 0 1 40 680 Tm <48692C207065726321> Tj\n"
         b"ET\n"
     )
-    pdf = _pdf([page], compress=False)
+    pdf = pdf_text.build_pdf([page], compress=False)
     text = pdf_text.page_texts(pdf)[0]
     assert "paren (x) oct A continued" in text
     assert "Hi, perc!" in text
@@ -152,3 +106,27 @@ def test_reference_sample_pdf_matches_pypdf2_behavior():
     assert all(t == "" for t in pdf_text.page_texts(data))
     season, tables = report.parse_pdf_report(data)
     assert (season, tables) == ("", [])
+
+
+def test_e_pdf_report_gate_roundtrip(spark, sf_dir):
+    """The driver gate: documents head → rendered text-layer PDF →
+    binaryFile → UDTF → relational rows, values equal to the source."""
+    import __spark_entry__ as entry_mod
+
+    out = {
+        r["country"]: r
+        for r in entry_mod.queries()["e_pdf_report"](spark, sf_dir).collect()
+    }
+    docs = (
+        entry_mod._t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(10)
+        .collect()
+    )
+    assert len(out) == 10
+    for d in docs:
+        r = out[f"doc{d['doc_id']}"]
+        assert r["season"] == "2023/24"
+        assert r["production"] == str(d["n_chars"])
+        assert r["imports"] == d["lang"]
+        assert r["total_supply"] == d["source"]
