@@ -1135,15 +1135,34 @@ def _q_frame_counts(spark, sf_dir):
     return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
-@_register("m_decode_resize")  # raw-buffer ops; not SQL-expressible -> rows-only
+@_register(
+    "m_decode_resize",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 16 + 2 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 8 + 2 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       TRUE AS roundtrip_ok,
+       TRUE AS resize_ok
+FROM documents
+""",
+)
 def _q_decode_resize(spark, sf_dir):
-    """decode (deterministic fake codec) → REAL nearest-neighbor resize
-    over raw buffers; emits shape + checksum per doc."""
-    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
-    resized = multimodal.resize_images(multimodal.decode_image(media), 8, 8)
-    return resized.select(
-        "doc_id", "width", "height", "channels", F.md5("pixels").alias("pixels_md5")
+    """Image pipeline CERTIFIED (the last rows-only gate closed): each
+    payload becomes a deterministic RGB image whose dims an oracle can
+    derive in SQL (len%16+2 × len%8+2), runs through the REAL BMP
+    encoder+decoder (BGR order, bottom-up rows, stride padding —
+    sources/multimodal.py encode_bmp/decode_bmp) and a nearest-neighbor
+    resize re-derived pixel-by-pixel. Booleans carry the byte-identity
+    and resize proofs into the driver hash; raw-buffer md5s stay in
+    pytest (SQL cannot express them)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
     )
+
+    ship_package(spark)  # executor closures reference the BMP codec
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.certify_image_pipeline(media, 8, 8)
 
 
 @_register(

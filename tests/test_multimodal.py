@@ -83,3 +83,66 @@ def test_full_media_pipeline(spark):
     rows2 = mm.resize_images(mm.decode_image(media), 3, 3).collect()
     h2 = [hashlib.md5(bytes(r["pixels"])).hexdigest() for r in sorted(rows2, key=lambda r: r["doc_id"])]
     assert h1 == h2
+
+
+def test_bmp_codec_roundtrip_exact():
+    """decode(encode(img)) is byte-identical across odd widths (row
+    padding), including 1-pixel edges."""
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (2, 3), (5, 4), (16, 9), (33, 7)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        w2, h2, c2, rgb2 = decode_bmp(encode_bmp(w, h, rgb))
+        assert (w2, h2, c2) == (w, h, 3)
+        assert rgb2 == rgb
+
+
+def test_bmp_codec_rejects_unsupported():
+    import pytest as _pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.multimodal import (
+        decode_bmp,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
+
+
+def test_decode_image_bmp_matches_encoder(spark):
+    """The codec='bmp' decode path recovers exactly what encode_bmp
+    wrote, through the real mapInPandas plumbing."""
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
+
+    rng = np.random.default_rng(11)
+    rows = []
+    expected = {}
+    for doc_id, (w, h) in enumerate([(3, 2), (7, 5), (12, 4)]):
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        rows.append((doc_id, multimodal.encode_bmp(w, h, rgb)))
+        expected[doc_id] = (w, h, rgb)
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_image(media, codec="bmp").collect()}
+    for doc_id, (w, h, rgb) in expected.items():
+        r = out[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert bytes(r["pixels"]) == rgb
+
+
+def test_certify_image_pipeline_all_true(spark, sf_dir):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+
+    media = multimodal.to_media_table(catalog.table(spark, sf_dir, "documents"))
+    pdf = multimodal.certify_image_pipeline(media, 8, 8).toPandas()
+    assert len(pdf) > 0
+    assert pdf["roundtrip_ok"].all() and pdf["resize_ok"].all()
+    assert (pdf["width"] == pdf["width"].astype("int64")).all()
