@@ -3321,6 +3321,72 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+@_register(
+    "e_jsonl_roundtrip",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(md5(text)) AS min_text_md5
+FROM documents GROUP BY lang
+""",
+)
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + schema-first source (sources/files.py): the
+    documents table writes as one-object-per-line JSON, reads back
+    under an EXPLICIT schema (no inference pass), and re-aggregates —
+    counts, exact sums, and a content-addressing md5 must survive the
+    round trip byte-exactly. Proves the interchange format every
+    LLM-data toolchain speaks, not just parquet."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files
+
+    land = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    files.write_jsonl(docs, land)
+    back = files.read_jsonl(
+        spark, land, "doc_id long, lang string, n_chars long, text string"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_text_md5"),
+    )
+
+
+@_register(
+    "e_orc_roundtrip",
+    f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round trip: lineitem writes as ORC, reads
+    back through the DSv2 scan (same pushdown/pruning treatment as
+    parquet), and re-aggregates with decimal-exact sums. Covers the
+    second columnar lake format a Spark deployment expects."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files
+
+    land = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    files.write_orc(li, land)
+    back = files.read_orc(spark, land)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3358,6 +3424,8 @@ _VERIFY_FIRST = [
     # PII scrubbing (curation family).
     "e_pdf_report",
     "c_pii_scrub",
+    "e_jsonl_roundtrip",
+    "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata
     # drift without a hard signal; VERDICT r4 item 3).
     "m_multimodal_features",

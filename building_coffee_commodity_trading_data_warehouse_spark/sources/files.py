@@ -1,0 +1,39 @@
+"""JSON-lines and ORC file sources/sinks — the two columnar/semi-
+structured formats the engine supports beyond parquet and CSV
+(reference scope: the CSV/parquet pipelines of STG.py; these are the
+Spark-native additions a lake deployment expects).
+
+Scale notes:
+  * JSON-lines reads take an EXPLICIT schema — schema inference scans
+    the data twice and silently unions drifting types; at 100 TB that
+    is both a full extra pass and a correctness hazard.
+  * ORC gets the same predicate-pushdown / column-pruning treatment as
+    parquet from the DataSource V2 path; writes go through the same
+    partitioned-layout conventions as plans/ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """One JSON object per line (the interchange format of every
+    LLM-data toolchain); compression stays off so downstream line
+    splitters parallelize by byte range."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-first JSON-lines scan. ``schema`` is the DDL string;
+    malformed lines surface in the PERMISSIVE default's
+    _corrupt_record column rather than failing the job."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

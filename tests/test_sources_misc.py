@@ -186,3 +186,32 @@ def test_file_stats_rejects_remote_scheme():
 
     with pytest.raises(NotImplementedError, match="non-local scheme"):
         maintenance.table_file_stats(_FakeScan())
+
+
+def test_jsonl_orc_roundtrip(spark, tmp_path):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", 3.5), (2, 'quote " and \\ backslash', -1.0), (3, "中文 ünïcode", 0.0)],
+        "id long, s string, v double",
+    )
+    files.write_jsonl(df, str(tmp_path / "j"))
+    back = files.read_jsonl(spark, str(tmp_path / "j"), "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    files.write_orc(df, str(tmp_path / "o"))
+    back2 = files.read_orc(spark, str(tmp_path / "o"))
+    assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_explicit_schema_tolerates_malformed(spark, tmp_path):
+    """PERMISSIVE default: a malformed line nulls out, the scan never
+    fails the job — the behavior a 100 TB ingest needs."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"id": 1, "s": "ok"}\nnot json at all\n')
+    back = files.read_jsonl(spark, str(p), "id long, s string").collect()
+    assert len(back) == 2
+    assert {(r["id"], r["s"]) for r in back} == {(1, "ok"), (None, None)}
