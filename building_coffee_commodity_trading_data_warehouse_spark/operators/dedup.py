@@ -356,8 +356,16 @@ def minhash_signatures_wide(documents: DataFrame, k: int = 8, n: int = 2) -> Dat
     ONE groupBy — partial (map-side) mins shrink the shuffle to one
     k-column row per doc per partition, vs. the naive seed cross-join
     which shuffles k× the shingle stream."""
-    sh = shingles(documents, n)
+    return _minhash_wide(shingles(documents, n), k).drop("n_shingles")
+
+
+def _minhash_wide(sh: DataFrame, k: int) -> DataFrame:
+    """One groupBy producing the k min-hashes AND the per-doc shingle
+    count — callers that need both (LSH verification) get them from a
+    single Exchange instead of two full aggregations over the shingle
+    stream."""
     return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
         *[
             F.min(
                 F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))
@@ -397,7 +405,14 @@ def minhash_lsh_pairs(
     ``strategy`` picks the verification plan (see ngram_jaccard_pairs).
     """
     r = k // bands
-    sig = minhash_signatures_wide(documents, k, n)
+    # ONE shingle frame feeds signatures and verification (persisted:
+    # two full scans+reshingles otherwise), and ONE groupBy yields the
+    # signatures AND the per-doc sizes the verify stage needs. The
+    # signature frame is corpus-cardinality but short (k hashes/row)
+    # and spill-backed (MEMORY_AND_DISK default) — cheaper at every
+    # scale than recomputing the min-hash aggregation per subtree.
+    sh = scoped_persist(shingles(documents, n))
+    sig = scoped_persist(_minhash_wide(sh, k))
     # band hashes are a PURE PROJECTION off the wide signature row — no
     # second shuffle for banding (the row-per-seed formulation needs a
     # groupBy(doc_id, band) here)
@@ -432,7 +447,6 @@ def minhash_lsh_pairs(
     # whichever plan runs, so auto resolves to the shingle-intersect
     # join (no bitmap build, no extra count jobs); 'bitmap' remains an
     # explicit option for candidate-dense corpora.
-    sh = shingles(documents, n)
     if strategy == "auto":
         strategy = "join"
     if strategy == "bitmap":
@@ -447,7 +461,6 @@ def minhash_lsh_pairs(
             .select("doc_a", "doc_b", jac.cast("double").alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -456,8 +469,8 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         inter.join(sa, "doc_a")
