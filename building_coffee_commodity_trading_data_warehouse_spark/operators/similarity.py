@@ -347,11 +347,19 @@ def lsh_topk(
     with the query in ANY of ``tables`` independent hash tables; exact
     cosine + rank over candidates only. Tune planes (bucket size) and
     tables (recall) to corpus density."""
-    b = multi_table_buckets(embeddings, planes, tables, dim)
-    qb = b.join(queries.select("vec_id"), "vec_id").select(
+    if dim is None:
+        dim = _embedding_dim(embeddings)
+    # bucket(vector) is a pure function of the embedding, so the query
+    # side buckets its own (small) frame directly — the corpus-wide
+    # bucket pass runs exactly ONCE (the former formulation filtered
+    # the corpus frame for queries, making Spark evaluate the
+    # mapInPandas bucketing twice).
+    qb = multi_table_buckets(queries, planes, tables, dim).select(
         F.col("vec_id").alias("q_id"), "table_id", "bucket"
     )
-    cb = b.select(F.col("vec_id").alias("c_id"), "table_id", "bucket")
+    cb = multi_table_buckets(embeddings, planes, tables, dim).select(
+        F.col("vec_id").alias("c_id"), "table_id", "bucket"
+    )
     cand = (
         F.broadcast(qb)
         .join(cb, ["table_id", "bucket"])
