@@ -3272,7 +3272,7 @@ def _q_pdf_report(spark, sf_dir):
 WITH t AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or https://ex.org/d' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://data.example.org/d' || CAST(doc_id AS VARCHAR)
               || ' tel +15550001234' AS text
   FROM documents
 ),
@@ -3306,7 +3306,7 @@ def _q_pii_scrub(spark, sf_dir):
             F.col("text"),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com or https://ex.org/d"),
+            F.lit("@example.com or https://data.example.org/d"),
             F.col("doc_id").cast("string"),
             F.lit(" tel +15550001234"),
         ).alias("text"),

@@ -161,7 +161,7 @@ def test_pii_scrub_redacts_and_counts(spark):
 
     df = spark.createDataFrame(
         [
-            (1, "write a.b+c@ex-am.ple.org or see https://x.io/a?b=c@d today"),
+            (1, "write a.b+c@ex-am.ple.org or see https://example.io/a?b=c@d today"),
             (2, "call +1 (555) 123-4567 now"),
             (3, "no pii here"),
         ],
