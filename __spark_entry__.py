@@ -3322,6 +3322,47 @@ def _q_pii_scrub(spark, sf_dir):
 
 
 @_register(
+    "c_boilerplate_scrub",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+d AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+dfc AS (SELECT token, count(*) AS doc_freq FROM d GROUP BY token),
+stop AS (
+  SELECT coalesce(list(token), []) AS stop_toks
+  FROM (
+    SELECT token FROM dfc, n
+    WHERE doc_freq > n_docs * 0.5
+    ORDER BY doc_freq DESC, token
+    LIMIT 8
+  )
+)
+SELECT doc_id,
+       array_to_string(list_filter(toks, x -> NOT list_contains(stop_toks, x)), ' ')
+         AS clean_text,
+       CAST(len(list_filter(toks, x -> NOT list_contains(stop_toks, x))) AS INTEGER)
+         AS n_kept,
+       CAST(len(toks) - len(list_filter(toks, x -> NOT list_contains(stop_toks, x)))
+         AS INTEGER) AS n_dropped
+FROM t, stop
+""",
+)
+def _q_boilerplate_scrub(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (curate.boilerplate_scrub):
+    the token-level analog of C4/RefinedWeb line dedup — tokens present
+    in >50% of documents (capped at the top 8 by document frequency,
+    token-tiebroken) are struck from every document. The corpus is
+    never shuffled on doc_id: one token-keyed DF aggregate, a 1-row
+    broadcast threshold, a 1-row broadcast stop array, then a pure
+    codegen array-filter projection."""
+    return curate.boilerplate_scrub(
+        _t(spark, sf_dir, "documents"), max_doc_frac=0.5, max_stop_tokens=8
+    )
+
+
+@_register(
     "e_jsonl_roundtrip",
     """
 SELECT lang,
@@ -3421,9 +3462,10 @@ _VERIFY_FIRST = [
     "a_percentiles_approx",
     "s_ivf_topk",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
-    # PII scrubbing (curation family).
+    # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",
     "c_pii_scrub",
+    "c_boilerplate_scrub",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

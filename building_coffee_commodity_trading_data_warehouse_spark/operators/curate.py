@@ -242,3 +242,56 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
         clean.alias("clean_text"),
         F.md5(clean.cast("binary")).alias("clean_md5"),
     )
+
+
+def boilerplate_scrub(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_doc_frac: float = 0.5,
+    max_stop_tokens: int = 1024,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the token-level analog of
+    C4/RefinedWeb line dedup: tokens that occur in more than
+    ``max_doc_frac`` of all documents (navigation chrome, cookie
+    banners, licence headers in a real web corpus) are struck from
+    every document, and the cleaned text plus kept/dropped counts are
+    returned for each document.
+
+    Scale shape — the corpus is NEVER shuffled on doc_id:
+      * one token-keyed aggregate computes document frequency (distinct
+        tokens per doc exploded, so a plain count(1) is the doc count);
+      * the corpus size joins in as a broadcast 1-row aggregate, so the
+        threshold is dataflow-computed — no driver-side count();
+      * the stop list is provably tiny (Zipf: tokens in >half of all
+        documents number in the hundreds at web scale) and additionally
+        hard-bounded by ``max_stop_tokens`` top-df (token-tiebroken), so
+        collecting it into ONE array row and broadcasting is safe at any
+        corpus size — the same inversion that fixed the n-gram join
+        strategy (dedup._drop_stop_shingles);
+      * cleanup itself is a pure projection: array filter against the
+        broadcast stop array + array_join, fully codegen, no UDF.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    per_doc = documents.select("doc_id", toks.alias("__toks"))
+    total = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
+    doc_freq = (
+        per_doc.select(F.explode(F.array_distinct("__toks")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    stop_row = (
+        doc_freq.crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") > F.col("__n_docs") * F.lit(max_doc_frac))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(max_stop_tokens)
+        .agg(F.collect_list("token").alias("__stop"))
+    )
+    kept = F.filter(
+        F.col("__toks"), lambda t: ~F.array_contains(F.col("__stop"), t)
+    )
+    return per_doc.crossJoin(F.broadcast(stop_row)).select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size("__toks") - F.size(kept)).alias("n_dropped"),
+    )

@@ -176,3 +176,53 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[2]["clean_text"] == "call <PHONE> now"
     assert rows[3]["clean_text"] == "no pii here"
     assert (rows[3]["n_emails"], rows[3]["n_urls"], rows[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_boilerplate_scrub_planted(spark):
+    """A token in every doc is struck; rare tokens survive in order; a
+    doc made entirely of boilerplate comes back empty, not missing."""
+    df = spark.createDataFrame(
+        [
+            (1, "nav alpha nav beta"),
+            (2, "nav gamma"),
+            (3, "nav nav nav"),
+            (4, "nav delta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate.boilerplate_scrub(df, max_doc_frac=0.9).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 2
+    assert out[2]["clean_text"] == "gamma"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "delta alpha"  # order preserved
+
+
+def test_boilerplate_scrub_cap_is_deterministic(spark):
+    """With every token above the threshold, the top-K cap picks by
+    (doc_freq DESC, token ASC) — ties broken lexicographically."""
+    df = spark.createDataFrame(
+        [(i, "zz aa mm") for i in range(10)], "doc_id long, text string"
+    )
+    out = curate.boilerplate_scrub(df, max_doc_frac=0.1, max_stop_tokens=2).collect()
+    # all three tokens have df=10; cap keeps {aa, mm} as stop, zz survives
+    assert all(r["clean_text"] == "zz" for r in out)
+
+
+def test_boilerplate_scrub_never_shuffles_corpus_on_doc_id(spark):
+    """Scale pin: the only hash exchange keys on token (the DF
+    aggregate) — the corpus itself is consumed by pure projections, so
+    no exchange partitions on doc_id."""
+    import re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    plan = plan_string(curate.boilerplate_scrub(df))
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stop array broadcast
