@@ -750,6 +750,33 @@ def _q_hash_sample(spark, sf_dir):
 
 
 @_register(
+    "c_group_sample",
+    f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_SQL_BUCKET.format(seed="group-sample")}, doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT source, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM r WHERE sample_rank <= 5
+""",
+)
+def _q_group_sample(spark, sf_dir):
+    """Exact-k per-group deterministic sample (curate.group_sample):
+    exactly 5 docs per source, ranked by seeded content hash — the
+    eval-set draw fraction sampling can't promise. The rank filter
+    pushes down as a partial WindowGroupLimit (pinned in pytest), so
+    map tasks forward at most k rows per group to the one group-key
+    exchange."""
+    return curate.group_sample(
+        _t(spark, sf_dir, "documents").select("source", "doc_id"), k=5
+    )
+
+
+@_register(
     "c_chunk_documents",
     f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -3466,6 +3493,7 @@ _VERIFY_FIRST = [
     "e_pdf_report",
     "c_pii_scrub",
     "c_boilerplate_scrub",
+    "c_group_sample",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -295,3 +295,31 @@ def boilerplate_scrub(
         F.size(kept).alias("n_kept"),
         (F.size("__toks") - F.size(kept)).alias("n_dropped"),
     )
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "group-sample",
+) -> DataFrame:
+    """Exact-k deterministic sample per group — eval-set construction
+    ("5 held-out docs per source") needs exactly k rows per group, which
+    fraction-based hash_sample cannot promise. Rows are ranked inside
+    each group by their content-addressed hash bucket (seeded md5, no
+    RNG) with the id as tiebreak, so the chosen k are a uniform,
+    reproducible draw that never changes when OTHER groups grow.
+
+    Scale shape: one exchange on the group key. The ``row_number ≤ k``
+    filter is pushed down as a partial WindowGroupLimit (pinned in
+    tests), so every map task forwards at most k rows per group to the
+    shuffle — a giant group costs its scan, not its sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

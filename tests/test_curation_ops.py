@@ -226,3 +226,38 @@ def test_boilerplate_scrub_never_shuffles_corpus_on_doc_id(spark):
     plan = plan_string(curate.boilerplate_scrub(df))
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row stop array broadcast
+
+
+def test_group_sample_exact_k_and_stability(spark):
+    """Exactly k rows per group; a group's picks never change when
+    OTHER groups grow (content-addressed ranking)."""
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+    a = curate.group_sample(base, 3, group_col="grp").collect()
+    assert len(a) == 12
+    per = {}
+    for r in a:
+        per.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert all(len(v) == 3 for v in per.values())
+    # grow only group '0' with new ids; other groups' picks unchanged
+    extra = spark.range(200, 400).select(
+        F.col("id").alias("doc_id"), F.lit("0").alias("grp")
+    )
+    b = curate.group_sample(base.unionByName(extra), 3, group_col="grp").collect()
+    per_b = {}
+    for r in b:
+        per_b.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert per_b["1"] == per["1"] and per_b["2"] == per["2"] and per_b["3"] == per["3"]
+
+
+def test_group_sample_pushes_group_limit(spark):
+    """Scale pin: the rank<=k filter runs as a WindowGroupLimit BEFORE
+    the group-key exchange (partial mode) — giant groups never funnel
+    whole through the shuffle."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, grp string")
+    plan = plan_string(curate.group_sample(df, 1, group_col="grp"))
+    assert plan.count("WindowGroupLimit") == 2, plan  # partial + final
