@@ -2286,6 +2286,34 @@ def _q_priority_late_orders(spark, sf_dir):
     )
 
 
+@_register(
+    "q_shipmode_priority",
+    """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_regular,
+       COUNT(*) AS n_slow_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def _q_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: slow shipments (>60 days after order) cross-
+    tabbed critical-vs-regular priority per return flag. The big-big
+    orderkey shuffle join carries the lateness predicate as a residual
+    condition; counts fold in one partial→final hash aggregate."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.shipmode_priority_mix(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD2 / streaks / incremental view maintenance
 # ---------------------------------------------------------------------------
@@ -3494,6 +3522,7 @@ _VERIFY_FIRST = [
     "c_pii_scrub",
     "c_boilerplate_scrub",
     "c_group_sample",
+    "q_shipmode_priority",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -398,3 +398,41 @@ def pareto_customers(
             "cum_share"
         ),
     )
+
+
+def shipmode_priority_mix(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 60,
+) -> DataFrame:
+    """Slow-shipment priority cross-tab (TPC-H Q12 shape): among line
+    items that shipped more than ``late_days`` after their order was
+    placed, how many belong to critical (1-URGENT / 2-HIGH) orders vs
+    everything else, per return flag — the "are slow lanes delaying
+    urgent freight" question.
+
+    Q12's physical shape: the one unavoidable big-big shuffle join
+    (lineitem ⋈ orders on orderkey — no dim to broadcast), the lateness
+    predicate as a residual join condition so non-qualifying rows never
+    reach the aggregate, then CASE-conditional counts in a single
+    partial→final hash aggregate (3 output rows)."""
+    li = lineitem.select("l_orderkey", "l_returnflag", "l_shipdate")
+    od = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    slow = li.join(
+        od,
+        (li.l_orderkey == od.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+        ),
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        slow.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("n_critical"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("n_regular"),
+            F.count(F.lit(1)).alias("n_slow_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -300,3 +300,21 @@ def test_ngram_join_broadcasts_stop_list_not_vocabulary(spark, sf_dir):
                     assert "LeftAnti" in line, line
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_shipmode_priority_residual_predicate_and_pruning(spark, sf_dir):
+    """Q12 shape: the lateness predicate rides INSIDE the orderkey join
+    (residual condition — disqualified rows never reach the aggregate),
+    both scans are pruned to the 3 referenced columns, and counting is
+    partial→final (map-side combine before the one agg exchange)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    plan = explain.plan_string(
+        analytics.shipmode_priority_mix(t("lineitem"), t("orders"))
+    )
+    join_line = next(l for l in plan.splitlines() if "Join" in l and "orderkey" in l)
+    assert "INTERVAL '60' DAY" in join_line, join_line
+    assert "struct<l_orderkey:bigint,l_returnflag:string,l_shipdate" in plan
+    assert "struct<o_orderkey:bigint,o_orderdate" in plan
+    assert "partial_sum" in plan and "partial_count" in plan
