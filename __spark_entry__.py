@@ -3128,6 +3128,42 @@ def _q_rolling_volatility(spark, sf_dir):
 
 
 @_register(
+    "w_zscore_outliers",
+    """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         COUNT(*) OVER win AS n_obs,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win AS DECIMAL(18,2)) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              OVER win AS DECIMAL(18,4)) AS sx2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT event_id, user_id, ts, value, n_obs,
+         CAST(n_obs * CAST(value AS DECIMAL(18,2)) - sx AS DECIMAL(18,4)) AS dev,
+         CAST(n_obs * sx2 - sx * sx AS DECIMAL(18,4)) AS var_n2
+  FROM w
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value, n_obs,
+       CAST(dev * dev AS DOUBLE) AS sq_dev_n2,
+       CAST(9 * var_n2 AS DOUBLE) AS sq_bound_n2,
+       dev * dev > 9 * var_n2 AS is_outlier
+FROM d
+""",
+)
+def _q_zscore_outliers(spark, sf_dir):
+    """Trailing 50-event z-score anomaly flag (z=3) with ZERO floating
+    point in the decision: |x−μ|>z·σ multiplied through by n² keeps
+    every term on the exact decimal tick lattice — no sqrt, no
+    division, no epsilon, bit-identical across engines."""
+    return windows.zscore_outliers(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "w_drawdown",
     """
 SELECT event_id, user_id,
@@ -3523,6 +3559,7 @@ _VERIFY_FIRST = [
     "c_boilerplate_scrub",
     "c_group_sample",
     "q_shipmode_priority",
+    "w_zscore_outliers",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -444,3 +444,47 @@ def drawdown(events: DataFrame) -> DataFrame:
         peak.alias("peak"),
         (peak - F.col("value")).alias("drawdown"),
     )
+
+
+def zscore_outliers(events: DataFrame, window_rows: int = 50, z: int = 3) -> DataFrame:
+    """Trailing z-score anomaly flag per user: an event is an outlier
+    when it sits more than ``z`` standard deviations from the mean of
+    its own trailing ``window_rows`` window — the standard streaming
+    data-quality tripwire (sensor glitches, bot bursts, fat-finger
+    ticks) run as a batch operator.
+
+    Zero floating point in the DECISION: multiply ``|x−μ| > z·σ``
+    through by n² and square it —
+
+        (n·x − Σx)²  >  z² · (n·Σx² − (Σx)²)
+
+    — and every term lives on the exact decimal lattice (ticks are
+    2-decimal), so the flag is bit-identical on any engine and any
+    partitioning with no sqrt, no division, and no epsilon anywhere.
+    The squared deviation and bound leave as doubles for inspection
+    (one correctly-rounded cast each). One exchange on user_id; the
+    frame is O(window) per row on the sorted run — same shape as
+    rolling_volatility, which pays sqrt for a number where this pays
+    nothing for a verdict."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    d = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(d).over(w).cast("decimal(18,2)")
+    sx2 = F.sum(d * d).over(w).cast("decimal(18,4)")
+    dev = (n * d - sx).cast("decimal(18,4)")
+    dev2 = dev * dev
+    var_n2 = (n * sx2 - sx * sx).cast("decimal(18,4)")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        n.alias("n_obs"),
+        dev2.cast("double").alias("sq_dev_n2"),
+        (F.lit(z * z) * var_n2).cast("double").alias("sq_bound_n2"),
+        (dev2 > F.lit(z * z) * var_n2).alias("is_outlier"),
+    )

@@ -144,3 +144,32 @@ def test_pareto_smallest_covering_prefix(spark):
     assert [r["o_custkey"] for r in out] == [1, 2]
     assert out[-1]["cum_revenue"] == 80.0
     assert out[-1]["cum_share"] == 0.8
+
+
+def test_zscore_outliers_planted_spike(spark):
+    """A flat series never alarms (0 > 0 is false, no epsilon games);
+    a single spike alarms exactly once, at the spike. The spike sits
+    deep enough in its window that z=3 is reachable — a point inside
+    its own sample caps at z = (n−1)/√n, so n must be ≥ 11."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, base + dt.timedelta(minutes=i), 10.0 if i != 14 else 99.0)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r["is_outlier"] for r in windows.zscore_outliers(df).collect()}
+    assert out[14] is True
+    assert all(v is False for k, v in out.items() if k != 14)
+
+
+def test_zscore_outliers_single_user_exchange(spark):
+    """One hash exchange on user_id — the frame rides the sorted run."""
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import shuffle_count
+
+    assert shuffle_count(windows.zscore_outliers(df)) == 1
