@@ -1827,6 +1827,52 @@ def _q_st_stateful(spark, sf_dir):
     )
 
 
+@_register(
+    "st_zscore_outliers",
+    """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         COUNT(*) OVER win AS n_obs,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win AS DECIMAL(18,2)) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+              OVER win AS DECIMAL(18,4)) AS sx2
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value, n_obs,
+       CAST(n_obs * CAST(value AS DECIMAL(18,2)) - sx AS DECIMAL(18,4))
+         * CAST(n_obs * CAST(value AS DECIMAL(18,2)) - sx AS DECIMAL(18,4))
+         > 9 * CAST(n_obs * sx2 - sx * sx AS DECIMAL(18,4)) AS is_outlier
+FROM w
+""",
+)
+def _q_st_zscore(spark, sf_dir):
+    """Streaming per-user z-score anomaly flags (applyInPandasWithState
+    ring buffer of integer cents) drained through the real engine —
+    VALUE-exact vs the batch windowed-SQL oracle because the decision
+    is the same all-integer inequality on both paths."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    flagged = stateful.zscore_stream(_stream_events(spark, sf_dir))
+    out = pipeline.run_available_now(
+        flagged, f"st_zscore_{next(_STREAM_SEQ)}", output_mode="update"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        "n_obs",
+        "is_outlier",
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of / range joins + percentiles (operators/asof.py, aggregates.py)
 # ---------------------------------------------------------------------------
@@ -3560,6 +3606,7 @@ _VERIFY_FIRST = [
     "c_group_sample",
     "q_shipmode_priority",
     "w_zscore_outliers",
+    "st_zscore_outliers",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -74,3 +74,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ZSCORE_STATE_SCHEMA = "vals array<long>"
+ZSCORE_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, value double, "
+    "n_obs long, is_outlier boolean"
+)
+
+
+def zscore_stream(events: DataFrame, window_rows: int = 50, z: int = 3) -> DataFrame:
+    """Streaming twin of ``windows.zscore_outliers``: per-user trailing
+    z-score anomaly flags over a live stream, with the last
+    ``window_rows − 1`` ticks checkpointed as per-key state (a ring
+    buffer of integer cents — O(window) per key, bounded forever).
+
+    The decision is the same all-integer inequality as the batch
+    operator — (n·c − Σc)² > z²·(n·Σc² − (Σc)²) on cents — so a drain
+    of the stream is bit-identical to the batch flags: no float
+    accumulator to drift across micro-batch boundaries. Within a batch
+    rows are processed in (ts, event_id) order; across batches the
+    tracker relies on the landing producer's in-order delivery per key
+    (the log-structured-landing contract; out-of-order sources need a
+    watermark reorder stage first).
+
+    Self-contained closure: pickled by value, runs without this package
+    on the workers' path."""
+    zz = z * z
+    hist = window_rows - 1
+
+    def _flag(key, batches, state):
+        import numpy as _np
+        import pandas as _pd
+
+        (user_id,) = key
+        vals = list(state.get[0]) if state.exists else []
+        pdf = _pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = _np.round(pdf["value"].to_numpy() * 100).astype("int64")
+        arr = _np.concatenate([_np.asarray(vals, dtype="int64"), cents])
+        c1 = _np.concatenate([[0], _np.cumsum(arr)])
+        c2 = _np.concatenate([[0], _np.cumsum(arr * arr)])
+        j = _np.arange(len(vals), len(arr))
+        start = _np.maximum(0, j - hist)
+        n = j - start + 1
+        sx = c1[j + 1] - c1[start]
+        sx2 = c2[j + 1] - c2[start]
+        dev = n * arr[j] - sx
+        flags = dev * dev > zz * (n * sx2 - sx * sx)
+        state.update((arr[-hist:].tolist(),))
+        yield _pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": user_id,
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "n_obs": n,
+                "is_outlier": flags,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _flag,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

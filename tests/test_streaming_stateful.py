@@ -144,3 +144,82 @@ def test_interval_join_across_batches(spark, tmp_path):
     _drain()
     got = spark.read.parquet(out_dir).collect()
     assert [(r["click_id"], r["view_id"], r["user_id"]) for r in got] == [(2, 1, 7)]
+
+
+def test_zscore_stream_matches_batch(spark, sf_dir):
+    """Full-stream drain of the streaming flagger equals the batch
+    operator bit-for-bit (same integer inequality on both paths)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows
+
+    stream = pipeline.stream_events(spark, f"{sf_dir}/events.parquet")
+    got = (
+        pipeline.run_available_now(
+            stateful.zscore_stream(stream), "t_zscore_batchparity", "update"
+        )
+        .select("event_id", "n_obs", "is_outlier")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        windows.zscore_outliers(catalog.table(spark, sf_dir, "events"))
+        .select("event_id", "n_obs", "is_outlier")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n_obs"] == want["n_obs"]).all()
+    assert (got["is_outlier"] == want["is_outlier"]).all()
+
+
+def test_zscore_stream_ring_buffer_bridges_batches(spark, tmp_path):
+    """The per-key ring buffer persists: an event arriving in batch 2
+    is judged against the window carried from batch 1, so a spike that
+    looks normal in isolation still alarms."""
+    import glob
+    import os
+
+    land = tmp_path / "zs_landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "zs_ckpt")
+    out_dir = str(tmp_path / "zs_out")
+
+    def _write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.parquet(f"{tmp_path}/zs_stage_{name}")
+        src = glob.glob(f"{tmp_path}/zs_stage_{name}/part-*.parquet")[0]
+        os.rename(src, land / f"{name}.parquet")
+        shutil.rmtree(f"{tmp_path}/zs_stage_{name}")
+
+    ns = 10**9
+    stream = pipeline.stream_events(spark, str(land))
+    flagged = stateful.zscore_stream(stream)
+
+    def _drain():
+        q = (
+            flagged.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: 14 flat ticks build the window
+    _write_batch(
+        "b1",
+        [(i, i * ns, 7, "tick", 10.0, "{}") for i in range(14)],
+    )
+    _drain()
+    # batch 2: one spike — alone it has no window (n=1 never alarms),
+    # so an alarm proves the state bridged the batch boundary
+    _write_batch("b2", [(99, 99 * ns, 7, "tick", 99.0, "{}")])
+    _drain()
+    rows = {r["event_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[99]["is_outlier"] is True
+    assert rows[99]["n_obs"] == 15
+    assert rows[5]["is_outlier"] is False
