@@ -3144,6 +3144,44 @@ def _q_ohlcv_bars(spark, sf_dir):
 
 
 @_register(
+    "w_resample_ffill",
+    """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         arg_max(value, printf('%020d%012d', epoch_us(ts), event_id)) AS day_close
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM per_day GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+),
+filled AS (
+  SELECT g.user_id, g.day, p.day_close
+  FROM grid g LEFT JOIN per_day p ON g.user_id = p.user_id AND g.day = p.day
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day_s,
+       day_close IS NOT NULL AS observed,
+       last_value(day_close IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+FROM filled
+""",
+)
+def _q_resample_ffill(spark, sf_dir):
+    """Calendar resample + forward fill (bi.resample_daily_ffill): one
+    row per (user, day) on the user's full day grid, last observed
+    close carried through silent days. Two exchanges: a combinable
+    per-day max_by, then one user-keyed exchange shared by the span
+    window and the day-ordered fill window; the grid explode is
+    bounded by the calendar span, never tick volume."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+    return bi.resample_daily_ffill(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "w_rolling_volatility",
     """
 SELECT event_id, user_id,
@@ -3607,6 +3645,7 @@ _VERIFY_FIRST = [
     "q_shipmode_priority",
     "w_zscore_outliers",
     "st_zscore_outliers",
+    "w_resample_ffill",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -114,3 +114,67 @@ def ohlcv_bars(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def resample_daily_ffill(events: DataFrame) -> DataFrame:
+    """Calendar resampling with forward fill: irregular ticks become
+    one row per (user, day) on each user's full [first-day, last-day]
+    grid, carrying the last observed close forward through silent days
+    — the gap-filling step between raw ticks and any daily model input
+    (the reference's KC=F.csv encodes exactly these market holes as
+    "null" rows; here the grid is derived, not ingested).
+
+    The tick-collapsing aggregate (one map-side-combinable max_by on
+    the zero-padded tick key — ohlcv_bars' total order, deterministic
+    under ts ties) runs ONCE and is scoped-persisted: its result feeds
+    both the observed branch and the missing-day anti-join, so the raw
+    tick stream is scanned a single time. Every exchange after it
+    carries day-grid-sized data (#users × #days — the operator's own
+    output cardinality), never tick volume; the grid explode is
+    bounded by the calendar span, so per-key cost stays flat no matter
+    how hot a key's tick stream is. Nothing driver-side."""
+    from ..caching import scoped_persist
+
+    tick_key = F.format_string(
+        "%020d%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    per_day = scoped_persist(
+        events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+            F.max_by("value", tick_key).alias("day_close")
+        )
+    )
+
+    w_user = Window.partitionBy("user_id")
+    spanned = per_day.select(
+        "user_id",
+        "day",
+        "day_close",
+        F.min("day").over(w_user).alias("__d0"),
+        F.max("day").over(w_user).alias("__d1"),
+    )
+    # observed days keep their close; missing days are built once from
+    # ONE representative row per user (the min-day row) to avoid
+    # generating the grid per observed day.
+    missing = (
+        spanned.filter(F.col("day") == F.col("__d0"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("__d0", "__d1")).alias("day"),
+        )
+        .join(per_day.select("user_id", "day"), ["user_id", "day"], "left_anti")
+        .select("user_id", "day", F.lit(None).cast("double").alias("day_close"))
+    )
+    full = per_day.unionByName(missing)
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return full.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        (F.col("day_close").isNotNull()).alias("observed"),
+        F.last("day_close", ignorenulls=True).over(w_fill).alias("close_ffill"),
+    )

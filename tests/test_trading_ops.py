@@ -173,3 +173,38 @@ def test_zscore_outliers_single_user_exchange(spark):
     from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import shuffle_count
 
     assert shuffle_count(windows.zscore_outliers(df)) == 1
+
+
+def test_resample_ffill_planted_gap(spark):
+    """Ticks on day 1 (two — last wins) and day 4: the grid has all 4
+    days, silent days carry day-1's close, observed flags are exact."""
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 9, 0), 7, 10.0),
+        (2, dt.datetime(2024, 3, 1, 16, 0), 7, 12.0),  # later tick wins day 1
+        (3, dt.datetime(2024, 3, 4, 9, 0), 7, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+    out = {r["day_s"]: r for r in bi.resample_daily_ffill(df).collect()}
+    assert sorted(out) == ["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"]
+    assert out["2024-03-01"]["close_ffill"] == 12.0
+    assert out["2024-03-02"]["close_ffill"] == 12.0 and not out["2024-03-02"]["observed"]
+    assert out["2024-03-03"]["close_ffill"] == 12.0 and not out["2024-03-03"]["observed"]
+    assert out["2024-03-04"]["close_ffill"] == 20.0 and out["2024-03-04"]["observed"]
+
+
+def test_resample_ffill_single_tick_scan(spark):
+    """The tick-collapsing aggregate materializes once (scoped persist)
+    — every downstream consumer reads the cached day frame, not the
+    raw tick stream."""
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 1), 7, 1.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    assert plan_string(bi.resample_daily_ffill(df)).count("InMemoryTableScan") >= 2
