@@ -1193,6 +1193,40 @@ def _q_decode_resize(spark, sf_dir):
 
 
 @_register(
+    "m_audio_wav",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(list_max(list_transform(range(1, length(text) + 1),
+              i -> abs(ascii(substr(text, CAST(i AS INTEGER), 1)) - 128))) * 256
+            AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+              i -> (ascii(substr(text, CAST(i AS INTEGER), 1)) - 128)
+                 * (ascii(substr(text, CAST(i AS INTEGER), 1)) - 128)))
+            AS BIGINT) AS sum_sq,
+       TRUE AS roundtrip_ok
+FROM documents
+""",
+)
+def _q_audio_wav(spark, sf_dir):
+    """Audio pipeline CERTIFIED with a REAL RIFF/WAVE codec
+    (sources/multimodal.py encode_wav/decode_wav — PCM16 chunk
+    framing, word alignment, unknown-chunk skip): each payload byte
+    becomes a centered 16-bit sample, round-trips through the codec,
+    and the signal stats return as exact integers (peak = max|sample|,
+    sum_sq = integer energy) the oracle replays from character codes —
+    no float RMS to drift cross-engine."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)  # executor closures reference the WAV codec
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.certify_audio_pipeline(media)
+
+
+@_register(
     "a_cube",
     f"""
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
@@ -3646,6 +3680,7 @@ _VERIFY_FIRST = [
     "w_zscore_outliers",
     "st_zscore_outliers",
     "w_resample_ffill",
+    "m_audio_wav",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -367,3 +367,94 @@ def certify_image_pipeline(
             )
 
     return media.mapInPandas(_batches, schema=CERTIFIED_SCHEMA)
+
+
+# ------------------------------------------------------------ WAV codec
+# A REAL audio codec, stdlib-only: RIFF/WAVE with 16-bit PCM. Closes
+# the audio half of the "no codecs in this container" gap the same way
+# encode_bmp/decode_bmp closed the image half — real chunk framing
+# (RIFF header, fmt/data chunks, word alignment, unknown-chunk skip),
+# not a passthrough fake.
+
+AUDIO_CERTIFIED_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, "
+    "peak long, sum_sq long, roundtrip_ok boolean"
+)
+
+
+def encode_wav(sample_rate: int, pcm: bytes, channels: int = 1) -> bytes:
+    """Encode little-endian 16-bit PCM as a RIFF/WAVE byte stream."""
+    import struct
+
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, bytes]:
+    """Decode RIFF/WAVE → (sample_rate, channels, pcm bytes). Walks the
+    chunk list (word-aligned, unknown chunks skipped — real WAV files
+    carry LIST/INFO chunks); rejects non-PCM and non-16-bit variants."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, ch, pcm = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", data, pos)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            pcm = data[pos : pos + clen]
+        pos += clen + (clen & 1)
+    if sr is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, ch, pcm
+
+
+def certify_audio_pipeline(media: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """The audio path CERTIFIED end-to-end with hash-checkable output:
+    each payload byte becomes one centered 16-bit sample ((b−128)·256 —
+    a rule an oracle can replay in SQL from character codes, since the
+    corpus is ASCII), the sample block runs through the REAL WAV
+    encoder and decoder, and the signal stats come back as exact
+    integers: ``peak`` = max |sample|, ``sum_sq`` = Σ(b−128)² (energy
+    on the integer lattice — no RMS float/sqrt to drift cross-engine).
+    ``roundtrip_ok`` is byte-identity of decode(encode(pcm)) plus
+    header fidelity, which exercises chunk framing both ways."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _one(payload: bytes):
+            b = bytes(payload)
+            x = _np.frombuffer(b, dtype=_np.uint8).astype(_np.int64) - 128
+            pcm = (x << 8).astype("<i2").tobytes()
+            sr2, ch2, pcm2 = decode_wav(encode_wav(sample_rate, pcm))
+            ok = sr2 == sample_rate and ch2 == 1 and pcm2 == pcm
+            peak = int(_np.abs(x).max()) * 256 if len(x) else 0
+            return len(x), sample_rate, peak, int((x * x).sum()), bool(ok)
+
+        for pdf in it:
+            rows = [_one(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "peak": [r[2] for r in rows],
+                    "sum_sq": [r[3] for r in rows],
+                    "roundtrip_ok": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_CERTIFIED_SCHEMA)

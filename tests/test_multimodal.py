@@ -146,3 +146,45 @@ def test_certify_image_pipeline_all_true(spark, sf_dir):
     assert len(pdf) > 0
     assert pdf["roundtrip_ok"].all() and pdf["resize_ok"].all()
     assert (pdf["width"] == pdf["width"].astype("int64")).all()
+
+
+def test_wav_roundtrip_known_samples():
+    import struct
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    pcm = struct.pack("<4h", -32768, -1, 0, 32512)
+    sr, ch, out = decode_wav(encode_wav(8000, pcm))
+    assert (sr, ch, out) == (8000, 1, pcm)
+
+
+def test_wav_skips_unknown_chunks_and_rejects_variants():
+    import struct
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    wav = encode_wav(16000, struct.pack("<2h", 7, -7))
+    # splice a LIST chunk (odd length — exercises word alignment)
+    # between the fmt and data chunks, as real recorders emit
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    sr, ch, pcm = decode_wav(spliced)
+    assert (sr, ch) == (16000, 1) and pcm == struct.pack("<2h", 7, -7)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    bad = bytearray(encode_wav(8000, b"\x00\x00"))
+    bad[20] = 3  # audio_fmt = IEEE float
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
