@@ -777,6 +777,35 @@ def _q_group_sample(spark, sf_dir):
 
 
 @_register(
+    "c_winsorize",
+    """
+WITH f AS (
+  SELECT event_type,
+         CAST(quantile_cont(value, 0.25) AS DECIMAL(18,4)) AS q1,
+         CAST(quantile_cont(value, 0.75) AS DECIMAL(18,4)) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(least(greatest(CAST(e.value AS DECIMAL(18,2)),
+                           q1 - CAST(1.5 AS DECIMAL(6,3)) * (q3 - q1)),
+                  q3 + CAST(1.5 AS DECIMAL(6,3)) * (q3 - q1)) AS DOUBLE)
+         AS clipped,
+       CAST(e.value AS DECIMAL(18,2)) < q1 - CAST(1.5 AS DECIMAL(6,3)) * (q3 - q1)
+         OR CAST(e.value AS DECIMAL(18,2)) > q3 + CAST(1.5 AS DECIMAL(6,3)) * (q3 - q1)
+         AS was_clipped
+FROM events e JOIN f USING (event_type)
+""",
+)
+def _q_winsorize(spark, sf_dir):
+    """Tukey-fence winsorization per event type (curate.winsorize):
+    quartiles cast onto the 4-decimal lattice make both fences exact
+    decimals, so clip decisions and clipped values are bit-identical
+    cross-engine. Fence table broadcast back; the event stream is
+    never shuffled."""
+    return curate.winsorize(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "c_chunk_documents",
     f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -1224,6 +1253,55 @@ def _q_audio_wav(spark, sf_dir):
     ship_package(spark)  # executor closures reference the WAV codec
     media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
     return multimodal.certify_audio_pipeline(media)
+
+
+@_register(
+    "m_analyze_stats",
+    """
+SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(l_quantity) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_num,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+       COUNT(DISTINCT l_extendedprice),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+       NULL, NULL
+FROM lineitem
+UNION ALL
+SELECT 'l_orderkey', COUNT(*), COUNT(*) - COUNT(l_orderkey),
+       COUNT(DISTINCT l_orderkey),
+       CAST(MIN(l_orderkey) AS DOUBLE), CAST(MAX(l_orderkey) AS DOUBLE),
+       NULL, NULL
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+       COUNT(DISTINCT l_returnflag), NULL, NULL,
+       CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+       COUNT(DISTINCT l_linestatus), NULL, NULL,
+       CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+FROM lineitem
+""",
+)
+def _q_analyze_stats(spark, sf_dir):
+    """ANALYZE-style column profiling (maintenance.analyze_table): row/
+    null/distinct counts + min/max for 5 lineitem columns in ONE pass
+    (multi-distinct planned through a single EXPAND), exploded to one
+    stats row per column. approx=True swaps HLL sketches in at 100 TB;
+    the gate runs exact so values are engine-portable."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    return maintenance.analyze_table(
+        _t(spark, sf_dir, "lineitem"),
+        numeric_cols=["l_quantity", "l_extendedprice", "l_orderkey"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    )
 
 
 @_register(
@@ -2363,6 +2441,39 @@ def _q_priority_late_orders(spark, sf_dir):
 
     return analytics.priority_delivery_counts(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_register(
+    "q_yoy_growth",
+    f"""
+WITH py AS (
+  SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS order_year,
+         {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(order_year AS INTEGER) AS order_year, revenue,
+       LAG(revenue) OVER w AS prev_revenue,
+       revenue - LAG(revenue) OVER w AS delta,
+       revenue / LAG(revenue) OVER w AS growth_ratio
+FROM py
+WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
+""",
+)
+def _q_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue per nation: decimal-exact yearly fold,
+    LAG over nation-sized window frames (aggregate-first — the window
+    shuffles #nations × #years rows, never the fact table), one IEEE
+    division for the growth ratio."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return analytics.yoy_growth(
+        t("lineitem"), t("orders"), t("customer"), t("nation")
     )
 
 
@@ -3681,6 +3792,9 @@ _VERIFY_FIRST = [
     "st_zscore_outliers",
     "w_resample_ffill",
     "m_audio_wav",
+    "c_winsorize",
+    "m_analyze_stats",
+    "q_yoy_growth",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -323,3 +323,38 @@ def group_sample(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def winsorize(
+    events: DataFrame, group_col: str = "event_type", k: str = "1.5"
+) -> DataFrame:
+    """Tukey-fence winsorization per group: values outside
+    [q1 − k·IQR, q3 + k·IQR] clip to the fence — the standard outlier
+    clamp before a numeric column feeds normalization or training.
+
+    Engine-exact decision: the quartiles land on an (at most) 4-decimal
+    lattice (binary-fraction interpolation of 2-decimal ticks), so both
+    fences are computed in DECIMAL after one cast — every comparison
+    and clip happens on exact decimals, never raw doubles, and the
+    clipped value is bit-identical on any engine. Scale shape: the
+    fence table is one row per group (a groupBy on the tiny group key),
+    broadcast back — the event stream itself is never shuffled."""
+    d = F.col("value").cast("decimal(18,2)")
+    kd = F.lit(k).cast("decimal(6,3)")
+    fences = events.groupBy(group_col).agg(
+        F.percentile("value", 0.25).cast("decimal(18,4)").alias("__q1"),
+        F.percentile("value", 0.75).cast("decimal(18,4)").alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    lo = F.col("__q1") - kd * iqr
+    hi = F.col("__q3") + kd * iqr
+    return (
+        events.join(F.broadcast(fences), group_col)
+        .select(
+            "event_id",
+            group_col,
+            "value",
+            F.least(F.greatest(d, lo), hi).cast("double").alias("clipped"),
+            ((d < lo) | (d > hi)).alias("was_clipped"),
+        )
+    )

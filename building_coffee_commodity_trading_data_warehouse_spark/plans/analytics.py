@@ -436,3 +436,44 @@ def shipmode_priority_mix(
         )
         .orderBy("l_returnflag")
     )
+
+
+def yoy_growth(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Year-over-year revenue growth per nation — the trend panel every
+    warehouse dashboard opens with. Revenue folds decimal-exact per
+    (nation, year); the previous year arrives by LAG over a window
+    whose partitions are nation-sized (≤ #years rows each, never fact
+    rows — the aggregate runs FIRST, so the window shuffles a tiny
+    frame). Growth ratio is one IEEE division of two exact-decimal-cast
+    doubles — engine-identical.
+
+    Join shape: the one big-big orderkey shuffle (lineitem ⋈ orders),
+    then broadcast dim hops (customer → nation) — the fact side never
+    re-shuffles for a dimension."""
+    enriched = (
+        lineitem.select("l_orderkey", REVENUE.alias("__rev"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    per_year = enriched.groupBy(
+        "n_name", F.year("o_orderdate").alias("order_year")
+    ).agg(dsum(F.col("__rev")).alias("revenue"))
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return per_year.select(
+        "n_name",
+        "order_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("delta"),
+        (F.col("revenue") / prev).alias("growth_ratio"),
+    )

@@ -93,3 +93,64 @@ def compact_table(
     out = spark.read.parquet(dest_path)
     n_files, _ = table_file_stats(out)
     return n_files
+
+
+def analyze_table(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+    approx: bool = False,
+) -> DataFrame:
+    """ANALYZE-style column profiling: one row per column with row,
+    null, and distinct counts plus min/max — the statistics a catalog
+    keeps so a cost-based optimizer (and a human) can judge selectivity
+    and skew without scanning the table again.
+
+    One pass over the data: every per-column aggregate folds into a
+    single aggregation (Spark plans the multi-distinct via one EXPAND),
+    then the 1-row result explodes into the per-column stats rows —
+    nothing driver-side, output is #columns rows. ``approx=True`` swaps
+    exact distinct counts for HLL sketches (approx_count_distinct):
+    the 100 TB default, since exact multi-column distinct multiplies
+    the expanded row volume; gates use exact so the values are
+    engine-portable."""
+    from pyspark.sql import functions as F
+
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs, entries = [], []
+    for c in numeric_cols + string_cols:
+        is_num = c in numeric_cols
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            nd(c).alias(f"__nd_{c}"),
+            (F.min(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__minn_{c}"
+            ),
+            (F.max(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__maxn_{c}"
+            ),
+            (F.lit(None).cast("string") if is_num else F.min(c).cast("string")).alias(
+                f"__mins_{c}"
+            ),
+            (F.lit(None).cast("string") if is_num else F.max(c).cast("string")).alias(
+                f"__maxs_{c}"
+            ),
+        ]
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__rows_{c}").alias("n_rows"),
+                (F.col(f"__rows_{c}") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__minn_{c}").alias("min_num"),
+                F.col(f"__maxn_{c}").alias("max_num"),
+                F.col(f"__mins_{c}").alias("min_str"),
+                F.col(f"__maxs_{c}").alias("max_str"),
+            )
+        )
+    return df.agg(*aggs).select(F.explode(F.array(*entries)).alias("s")).select("s.*")

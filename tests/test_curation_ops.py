@@ -261,3 +261,33 @@ def test_group_sample_pushes_group_limit(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, grp string")
     plan = plan_string(curate.group_sample(df, 1, group_col="grp"))
     assert plan.count("WindowGroupLimit") == 2, plan  # partial + final
+
+
+def test_winsorize_planted_fences(spark):
+    """n=5 values 10..50 with one wild outlier: q1=20, q3=40 (exact),
+    fences [(20-1.5*20)=-10, (40+1.5*20)=70] — 500 clips to 70, the
+    rest pass untouched."""
+    rows = [(i, "t", v) for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 500.0])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in curate.winsorize(df).collect()}
+    # q1/q3 of [10,20,30,40,500]: positions land on exact values 20/40
+    assert out[4]["was_clipped"] is True and out[4]["clipped"] == 70.0
+    assert all(
+        out[i]["was_clipped"] is False and out[i]["clipped"] == out[i]["value"]
+        for i in range(4)
+    )
+
+
+def test_winsorize_never_shuffles_events(spark):
+    """The only hash exchange aggregates the tiny fence table; events
+    flow through a broadcast join — pure projection at stream scale."""
+    import re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame(
+        [(1, "t", 1.0)], "event_id long, event_type string, value double"
+    )
+    plan = plan_string(curate.winsorize(df))
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning\(event_id", plan)
