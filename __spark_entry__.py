@@ -611,6 +611,38 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "d_minhash_certify",
+    f"""
+WITH sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM ({_SQL_SHINGLES}) sh CROSS JOIN range(64) r(seed)
+  GROUP BY doc_id, seed
+),
+jac AS (SELECT * FROM ({_SQL_JACCARD_PAIRS}) WHERE jaccard >= 0.2),
+agree AS (
+  SELECT j.doc_a, j.doc_b, j.jaccard,
+         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM jac j
+  JOIN sig a ON a.doc_id = j.doc_a
+  JOIN sig b ON b.doc_id = j.doc_b AND a.seed = b.seed
+  GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, jaccard, n_agree,
+       abs(n_agree / 64.0 - jaccard) <= 0.35 AS est_ok
+FROM agree
+""",
+)
+def _q_minhash_certify(spark, sf_dir):
+    """MinHash estimator certification (dedup.minhash_estimate_certify):
+    signature-agreement Ĵ at k=64 vs exact shingle Jaccard per
+    above-threshold pair, with the Hoeffding bound |Ĵ−J| ≤ 0.35 as a
+    hash-covered verdict. Deterministic md5 hashes → a fixed value,
+    fully replayed by the oracle (signatures AND bound)."""
+    return dedup.minhash_estimate_certify(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "d_minhash_lsh",
     f"""
 WITH sh AS ({_SQL_SHINGLES}),
@@ -1253,6 +1285,32 @@ def _q_audio_wav(spark, sf_dir):
     ship_package(spark)  # executor closures reference the WAV codec
     media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
     return multimodal.certify_audio_pipeline(media)
+
+
+@_register(
+    "a_histogram",
+    """
+WITH b AS (
+  SELECT greatest(0, least(9,
+           CAST(floor((CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) - 0)
+                      / 500) AS BIGINT))) AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       0.0 + bucket * 5.0 AS lo_edge,
+       0.0 + (bucket + 1) * 5.0 AS hi_edge,
+       COUNT(*) AS n_rows
+FROM b GROUP BY bucket
+""",
+)
+def _q_histogram(spark, sf_dir):
+    """Equi-width histogram of l_quantity (10 bins over [0, 50]):
+    integer-cent bucketing (aggregates.histogram) — no float boundary
+    arithmetic, one combinable aggregate, shuffle volume = nbins rows
+    per task."""
+    return aggregates.histogram(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", 0.0, 50.0, 10
+    )
 
 
 @_register(
@@ -3795,6 +3853,8 @@ _VERIFY_FIRST = [
     "c_winsorize",
     "m_analyze_stats",
     "q_yoy_growth",
+    "a_histogram",
+    "d_minhash_certify",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -360,3 +360,38 @@ def quantity_percentiles_certified(
         ok("50", 0.50).alias("q50_ok"),
         ok("75", 0.75).alias("q75_ok"),
     )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Equi-width histogram — the profiling primitive behind every
+    distribution panel. Bucketing is INTEGER-EXACT: values and edges
+    move onto the cent lattice (2-decimal data × 100) and the bucket is
+    one integer floor-division — no float boundary arithmetic, so a
+    value sitting exactly on an edge lands in the same bucket on every
+    engine (width_bucket's double divide can flip edge cases by one
+    ulp). Out-of-range rows clamp into the end buckets, top edge
+    inclusive (standard histogram convention).
+
+    One combinable aggregate: partial counts per bucket fold map-side;
+    shuffle volume is nbins rows per task, never the table."""
+    c = (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+    lo_c, hi_c = int(round(lo * 100)), int(round(hi * 100))
+    w_c = (hi_c - lo_c) // nbins
+    raw = F.floor((c - F.lit(lo_c)) / F.lit(w_c)).cast("long")
+    bucket = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(lo_c / 100.0) + F.col("bucket") * F.lit(w_c / 100.0)).alias(
+                "lo_edge"
+            ),
+            (F.lit(lo_c / 100.0) + (F.col("bucket") + 1) * F.lit(w_c / 100.0)).alias(
+                "hi_edge"
+            ),
+            "n_rows",
+        )
+    )

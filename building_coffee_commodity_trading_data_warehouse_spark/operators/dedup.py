@@ -663,3 +663,48 @@ def chunk_dedup(
             ).alias("is_keeper"),
         )
     )
+
+
+def minhash_estimate_certify(
+    documents: DataFrame,
+    k: int = 64,
+    n: int = 2,
+    threshold: float = 0.2,
+    bound: float = 0.35,
+) -> DataFrame:
+    """Certify the MinHash ESTIMATOR, not just the pipeline around it:
+    for every above-threshold pair, the signature-agreement estimate
+    Ĵ = (#agreeing of k hashes)/k must sit within ``bound`` of the
+    exact shingle Jaccard. Hoeffding gives P(|Ĵ−J| > 0.35) ≤
+    2·exp(−2·64·0.35²) ≈ 3·10⁻⁷ per pair at k=64 — and the md5-based
+    hashes are deterministic, so the emitted verdict is a fixed,
+    hash-checkable value, never a flaky sample.
+
+    Scale: the pair set is the (already candidate-bounded) Jaccard
+    stream; signatures attach via two doc-keyed hash joins; agreement
+    counting is a k-term codegen sum per pair — no extra shuffle
+    beyond the joins."""
+    pairs = ngram_jaccard_pairs(documents, n=n, threshold=threshold)
+    sigs = minhash_signatures_wide(documents, k=k, n=n)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(k)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(k)]
+    )
+    n_agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_agree.cast("long").alias("n_agree"),
+            (F.abs(n_agree / F.lit(float(k)) - F.col("jaccard")) <= F.lit(bound)).alias(
+                "est_ok"
+            ),
+        )
+    )

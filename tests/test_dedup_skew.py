@@ -72,3 +72,16 @@ def test_containment_finds_embedded_doc(spark):
     assert (
         dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.5, max_df=None).count() == 0
     )
+
+
+def test_minhash_certify_all_within_bound(spark, sf_dir):
+    """The estimator verdict holds corpus-wide, and identical shingle
+    sets agree on every hash (est exactly 1 where J = 1)."""
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+
+    pdf = dedup.minhash_estimate_certify(
+        catalog.table(spark, sf_dir, "documents")
+    ).toPandas()
+    assert len(pdf) > 0 and pdf["est_ok"].all()
+    exact_dups = pdf[pdf["jaccard"] == 1.0]
+    assert (exact_dups["n_agree"] == 64).all()
