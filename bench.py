@@ -50,6 +50,11 @@ HEADLINE = [
     "e_normalize_battery",
     "st_tumbling_counts",
     "st_merge_stream",
+    # round-5 additions (totals are not comparable to rounds ≤4 —
+    # compare per-query against BASELINE.md's noise band instead)
+    "c_boilerplate_scrub",
+    "w_zscore_outliers",
+    "w_resample_ffill",
 ]
 
 
