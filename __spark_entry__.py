@@ -611,6 +611,29 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "d_incremental_dedup",
+    """
+WITH hist AS (SELECT DISTINCT md5(text) AS content_md5 FROM documents WHERE doc_id < 250),
+batch AS (SELECT doc_id, md5(text) AS content_md5 FROM documents WHERE doc_id >= 250)
+SELECT MIN(doc_id) AS doc_id, content_md5
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.content_md5 = b.content_md5)
+GROUP BY content_md5
+""",
+)
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental batch-vs-history dedup (dedup.incremental_dedup):
+    the second half of the corpus lands against the first half as
+    history — only hashes new to history AND unique in-batch survive,
+    min-doc_id keeper. Both sides collapse to 32-byte hashes before
+    the anti-join; text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)
+    )
+
+
+@_register(
     "d_minhash_certify",
     f"""
 WITH sig AS (
@@ -3855,6 +3878,7 @@ _VERIFY_FIRST = [
     "q_yoy_growth",
     "a_histogram",
     "d_minhash_certify",
+    "d_incremental_dedup",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

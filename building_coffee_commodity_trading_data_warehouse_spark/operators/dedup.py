@@ -708,3 +708,33 @@ def minhash_estimate_certify(
             ),
         )
     )
+
+
+def incremental_dedup(
+    history: DataFrame, batch: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Production dedup is INCREMENTAL: a new crawl batch lands against
+    a corpus that was already deduplicated, and only rows that are new
+    both against history AND within their own batch survive. Returns
+    the surviving batch rows' (doc_id, content_md5).
+
+    Scale shape: both sides collapse to 32-byte content hashes before
+    any join (the text never shuffles); history participates ONLY as
+    its distinct hash set — one narrow anti-join on the hash key, the
+    same plan at 1 GB or 100 TB of history (at the high end the
+    history hash set is a fraction of corpus bytes and can be a
+    pre-materialized bucketed table, making the anti-join co-located).
+    In-batch survivors keep the minimum doc_id, consistent with
+    exact_dedup's keeper rule."""
+    h = history.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_md5")
+    ).distinct()
+    b = batch.select(
+        "doc_id", F.md5(F.col(text_col).cast("binary")).alias("content_md5")
+    )
+    return (
+        b.join(h, "content_md5", "left_anti")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
+    )

@@ -85,3 +85,17 @@ def test_minhash_certify_all_within_bound(spark, sf_dir):
     assert len(pdf) > 0 and pdf["est_ok"].all()
     exact_dups = pdf[pdf["jaccard"] == 1.0]
     assert (exact_dups["n_agree"] == 64).all()
+
+
+def test_incremental_dedup_planted(spark):
+    """A batch row duplicating history drops; a batch-internal dup
+    keeps its min doc_id; genuinely new text survives."""
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "brand new"), (13, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in dedup.incremental_dedup(hist, batch).collect()}
+    assert out == {11, 13}
