@@ -1311,6 +1311,33 @@ def _q_audio_wav(spark, sf_dir):
 
 
 @_register(
+    "m_skew_report",
+    """
+WITH counts AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key_s, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total_rows, MAX(n_rows) AS max_per_key
+  FROM counts
+)
+SELECT key_s, n_rows, n_keys, total_rows, max_per_key,
+       total_rows * 1.0 / n_keys AS mean_per_key,
+       max_per_key / (total_rows * 1.0 / n_keys) AS skew_factor
+FROM (SELECT * FROM counts ORDER BY n_rows DESC, key_s LIMIT 10), stats
+""",
+)
+def _q_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis (maintenance.skew_report) on the
+    lineitem supplier key: hottest 10 keys + distinct-key stats and
+    the max/mean skew factor — one combinable aggregate, top-N via
+    per-partition heap, 1-row stats broadcast."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    return maintenance.skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+@_register(
     "a_histogram",
     """
 WITH b AS (
@@ -3879,6 +3906,7 @@ _VERIFY_FIRST = [
     "a_histogram",
     "d_minhash_certify",
     "d_incremental_dedup",
+    "m_skew_report",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

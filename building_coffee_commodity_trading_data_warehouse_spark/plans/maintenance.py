@@ -154,3 +154,44 @@ def analyze_table(
             )
         )
     return df.agg(*aggs).select(F.explode(F.array(*entries)).alias("s")).select("s.*")
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew diagnosis: the numbers you read BEFORE choosing
+    between a plain shuffle join, a salted join (joins.salted_join),
+    and an AQE skew split — the hottest ``top_n`` keys with their row
+    counts, alongside corpus-wide key statistics (distinct keys, max
+    and mean per-key count, and the max/mean skew factor).
+
+    One key-keyed aggregate (map-side combinable) is the only pass
+    over the data — the per-key frame is scoped-persisted so the top-N
+    branch and the stats branch read the cache, not the table, twice
+    (same policy as analytics.pareto_customers); the global stats fold
+    that tiny frame into one broadcast row, and the top-N terminates
+    in a per-partition heap (TakeOrderedAndProject) — nothing
+    key-cardinality-sized ever sorts globally or lands on the driver."""
+    from pyspark.sql import functions as F
+
+    from ..caching import scoped_persist
+
+    counts = scoped_persist(
+        df.groupBy(F.col(key_col).cast("string").alias("key_s")).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("__n_keys"),
+        F.sum("n_rows").alias("__total"),
+        F.max("n_rows").alias("__max_n"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), "key_s").limit(top_n)
+    avg = F.col("__total") / F.col("__n_keys")
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key_s",
+        "n_rows",
+        F.col("__n_keys").alias("n_keys"),
+        F.col("__total").alias("total_rows"),
+        F.col("__max_n").alias("max_per_key"),
+        avg.alias("mean_per_key"),
+        (F.col("__max_n") / avg).alias("skew_factor"),
+    )

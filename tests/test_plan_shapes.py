@@ -318,3 +318,18 @@ def test_shipmode_priority_residual_predicate_and_pruning(spark, sf_dir):
     assert "struct<l_orderkey:bigint,l_returnflag:string,l_shipdate" in plan
     assert "struct<o_orderkey:bigint,o_orderdate" in plan
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_skew_report_heap_topn_and_broadcast_stats(spark, sf_dir):
+    """The hottest-keys cut is a per-partition heap (never a global
+    sort) and the corpus-wide stats attach as a 1-row broadcast."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    plan = explain.plan_string(
+        maintenance.skew_report(catalog.table(spark, sf_dir, "lineitem"), "l_suppkey")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # the per-key frame is cached: both branches read InMemoryTableScan,
+    # so lineitem is scanned once no matter how many consumers
+    assert plan.count("InMemoryTableScan") >= 2, plan
