@@ -2553,6 +2553,53 @@ def _q_priority_late_orders(spark, sf_dir):
 
 
 @_register(
+    "q_promo_revenue",
+    f"""
+SELECT {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")}
+         AS promo_revenue,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS total_revenue,
+       100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")}
+         / {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+""",
+)
+def _q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: one month's promo-part revenue share. Date
+    filter pushed to the fact scan, part dim broadcast, both sums
+    decimal-exact in one aggregate, one IEEE division for the pct."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_register(
+    "q_order_distribution",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders ORDER BY n_orders
+""",
+)
+def _q_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customers by order count (zero included).
+    Aggregate-first — orders collapse per customer BEFORE the dim
+    join, so the join moves #customers rows, never #orders."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.order_count_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_register(
     "q_yoy_growth",
     f"""
 WITH py AS (
@@ -3907,6 +3954,8 @@ _VERIFY_FIRST = [
     "d_minhash_certify",
     "d_incremental_dedup",
     "m_skew_report",
+    "q_promo_revenue",
+    "q_order_distribution",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata

@@ -477,3 +477,56 @@ def yoy_growth(
         (F.col("revenue") - prev).alias("delta"),
         (F.col("revenue") / prev).alias("growth_ratio"),
     )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1997-09-01",
+    date_to: str = "1997-10-01",
+) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): of one month's
+    revenue, what percentage came from promo-typed parts. The month
+    filter prunes the fact scan (pushed to parquet), the part dim
+    broadcasts, and both the promo and total revenue fold decimal-
+    exact in ONE aggregate — the share is a single IEEE division of
+    two exact sums."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_partkey", REVENUE.alias("__rev"))
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("__rev")).otherwise(F.lit(0.0))
+    return joined.agg(
+        dsum(promo).alias("promo_revenue"),
+        dsum(F.col("__rev")).alias("total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customer engagement histogram (TPC-H Q13 shape): how many
+    customers placed 0, 1, 2, … orders. Aggregate-FIRST: orders
+    collapse to per-customer counts before touching the customer dim
+    (the join moves #customers rows, not #orders), customers with no
+    orders enter as count 0 via the left join, and the second
+    aggregate is over #distinct-counts rows — tiny."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("__n"))
+    with_zero = (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"))
+    )
+    return (
+        with_zero.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_orders"))
+    )
