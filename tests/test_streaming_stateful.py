@@ -223,3 +223,73 @@ def test_zscore_stream_ring_buffer_bridges_batches(spark, tmp_path):
     assert rows[99]["is_outlier"] is True
     assert rows[99]["n_obs"] == 15
     assert rows[5]["is_outlier"] is False
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """The watermark is not decorative: after batch 1 advances event
+    time past a window's close + watermark, a straggler for that
+    window arriving in batch 2 is DROPPED — the appended output never
+    revises the closed window."""
+    import glob
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import windows as sw
+
+    land = tmp_path / "wm_landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    out_dir = str(tmp_path / "wm_out")
+
+    def _write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        ).coalesce(1).write.parquet(f"{tmp_path}/wm_stage_{name}")
+        src = glob.glob(f"{tmp_path}/wm_stage_{name}/part-*.parquet")[0]
+        os.rename(src, land / f"{name}.parquet")
+        shutil.rmtree(f"{tmp_path}/wm_stage_{name}")
+
+    ns = 10**9
+    hour = 3600
+    counts = sw.tumbling_counts(pipeline.stream_events(spark, str(land)))
+
+    def _drain():
+        q = (
+            counts.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two events in hour 0, then one at hour 3 that advances
+    # the watermark to hour 2 — hour 0's window closes and emits
+    _write_batch(
+        "b1",
+        [
+            (1, 100 * ns, 7, "click", 1.0, "{}"),
+            (2, 200 * ns, 7, "click", 1.0, "{}"),
+            (3, 3 * hour * ns, 7, "click", 1.0, "{}"),
+        ],
+    )
+    _drain()
+    # batch 2: a straggler back in hour 0 (far below the watermark)
+    # plus a fresh event at hour 5 to flush more windows
+    _write_batch(
+        "b2",
+        [
+            (4, 300 * ns, 7, "click", 9.0, "{}"),
+            (5, 5 * hour * ns, 7, "click", 1.0, "{}"),
+        ],
+    )
+    _drain()
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # hour-0 window emitted exactly once, with the ORIGINAL 2 events —
+    # the late id=4 never revised it and appears nowhere
+    assert got["1970-01-01 00:00:00"] == 2
+    assert 9.0 not in {r["sum_value"] for r in spark.read.parquet(out_dir).collect()}
