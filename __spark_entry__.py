@@ -3753,19 +3753,23 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, text,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\+[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS after_url
   FROM t
+),
+c2 AS (
+  SELECT doc_id, text, after_url,
+         regexp_replace(after_url,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS after_email
+  FROM c
 )
 SELECT doc_id,
        CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-       CAST(length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(length(regexp_extract_all(text, '\+[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
-       md5(clean_text) AS clean_md5
-FROM c
+       CAST(length(regexp_extract_all(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(after_email, '\+[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(after_email, '\+[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'))
+         AS clean_md5
+FROM c2
 """,
 )
 def _q_pii_scrub(spark, sf_dir):
@@ -3800,7 +3804,9 @@ def _q_pii_scrub(spark, sf_dir):
     "c_boilerplate_scrub",
     r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
 ),
 n AS (SELECT count(*) AS n_docs FROM documents),
 d AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),

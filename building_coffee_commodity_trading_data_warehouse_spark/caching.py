@@ -16,13 +16,20 @@ construction (corpus-row-sized shingle frames gated at
 ``_BITMAP_MAX_DOCS``, per-customer aggregates), so the worst-case
 held memory is ``_CAP`` × one bounded frame. ``release_caches()``
 drops everything — call it between pipeline stages or in tests.
+
+Composition hazard the cap cannot remove: a driver that CONSTRUCTS
+more than ``_CAP`` cache-backed operators before running an action on
+the first one will see the oldest registrations evicted and silently
+recomputed at action time. The cap (8) covers every in-repo pipeline
+with headroom; sessions composing more lazily-held operators than
+that should trigger actions as they go or raise ``_CAP``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_CAP = 4
+_CAP = 8
 _SCOPED: list[DataFrame] = []
 
 

@@ -378,6 +378,13 @@ def histogram(
     shuffle volume is nbins rows per task, never the table."""
     c = (F.col(col).cast("decimal(18,2)") * 100).cast("long")
     lo_c, hi_c = int(round(lo * 100)), int(round(hi * 100))
+    if hi_c <= lo_c or nbins <= 0 or (hi_c - lo_c) % nbins:
+        # a non-divisible range would silently mislabel the top edge
+        # (floor-divided width); a sub-cent width would divide by zero
+        raise ValueError(
+            f"histogram range [{lo}, {hi}] must split into {nbins} "
+            "equal cent-lattice bins"
+        )
     w_c = (hi_c - lo_c) // nbins
     raw = F.floor((c - F.lit(lo_c)) / F.lit(w_c)).cast("long")
     bucket = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))

@@ -229,16 +229,19 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     content-address results without re-reading documents. Order of
     application matters and is fixed: URLs first (an email-looking
     userinfo inside a URL must redact as part of the URL), then
-    emails, then phones."""
+    emails, then phones — and each count is taken on the text AFTER
+    the previous pass, so the audit counts equal the number of
+    placeholders actually emitted (counting the raw text would report
+    an email that was in fact swallowed by its enclosing URL)."""
     t = F.col(text_col)
-    clean = F.regexp_replace(t, PII_URL, "<URL>")
-    clean = F.regexp_replace(clean, PII_EMAIL, "<EMAIL>")
-    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    after_url = F.regexp_replace(t, PII_URL, "<URL>")
+    after_email = F.regexp_replace(after_url, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
     return documents.select(
         "doc_id",
         F.regexp_count(t, F.lit(PII_URL)).alias("n_urls"),
-        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(after_url, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_PHONE)).alias("n_phones"),
         clean.alias("clean_text"),
         F.md5(clean.cast("binary")).alias("clean_md5"),
     )
@@ -270,8 +273,14 @@ def boilerplate_scrub(
         strategy (dedup._drop_stop_shingles);
       * cleanup itself is a pure projection: array filter against the
         broadcast stop array + array_join, fully codegen, no UDF.
+
+    Leading/trailing whitespace would make split() emit phantom ''
+    tokens (corrupting counts and stealing stop-list slots), so
+    zero-length tokens are filtered out on both engines.
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
     per_doc = documents.select("doc_id", toks.alias("__toks"))
     total = documents.agg(F.count(F.lit(1)).alias("__n_docs"))
     doc_freq = (

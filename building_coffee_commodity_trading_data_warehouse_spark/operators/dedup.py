@@ -687,8 +687,17 @@ def minhash_estimate_certify(
     have no above-threshold partner, so signing them is pure waste).
     Signatures attach via two doc-keyed hash joins; agreement counting
     is a k-term codegen sum per pair — no extra shuffle beyond the
-    joins."""
-    pairs = scoped_persist(ngram_jaccard_pairs(documents, n=n, threshold=threshold))
+    joins.
+
+    The exact side runs UNFILTERED (``max_df=None``): the signatures
+    hash every shingle, so certifying them against a df-capped Jaccard
+    would compare two different statistics and break the bound exactly
+    when the cap binds (web-scale corpora with boilerplate shingles).
+    Certification is a bounded diagnostic pass, not the production
+    dedup path — the uncapped pair stream is acceptable there."""
+    pairs = scoped_persist(
+        ngram_jaccard_pairs(documents, n=n, threshold=threshold, max_df=None)
+    )
     pair_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))

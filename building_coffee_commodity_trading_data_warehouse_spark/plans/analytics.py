@@ -452,14 +452,16 @@ def yoy_growth(
     frame). Growth ratio is one IEEE division of two exact-decimal-cast
     doubles — engine-identical.
 
-    Join shape: the one big-big orderkey shuffle (lineitem ⋈ orders),
-    then broadcast dim hops (customer → nation) — the fact side never
-    re-shuffles for a dimension."""
+    Join shape: the big-big orderkey shuffle (lineitem ⋈ orders), a
+    custkey shuffle join for customer — a SCALE-PROPORTIONAL table,
+    never broadcast-hinted: AQE may still broadcast it at small SF,
+    but forcing it would OOM the driver at real scale — then one
+    broadcast hop for the fixed-cardinality nation dim."""
     enriched = (
         lineitem.select("l_orderkey", REVENUE.alias("__rev"))
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))

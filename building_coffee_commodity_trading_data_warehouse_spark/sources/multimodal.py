@@ -336,6 +336,11 @@ def certify_image_pipeline(
             w = len(b) % 16 + 2
             h = len(b) % 8 + 2
             need = w * h * 3
+            if not b:
+                # dims derive from length (0 → 2×2) but an empty buffer
+                # can't tile — treat it as a zero byte (oracle-consistent:
+                # dims unchanged, booleans still proven)
+                b = b"\x00"
             src = _np.frombuffer(
                 (b * (need // max(len(b), 1) + 1))[:need], dtype=_np.uint8
             )

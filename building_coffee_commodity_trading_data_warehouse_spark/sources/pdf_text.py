@@ -144,14 +144,21 @@ def _tokens(s: bytes):
                     if nxt in _ESCAPES:
                         out += _ESCAPES[nxt]
                         j += 2
-                    elif nxt.isdigit():
+                    elif nxt in b"01234567" and nxt:
+                        # octal escape: only 0-7 start one (\8 or \9 is
+                        # NOT octal — isdigit() here crashed on int('',8))
                         k, oc = j + 1, b""
                         while k < n and len(oc) < 3 and s[k : k + 1] in b"01234567":
                             oc += s[k : k + 1]
                             k += 1
                         out.append(int(oc, 8) & 0xFF)
                         j = k
-                    else:  # line continuation or unknown escape
+                    elif nxt in b"\r\n" and nxt:
+                        j += 2  # line continuation: both chars vanish
+                    else:
+                        # unknown escape: the spec drops the backslash
+                        # and KEEPS the character (PDF 32000 §7.3.4.2)
+                        out += nxt
                         j += 2
                 elif ch == b"(":
                     depth += 1
@@ -320,41 +327,56 @@ def _rows_from_runs(
     return [sorted(cells) for _, cells in rows]
 
 
-def page_texts(data: bytes) -> list[str]:
-    """Per-page plain text (rows joined by newline, cells by space) —
-    the ``PyPDF2.extractText`` analogue. Pages without a text layer
-    come out as ''."""
+def page_rows(
+    data: bytes, y_tol: float = 2.0
+) -> list[list[list[tuple[float, str]]]]:
+    """Parse the document ONCE into per-page visual rows of (x, text)
+    cells — the shared substrate behind ``page_texts`` and
+    ``page_tables``. Consumers that need both views (the report UDTF's
+    marker scan + table pull) should call this and project, instead of
+    paying the object scan and Flate decompression twice."""
     objs = _objects(data)
-    out = []
-    for page in _page_objects(objs):
-        rows = _rows_from_runs(text_runs(_page_content(objs, page)))
-        out.append("\n".join(" ".join(t for _, t in cells) for cells in rows))
-    return out
+    return [
+        _rows_from_runs(text_runs(_page_content(objs, page)), y_tol)
+        for page in _page_objects(objs)
+    ]
+
+
+def rows_to_text(rows: list[list[tuple[float, str]]]) -> str:
+    """One page's rows → plain text (rows joined by newline, cells by
+    space) — the ``PyPDF2.extractText`` analogue."""
+    return "\n".join(" ".join(t for _, t in cells) for cells in rows)
+
+
+def rows_to_tables(
+    rows: list[list[tuple[float, str]]], min_cols: int = 2
+) -> list[list[list[str]]]:
+    """One page's rows → positional tables (tabula "stream mode"
+    analogue): a table is a maximal block of consecutive visual rows
+    each having ≥ ``min_cols`` cells; each cell is one text run."""
+    tables: list[list[list[str]]] = []
+    block: list[list[str]] = []
+    for cells in rows:
+        if len(cells) >= min_cols:
+            block.append([t for _, t in cells])
+        elif block:
+            tables.append(block)
+            block = []
+    if block:
+        tables.append(block)
+    return tables
+
+
+def page_texts(data: bytes) -> list[str]:
+    """Per-page plain text. Pages without a text layer come out as ''."""
+    return [rows_to_text(rows) for rows in page_rows(data)]
 
 
 def page_tables(
     data: bytes, min_cols: int = 2, y_tol: float = 2.0
 ) -> list[list[list[list[str]]]]:
-    """Per-page positional tables (tabula "stream mode" analogue): a
-    table is a maximal block of consecutive visual rows each having ≥
-    ``min_cols`` cells; each cell is one text run. Returns
-    pages → tables → rows → cells."""
-    objs = _objects(data)
-    pages_out = []
-    for page in _page_objects(objs):
-        rows = _rows_from_runs(text_runs(_page_content(objs, page)), y_tol)
-        tables: list[list[list[str]]] = []
-        block: list[list[str]] = []
-        for cells in rows:
-            if len(cells) >= min_cols:
-                block.append([t for _, t in cells])
-            elif block:
-                tables.append(block)
-                block = []
-        if block:
-            tables.append(block)
-        pages_out.append(tables)
-    return pages_out
+    """Per-page positional tables: pages → tables → rows → cells."""
+    return [rows_to_tables(rows, min_cols) for rows in page_rows(data, y_tol)]
 
 
 def has_text_layer(data: bytes) -> bool:

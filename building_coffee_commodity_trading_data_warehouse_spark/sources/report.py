@@ -100,19 +100,24 @@ def parse_pdf_report(content: bytes) -> tuple[str, list[list[list[str]]]]:
     case via ``pdf_text.has_text_layer``."""
     from . import pdf_text
 
-    texts = pdf_text.page_texts(content)
+    # ONE parse (object scan + Flate decompress + text-run interpret);
+    # text and tables are projections of the same per-page rows
+    rows_by_page = pdf_text.page_rows(content)
     season = ""
     marker_pages = []
-    for i, text in enumerate(texts):
+    for i, rows in enumerate(rows_by_page):
+        text = pdf_text.rows_to_text(rows)
         if PAGE_MARKER in text:
             marker_pages.append(i)
             if not season and SEASON_TOKEN in text:
                 season = text.split(SEASON_TOKEN, 1)[1].lstrip()[:7]
     tables: list[list[list[str]]] = []
-    if marker_pages:
-        per_page = pdf_text.page_tables(content)
-        for i in marker_pages:
-            tables.extend(t for t in per_page[i] if t and len(t[0]) >= 2)
+    for i in marker_pages:
+        tables.extend(
+            t
+            for t in pdf_text.rows_to_tables(rows_by_page[i])
+            if t and len(t[0]) >= 2
+        )
     return season, tables
 
 

@@ -122,7 +122,9 @@ def zscore_stream(events: DataFrame, window_rows: int = 50, z: int = 3) -> DataF
         sx2 = c2[j + 1] - c2[start]
         dev = n * arr[j] - sx
         flags = dev * dev > zz * (n * sx2 - sx * sx)
-        state.update((arr[-hist:].tolist(),))
+        # arr[-hist:] with hist=0 would be the WHOLE array (unbounded
+        # state growth for window_rows=1) — slice from the length instead
+        state.update((arr[len(arr) - hist :].tolist(),))
         yield _pd.DataFrame(
             {
                 "event_id": pdf["event_id"].to_numpy(),

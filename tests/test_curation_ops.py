@@ -291,3 +291,17 @@ def test_winsorize_never_shuffles_events(spark):
     plan = plan_string(curate.winsorize(df))
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"Exchange hashpartitioning\(event_id", plan)
+
+
+def test_pii_scrub_counts_reconcile_with_placeholders(spark):
+    """An email swallowed by its enclosing URL must NOT appear in the
+    email audit count — counts are taken on the progressively cleaned
+    text, so each count equals the placeholders actually emitted."""
+    df = spark.createDataFrame(
+        [(1, "go to https://x.example/mail=a@b.co now")],
+        "doc_id long, text string",
+    )
+    r = curate.pii_scrub(df).collect()[0]
+    assert r["n_urls"] == 1
+    assert r["n_emails"] == 0  # inside the URL — redacted as <URL>
+    assert "<EMAIL>" not in r["clean_text"]

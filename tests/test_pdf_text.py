@@ -130,3 +130,12 @@ def test_e_pdf_report_gate_roundtrip(spark, sf_dir):
         assert r["production"] == str(d["n_chars"])
         assert r["imports"] == d["lang"]
         assert r["total_supply"] == d["source"]
+
+
+def test_invalid_digit_escape_keeps_char():
+    """\\8 is not an octal escape: the spec drops the backslash and
+    keeps the character (this used to crash the tokenizer)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import pdf_text
+
+    toks = list(pdf_text._tokens(rb'(\8bad\q) Tj'))
+    assert toks[0] == ("str", b"8badq")
