@@ -1318,7 +1318,8 @@ WITH counts AS (
   FROM lineitem GROUP BY 1
 ),
 stats AS (
-  SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total_rows, MAX(n_rows) AS max_per_key
+  SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         MAX(n_rows) AS max_per_key
   FROM counts
 )
 SELECT key_s, n_rows, n_keys, total_rows, max_per_key,
