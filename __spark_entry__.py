@@ -3879,6 +3879,54 @@ def _q_jsonl_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "e_csv_roundtrip",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(CASE WHEN source IS NULL THEN 1 END) AS BIGINT) AS n_null_source,
+       MIN(md5(text)) AS min_text_md5
+FROM (SELECT doc_id, text, lang, n_chars,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source
+      FROM documents)
+GROUP BY lang
+""",
+)
+def _q_csv_roundtrip(spark, sf_dir):
+    """CSV sink + sentinel-null source round trip (S1/S8 — the
+    reference's own interchange format): every 7th doc's source is
+    nulled, written through the single-file CSV sink as the 'null'
+    sentinel the reference's CSVs carry (SURVEY §1.1), read back under
+    an explicit schema with sentinel-null decoding, and re-aggregated
+    — counts, exact sums, NULL restoration, and a content md5 must all
+    survive the text format."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import csv as csv_src
+
+    land = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("null"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    csv_src.write_csv_single(docs, land)
+    back = csv_src.read_csv(
+        spark, land, "doc_id long, text string, lang string, n_chars long, source string"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count(F.when(F.col("source").isNull(), 1)).cast("long").alias("n_null_source"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_text_md5"),
+    )
+
+
+@_register(
     "e_orc_roundtrip",
     f"""
 SELECT l_returnflag,
@@ -3965,6 +4013,7 @@ _VERIFY_FIRST = [
     "q_order_distribution",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
+    "e_csv_roundtrip",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata
     # drift without a hard signal; VERDICT r4 item 3).
     "m_multimodal_features",
