@@ -193,3 +193,68 @@ def test_stratified_sample_composes_with_hash_sample(spark, n, frac):
         for r in stratified_sample(df, "stratum", {"only": frac}, seed="z").collect()
     }
     assert a == b
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.integers(-9999, 9999).map(lambda c: c / 100.0), min_size=1, max_size=30
+    ),
+)
+def test_winsorize_preserves_rows_and_bounds(spark, vals):
+    """Winsorization never drops or invents rows, every clipped value
+    sits inside the fences, and unclipped values pass through
+    bit-identical."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double",
+    )
+    out = winsorize(df).collect()
+    assert len(out) == len(vals)
+    lo = min(r["clipped"] for r in out)
+    hi = max(r["clipped"] for r in out)
+    for r in out:
+        if r["was_clipped"]:
+            assert r["clipped"] in (lo, hi)
+        else:
+            assert r["clipped"] == r["value"]
+
+
+@_settings
+@given(
+    vals=st.lists(st.integers(0, 4999).map(lambda c: c / 100.0), min_size=1, max_size=40),
+    nbins=st.sampled_from([2, 5, 10, 25]),
+)
+def test_histogram_partitions_every_row_once(spark, vals, nbins):
+    """Bucket counts are a partition of the table: they sum to the row
+    count, and every bucket id is within [0, nbins)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.aggregates import histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = histogram(df, "x", 0.0, 50.0, nbins).collect()
+    assert sum(r["n_rows"] for r in out) == len(vals)
+    assert all(0 <= r["bucket"] < nbins for r in out)
+
+
+@_settings
+@given(
+    n=st.integers(1, 60),
+    k=st.integers(1, 8),
+)
+def test_group_sample_size_is_min_k_groupsize(spark, n, k):
+    """Each group yields exactly min(k, |group|) rows."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import group_sample
+
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    sizes = {}
+    for r in df.collect():
+        sizes[r["grp"]] = sizes.get(r["grp"], 0) + 1
+    out = group_sample(df, k, group_col="grp").collect()
+    got = {}
+    for r in out:
+        got[r["grp"]] = got.get(r["grp"], 0) + 1
+    assert got == {g: min(k, s) for g, s in sizes.items()}
