@@ -1672,6 +1672,32 @@ def _q_st_tumbling(spark, sf_dir):
 
 
 @_register(
+    "st_histogram",
+    f"""
+SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+       greatest(0, least(19,
+         CAST(floor((CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 0)
+                    / 2500) AS BIGINT))) AS bucket,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1, 2
+""",
+)
+def _q_st_histogram(spark, sf_dir):
+    """Per-window value histograms through the real streaming engine —
+    distribution-drift monitoring as a streaming operator. Integer-
+    cent bucketing (the batch histogram's rule) makes streamed counts
+    bit-identical to this batch-SQL replay; state per (window, bucket)
+    is one associative count."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.tumbling_histogram(_stream_events(spark, sf_dir), 0.0, 500.0, 20)
+    return pipeline.run_available_now(agg, f"st_hist_{next(_STREAM_SEQ)}")
+
+
+@_register(
     "st_sliding_counts",
     f"""
 WITH wins AS (
@@ -4014,6 +4040,7 @@ _VERIFY_FIRST = [
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
     "e_csv_roundtrip",
+    "st_histogram",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata
     # drift without a hard signal; VERDICT r4 item 3).
     "m_multimodal_features",

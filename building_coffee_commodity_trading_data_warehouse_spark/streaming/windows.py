@@ -126,3 +126,40 @@ def tumbling_ohlcv(
             "n_ticks",
         )
     )
+
+
+def tumbling_histogram(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    width: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-window value histograms over a live stream — the
+    distribution-drift monitor (is this hour's traffic shaped like the
+    last?) as a streaming operator. Bucketing is the same integer-cent
+    floor division as the batch ``aggregates.histogram``: no float
+    edge arithmetic, so streamed counts are bit-identical to a batch
+    replay. State per (window, bucket) is one count — associative,
+    watermark-bounded, independent of tick volume."""
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    lo_c, hi_c = int(round(lo * 100)), int(round(hi * 100))
+    if hi_c <= lo_c or nbins <= 0 or (hi_c - lo_c) % nbins:
+        raise ValueError(
+            f"histogram range [{lo}, {hi}] must split into {nbins} "
+            "equal cent-lattice bins"
+        )
+    w_c = (hi_c - lo_c) // nbins
+    raw = F.floor((c - F.lit(lo_c)) / F.lit(w_c)).cast("long")
+    bucket = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            _fmt("w.start").alias("window_start"),
+            "bucket",
+            "n_rows",
+        )
+    )
