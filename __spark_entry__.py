@@ -2687,6 +2687,193 @@ def _q_shipmode_priority(spark, sf_dir):
     )
 
 
+@_register(
+    "q_filtered_revenue",
+    f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS promo_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def _q_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-table conjunctive-filter revenue probe.
+    Every clause pushes down to the parquet scan; no join, no shuffle
+    beyond the 1-row fold."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.filtered_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "q_nation_trade",
+    f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1','NATION_2')
+  AND cn.n_name IN ('NATION_1','NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def _q_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral yearly trade volume between two
+    nations. Both nation hops broadcast one pre-filtered row; the
+    supplier-nation semi filter prunes lineitem BEFORE the orderkey
+    shuffle."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return analytics.nation_trade_volume(
+        t("lineitem"), t("orders"), t("customer"), t("supplier"), t("nation"),
+        nation_a="NATION_1", nation_b="NATION_2",
+    )
+
+
+@_register(
+    "q_small_qty_revenue",
+    """
+WITH keys AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 10
+),
+li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l SEMI JOIN keys k ON l.l_partkey = k.p_partkey
+),
+thresh AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER w AS DOUBLE)
+              / COUNT(*) OVER w AS DOUBLE) AS avg_qty
+  FROM li
+  WINDOW w AS (PARTITION BY l_partkey)
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_small_lots
+FROM thresh
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def _q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-lot orders of one brand/
+    size slice. The filtered part keys broadcast into a semi-join;
+    the per-part mean and the threshold filter share ONE l_partkey
+    exchange (window AVG, partitions bounded by a part's line count).
+    """
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_register(
+    "q_large_orders",
+    """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 212.0
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice, p.total_qty
+FROM per_order p
+JOIN orders o ON p.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY p.total_qty DESC, o.o_orderkey
+LIMIT 20
+""",
+)
+def _q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: bulk-buyer watchlist. Aggregate-first (orders
+    collapse + HAVING before any join); TakeOrderedAndProject top-N
+    with the orderkey tiebreak; dates leave as formatted strings."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    out = analytics.large_volume_customers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+    return out.select(
+        "c_custkey", "c_name", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice", "total_qty",
+    )
+
+
+@_register(
+    "q_bracket_revenue",
+    f"""
+SELECT {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS bracket_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def _q_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three OR'd (brand, size, quantity) brackets —
+    the disjunctive predicate evaluates post-broadcast-join as one
+    codegen'd filter; the fact scan prunes to 4 columns."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.bracketed_discount_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_register(
+    "q_dormant_customers",
+    f"""
+WITH avg_bal AS (
+  SELECT {sql_davg("c_acctbal")} AS a FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       COUNT(*) AS n_dormant,
+       {sql_dsum("c.c_acctbal")} AS idle_balance
+FROM customer c, avg_bal
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def _q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per-nation count + idle balance of dormant
+    (no order since 2001) above-average-balance customers. 1-row
+    global mean broadcast, anti join on the date-filtered orders' key
+    column, 25-row nation broadcast."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.dormant_rich_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD2 / streaks / incremental view maintenance
 # ---------------------------------------------------------------------------
@@ -4017,6 +4204,14 @@ _VERIFY_FIRST = [
     "a_approx_distinct",
     "a_percentiles_approx",
     "s_ivf_topk",
+    # tier 2 — NEW gates this round: the six TPC-H-shaped warehouse
+    # queries (Q6/Q7/Q17/Q18/Q19/Q22) landed mid-round.
+    "q_filtered_revenue",
+    "q_nation_trade",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_bracket_revenue",
+    "q_dormant_customers",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

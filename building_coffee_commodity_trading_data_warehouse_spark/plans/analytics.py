@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
 
-from ..functions.exact import dsum
+from ..functions.exact import davg, dsum
 
 REVENUE = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
@@ -531,4 +531,234 @@ def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFram
         with_zero.groupBy("n_orders")
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.col("n_orders"))
+    )
+
+
+def filtered_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    discount_center: float = 0.06,
+    quantity_cap: float = 24.0,
+) -> DataFrame:
+    """Promotion what-if revenue (TPC-H Q6 shape): the revenue that a
+    year's small-quantity, mid-discount line items contributed via
+    their discount. The whole predicate — ship-date year, discount
+    band, quantity cap — is a conjunctive scan filter, so every clause
+    pushes down to the parquet reader and the aggregate sees only
+    qualifying rows; there is NO join and NO shuffle beyond the 1-row
+    partial→final fold. Discount bounds land exactly on the data's
+    0.01 grid by building them in cents (integer ±1) rather than
+    float-adding 0.01 — the band is closed [center−0.01, center+0.01]
+    like the TPC-H text.
+
+    Reference intent: the BI layer's single-table slicer queries over
+    the pricing fact (SURVEY.md §3; reference mart ODS.py:59-80)."""
+    cents = int(round(discount_center * 100))
+    lo = F.lit((cents - 1) / 100.0)
+    hi = F.lit((cents + 1) / 100.0)
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= lo)
+        & (F.col("l_discount") <= hi)
+        & (F.col("l_quantity") < F.lit(quantity_cap))
+    )
+    return filtered.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "VIETNAM",
+    nation_b: str = "BRAZIL",
+) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): yearly revenue shipped
+    between two named nations, in both directions — the cross-border
+    flow report a commodity desk reads next to the COT panel.
+
+    Plan: nation is a fixed-25-row dim, so BOTH nation hops broadcast
+    and the two-name filter prunes each side to one row before the
+    broadcast. supplier and customer are scale-proportional: they join
+    on their own keys as shuffle joins (AQE may still broadcast at
+    small SF). The only big-big shuffle is lineitem ⋈ orders on
+    orderkey, and the supplier-nation semi filter lands on lineitem
+    BEFORE that join, so the shuffle moves one nation's share of the
+    fact. The (supp_nation ≠ cust_nation) residual keeps only the two
+    cross directions; revenue folds decimal-exact per (pair, year)."""
+    nat = nation.filter(F.col("n_name").isin([nation_a, nation_b])).select(
+        "n_nationkey", "n_name"
+    )
+    supp = supplier.join(
+        F.broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(nat.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.select(
+        "l_orderkey", "l_suppkey", "l_shipdate", REVENUE.alias("__rev")
+    ).join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(dsum(F.col("__rev")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    max_size: int = 10,
+    frac: float = 0.2,
+) -> DataFrame:
+    """Small-lot revenue probe (TPC-H Q17 shape): average yearly
+    revenue lost if orders below 20% of a part's mean order quantity
+    were not taken, over one brand/size slice of the catalog.
+
+    Plan: the brand+size filter prunes the part dim FIRST and only the
+    surviving keys broadcast into a semi-join on the fact — lineitem is
+    never shuffled to discover which rows qualify. The per-part mean
+    quantity and the threshold comparison then share ONE l_partkey
+    exchange: the mean is a window AVG over the part's line items (the
+    partition is part-sized, bounded by a part's order count, never
+    corpus-sized), and the filter + global fold happen in the same
+    stage. Means divide exact decimal sums, the final sum is decimal-
+    exact, and /7.0 is one IEEE division — engine-identical."""
+    keys = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_size") <= F.lit(max_size))
+    ).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    qsum = F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w)
+    qcnt = F.count(F.lit(1)).over(w)
+    avg_qty = (qsum.cast("double") / qcnt).cast("double")
+    small = li.withColumn("__avg", avg_qty).filter(
+        F.col("l_quantity") < F.lit(frac) * F.col("__avg")
+    )
+    return small.agg(
+        (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lots"),
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_quantity: float = 212.0,
+    topn: int = 20,
+) -> DataFrame:
+    """Bulk-buyer watchlist (TPC-H Q18 shape): orders whose total line
+    quantity exceeds a threshold, with their customers, largest first.
+
+    Plan: aggregate-FIRST — lineitem collapses to one row per order
+    (decimal-exact quantity sum) and the HAVING filter drops ~all of
+    them BEFORE any join, so the orderkey join moves only qualifying
+    orders; the customer hop then joins on c_custkey (scale-
+    proportional dim — shuffle join, AQE may broadcast at small SF).
+    Top-N terminates in TakeOrderedAndProject; orderkey breaks ties
+    deterministically."""
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(min_quantity))
+    )
+    joined = per_order.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(
+        customer.select("c_custkey", "c_name"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        joined.select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(topn)
+    )
+
+
+def bracketed_discount_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Bracketed promo revenue (TPC-H Q19 shape): revenue from three
+    OR'd (brand, size-band, quantity-band) brackets — the disjunctive
+    predicate that defeats naive pushdown. The part dim broadcasts
+    with only (p_partkey, p_brand, p_size); the disjunction evaluates
+    as a codegen'd filter AFTER the broadcast join (per-bracket
+    quantity bands need the joined row), while the fact scan still
+    prunes to the 3 columns the query touches. One decimal-exact fold.
+    """
+    li = lineitem.select("l_partkey", "l_quantity", REVENUE.alias("__rev"))
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bracket = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 15) & q.between(20, 30))
+    )
+    return joined.filter(bracket).agg(
+        dsum(F.col("__rev")).alias("bracket_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def dormant_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    since: str = "2001-01-01",
+) -> DataFrame:
+    """Dormant-capital report (TPC-H Q22 shape): per nation, how many
+    customers hold an above-average positive balance yet placed no
+    order since ``since`` — the outreach list. The global mean
+    positive balance is a 1-row aggregate broadcast back as a cross
+    join (never a collect); dormancy is a left_anti against the
+    date-filtered orders' key column only (the date clause pushes to
+    the scan and the anti join shuffles surviving keys, not orders);
+    the 25-row nation dim broadcasts. Balance totals fold decimal-
+    exact."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("__avg_bal")
+    )
+    rich = customer.select("c_custkey", "c_nationkey", "c_acctbal").join(
+        F.broadcast(avg_bal)
+    ).filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    dormant = rich.join(recent, "c_custkey", "left_anti")
+    return (
+        dormant.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            dsum("c_acctbal").alias("idle_balance"),
+        )
+        .orderBy("n_name")
     )
