@@ -4058,6 +4058,84 @@ def _q_boilerplate_scrub(spark, sf_dir):
 
 
 @_register(
+    "t_oov_rate",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(toks) AS token FROM t)
+  GROUP BY token
+),
+vocab AS (
+  SELECT coalesce(list(token), []) AS v
+  FROM (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 32)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> NOT list_contains(v, x))) AS BIGINT)
+         AS n_oov,
+       CAST(len(list_filter(toks, x -> NOT list_contains(v, x))) AS DOUBLE)
+         / len(toks) AS oov_rate
+FROM t, vocab
+""",
+)
+def _q_oov_rate(spark, sf_dir):
+    """Per-document OOV rate vs the corpus's own top-32 vocabulary
+    (textstats.oov_rate): one token-keyed count aggregate, a bounded
+    TakeOrderedAndProject vocabulary collected into ONE broadcast
+    array row, then a pure array-filter projection — the corpus never
+    shuffles on doc_id."""
+    return textstats.oov_rate(_t(spark, sf_dir, "documents"), vocab_k=32)
+
+
+# dirty-text plant for the unicode-hygiene gate: the synthetic corpus
+# is already clean, so both engines append the SAME byte sequence of
+# control chars / ZWSP / NBSP / runs before cleaning — the gate then
+# proves the cleanup itself, not a no-op.
+_DIRTY_SUFFIX_SPARK = "\t\x07 mid\u200b\u00a0end \x01\x01 "
+_DIRTY_SUFFIX_SQL = (
+    "chr(9) || chr(7) || ' mid' || chr(8203) || chr(160) || 'end ' "
+    "|| chr(1) || chr(1) || ' '"
+)
+
+
+@_register(
+    "c_clean_text",
+    rf"""
+WITH dirty AS (
+  SELECT doc_id, text || {_DIRTY_SUFFIX_SQL} AS text FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{{200B}}-\x{{200D}}\x{{FEFF}}]',
+             '', 'g'),
+           '[\s\x{{00A0}}]+', ' ', 'g')) AS clean_text
+  FROM dirty
+)
+SELECT doc_id, clean_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM cleaned
+""",
+)
+def _q_clean_text(spark, sf_dir):
+    """Unicode hygiene (curate.clean_text): strip control/zero-width
+    chars, fold NBSP, collapse whitespace, trim — two codegen
+    regexp_replace passes, map-only. Both engines plant the same dirty
+    suffix first so the gate exercises real cleanup."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_DIRTY_SUFFIX_SPARK))
+    )
+    return curate.clean_text(docs)
+
+
+@_register(
     "e_jsonl_roundtrip",
     """
 SELECT lang,
@@ -4212,6 +4290,9 @@ _VERIFY_FIRST = [
     "q_large_orders",
     "q_bracket_revenue",
     "q_dormant_customers",
+    # tier 2 — NEW gates this round: text-pipeline additions.
+    "t_oov_rate",
+    "c_clean_text",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -367,3 +367,38 @@ def winsorize(
             ((d < lo) | (d > hi)).alias("was_clipped"),
         )
     )
+
+
+# one character class covering C0 control chars (minus \t\n\r, which
+# are whitespace and belong to the collapse pass), DEL, and the
+# zero-width code points (ZWSP/ZWNJ/ZWJ/BOM). \x{...} syntax parses
+# identically in Java regex (Spark) and RE2 (DuckDB).
+_STRIP_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]"
+# whitespace runs INCLUDING NBSP collapse to one plain space. \s is
+# ASCII-only in both engines once \x0B is stripped above (Java's \s
+# covers \x0B, RE2's does not — pass 1 removes the divergence).
+_WS_RE = r"[\s\x{00A0}]+"
+
+
+def clean_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode hygiene pass — the first projection of every web-corpus
+    pipeline: strip control and zero-width characters (C0 minus
+    tab/newline, DEL, ZWSP/ZWNJ/ZWJ/BOM), fold NBSP into plain space,
+    collapse whitespace runs, and trim. Zero-width stripping matters
+    for dedup (two visually identical documents differing by a ZWSP
+    hash apart); control stripping protects downstream CSV/JSON sinks.
+
+    Pure projection: two regexp_replace passes + trim, whole-stage
+    codegen, no shuffle, no UDF — the plan scans 100 TB as a map-only
+    stage. Both regexes use ``\\x{...}`` escapes that parse identically
+    in Java regex and RE2, so the DuckDB oracle replays it verbatim.
+    """
+    raw = F.col(text_col)
+    stripped = F.regexp_replace(raw, _STRIP_RE, "")
+    collapsed = F.trim(F.regexp_replace(stripped, _WS_RE, " "))
+    return documents.select(
+        "doc_id",
+        collapsed.alias("clean_text"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(collapsed).cast("long").alias("n_chars_clean"),
+    )

@@ -230,3 +230,45 @@ def bigram_counts(documents: DataFrame, topn: int = 100) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(topn)
     )
+
+
+def oov_rate(documents: DataFrame, vocab_k: int = 256) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_k`` token vocabulary — the cheap CCNet-style "is this
+    document made of normal words" quality signal (a doc whose tokens
+    mostly fall outside the corpus head is gibberish, boilerplate, or
+    the wrong language).
+
+    Scale shape — the corpus is NEVER shuffled on doc_id:
+      * one token-keyed hash aggregate computes corpus term frequency
+        (map-side combinable; the shuffle carries (token, count) rows);
+      * the vocabulary is hard-bounded at ``vocab_k`` rows via
+        TakeOrderedAndProject (count desc, token asc tiebreak — fully
+        deterministic), collected into ONE array row and broadcast —
+        the same bounded-side inversion as boilerplate_scrub;
+      * the per-doc OOV count is then a pure array-filter projection
+        against the broadcast vocabulary: no explode-and-regroup, no
+        UDF, whole-stage codegen end to end.
+
+    The rate is one IEEE division of two exact integer counts —
+    engine-portable bit-for-bit.
+    """
+    toks = F.filter(_tokens(), lambda t: t != F.lit(""))
+    per_doc = documents.select("doc_id", toks.alias("__toks"))
+    vocab_row = (
+        per_doc.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(vocab_k)
+        .agg(F.collect_list("token").alias("__vocab"))
+    )
+    oov = F.filter(
+        F.col("__toks"), lambda t: ~F.array_contains(F.col("__vocab"), t)
+    )
+    return per_doc.crossJoin(F.broadcast(vocab_row)).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(oov).cast("long").alias("n_oov"),
+        (F.size(oov) / F.size("__toks")).alias("oov_rate"),
+    )

@@ -305,3 +305,67 @@ def test_pii_scrub_counts_reconcile_with_placeholders(spark):
     assert r["n_urls"] == 1
     assert r["n_emails"] == 0  # inside the URL — redacted as <URL>
     assert "<EMAIL>" not in r["clean_text"]
+
+
+def test_clean_text_planted_dirt(spark):
+    """Control chars and zero-width chars vanish, NBSP folds to space,
+    whitespace runs collapse, result is trimmed."""
+    df = spark.createDataFrame(
+        [
+            (1, "a\x00b\x07c"),                        # control chars deleted
+            (2, "x​y z﻿w"),                  # zero-width deleted
+            (3, "  p q   r\t\ns  "),              # NBSP + runs + trim
+            (4, "clean text stays"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in curate.clean_text(df).collect()}
+    assert got[1]["clean_text"] == "abc"
+    assert got[2]["clean_text"] == "xy zw"
+    assert got[3]["clean_text"] == "p q r s"
+    assert got[4]["clean_text"] == "clean text stays"
+    assert got[3]["n_chars_raw"] > got[3]["n_chars_clean"]
+
+
+def test_clean_text_is_map_only(spark):
+    """Scale pin: pure projection — zero exchanges in the plan."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = plan_string(curate.clean_text(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_oov_rate_planted_vocab(spark):
+    """vocab_k=2 keeps the two most frequent tokens (count desc, token
+    asc tiebreak); everything else counts as OOV."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat cat"),
+            (2, "the dog runs"),
+            (3, "cat the"),
+        ],
+        "doc_id long, text string",
+    )
+    # counts: the=5, cat=3, dog=1, runs=1 -> vocab {the, cat}
+    got = {r["doc_id"]: r for r in textstats.oov_rate(df, vocab_k=2).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (5, 0)
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 2)
+    assert got[2]["oov_rate"] == 2 / 3
+    assert (got[3]["n_tokens"], got[3]["n_oov"]) == (2, 0)
+
+
+def test_oov_rate_never_shuffles_corpus_on_doc_id(spark):
+    """Scale pin: the only hash exchange keys on token; the corpus is
+    consumed by a projection against the 1-row broadcast vocabulary."""
+    import re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")], "doc_id long, text string")
+    plan = plan_string(textstats.oov_rate(df))
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab broadcast
