@@ -1698,6 +1698,38 @@ def _q_st_histogram(spark, sf_dir):
 
 
 @_register(
+    "st_leaderboard",
+    f"""
+WITH totals AS (
+  SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+         user_id, COUNT(*) AS n_events,
+         {sql_dsum("value")} AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events, sum_value, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY window_start ORDER BY sum_value DESC, user_id
+  ) AS INTEGER) AS rk FROM totals
+) WHERE rk <= 5
+""",
+)
+def _q_st_leaderboard(spark, sf_dir):
+    """Live per-window top-k leaderboard: the streaming engine holds
+    one (count, decimal-sum) state per (window, user); the rank runs
+    over the materialized sink table (#windows × #users rows — rank
+    inside a streaming agg is unsupported, and this split is the
+    standard streaming-top-k pattern). Value-exact vs batch SQL."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.tumbling_user_totals(_stream_events(spark, sf_dir))
+    sunk = pipeline.run_available_now(agg, f"st_board_{next(_STREAM_SEQ)}")
+    return swin.leaderboard_topk(sunk, k=5)
+
+
+@_register(
     "st_sliding_counts",
     f"""
 WITH wins AS (
@@ -4136,6 +4168,94 @@ def _q_clean_text(spark, sf_dir):
 
 
 @_register(
+    "m_validate_rules",
+    """
+WITH li AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE) THEN 0 ELSE 1 END) AS v_qty,
+    SUM(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 0 ELSE 1 END) AS v_disc,
+    SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v_ship,
+    SUM(CASE WHEN coalesce(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS v_price
+  FROM lineitem
+)
+SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'quantity_in_1_50' AS rule, n AS n_rows, v_qty AS n_violations FROM li
+  UNION ALL
+  SELECT 'discount_in_0_0.1', n, v_disc FROM li
+  UNION ALL
+  SELECT 'shipdate_not_null', n, v_ship FROM li
+  UNION ALL
+  SELECT 'price_positive', n, v_price FROM li
+  UNION ALL
+  SELECT 'unique(o_orderkey)', SUM(c), SUM(c - 1)
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'fk(l_orderkey->o_orderkey)',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+)
+ORDER BY rule
+""",
+)
+def _q_validate_rules(spark, sf_dir):
+    """Deequ-style declarative data-quality suite (plans/maintenance
+    check_constraints / check_unique / check_foreign_key): four row
+    rules fold in ONE lineitem scan; uniqueness is a key-keyed count
+    aggregate; referential integrity is a keys-only left_anti. NULL
+    never passes a rule silently."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rows = maintenance.check_constraints(
+        li,
+        {
+            "quantity_in_1_50": F.col("l_quantity").between(1, 50),
+            "discount_in_0_0.1": F.col("l_discount").between(0.0, 0.1),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "price_positive": F.col("l_extendedprice") > 0,
+        },
+    )
+    uniq = maintenance.check_unique(orders, ["o_orderkey"])
+    fk = maintenance.check_foreign_key(li, "l_orderkey", orders, "o_orderkey")
+    return rows.unionByName(uniq).unionByName(fk).orderBy("rule")
+
+
+@_register(
+    "s_embedding_dimstats",
+    f"""
+WITH ex AS ({_SQL_EX})
+SELECT pos AS dim,
+       COUNT(*) AS n_values,
+       CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_val,
+       sqrt(greatest(
+         CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+         - (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
+           * (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)),
+         0.0)) AS std_val,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM ex
+GROUP BY pos
+ORDER BY pos
+""",
+)
+def _q_embedding_dimstats(spark, sf_dir):
+    """Per-dimension normalization stats (similarity.dimension_stats):
+    the centering/scaling pre-pass for ANN and quantization. posexplode
+    partial-aggregates map-side, so the one shuffle carries only
+    #partitions × d rows; sums accumulate in DECIMAL(38,12) and the
+    mean/var/std tree is fixed IEEE double ops — engine-portable."""
+    return similarity.dimension_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
     "e_jsonl_roundtrip",
     """
 SELECT lang,
@@ -4293,6 +4413,9 @@ _VERIFY_FIRST = [
     # tier 2 — NEW gates this round: text-pipeline additions.
     "t_oov_rate",
     "c_clean_text",
+    "m_validate_rules",
+    "s_embedding_dimstats",
+    "st_leaderboard",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -879,3 +879,40 @@ def ivf_topk_certified(
             "mean_recall_ok",
         )
     )
+
+
+def dimension_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension normalization statistics (mean/std/min/max) over
+    an embedding column — the pre-pass every ANN/whitening/quantization
+    stage needs before it can center or scale vectors.
+
+    Scale shape: posexplode emits (dim, value) pairs but the groupBy
+    partial-aggregates map-side, so the one shuffle carries only
+    #partitions × d rows (d = vector width, tiny) — never corpus-sized
+    traffic. Sums accumulate in DECIMAL(38,12) (order-independent,
+    bit-identical on any engine / partitioning); mean, variance, and
+    std are then a fixed tree of IEEE double ops on those exact sums,
+    so results are engine-portable. Dims are 1-based to match SQL's
+    generate_subscripts.
+    """
+    ex = embeddings.select(
+        F.posexplode(vec_col).alias("pos", "__v")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("__v").cast("double").alias("val"))
+    dec = "decimal(38,12)"
+    per_dim = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.col("val").cast(dec)).cast("double").alias("__sum"),
+        F.sum((F.col("val") * F.col("val")).cast(dec)).cast("double").alias("__sumsq"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    mean = F.col("__sum") / F.col("n_values")
+    var = F.col("__sumsq") / F.col("n_values") - mean * mean
+    return per_dim.select(
+        "dim",
+        "n_values",
+        mean.alias("mean_val"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_val"),
+        "min_val",
+        "max_val",
+    ).orderBy("dim")

@@ -195,3 +195,79 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         avg.alias("mean_per_key"),
         (F.col("__max_n") / avg).alias("skew_factor"),
     )
+
+
+def check_constraints(df: DataFrame, rules: dict[str, "Column"]) -> DataFrame:
+    """Deequ-style declarative data-quality checks, ONE scan: each rule
+    is a boolean expression that must evaluate TRUE per row (NULL
+    counts as a violation — a completeness rule that silently passes on
+    NULL would be useless). All rules fold in a single partial→final
+    aggregate — adding rules adds columns to the agg, never passes over
+    the data — and the 1-row result unpivots to per-rule rows via
+    stack(). No UDFs; at 100 TB this is one map-only scan plus a 1-row
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, pred) in enumerate(rules.items()):
+        viol = F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+        aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
+    row = df.agg(*aggs)
+    pairs = ", ".join(f"'{name}', __v{i}" for i, name in enumerate(rules))
+    return row.select(
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str], rule_name: str | None = None) -> DataFrame:
+    """Uniqueness constraint: ``n_violations`` = surplus rows beyond
+    one per key (0 ⇔ the column set is a key). One key-keyed count
+    aggregate (map-side combinable) folded to a single row — the only
+    shuffle carries (key, partial_count) pairs."""
+    from pyspark.sql import functions as F
+
+    name = rule_name or f"unique({','.join(cols)})"
+    per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per_key.agg(
+        F.lit(name).alias("rule"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
+    ).select("rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+
+
+def check_foreign_key(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    rule_name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity constraint: ``n_violations`` = child rows
+    whose non-NULL ``fk_col`` has no match in ``parent.pk_col`` (NULL
+    fk is the SQL convention: not a violation — add a completeness
+    rule if it should be). Both sides project to their single key
+    column before the left_anti join, so the shuffle moves keys, not
+    rows; at 100 TB AQE picks broadcast when the parent key set fits."""
+    from pyspark.sql import functions as F
+
+    name = rule_name or f"fk({fk_col}->{pk_col})"
+    keys = parent.select(F.col(pk_col).alias(fk_col)).distinct()
+    orphan_n = (
+        child.select(fk_col)
+        .filter(F.col(fk_col).isNotNull())
+        .join(keys, fk_col, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    total = child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    return (
+        total.crossJoin(orphan_n)
+        .select(
+            F.lit(name).alias("rule"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

@@ -163,3 +163,48 @@ def tumbling_histogram(
             "n_rows",
         )
     )
+
+
+def tumbling_user_totals(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-(window, user) event counts + exact value totals — the
+    streamed state behind a live leaderboard. State is one associative
+    (count, decimal-sum) pair per key, watermark-bounded; partial
+    aggregation folds map-side before the shuffle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            _fmt("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def leaderboard_topk(window_totals: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` users per window over the MATERIALIZED output of
+    ``tumbling_user_totals`` — rank functions are not supported inside
+    a streaming aggregation, so the streaming engine maintains the
+    per-(window, user) state and the leaderboard ranks the (tiny) sink
+    table; this split is the standard streaming-top-k pattern and the
+    rank input is #windows × #users rows, never event-sized. Ordering
+    ties break on user_id, so the cut is deterministic."""
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("sum_value").desc(), F.col("user_id")
+        )
+    )
+    return (
+        window_totals.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("window_start", "user_id", "n_events", "sum_value", "rk")
+    )

@@ -1,0 +1,94 @@
+"""Semantics of the Deequ-style constraint suite and the embedding
+dimension-stats pre-pass (oracle parity for their gates is covered by
+test_oracle_parity.py automatically)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+from building_coffee_commodity_trading_data_warehouse_spark.operators import similarity
+
+
+def test_check_constraints_null_is_violation(spark):
+    """A NULL predicate result counts as a violation — completeness
+    rules cannot silently pass on missing data."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    out = {
+        r["rule"]: r
+        for r in maintenance.check_constraints(
+            df, {"v_positive": F.col("v") > 0, "v_not_null": F.col("v").isNotNull()}
+        ).collect()
+    }
+    assert out["v_positive"]["n_violations"] == 2  # NULL and -5.0
+    assert out["v_not_null"]["n_violations"] == 1
+    assert out["v_positive"]["n_rows"] == 3
+    assert not out["v_positive"]["passed"]
+
+
+def test_check_constraints_single_scan(spark):
+    """Scale pin: N rules = ONE aggregate over one scan (no joins, no
+    extra exchanges beyond the 1-row fold)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    plan = plan_string(
+        maintenance.check_constraints(
+            df, {"a": F.col("v") > 0, "b": F.col("v") < 10, "c": F.col("id") > 0}
+        )
+    )
+    assert plan.count("Scan ") <= 1, plan
+
+
+def test_check_unique_counts_surplus_rows(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long"
+    )
+    row = maintenance.check_unique(df, ["k"]).collect()[0]
+    assert row["n_rows"] == 5
+    assert row["n_violations"] == 2  # two surplus copies of k=1
+    assert not row["passed"]
+
+
+def test_check_foreign_key_orphans_and_null_fk(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 10)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = maintenance.check_foreign_key(child, "fk", parent, "pk").collect()[0]
+    assert row["n_rows"] == 4
+    assert row["n_violations"] == 1  # fk=99; NULL fk is not an orphan
+    assert not row["passed"]
+
+
+def test_dimension_stats_planted_values(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["dim"]: r for r in similarity.dimension_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["mean_val"] == 2.0
+    assert got[1]["std_val"] == 1.0  # values 1,3 -> var 1
+    assert got[2]["std_val"] == 0.0  # constant dimension
+    assert (got[1]["min_val"], got[1]["max_val"]) == (1.0, 3.0)
+    assert got[1]["n_values"] == 2
+
+
+def test_dimension_stats_shuffle_is_dim_keyed(spark):
+    """Scale pin: the only hash exchange keys on the (tiny) dim column
+    — partial aggregation folds (dim, partials) map-side."""
+    import re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    plan = plan_string(similarity.dimension_stats(df))
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), plan
+    assert re.search(r"partial_count|partial", plan) or "HashAggregate" in plan
