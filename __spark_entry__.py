@@ -4230,18 +4230,23 @@ def _q_validate_rules(spark, sf_dir):
 @_register(
     "s_embedding_dimstats",
     f"""
-WITH ex AS ({_SQL_EX})
+WITH ex AS ({_SQL_EX}),
+q AS (
+  SELECT pos, CAST(floor(val * 2147483648.0) AS BIGINT) AS iv, val FROM ex
+)
 SELECT pos AS dim,
        COUNT(*) AS n_values,
-       CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mean_val,
+       (CAST(SUM(iv) AS DOUBLE) / 2147483648.0) / COUNT(*) AS mean_val,
        sqrt(greatest(
-         CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
-         - (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
-           * (CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)),
+         (CAST(CAST(SUM(CAST(iv AS DECIMAL(38,0)) * CAST(iv AS DECIMAL(38,0)))
+                    AS VARCHAR) AS DOUBLE)
+          / 4611686018427387904.0) / COUNT(*)
+         - ((CAST(SUM(iv) AS DOUBLE) / 2147483648.0) / COUNT(*))
+           * ((CAST(SUM(iv) AS DOUBLE) / 2147483648.0) / COUNT(*)),
          0.0)) AS std_val,
        MIN(val) AS min_val,
        MAX(val) AS max_val
-FROM ex
+FROM q
 GROUP BY pos
 ORDER BY pos
 """,
@@ -4250,8 +4255,14 @@ def _q_embedding_dimstats(spark, sf_dir):
     """Per-dimension normalization stats (similarity.dimension_stats):
     the centering/scaling pre-pass for ANN and quantization. posexplode
     partial-aggregates map-side, so the one shuffle carries only
-    #partitions × d rows; sums accumulate in DECIMAL(38,12) and the
-    mean/var/std tree is fixed IEEE double ops — engine-portable."""
+    #partitions × d rows; values quantize tie-free onto the 2^-31
+    integer lattice (decimal casts of floats are NOT portable — Spark
+    HALF_UP vs DuckDB HALF_EVEN split on dyadic ties), sums are exact
+    integers, and the mean/var/std tree is fixed IEEE double ops. The
+    oracle routes its wide-decimal Σiv² to DOUBLE via VARCHAR: DuckDB's
+    direct int128→double cast is not correctly rounded (1-ulp drift at
+    >53 significant bits), while strtod and Spark's BigDecimal cast
+    are."""
     return similarity.dimension_stats(_t(spark, sf_dir, "embeddings"))
 
 

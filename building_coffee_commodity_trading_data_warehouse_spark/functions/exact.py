@@ -17,6 +17,16 @@ This is also the right call at scale: a 100 TB sum of doubles drifts by
 addition order between runs; decimal accumulation makes reruns
 reproducible for free (Spark's decimal sum is still a JVM codegen'd
 partial aggregate — no UDF, no slow path).
+
+Cross-engine hazard (measured): DuckDB's direct DECIMAL→DOUBLE cast is
+NOT correctly rounded once the decimal's integer representation needs
+more than 53 bits (int128→double converts in two halves, rounding
+twice — 1 ulp drift vs Spark's BigDecimal cast and vs strtod). Gates
+whose DECIMAL(38,6) totals could exceed ~9e15 in scaled units must
+route the ORACLE's conversion through VARCHAR
+(``CAST(CAST(x AS VARCHAR) AS DOUBLE)``) — see the s_embedding_dimstats
+oracle. At sf0.01 the warehouse sums peak ~3.2e15 scaled, inside the
+exact range, so ``sql_dsum`` stays on the direct cast.
 """
 
 from __future__ import annotations

@@ -889,25 +889,35 @@ def dimension_stats(embeddings: DataFrame, vec_col: str = "embedding") -> DataFr
     Scale shape: posexplode emits (dim, value) pairs but the groupBy
     partial-aggregates map-side, so the one shuffle carries only
     #partitions × d rows (d = vector width, tiny) — never corpus-sized
-    traffic. Sums accumulate in DECIMAL(38,12) (order-independent,
-    bit-identical on any engine / partitioning); mean, variance, and
-    std are then a fixed tree of IEEE double ops on those exact sums,
-    so results are engine-portable. Dims are 1-based to match SQL's
-    generate_subscripts.
-    """
+    traffic.
+
+    Exactness: decimal casts of raw floats are NOT portable — a float32
+    like 1/8192 lands exactly halfway at decimal scale 12 and Spark
+    (HALF_UP) vs DuckDB (HALF_EVEN) round it apart. So values are
+    quantized onto the 2^-31 lattice with floor(val·2^31) — a
+    power-of-two scale is an EXACT double op and floor has no ties —
+    then summed as plain integers (Σiv fits BIGINT, Σiv² accumulates
+    in DECIMAL(38,0)): zero rounding anywhere until the final fixed
+    tree of IEEE double ops. The 2^-31 quantization error (≤5e-10) is
+    far below any use of normalization stats; min/max are reported on
+    the raw values (no arithmetic, exact on any engine). Dims are
+    1-based to match SQL's generate_subscripts."""
+    _S = 2147483648.0  # 2^31
     ex = embeddings.select(
         F.posexplode(vec_col).alias("pos", "__v")
     ).select((F.col("pos") + 1).alias("dim"), F.col("__v").cast("double").alias("val"))
-    dec = "decimal(38,12)"
+    iv = F.floor(F.col("val") * F.lit(_S))  # bigint, exact, tie-free
+    ivd = iv.cast("decimal(38,0)")
     per_dim = ex.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n_values"),
-        F.sum(F.col("val").cast(dec)).cast("double").alias("__sum"),
-        F.sum((F.col("val") * F.col("val")).cast(dec)).cast("double").alias("__sumsq"),
+        F.sum(iv).alias("__siv"),
+        F.sum(ivd * ivd).alias("__sivv"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
-    mean = F.col("__sum") / F.col("n_values")
-    var = F.col("__sumsq") / F.col("n_values") - mean * mean
+    mean = (F.col("__siv").cast("double") / F.lit(_S)) / F.col("n_values")
+    meansq = (F.col("__sivv").cast("double") / F.lit(_S * _S)) / F.col("n_values")
+    var = meansq - mean * mean
     return per_dim.select(
         "dim",
         "n_values",
