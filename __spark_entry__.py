@@ -4168,6 +4168,32 @@ def _q_clean_text(spark, sf_dir):
 
 
 @_register(
+    "a_active_users",
+    """
+WITH pres AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+b AS (SELECT max(day) AS d1 FROM pres),
+tgt AS (
+  SELECT DISTINCT p.day + x.i AS day, p.user_id
+  FROM pres p, (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS i) x
+),
+wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM tgt GROUP BY day),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pres GROUP BY day)
+SELECT strftime(w.day, '%Y-%m-%d') AS day,
+       coalesce(d.dau, 0) AS dau, w.wau AS wau
+FROM wau w LEFT JOIN dau d USING (day), b
+WHERE w.day <= b.d1
+ORDER BY day
+""",
+)
+def _q_active_users(spark, sf_dir):
+    """DAU + trailing-7-day WAU panel (aggregates.active_users):
+    events collapse to distinct (day,user) presence FIRST; the rolling
+    window explodes the small presence frame 7×, never the events; no
+    count-distinct window state."""
+    return aggregates.active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@_register(
     "m_validate_rules",
     """
 WITH li AS (
@@ -4427,6 +4453,8 @@ _VERIFY_FIRST = [
     "m_validate_rules",
     "s_embedding_dimstats",
     "st_leaderboard",
+    "a_active_users",
+    "w_zscore_outliers",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

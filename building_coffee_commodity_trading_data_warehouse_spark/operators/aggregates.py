@@ -402,3 +402,44 @@ def histogram(
             "n_rows",
         )
     )
+
+
+def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling engagement panel (DAU + trailing-``window_days`` WAU):
+    for every calendar day up to the last observed day, how many
+    distinct users were active that day and within the trailing
+    window. The product-analytics staple next to retention cohorts.
+
+    Aggregate-FIRST at every step — the event stream collapses to
+    distinct (day, user) presence pairs (bounded by users × days,
+    orders of magnitude below event volume) before anything else;
+    the rolling window is an explode of each presence row into the
+    ``window_days`` days it contributes to (bounded fan-out of the
+    SMALL frame, never the events), re-distincted and counted. No
+    count-distinct window function (which would hold per-day user
+    sets in window state), no self-join over events."""
+    day = F.to_date("ts").alias("day")
+    pres = events.select(day, "user_id").distinct()
+    bounds = pres.agg(F.max("day").alias("__d1"))
+    target = (
+        pres.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+            ).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = target.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    dau = pres.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        wau.join(dau, "day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("__d1"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+        )
+        .orderBy("day")
+    )
