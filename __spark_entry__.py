@@ -4462,7 +4462,6 @@ _VERIFY_FIRST = [
     "c_boilerplate_scrub",
     "c_group_sample",
     "q_shipmode_priority",
-    "w_zscore_outliers",
     "st_zscore_outliers",
     "w_resample_ffill",
     "m_audio_wav",
