@@ -4168,6 +4168,66 @@ def _q_clean_text(spark, sf_dir):
 
 
 @_register(
+    "q_basket_pairs",
+    """
+WITH base AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM base a JOIN base b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def _q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (analytics.basket_pairs): top part
+    pairs ordered together. Order-keyed self-join of ONE distinct
+    frame (ReusedExchange), fan-out bounded by lines-per-order², top-N
+    via TakeOrderedAndProject with full tiebreak."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.basket_pairs(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "q_market_concentration",
+    """
+WITH per AS (
+  SELECT l.l_suppkey, s.s_nationkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))
+              AS DECIMAL(18,6)) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_revenue,
+       CAST(CAST(SUM(CAST(rev AS DECIMAL(19,6)) * CAST(rev AS DECIMAL(19,6)))
+                 AS VARCHAR) AS DOUBLE)
+         / (CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)) AS hhi
+FROM per JOIN nation n ON per.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def _q_market_concentration(spark, sf_dir):
+    """Herfindahl index per nation (analytics.market_concentration):
+    HHI = Σrev²/(Σrev)² with exact decimal sums (scale-preserving
+    narrowing, no rounding ties) and one IEEE division; the oracle
+    routes its wide decimals to DOUBLE via VARCHAR (DuckDB's direct
+    int128→double cast drifts 1 ulp past 53 bits)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    return analytics.market_concentration(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_register(
     "a_active_users",
     """
 WITH pres AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
@@ -4455,6 +4515,8 @@ _VERIFY_FIRST = [
     "st_leaderboard",
     "a_active_users",
     "w_zscore_outliers",
+    "q_basket_pairs",
+    "q_market_concentration",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -762,3 +762,72 @@ def dormant_rich_customers(
         )
         .orderBy("n_name")
     )
+
+
+def basket_pairs(lineitem: DataFrame, topn: int = 20) -> DataFrame:
+    """Market-basket co-occurrence: the part pairs most often ordered
+    together — the "frequently bought together" panel. The self-join
+    is keyed on l_orderkey, so its fan-out is bounded by (lines per
+    order)², a small constant — never corpus-quadratic — and both
+    sides are the SAME distinct (order, part) frame, which Spark
+    evaluates once and replays through a ReusedExchange. The pair key
+    is (min, max)-ordered via the a < b join bound so each pair counts
+    once; top-N terminates in TakeOrderedAndProject with a full
+    lexical tiebreak."""
+    base = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = base.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = base.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(topn)
+    )
+
+
+def market_concentration(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Supplier concentration per nation (Herfindahl–Hirschman index):
+    HHI = Σᵢ shareᵢ² over each nation's supplier revenue shares — the
+    antitrust-style market-structure read on the supply side.
+
+    Engine-exact without ever materializing a share: HHI =
+    (Σ revᵢ²) / (Σ revᵢ)², where per-supplier revenue folds
+    decimal-exact and is then narrowed to DECIMAL(18,6) — the SAME
+    scale, so the narrowing is a pure precision assertion with no
+    rounding (a scale-changing recast would tie on trailing ..50
+    digits ~1% of the time and split HALF_UP vs HALF_EVEN across
+    engines). revᵢ² then stays inside both engines' 38-digit cap with
+    scale 12 intact, sums are exact, and the final division is one
+    IEEE op on two exactly-summed casts. Aggregate-first: the fact
+    collapses to one row per supplier before the supplier dim join."""
+    per_supp = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.sum(REVENUE.cast("decimal(38,6)")).alias("__r38"))
+        .select("l_suppkey", F.col("__r38").cast("decimal(18,6)").alias("rev"))
+    )
+    joined = per_supp.join(
+        supplier.select("s_suppkey", "s_nationkey"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    per_nation = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("__tot"),
+        F.sum(F.col("rev") * F.col("rev")).alias("__sumsq"),
+    )
+    tot_d = F.col("__tot").cast("double")
+    return per_nation.select(
+        "n_name",
+        "n_suppliers",
+        tot_d.alias("total_revenue"),
+        (F.col("__sumsq").cast("double") / (tot_d * tot_d)).alias("hhi"),
+    ).orderBy("n_name")
