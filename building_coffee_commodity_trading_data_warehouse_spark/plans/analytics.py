@@ -766,23 +766,31 @@ def dormant_rich_customers(
 
 def basket_pairs(lineitem: DataFrame, topn: int = 20) -> DataFrame:
     """Market-basket co-occurrence: the part pairs most often ordered
-    together — the "frequently bought together" panel. The self-join
-    is keyed on l_orderkey, so its fan-out is bounded by (lines per
-    order)², a small constant — never corpus-quadratic — and both
-    sides are the SAME distinct (order, part) frame, which Spark
-    evaluates once and replays through a ReusedExchange. The pair key
-    is (min, max)-ordered via the a < b join bound so each pair counts
-    once; top-N terminates in TakeOrderedAndProject with a full
-    lexical tiebreak."""
-    base = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = base.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    together — the "frequently bought together" panel.
+
+    NO self-join: each order's distinct parts collapse to ONE sorted
+    array (a single l_orderkey exchange), and the pairs are generated
+    array-natively inside that row — transform × slice × flatten ×
+    explode, all codegen — so the plan has two hash exchanges total
+    (orderkey fold, pair count) where the naive self-join formulation
+    costs four plus a corpus-sized join. Fan-out stays bounded by
+    (lines per order)², a small constant; sort_array makes every pair
+    (a < b)-ordered so each counts once; top-N terminates in
+    TakeOrderedAndProject with a full lexical tiebreak."""
+    parts = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__ps")
     )
-    b = base.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    ps = F.col("__ps")
+    pair_lists = F.transform(
+        ps,
+        lambda x, i: F.transform(
+            F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+        ),
     )
     return (
-        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        parts.select(F.explode(F.flatten(pair_lists)).alias("__p"))
+        .select(F.col("__p.part_a").alias("part_a"), F.col("__p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")

@@ -333,3 +333,54 @@ def test_skew_report_heap_topn_and_broadcast_stats(spark, sf_dir):
     # the per-key frame is cached: both branches read InMemoryTableScan,
     # so lineitem is scanned once no matter how many consumers
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_basket_pairs_no_join_two_exchanges(spark, sf_dir):
+    """Pairs generate array-natively inside each order row: the plan
+    must contain NO join at all and exactly two hash exchanges (the
+    orderkey fold and the pair count) — the naive self-join shape
+    costs four exchanges plus a corpus-sized join. Top-N terminates
+    in TakeOrderedAndProject."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    df = analytics.basket_pairs(catalog.table(spark, sf_dir, "lineitem"))
+    plan = explain.plan_string(df)
+    assert "Join" not in plan, plan
+    assert _exchanges(df) == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_market_concentration_aggregates_before_dim_join(spark, sf_dir):
+    """Aggregate-first: the supplier-revenue fold (l_suppkey exchange)
+    must run BEFORE the supplier dim join — the join then moves one
+    row per supplier, never fact rows — and nation stays broadcast."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    df = analytics.market_concentration(t("lineitem"), t("supplier"), t("nation"))
+    plan = explain.plan_string(df)
+    assert "BroadcastHashJoin" in plan  # nation (25 rows)
+    # the fact fold appears below (after, in top-down print) the join
+    # machinery: there is exactly one suppkey exchange feeding a
+    # partial aggregate over lineitem columns.
+    assert re.search(r"Exchange hashpartitioning\(l_suppkey", plan), plan
+
+
+def test_active_users_explodes_presence_not_events(spark, sf_dir):
+    """The rolling-window explode must run on the distinct (day, user)
+    presence frame (post-aggregation), not the raw event stream: the
+    plan's Generate node consumes the output of a distinct aggregate,
+    and no exchange partitions on event_id."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    df = aggregates.active_users(catalog.table(spark, sf_dir, "events"))
+    plan = explain.plan_string(df)
+    assert "Generate explode" in plan, plan
+    assert not re.search(r"Exchange hashpartitioning\(event_id", plan), plan
+    gen = plan.index("Generate explode")
+    # below the Generate (printed after it) there must be an aggregate
+    # — the presence distinct — before any scan of events.
+    tail = plan[gen:]
+    assert "HashAggregate" in tail[: tail.index("Scan")], plan
