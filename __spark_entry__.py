@@ -1621,6 +1621,60 @@ def _stream_events(spark, sf_dir):
 
 
 @_register(
+    "st_left_join",
+    """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+""",
+)
+def _q_st_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join through the real engine:
+    clicks joined to the same user's trailing-2h views; a click with
+    no view emits once, null-padded, when the watermark proves no
+    match can arrive. The landing dir is staged with a far-future
+    sentinel pair so the availableNow drain flushes EVERY real row —
+    making the batch LEFT JOIN an exact oracle (sentinels filtered
+    out by user_id ≥ 0)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    land = pipeline.stage_with_sentinel(spark, sf_dir)
+    ev = pipeline.stream_events(spark, land)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    joined = pipeline.interval_join_outer(
+        clicks, views, cond, ("click_ts", "view_ts")
+    )
+    out = pipeline.run_available_now(
+        joined, f"st_ljoin_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )
+
+
+@_register(
     "st_ohlcv_bars",
     f"""
 SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
@@ -4254,6 +4308,60 @@ def _q_active_users(spark, sf_dir):
 
 
 @_register(
+    "a_unpivot_totals",
+    f"""
+WITH agg AS (
+  SELECT l_returnflag,
+         {sql_dsum("l_quantity")} AS sum_qty,
+         {sql_dsum("l_extendedprice")} AS sum_price,
+         {sql_dsum("l_discount")} AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, total FROM (
+  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+)
+ORDER BY l_returnflag, measure
+""",
+)
+def _q_unpivot_totals(spark, sf_dir):
+    """Wide→long melt (aggregates.unpivot_measure_totals): decimal-
+    exact measure totals reshaped to (measure, total) rows. Aggregate-
+    first — the Expand runs on groups × measures rows, never the
+    fact."""
+    return aggregates.unpivot_measure_totals(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "a_mad_robust",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_val,
+         COUNT(*) AS n_rows
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT e.event_type, m.median_val, m.n_rows,
+         CAST(abs(CAST(e.value AS DECIMAL(18,2))
+                  - CAST(m.median_val AS DECIMAL(18,4))) AS DOUBLE) AS dev
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type, n_rows, median_val, quantile_cont(dev, 0.5) AS mad
+FROM d GROUP BY 1, 2, 3
+ORDER BY 1
+""",
+)
+def _q_mad_robust(spark, sf_dir):
+    """Median + MAD per event type (aggregates.mad_stats): two grouped
+    exact-percentile passes; the per-group medians broadcast back and
+    the absolute deviations live on the exact decimal lattice."""
+    return aggregates.mad_stats(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "m_validate_rules",
     """
 WITH li AS (
@@ -4517,6 +4625,9 @@ _VERIFY_FIRST = [
     "w_zscore_outliers",
     "q_basket_pairs",
     "q_market_concentration",
+    "st_left_join",
+    "a_mad_robust",
+    "a_unpivot_totals",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -443,3 +443,57 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def mad_stats(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Robust dispersion per group: median + MAD (median absolute
+    deviation) — the outlier-resistant twin of mean/stddev that fence
+    rules and robust z-scores (x−med)/MAD build on.
+
+    Two grouped exact-percentile passes: the per-group median folds
+    first (group-cardinality rows), broadcasts back onto the events,
+    and the absolute deviation — computed on the DECIMAL tick lattice,
+    so it is exact: value is 2-decimal, an interpolated median is at
+    worst on the half-cent grid — feeds the second median. Quartile
+    positions interpolate at exact binary fractions, bit-identical
+    across engines (same guarantee a_percentiles relies on). At 100 TB
+    exact percentiles sort within each group; swap approx_percentile
+    in for the sketch path when audits do not require exactness."""
+    med = events.groupBy(group_col).agg(
+        F.percentile("value", 0.5).alias("median_val"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = (
+        F.abs(
+            F.col("value").cast("decimal(18,2)")
+            - F.col("median_val").cast("decimal(18,4)")
+        )
+    ).cast("double")
+    return (
+        events.join(F.broadcast(med), group_col)
+        .select(group_col, "median_val", "n_rows", dev.alias("__dev"))
+        .groupBy(group_col, "median_val", "n_rows")
+        .agg(F.percentile("__dev", 0.5).alias("mad"))
+        .select(group_col, "n_rows", "median_val", "mad")
+        .orderBy(group_col)
+    )
+
+
+def unpivot_measure_totals(lineitem: DataFrame) -> DataFrame:
+    """Wide→long reshape (the inverse of pivot_value_by_type): per
+    return flag, three decimal-exact measure totals unpivoted into
+    (measure, total) rows — the shape BI tools and metric stores
+    ingest. Aggregate-FIRST: the melt runs on the tiny aggregated
+    frame (groups × measures rows), never on the fact; unpivot itself
+    is a pure Expand projection — no join, no extra shuffle."""
+    agg = lineitem.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "total",
+    ).orderBy("l_returnflag", "measure")

@@ -147,3 +147,74 @@ def static_enrich(
     broadcast into each micro-batch, which is exactly the 100 TB/day
     enrichment pattern (dims are small; the stream never shuffles)."""
     return stream_df.join(F.broadcast(static_dim), on, how)
+
+
+def stage_with_sentinel(
+    spark: SparkSession, sf_dir: str, horizon_hours: int = 10
+) -> str:
+    """Materialize a landing directory = the events table plus one
+    far-future click/view sentinel pair (user_id = −1), ``horizon_hours``
+    past the newest real event and 5 hours apart so the pair cannot
+    join itself.
+
+    Why: outer stream-stream joins emit their null-padded unmatched
+    rows only when the WATERMARK passes the row's match horizon. In an
+    availableNow drain of a static directory the watermark stops at
+    max(ts) − delay, so the newest unmatched rows would stay buffered
+    forever and the result would not equal any batch query. The
+    sentinel pushes the final watermark beyond every real row, so the
+    drain emits exactly the batch LEFT JOIN rows (filter user_id ≥ 0
+    afterwards) — a deterministic, engine-exact flush.
+
+    The staging write normalizes ts to instant TimestampType (it reads
+    through catalog.table), so the streamed schema is version-
+    independent. Cost: one batch rewrite of the landing data —
+    verification machinery; production streams are unbounded and flush
+    on their own arrival cadence."""
+    import tempfile
+
+    from .. import catalog
+
+    land = tempfile.mkdtemp(prefix="spark_graft_sentinel_land_")
+    ev = catalog.table(spark, sf_dir, "events")
+    base_us = int(ev.agg(F.max(F.unix_micros("ts")).alias("m")).collect()[0]["m"])
+    h_us = horizon_hours * 3_600_000_000
+    sent = spark.createDataFrame(
+        [
+            (-1, base_us + h_us, -1, "click", 0.0, None),
+            (-2, base_us + h_us + 5 * 3_600_000_000, -1, "view", 0.0, None),
+        ],
+        "event_id long, __us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("__us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props").unionByName(
+        sent
+    ).write.mode("overwrite").parquet(land)
+    return land
+
+
+def interval_join_outer(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    cond,
+    watermark_cols: tuple[str, str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with a time-range condition: the
+    matched rows stream out like the inner join; an unmatched left row
+    emits once, null-padded, when the watermark proves no future right
+    row can satisfy the interval — the engine needs BOTH watermarks
+    and the range bound to know when that is (and to expire state).
+    Use ``stage_with_sentinel`` to flush the tail deterministically in
+    availableNow verification drains."""
+    l_col, r_col = watermark_cols
+    return left_stream.withWatermark(l_col, watermark).join(
+        right_stream.withWatermark(r_col, watermark), cond, "leftOuter"
+    )
