@@ -1277,6 +1277,63 @@ def _q_decode_resize(spark, sf_dir):
 
 
 @_register(
+    "m_image_phash",
+    r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, n, w, h,
+         list_transform(range(1, GREATEST(n, 1) + 1),
+           i -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS L
+  FROM t
+),
+g AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 64), k ->
+           ( L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0)
+               % GREATEST(n, 1) + 1]
+           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1)
+               % GREATEST(n, 1) + 1]
+           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2)
+               % GREATEST(n, 1) + 1]) // 3) AS gs
+  FROM codes
+),
+m AS (SELECT doc_id, gs, list_sum(gs) // 64 AS mean FROM g),
+bits AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32, 64),
+           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
+                     THEN 2 ** (k - 32) ELSE 0 END)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
+                     THEN 2 ** k ELSE 0 END)) AS BIGINT) AS hash_lo
+  FROM m
+)
+SELECT doc_id, printf('%08x%08x', hash_hi, hash_lo) AS phash,
+       hash_hi, hash_lo, TRUE AS stable_ok
+FROM bits
+""",
+)
+def _q_image_phash(spark, sf_dir):
+    """Perceptual average-hash per image (multimodal.image_phash):
+    grayscale → 8×8 floor-index downsample → mean threshold, all
+    integer math, so the oracle REPLAYS the 64-bit hash from the
+    payload bytes (value-checked, like m_audio_wav). stable_ok proves
+    phash survives the real BMP encode/decode round trip."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)  # executor closures reference the BMP codec
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.image_phash(media)
+
+
+@_register(
     "m_audio_wav",
     """
 SELECT doc_id,
@@ -4628,6 +4685,7 @@ _VERIFY_FIRST = [
     "st_left_join",
     "a_mad_robust",
     "a_unpivot_totals",
+    "m_image_phash",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -463,3 +463,148 @@ def certify_audio_pipeline(media: DataFrame, sample_rate: int = 8000) -> DataFra
             )
 
     return media.mapInPandas(_batches, schema=AUDIO_CERTIFIED_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash string, hash_hi long, hash_lo long, stable_ok boolean"
+
+
+def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the 64-bit
+    fingerprint image dedup pipelines bucket on: grayscale the pixels,
+    floor-index downsample to ``grid``×``grid``, threshold each sample
+    against the integer mean. Two visually identical images (resize
+    artifacts, metadata-stripped re-encodes) land on nearby hashes;
+    Hamming distance ranks near-duplicates.
+
+    All-integer math (byte sums, floor divisions, comparisons), so the
+    DuckDB oracle replays the hash bit-for-bit from the payload bytes —
+    the gate is VALUE-checked, not rows-only. The image itself derives
+    deterministically from the payload (dims = len%16+2 × len%8+2,
+    tiled bytes — the fake-codec rule certify_image_pipeline pins) and
+    passes through the REAL BMP encoder/decoder: ``stable_ok`` proves
+    phash(decode(encode(img))) == phash(img). Emitted as a 16-hex-char
+    string plus two 32-bit halves (no signed-64 edge cases anywhere);
+    Arrow-batched mapInPandas, embarrassingly parallel, no shuffle."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _hash_of(img: "_np.ndarray", h: int, w: int):
+            gray = img.astype(_np.int64).sum(axis=2) // 3
+            ys = (_np.arange(grid) * h) // grid
+            xs = (_np.arange(grid) * w) // grid
+            gs = gray[ys][:, xs].reshape(-1)
+            mean = int(gs.sum()) // (grid * grid)
+            hi = lo = 0
+            for k in range(grid * grid):
+                if int(gs[k]) > mean:
+                    if k >= 32:
+                        hi |= 1 << (k - 32)
+                    else:
+                        lo |= 1 << k
+            return hi, lo
+
+        def _one(payload: bytes):
+            b = bytes(payload)
+            w = len(b) % 16 + 2
+            h = len(b) % 8 + 2
+            need = w * h * 3
+            if not b:
+                b = b"\x00"
+            src = _np.frombuffer(
+                (b * (need // max(len(b), 1) + 1))[:need], dtype=_np.uint8
+            )
+            img = src.reshape(h, w, 3)
+            hi, lo = _hash_of(img, h, w)
+            w2, h2, _c2, rgb2 = decode_bmp(encode_bmp(w, h, src.tobytes()))
+            img2 = _np.frombuffer(rgb2, dtype=_np.uint8).reshape(h2, w2, 3)
+            stable = (w2, h2) == (w, h) and _hash_of(img2, h2, w2) == (hi, lo)
+            return f"{hi:08x}{lo:08x}", hi, lo, bool(stable)
+
+        for pdf in it:
+            rows = [_one(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [r[0] for r in rows],
+                    "hash_hi": _np.array([r[1] for r in rows], dtype="int64"),
+                    "hash_lo": _np.array([r[2] for r in rows], dtype="int64"),
+                    "stable_ok": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Image near-duplicate candidate pairs by Hamming distance over
+    the 64-bit perceptual hash — banded, never all-pairs: split each
+    hash into ``max_distance + 1`` bands (pigeonhole: two hashes
+    within the distance budget must agree on at least one full band),
+    equi-join on (band index, band value) — the same bucket-join shape
+    as MinHash-LSH — then verify candidates with two XOR+bit_count
+    ops. All codegen; the only shuffle is the band-keyed join, so the
+    plan survives web-scale image corpora where all-pairs cannot."""
+    nbands = max_distance + 1
+    width = 64 // nbands
+    banded = hashes.select(
+        "doc_id",
+        "hash_hi",
+        "hash_lo",
+        F.posexplode(
+            F.array(
+                *[
+                    # band k covers bits [k*width, (k+1)*width); extract
+                    # from the right half, the left half, or straddling
+                    # both — pure bit shifts on the two 32-bit halves.
+                    _band_value(k, width)
+                    for k in range(nbands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hash_hi").alias("hi_a"),
+        F.col("hash_lo").alias("lo_a"),
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hash_hi").alias("hi_b"),
+        F.col("hash_lo").alias("lo_b"),
+        "band",
+        "band_val",
+    )
+    dist = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def _band_value(k: int, width: int):
+    """Bits [k·width, (k+1)·width) of the 64-bit hash held as two
+    32-bit halves (hash_hi = bits 32-63, hash_lo = bits 0-31)."""
+    lo_bit = k * width
+    hi_bit = lo_bit + width - 1
+    mask = (1 << width) - 1
+    if hi_bit < 32:
+        return F.shiftrightunsigned(F.col("hash_lo"), lo_bit).bitwiseAND(F.lit(mask))
+    if lo_bit >= 32:
+        return F.shiftrightunsigned(F.col("hash_hi"), lo_bit - 32).bitwiseAND(
+            F.lit(mask)
+        )
+    lo_part_bits = 32 - lo_bit
+    lo_part = F.shiftrightunsigned(F.col("hash_lo"), lo_bit).bitwiseAND(
+        F.lit((1 << lo_part_bits) - 1)
+    )
+    hi_part = F.col("hash_hi").bitwiseAND(F.lit((1 << (width - lo_part_bits)) - 1))
+    return F.shiftleft(hi_part, lo_part_bits).bitwiseOR(lo_part)

@@ -188,3 +188,57 @@ def test_wav_skips_unknown_chunks_and_rejects_variants():
         decode_wav(bytes(bad))
     with _pytest.raises(ValueError):
         decode_wav(b"not audio at all")
+
+
+def test_image_phash_stable_and_deterministic(spark, sf_dir):
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
+    from building_coffee_commodity_trading_data_warehouse_spark.session import ship_package
+
+    ship_package(spark)
+    media = multimodal.to_media_table(catalog.table(spark, sf_dir, "documents"))
+    out = multimodal.image_phash(media).limit(50).collect()
+    assert all(r["stable_ok"] for r in out)
+    for r in out:
+        assert r["phash"] == f"{r['hash_hi']:08x}{r['hash_lo']:08x}"
+        assert 0 <= r["hash_hi"] < 1 << 32 and 0 <= r["hash_lo"] < 1 << 32
+
+
+def test_phash_pairs_planted_neardups(spark):
+    """Two hashes 2 bits apart must pair under max_distance=3 (the
+    pigeonhole band guarantee); a far hash must not; the pair list is
+    deduped across the bands that co-bucket it."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
+
+    rows = [
+        (1, 0x12345678, 0x9ABCDEF0),
+        (2, 0x12345678, 0x9ABCDEF3),  # 2 bits from doc 1 (…F0 vs …F3)
+        (3, 0x0F0F0F0F, 0x33333333),  # far from both
+        (4, 0x12345678, 0x9ABCDEF0),  # identical to doc 1 (distance 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, hash_hi long, hash_lo long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(df, max_distance=3).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 4)] == 0
+    assert got[(2, 4)] == 2
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_phash_pairs_band_join_not_cartesian(spark):
+    """Scale pin: candidates come from a (band, band_val) equi-join —
+    the plan must contain a hash-keyed join on band columns and no
+    cartesian/nested-loop product."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
+
+    df = spark.createDataFrame(
+        [(1, 5, 6), (2, 5, 7)], "doc_id long, hash_hi long, hash_lo long"
+    )
+    plan = plan_string(multimodal.phash_pairs(df))
+    assert "CartesianProduct" not in plan, plan
+    assert "band" in plan, plan
