@@ -1278,6 +1278,9 @@ def _q_decode_resize(spark, sf_dir):
 
 @_register(
     "m_image_phash",
+    "a_correlation",
+    "q_product_profit",
+    "f_bitwise_battery",
     r"""
 WITH t AS (
   SELECT doc_id, text, length(text) AS n,
@@ -2827,6 +2830,66 @@ def _q_shipmode_priority(spark, sf_dir):
 
     return analytics.shipmode_priority_mix(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_register(
+    "f_bitwise_battery",
+    """
+SELECT event_id,
+       event_id & 255 AS band,
+       event_id | 4096 AS bor,
+       xor(event_id, 1234) AS bxor,
+       (event_id % 1000) << 3 AS shl,
+       event_id >> 2 AS shr,
+       CAST(bit_count(event_id) AS INTEGER) AS popcnt
+FROM events
+""",
+)
+def _q_bitwise_battery(spark, sf_dir):
+    """Bitwise scalar battery (the function family behind the phash
+    Hamming verify and band extraction): AND/OR/XOR, shifts, and
+    popcount — all codegen'd JVM expressions, map-only."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("band"),
+        eid.bitwiseOR(F.lit(4096)).alias("bor"),
+        eid.bitwiseXOR(F.lit(1234)).alias("bxor"),
+        F.shiftleft(eid % 1000, 3).alias("shl"),
+        F.shiftright(eid, 2).alias("shr"),
+        F.bit_count(eid).alias("popcnt"),
+    )
+
+
+@_register(
+    "q_product_profit",
+    f"""
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum("l.l_extendedprice * (1.0 - l.l_discount) - 0.9 * p.p_retailprice * l.l_quantity")} AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def _q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (cost proxied by 0.9 × p_retailprice — no
+    partsupp in the testdata): product-line profit per supplier nation
+    and year. Name-filtered part keys broadcast-semi onto the fact
+    BEFORE any shuffle; one big-big orderkey join; nation broadcast;
+    decimal-exact profit fold."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return analytics.product_profit(
+        t("lineitem"), t("orders"), t("part"), t("supplier"), t("nation")
     )
 
 
@@ -4393,6 +4456,38 @@ def _q_unpivot_totals(spark, sf_dir):
 
 
 @_register(
+    "a_correlation",
+    """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(l_quantity AS DECIMAL(19,2))) AS sq,
+    SUM(CAST(l_extendedprice AS DECIMAL(19,2))) AS sp,
+    SUM(CAST(l_discount AS DECIMAL(19,2))) AS sd,
+    SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))) AS sqq,
+    SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS spp,
+    SUM(CAST(l_discount AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) AS sdd,
+    SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS sqp,
+    SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) AS sqd,
+    SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_discount AS DECIMAL(19,2))) AS spd
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       (CAST(n AS DOUBLE) * CAST(CAST(sqp AS VARCHAR) AS DOUBLE) - CAST(CAST(sq AS VARCHAR) AS DOUBLE) * CAST(CAST(sp AS VARCHAR) AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sqq AS VARCHAR) AS DOUBLE) - CAST(CAST(sq AS VARCHAR) AS DOUBLE) * CAST(CAST(sq AS VARCHAR) AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(CAST(spp AS VARCHAR) AS DOUBLE) - CAST(CAST(sp AS VARCHAR) AS DOUBLE) * CAST(CAST(sp AS VARCHAR) AS DOUBLE))) AS corr_qty_price,
+       (CAST(n AS DOUBLE) * CAST(CAST(sqd AS VARCHAR) AS DOUBLE) - CAST(CAST(sq AS VARCHAR) AS DOUBLE) * CAST(CAST(sd AS VARCHAR) AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(CAST(sqq AS VARCHAR) AS DOUBLE) - CAST(CAST(sq AS VARCHAR) AS DOUBLE) * CAST(CAST(sq AS VARCHAR) AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(CAST(sdd AS VARCHAR) AS DOUBLE) - CAST(CAST(sd AS VARCHAR) AS DOUBLE) * CAST(CAST(sd AS VARCHAR) AS DOUBLE))) AS corr_qty_disc,
+       (CAST(n AS DOUBLE) * CAST(CAST(spd AS VARCHAR) AS DOUBLE) - CAST(CAST(sp AS VARCHAR) AS DOUBLE) * CAST(CAST(sd AS VARCHAR) AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(CAST(spp AS VARCHAR) AS DOUBLE) - CAST(CAST(sp AS VARCHAR) AS DOUBLE) * CAST(CAST(sp AS VARCHAR) AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(CAST(sdd AS VARCHAR) AS DOUBLE) - CAST(CAST(sd AS VARCHAR) AS DOUBLE) * CAST(CAST(sd AS VARCHAR) AS DOUBLE))) AS corr_price_disc
+FROM m
+""",
+)
+def _q_correlation(spark, sf_dir):
+    """Exact Pearson correlation matrix between fact measures
+    (aggregates.measure_correlations): every moment folds decimal-
+    exact in ONE scan; r is a fixed IEEE tree on the exact moments —
+    unlike F.corr, whose streaming merge drifts with partition order.
+    The oracle routes its wide moments to DOUBLE via VARCHAR."""
+    return aggregates.measure_correlations(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
     "a_mad_robust",
     """
 WITH med AS (
@@ -4686,6 +4781,9 @@ _VERIFY_FIRST = [
     "a_mad_robust",
     "a_unpivot_totals",
     "m_image_phash",
+    "a_correlation",
+    "q_product_profit",
+    "f_bitwise_battery",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -497,3 +497,44 @@ def unpivot_measure_totals(lineitem: DataFrame) -> DataFrame:
         "measure",
         "total",
     ).orderBy("l_returnflag", "measure")
+
+
+def measure_correlations(lineitem: DataFrame) -> DataFrame:
+    """Exact Pearson correlations between fact measures (quantity ×
+    price, quantity × discount, price × discount) — the profiling
+    pass a modeling pipeline runs before feature selection.
+
+    Why not ``F.corr``: its streaming covariance merge is partition-
+    order-dependent in the last bits, so results drift across cluster
+    layouts and engines. Here every moment (Σx, Σy, Σxy, Σx², Σy²)
+    accumulates EXACTLY in decimal — per-row products of 2-decimal
+    measures live on the 4-decimal lattice — in ONE scan/fold, and r
+    is then a fixed tree of IEEE double ops on those exact moments:
+    bit-identical on any engine and any partitioning. The oracle must
+    route its wide moment casts through VARCHAR (functions/exact.py
+    documents DuckDB's >53-bit decimal→double drift)."""
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    mom = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"), F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+
+    def _corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(sy).cast("double")
+        vx = n * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx).cast("double")
+        vy = n * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy).cast("double")
+        return num / F.sqrt(vx * vy)
+
+    return mom.select(
+        F.col("n").alias("n_rows"),
+        _corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        _corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        _corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )

@@ -839,3 +839,54 @@ def market_concentration(
         tot_d.alias("total_revenue"),
         (F.col("__sumsq").cast("double") / (tot_d * tot_d)).alias("hhi"),
     ).orderBy("n_name")
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+    cost_factor: float = 0.9,
+) -> DataFrame:
+    """Product-line profit by supplier nation and year (TPC-H Q9
+    shape; the testdata has no partsupp, so unit cost proxies as
+    ``cost_factor`` × p_retailprice — same join/aggregate skeleton):
+    profit = Σ (revenue − cost·quantity) over parts whose name carries
+    ``name_token``.
+
+    Plan: the name filter prunes part FIRST and the surviving keys
+    broadcast into a semi-join on lineitem — the fact never shuffles
+    to discover qualifying rows; the retail-price lookup joins the
+    SAME pruned part frame on partkey (scale-proportional dim: shuffle
+    join, AQE may broadcast at small SF); then the one big-big
+    orderkey shuffle for the year, a suppkey join, and the fixed-25-row
+    nation broadcast. Per-row profit is an IEEE product chain cast to
+    DECIMAL(38,6) before the fold — order-independent totals."""
+    keys = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = lineitem.join(
+        keys.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    profit_row = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(cost_factor) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    joined = (
+        li.join(keys, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit_row).alias("profit"))
+        .orderBy("n_name", F.col("o_year"))
+    )
