@@ -1278,9 +1278,6 @@ def _q_decode_resize(spark, sf_dir):
 
 @_register(
     "m_image_phash",
-    "a_correlation",
-    "q_product_profit",
-    "f_bitwise_battery",
     r"""
 WITH t AS (
   SELECT doc_id, text, length(text) AS n,

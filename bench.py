@@ -55,6 +55,11 @@ HEADLINE = [
     "c_boilerplate_scrub",
     "w_zscore_outliers",
     "w_resample_ffill",
+    # round-5b additions (same caveat)
+    "q_basket_pairs",
+    "a_active_users",
+    "m_image_phash",
+    "a_correlation",
 ]
 
 
