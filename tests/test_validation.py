@@ -92,3 +92,52 @@ def test_dimension_stats_shuffle_is_dim_keyed(spark):
     plan = plan_string(similarity.dimension_stats(df))
     assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), plan
     assert re.search(r"partial_count|partial", plan) or "HashAggregate" in plan
+
+
+def test_active_users_planted_panel(spark):
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import aggregates
+
+    rows = []
+    # user 1 active Jan 1 and Jan 5; user 2 active Jan 1 only (twice).
+    for i, (d, u) in enumerate(
+        [(1, 1), (5, 1), (1, 2), (1, 2)], start=1
+    ):
+        rows.append((i, dt.datetime(2024, 1, d, 12, 0), u, "click", 1.0, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["day"]: r for r in aggregates.active_users(ev, window_days=7).collect()}
+    assert (got["2024-01-01"]["dau"], got["2024-01-01"]["wau"]) == (2, 2)
+    assert (got["2024-01-05"]["dau"], got["2024-01-05"]["wau"]) == (1, 2)
+    # duplicate events never double-count; days past the last observed
+    # day are not reported
+    assert max(got) == "2024-01-05"
+    # Jan 2-4: nobody active that day, both users in the trailing week
+    assert (got["2024-01-03"]["dau"], got["2024-01-03"]["wau"]) == (0, 2)
+
+
+def test_mad_stats_planted_values(spark):
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import aggregates
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, 1, "a", v, None)
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0], start=1)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = aggregates.mad_stats(ev).collect()[0]
+    # median 3; |devs| = [2,1,0,1,97] -> median dev 1 (robust: the
+    # outlier 100 moves MAD not at all where stddev explodes)
+    assert r["median_val"] == 3.0
+    assert r["mad"] == 1.0
+    assert r["n_rows"] == 5
