@@ -3461,6 +3461,76 @@ def _q_array_battery(spark, sf_dir):
 
 
 @_register(
+    "e_udtf_chunks",
+    r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), x -> x != '')
+                    AS toks
+           FROM documents),
+ix AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(0, CAST(ceil(GREATEST(len(toks), 1) / 16.0)
+                                   AS BIGINT))) AS INTEGER) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' ')
+         AS chunk_text,
+       CAST(len(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16]) AS INTEGER)
+         AS n_tokens
+FROM ix
+""",
+)
+def _q_udtf_chunks(spark, sf_dir):
+    """Python UDTF as a SQL table function (§2.10): each document
+    explodes into 16-token windows via LATERAL token_chunks(text, 16)
+    — Arrow-optimized eval, registered with spark.udtf.register. The
+    pipeline-scale chunker remains array-native curate.chunk_documents;
+    this gate proves the SQL TVF integration point."""
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.scalars import (
+        register_chunk_udtf,
+    )
+
+    register_chunk_udtf(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens "
+        "FROM documents d, LATERAL token_chunks(d.text, 16) c"
+    )
+
+
+@_register(
+    "f_higher_order",
+    r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+           FROM documents)
+SELECT doc_id,
+  array_to_string(list_transform(toks, t -> upper(t)), ' ') AS upper_join,
+  CAST(len(list_filter(toks, t -> length(t) > 3)) AS INTEGER) AS n_long_tokens,
+  CAST(list_sum(list_transform(toks, t -> length(t))) AS INTEGER) AS total_chars,
+  array_to_string(list_transform(range(1, CAST(least(3, len(toks)) AS INTEGER) + 1),
+    i -> toks[CAST(i AS INTEGER)] || ':' ||
+         CAST(length(toks[CAST(i AS INTEGER)]) AS VARCHAR)), ' ')
+    AS first3_tok_len,
+  list_contains(toks, 'the') AS has_the,
+  list_aggregate(list_transform(toks, t -> length(t) < 20), 'bool_and')
+    AS all_short
+FROM t
+""",
+)
+def _q_higher_order(spark, sf_dir):
+    """Higher-order lambda surface (transform/filter/aggregate/
+    zip_with/exists/forall) — all JVM codegen, no Python. The oracle
+    replays zip_with through an indexed transform (values, not
+    spelling, are the contract)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.scalars import (
+        higher_order_battery,
+    )
+
+    return higher_order_battery(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "w_frame_values",
     """
 SELECT l_orderkey, l_linenumber, l_partkey,
@@ -4781,6 +4851,8 @@ _VERIFY_FIRST = [
     "a_correlation",
     "q_product_profit",
     "f_bitwise_battery",
+    "f_higher_order",
+    "e_udtf_chunks",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -122,3 +122,58 @@ def array_battery(documents: DataFrame) -> DataFrame:
         F.array_max(toks).alias("max_token"),
         F.array_min(toks).alias("min_token"),
     )
+
+
+def higher_order_battery(documents: DataFrame) -> DataFrame:
+    """Lambda/higher-order function surface (F.transform / filter /
+    aggregate / zip_with / exists / forall) over the token arrays —
+    the codegen'd array programming layer UDF-free pipelines build on
+    (every lambda runs JVM-side; no Python anywhere).
+
+    zip_with pairs each token with its own length (token:len) — the
+    oracle replays the same values through an indexed transform, since
+    DuckDB spells pairwise zips differently; the VALUES, not the
+    spelling, are the contract."""
+    toks = F.split(F.col("text"), r"\s+")
+    lens = F.transform(toks, lambda t: F.length(t))
+    folded = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    zipped = F.slice(
+        F.zip_with(
+            toks, lens, lambda t, n: F.concat(t, F.lit(":"), n.cast("string"))
+        ),
+        1,
+        3,
+    )
+    return documents.select(
+        "doc_id",
+        F.array_join(F.transform(toks, lambda t: F.upper(t)), " ").alias("upper_join"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 3)).alias("n_long_tokens"),
+        folded.alias("total_chars"),
+        F.array_join(zipped, " ").alias("first3_tok_len"),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) < F.lit(20)).alias("all_short"),
+    )
+
+
+def register_chunk_udtf(spark) -> None:
+    """Register the ``token_chunks`` SQL table function — the Python
+    UDTF surface (§2.10): ``SELECT d.doc_id, c.* FROM documents d,
+    LATERAL token_chunks(d.text, 16) c`` explodes each document into
+    fixed-size token windows with positions, straight from SQL.
+
+    Arrow-optimized (``useArrow=True``): rows move in Arrow batches,
+    keeping the repo's no-row-at-a-time-serde policy; the heavy
+    chunking path for pipelines remains the array-native
+    curate.chunk_documents — this TVF is the SQL-integration surface
+    for ad-hoc lateral explodes, not a replacement."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int", useArrow=True)
+    class TokenChunks:
+        def eval(self, text: str, chunk: int):
+            toks = [t for t in (text or "").split() if t]
+            for i in range(0, max(len(toks), 1), max(chunk, 1)):
+                part = toks[i : i + chunk]
+                yield i // max(chunk, 1), " ".join(part), len(part)
+
+    spark.udtf.register("token_chunks", TokenChunks)
