@@ -3461,6 +3461,47 @@ def _q_array_battery(spark, sf_dir):
 
 
 @_register(
+    "e_time_travel",
+    f"""
+SELECT 0 AS version, COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice")} AS total_price
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT 1, COUNT(*), {sql_dsum("o_totalprice")} FROM orders
+ORDER BY version
+""",
+)
+def _q_time_travel(spark, sf_dir):
+    """Snapshot versioning / time travel (plans/snapshots.py): v0 is
+    the pre-1998 order book, v1 the full reload; BOTH versions stay
+    readable as plain parquet scans (pushdown intact) and the manifest
+    publish is atomic. The oracle replays each version's aggregate
+    from the pristine table — proving historical reads return exactly
+    the data frozen at write time."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    orders = _t(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="spark_graft_tt_") + "/orders"
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+        table,
+    )
+    snapshots.write_snapshot(orders, table)
+    parts = []
+    for v in (0, 1):
+        parts.append(
+            snapshots.read_version(spark, table, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version")
+
+
+@_register(
     "e_udtf_chunks",
     r"""
 WITH t AS (SELECT doc_id,
@@ -4853,6 +4894,7 @@ _VERIFY_FIRST = [
     "f_bitwise_battery",
     "f_higher_order",
     "e_udtf_chunks",
+    "e_time_travel",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -1,0 +1,108 @@
+"""Snapshot-versioned tables (time travel) — the warehouse capability
+the reference's truncate-and-reload scripts (STG.py/ODS.py full
+reloads) lack: every write becomes an immutable version, reads pin any
+historical version, and retention is an explicit vacuum — the same
+contract Delta/Iceberg give, built on plain parquet + a manifest, so
+it runs anywhere this engine runs.
+
+Layout:
+    <table>/_versions/v=N/   immutable parquet snapshot N
+    <table>/_manifest.json   {"current": N, "versions": {N: row_count}}
+
+Scale posture:
+  * a snapshot write is one parquet write of the incoming frame — no
+    rewrite of history, no copy-on-write amplification; version dirs
+    are independent so writers never touch readers' files;
+  * the manifest is O(#versions) bytes of driver-side JSON (atomic
+    rename publish) — never data-sized;
+  * read_version is a plain parquet scan of one version dir: all
+    pushdown/pruning applies untouched;
+  * vacuum removes whole version directories — no file-level
+    liveness tracking needed because versions never share files.
+
+Single-writer semantics (like the reference's batch loads): the
+manifest publish is last-writer-wins; concurrent writers need a
+catalog with CAS, which is out of scope for a parquet-native engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table: str) -> str:
+    return os.path.join(table, "_manifest.json")
+
+
+def _read_manifest(table: str) -> dict:
+    p = _manifest_path(table)
+    if not os.path.exists(p):
+        return {"current": -1, "versions": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish(table: str, manifest: dict) -> None:
+    tmp = _manifest_path(table) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(table))  # atomic publish
+
+
+def write_snapshot(df: DataFrame, table: str) -> int:
+    """Write ``df`` as the next immutable version; returns its id.
+    The data lands fully before the manifest flips — a crashed write
+    leaves an orphan dir (removable by vacuum), never a torn table."""
+    m = _read_manifest(table)
+    v = int(m["current"]) + 1
+    path = os.path.join(table, "_versions", f"v={v}")
+    df.write.mode("errorifexists").parquet(path)
+    n = df.sparkSession.read.parquet(path).count()
+    m["current"] = v
+    m["versions"][str(v)] = n
+    _publish(table, m)
+    return v
+
+
+def read_version(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Read the table at ``version`` (default: current). Historical
+    reads are plain parquet scans — pushdown and pruning intact."""
+    m = _read_manifest(table)
+    v = int(m["current"]) if version is None else int(version)
+    if str(v) not in m["versions"]:
+        raise ValueError(f"version {v} not in {sorted(m['versions'])}")
+    return spark.read.parquet(os.path.join(table, "_versions", f"v={v}"))
+
+
+def history(table: str) -> list[tuple[int, int]]:
+    """[(version, row_count)] oldest→newest — the audit trail."""
+    m = _read_manifest(table)
+    return sorted((int(k), int(n)) for k, n in m["versions"].items())
+
+
+def vacuum(table: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions (and any orphan
+    dirs from crashed writes); returns the removed version ids. Whole-
+    directory removal — versions never share files, so there is no
+    liveness bookkeeping."""
+    m = _read_manifest(table)
+    live = sorted(int(k) for k in m["versions"])
+    doomed = live[:-keep_last] if keep_last > 0 else live
+    kept = {str(v): m["versions"][str(v)] for v in live[-keep_last:]} if keep_last else {}
+    vdir = os.path.join(table, "_versions")
+    known = {f"v={v}" for v in live}
+    removed = []
+    for v in doomed:
+        shutil.rmtree(os.path.join(vdir, f"v={v}"), ignore_errors=True)
+        removed.append(v)
+    if os.path.isdir(vdir):
+        for d in os.listdir(vdir):  # orphans from crashed writes
+            if d.startswith("v=") and d not in known:
+                shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+    m["versions"] = kept
+    _publish(table, m)
+    return removed

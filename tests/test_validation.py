@@ -141,3 +141,41 @@ def test_mad_stats_planted_values(spark):
     assert r["median_val"] == 3.0
     assert r["mad"] == 1.0
     assert r["n_rows"] == 5
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    df2 = spark.range(25).withColumnRenamed("id", "k")
+    assert snapshots.write_snapshot(df1, table) == 0
+    assert snapshots.write_snapshot(df2, table) == 1
+    # historical read returns the frozen data, current the newest
+    assert snapshots.read_version(spark, table, 0).count() == 10
+    assert snapshots.read_version(spark, table).count() == 25
+    assert snapshots.history(table) == [(0, 10), (1, 25)]
+    # vacuum drops v0; the historical read now fails loudly
+    assert snapshots.vacuum(table, keep_last=1) == [0]
+    assert snapshots.read_version(spark, table).count() == 25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshots.read_version(spark, table, 0)
+
+
+def test_snapshot_crash_leaves_no_torn_table(spark, tmp_path):
+    """A version dir without a manifest flip (crashed write) is
+    invisible to readers and removed by vacuum."""
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    snapshots.write_snapshot(spark.range(5).withColumnRenamed("id", "k"), table)
+    orphan = os.path.join(table, "_versions", "v=99")
+    spark.range(3).write.parquet(orphan)  # simulated crashed writer
+    assert snapshots.history(table) == [(0, 5)]
+    assert snapshots.read_version(spark, table).count() == 5
+    snapshots.vacuum(table, keep_last=2)
+    assert not os.path.exists(orphan)
