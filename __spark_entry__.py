@@ -3461,6 +3461,62 @@ def _q_array_battery(spark, sf_dir):
 
 
 @_register(
+    "a_set_ops",
+    """
+WITH y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+y98 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT 'both_years' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT 'only_1997', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT 'only_1998', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97)
+ORDER BY cohort
+""",
+)
+def _q_set_ops(spark, sf_dir):
+    """§2.7 set operations: customer cohorts by order year via
+    INTERSECT / EXCEPT (Spark plans both as hash semi/anti joins over
+    the distinct key sets — keys-only shuffles, never fact rows)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_keys(y):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97, y98 = year_keys(1997), year_keys(1998)
+    rows = [
+        ("both_years", y97.intersect(y98)),
+        ("only_1997", y97.exceptAll(y98).distinct()),
+        ("only_1998", y98.exceptAll(y97).distinct()),
+    ]
+    parts = [
+        df.agg(F.lit(name).alias("cohort"), F.count(F.lit(1)).alias("n_customers"))
+        for name, df in rows
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("cohort")
+
+
+@_register(
     "e_time_travel",
     f"""
 SELECT 0 AS version, COUNT(*) AS n_rows,
@@ -4895,6 +4951,7 @@ _VERIFY_FIRST = [
     "f_higher_order",
     "e_udtf_chunks",
     "e_time_travel",
+    "a_set_ops",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",

@@ -203,6 +203,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | str | None = "auto",
     strategy: str = "auto",
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity.
 
@@ -231,7 +232,9 @@ def ngram_jaccard_pairs(
         # a web-scale corpus never pays the vocab count. A small corpus
         # caches the (small) shingle frame — the downstream plan scans
         # it 3-4× (vocab, dictionary, sizes, join/bitmap build).
-        n_docs = documents.count()
+        # callers that already know their corpus size (catalog stats,
+        # an upstream count) pass n_docs_hint and skip the extra job.
+        n_docs = documents.count() if n_docs_hint is None else int(n_docs_hint)
         if n_docs <= _BITMAP_MAX_DOCS:
             sh = scoped_persist(sh)
             n_vocab = sh.select("shingle").distinct().count()
@@ -242,7 +245,7 @@ def ngram_jaccard_pairs(
         return _bitmap_jaccard_pairs(sh, threshold, n_vocab)
     if max_df == "auto":
         if n_docs is None:
-            n_docs = documents.count()
+            n_docs = documents.count() if n_docs_hint is None else int(n_docs_hint)
         max_df = default_max_df(n_docs)
     if max_df is not None:
         sh = _drop_stop_shingles(sh, max_df)
@@ -277,6 +280,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int | str | None = "auto",
     strategy: str = "auto",
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """Directed shingle CONTAINMENT — the subset-duplication detector
     Jaccard structurally misses: a short document fully embedded in a
@@ -297,7 +301,9 @@ def containment_pairs(
     n_vocab = None
     n_docs = None
     if strategy == "auto":
-        n_docs = documents.count()
+        # callers that already know their corpus size (catalog stats,
+        # an upstream count) pass n_docs_hint and skip the extra job.
+        n_docs = documents.count() if n_docs_hint is None else int(n_docs_hint)
         if n_docs <= _BITMAP_MAX_DOCS:
             sh = scoped_persist(sh)
             n_vocab = sh.select("shingle").distinct().count()
@@ -321,7 +327,7 @@ def containment_pairs(
         )
     if max_df == "auto":
         if n_docs is None:
-            n_docs = documents.count()
+            n_docs = documents.count() if n_docs_hint is None else int(n_docs_hint)
         max_df = default_max_df(n_docs)
     if max_df is not None:
         sh = _drop_stop_shingles(sh, max_df)
