@@ -3461,6 +3461,46 @@ def _q_array_battery(spark, sf_dir):
 
 
 @_register(
+    "f_null_battery",
+    """
+WITH t AS (
+  SELECT event_id, value,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+         CASE WHEN event_id % 11 = 0 THEN CAST('nan' AS DOUBLE)
+              ELSE value END AS x
+  FROM events
+)
+SELECT event_id,
+       v IS NOT DISTINCT FROM value AS ns_eq,
+       CASE WHEN v IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_tag,
+       CASE WHEN isnan(x) THEN value ELSE x END AS nan_repaired,
+       coalesce(v, value, 0.0) AS coalesced,
+       nullif(v, 6.55) AS nullified
+FROM t
+""",
+)
+def _q_null_battery(spark, sf_dir):
+    """NULL/NaN-handling battery: null-safe equality (<=>), nvl2,
+    nanvl, coalesce chains, nullif — the §2.8 completeness corner
+    every ETL edge case walks through. NULLs and NaNs are planted
+    in-query so both engines transform identical inputs."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    x = F.when(F.col("event_id") % 11 == 0, F.lit(float("nan"))).otherwise(
+        F.col("value")
+    )
+    t = ev.select("event_id", "value", v.alias("v"), x.alias("x"))
+    return t.select(
+        "event_id",
+        F.col("v").eqNullSafe(F.col("value")).alias("ns_eq"),
+        F.nvl2("v", F.lit("has"), F.lit("none")).alias("nvl2_tag"),
+        F.nanvl("x", "value").alias("nan_repaired"),
+        F.coalesce("v", "value", F.lit(0.0)).alias("coalesced"),
+        F.nullif("v", F.lit(6.55)).alias("nullified"),
+    )
+
+
+@_register(
     "a_set_ops",
     """
 WITH y97 AS (
@@ -4952,6 +4992,7 @@ _VERIFY_FIRST = [
     "e_udtf_chunks",
     "e_time_travel",
     "a_set_ops",
+    "f_null_battery",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",
