@@ -384,3 +384,68 @@ def test_active_users_explodes_presence_not_events(spark, sf_dir):
     # — the presence distinct — before any scan of events.
     tail = plan[gen:]
     assert "HashAggregate" in tail[: tail.index("Scan")], plan
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, sf_dir, tmp_path):
+    """At 100 TB the killer scan pattern is a date-partitioned fact
+    joined to a FILTERED dim on the partition column: static pruning
+    cannot see through the join, so Spark must insert a dynamic-
+    pruning subquery (the dim's broadcast reused as a partition
+    filter). Pin that the scan carries a dynamicpruning expression —
+    without it the fact scan reads every partition."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import ingest
+
+    orders = catalog.table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "fact")
+    ingest.truncate_reload(orders, path, partition_by="o_month")
+    fact = spark.read.parquet(path)
+    # the dim must be an independent SOURCE filtered on a NON-join
+    # attribute — a filter on the join column itself constant-folds
+    # into a static partition filter and never needs DPP.
+    dpath = str(tmp_path / "dim")
+    orders.select("o_month").distinct().withColumn(
+        "season", F.pmod(F.substring("o_month", 6, 2).cast("int"), F.lit(2))
+    ).write.parquet(dpath)
+    dim = spark.read.parquet(dpath).filter(F.col("season") == 1)
+    joined = fact.join(dim, "o_month").groupBy("o_month").count()
+    plan = explain.plan_string(joined)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Salting (joins.salted_join) is the declared skew tool; AQE's
+    runtime skew-join split is the safety net. Prove the net exists:
+    with thresholds tuned down, a 90%-one-key join must show
+    OptimizeSkewedJoin handling in the FINAL adaptive plan."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "4",
+    }
+    prior = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("r"),
+        )
+        joined = left.join(right, "k").groupBy().count()
+        joined.collect()  # AQE decides at runtime — run it
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final or "OptimizeSkewedJoin" in final, final[:2000]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
