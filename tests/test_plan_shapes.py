@@ -449,3 +449,40 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_on_selective_join(spark, sf_dir):
+    """DPP's sibling for NON-partition columns: a selective dim filter
+    should inject a runtime bloom filter (might_contain) into the fact
+    scan side so most rows drop before the shuffle — the second
+    runtime net the 100 TB posture leans on."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # test tables sit under the 10GB production default — the
+        # threshold exists exactly so SMALL scans skip the filter, so
+        # drop it to emulate a 100 TB fact side.
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = catalog.table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        sel = (
+            catalog.table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count()
+        plan = explain.plan_string(joined)
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -179,3 +179,28 @@ def test_snapshot_crash_leaves_no_torn_table(spark, tmp_path):
     assert snapshots.read_version(spark, table).count() == 5
     snapshots.vacuum(table, keep_last=2)
     assert not os.path.exists(orphan)
+
+
+def test_streaming_drains_compose_with_snapshots(spark, sf_dir, tmp_path):
+    """Streaming ingestion with time travel: each availableNow drain
+    lands as an immutable snapshot version — a rerun appends a NEW
+    version instead of mutating the last, and historical reads stay
+    frozen."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    table = str(tmp_path / "agg")
+    for _ in range(2):
+        agg = swin.tumbling_counts(
+            pipeline.stream_events(spark, f"{sf_dir}/events.parquet")
+        )
+        batch = pipeline.run_available_now(agg, "t_snap_compose")
+        snapshots.write_snapshot(batch, table)
+    hist = snapshots.history(table)
+    assert [v for v, _ in hist] == [0, 1]
+    n0 = snapshots.read_version(spark, table, 0).count()
+    n1 = snapshots.read_version(spark, table, 1).count()
+    assert n0 == n1 > 0  # same static source → same aggregate, twice
