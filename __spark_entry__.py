@@ -3460,6 +3460,84 @@ def _q_array_battery(spark, sf_dir):
     return array_battery(_t(spark, sf_dir, "documents"))
 
 
+_SQL_CUBE = """
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+       coalesce(l_linestatus, '(all)') AS linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@_register("a_cube", _SQL_CUBE)
+def _q_cube(spark, sf_dir):
+    """CUBE (all 2^k subtotal combinations in one pass): Spark expands
+    it into a single Expand+aggregate — no multi-scan union; the
+    coalesce labels make the NULL subtotal rows engine-portable."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SQL_CUBE)
+
+
+@_register(
+    "q_order_lifecycle",
+    f"""
+WITH life AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS days_to_first,
+         date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) AS days_to_last,
+         COUNT(*) AS n_lines
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_davg("days_to_first")} AS avg_days_to_first_ship,
+       {sql_davg("days_to_last")} AS avg_days_to_complete,
+       CAST(MAX(days_to_last) AS BIGINT) AS max_days_to_complete
+FROM life
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def _q_order_lifecycle(spark, sf_dir):
+    """Accumulating-snapshot lifecycle metrics: per priority, how long
+    orders take to START shipping and to COMPLETE. Aggregate-first on
+    the orderkey join (one big-big shuffle), then a tiny per-priority
+    fold; day gaps are exact integers, means exact-sum-based."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    life = (
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .join(li.select("l_orderkey", "l_shipdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate")).alias(
+                "days_to_first"
+            ),
+            F.datediff(F.max("l_shipdate"), F.col("o_orderdate")).alias(
+                "days_to_last"
+            ),
+        )
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.functions.exact import (
+        davg,
+    )
+
+    return (
+        life.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            davg("days_to_first").alias("avg_days_to_first_ship"),
+            davg("days_to_last").alias("avg_days_to_complete"),
+            F.max("days_to_last").cast("long").alias("max_days_to_complete"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @_register(
     "f_null_battery",
     """
@@ -4993,6 +5071,8 @@ _VERIFY_FIRST = [
     "e_time_travel",
     "a_set_ops",
     "f_null_battery",
+    "a_cube",
+    "q_order_lifecycle",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
     "e_pdf_report",
