@@ -3460,26 +3460,6 @@ def _q_array_battery(spark, sf_dir):
     return array_battery(_t(spark, sf_dir, "documents"))
 
 
-_SQL_CUBE = """
-SELECT coalesce(l_returnflag, '(all)') AS returnflag,
-       coalesce(l_linestatus, '(all)') AS linestatus,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY returnflag, linestatus
-"""
-
-
-@_register("a_cube", _SQL_CUBE)
-def _q_cube(spark, sf_dir):
-    """CUBE (all 2^k subtotal combinations in one pass): Spark expands
-    it into a single Expand+aggregate — no multi-scan union; the
-    coalesce labels make the NULL subtotal rows engine-portable."""
-    catalog.register_views(spark, sf_dir)
-    return spark.sql(_SQL_CUBE)
-
-
 @_register(
     "q_order_lifecycle",
     f"""
