@@ -4546,8 +4546,9 @@ SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(toks, x -> NOT list_contains(v, x))) AS BIGINT)
          AS n_oov,
-       CAST(len(list_filter(toks, x -> NOT list_contains(v, x))) AS DOUBLE)
-         / len(toks) AS oov_rate
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, x -> NOT list_contains(v, x)))
+                      AS DOUBLE) / len(toks) END AS oov_rate
 FROM t, vocab
 """,
 )

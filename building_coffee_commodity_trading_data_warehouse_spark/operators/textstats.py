@@ -270,5 +270,9 @@ def oov_rate(documents: DataFrame, vocab_k: int = 256) -> DataFrame:
         "doc_id",
         F.size("__toks").cast("long").alias("n_tokens"),
         F.size(oov).cast("long").alias("n_oov"),
-        (F.size(oov) / F.size("__toks")).alias("oov_rate"),
+        # an empty document has no OOV evidence → rate 0 (and ANSI mode
+        # would otherwise raise on the 0/0 — found by hypothesis)
+        F.when(F.size("__toks") == 0, F.lit(0.0))
+        .otherwise(F.size(oov) / F.size("__toks"))
+        .alias("oov_rate"),
     )

@@ -258,3 +258,46 @@ def test_group_sample_size_is_min_k_groupsize(spark, n, k):
     for r in out:
         got[r["grp"]] = got.get(r["grp"], 0) + 1
     assert got == {g: min(k, s) for g, s in sizes.items()}
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", categories=("L", "N", "P", "Zs", "Cc")),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_clean_text_idempotent(spark, texts):
+    """clean(clean(x)) == clean(x): the hygiene pass is a projection
+    onto its own fixed-point set — rerunning a pipeline stage never
+    changes already-clean data."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = curate.clean_text(df).select("doc_id", F.col("clean_text").alias("text"))
+    twice = curate.clean_text(once)
+    for r in once.join(
+        twice.select("doc_id", F.col("clean_text").alias("again")), "doc_id"
+    ).collect():
+        assert r["text"] == r["again"]
+
+
+@_settings
+@given(texts=st.lists(st.text(alphabet="abc d", max_size=30), min_size=1, max_size=6))
+def test_oov_rate_bounds(spark, texts):
+    """0 ≤ n_oov ≤ n_tokens and the rate is their exact quotient."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in textstats.oov_rate(df, vocab_k=2).collect():
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        if r["n_tokens"]:
+            assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
