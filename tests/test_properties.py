@@ -301,3 +301,67 @@ def test_oov_rate_bounds(spark, texts):
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         if r["n_tokens"]:
             assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
+
+
+@_settings
+@given(
+    hashes=st.lists(
+        st.integers(0, (1 << 64) - 1), min_size=2, max_size=10, unique=True
+    )
+)
+def test_phash_pairs_equal_brute_force(spark, hashes):
+    """The banded candidate join must return EXACTLY the pairs within
+    the Hamming budget — the pigeonhole guarantee says no pair within
+    distance max_distance can be missed, and the popcount verify drops
+    every farther pair a band accidentally co-buckets."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal
+
+    rows = [(i, h >> 32, h & 0xFFFFFFFF) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "doc_id long, hash_hi long, hash_lo long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.phash_pairs(df, max_distance=3).collect()
+    }
+    want = {}
+    for i, a in enumerate(hashes):
+        for j in range(i + 1, len(hashes)):
+            d = bin(a ^ hashes[j]).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+
+
+def test_market_concentration_single_supplier_is_monopoly(spark):
+    """One supplier per nation ⇒ HHI exactly 1.0 — the closed-form
+    anchor for the Σrev²/(Σrev)² identity."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0, 100.0, 0.1, 0.0, "N", "O", dt.datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame([(1, "S1", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double")
+    nat = spark.createDataFrame([(0, "N0", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    r = analytics.market_concentration(li, supp, nat).collect()[0]
+    assert r["hhi"] == 1.0
+    assert r["n_suppliers"] == 1
+
+
+def test_mad_stats_single_element_group(spark):
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import aggregates
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "solo", 42.5, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = aggregates.mad_stats(ev).collect()[0]
+    assert (r["median_val"], r["mad"], r["n_rows"]) == (42.5, 0.0, 1)
