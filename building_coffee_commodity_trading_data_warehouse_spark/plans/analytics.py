@@ -890,3 +890,250 @@ def product_profit(
         .agg(dsum(profit_row).alias("profit"))
         .orderBy("n_name", F.col("o_year"))
     )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """Suppliers who single-handedly held up finished multi-supplier
+    orders (TPC-H Q21 shape; the testdata has no receipt/commit dates,
+    so "late" is the same ship-lag predicate q_shipmode_priority pins:
+    shipped > ``late_days`` after the order date). An order blames a
+    supplier when it used >1 supplier but exactly ONE of them was late.
+
+    Plan: Q21's EXISTS / NOT EXISTS pair decorrelates into ONE
+    per-order aggregate — the lineitem⋈orders('F') big-big join on
+    orderkey carries the lateness flag, then a single orderkey
+    aggregate folds the supplier census (distinct suppliers, distinct
+    late suppliers, and — valid exactly when that count is 1 — the
+    blamed suppkey via MAX over the late subset). No self-join of
+    lineitem against itself, which is the naive Q21 plan and shuffles
+    the fact twice. Blame counts then aggregate supplier-sized rows;
+    the name lookup joins supplier AFTER the fold (scale-proportional
+    dim; AQE may broadcast at small SF); top-N terminates in
+    TakeOrderedAndProject with suppkey as tiebreaker."""
+    fo = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    per_order = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("__blame"),
+        )
+    )
+    counts = (
+        per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .groupBy("__blame")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        counts.join(
+            supplier.select("s_suppkey", "s_name"),
+            F.col("__blame") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(topn)
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    max_size: int = 15,
+    topn: int = 100,
+) -> DataFrame:
+    """Cheapest regional supplier per small part (TPC-H Q2 shape; no
+    partsupp in the testdata, so the supply cost of a (part, supplier)
+    pair is the best observed unit price min(l_extendedprice /
+    l_quantity) in lineitem). Q2's correlated MIN subquery decorrelates
+    into a rank-1 window.
+
+    Plan: region⋈nation collapses to a ≤25-row nation keylist that
+    broadcasts into the supplier dim; the (part, supplier) cost table
+    folds in ONE (l_partkey, l_suppkey) aggregate over the fact; the
+    per-part argmin is ROW_NUMBER over partitions bounded by a part's
+    supplier count — never corpus-sized — with (cost, suppkey) ordering
+    so ties are deterministic. The part-attribute lookup joins the
+    pruned size slice (scale-proportional dim; AQE may broadcast);
+    unit-price division and its MIN are single IEEE ops, bit-identical
+    across engines. Top-N by account balance terminates in
+    TakeOrderedAndProject; p_partkey (unique per output row) breaks
+    balance ties."""
+    nk = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    regional = supplier.join(
+        F.broadcast(nk), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cost = (
+        lineitem.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    ranked = cost.join(regional, F.col("l_suppkey") == F.col("s_suppkey")).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
+        ),
+    )
+    small = part.filter(F.col("p_size") <= max_size).select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .join(small, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(topn)
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    frac: float = 0.001,
+) -> DataFrame:
+    """Parts holding an outsized share of one nation's traded value
+    (TPC-H Q11 shape; partsupp value proxied by the nation's lineitem
+    turnover per part). Q11's scalar HAVING subquery decorrelates into
+    a 1-row broadcast.
+
+    Plan: the single-nation key broadcasts into supplier, whose
+    surviving keys semi-join the fact on suppkey (scale-proportional
+    subset — a shuffle semi-join at 100 TB, AQE may broadcast at small
+    SF); per-part value folds decimal-exact in one partial→final
+    aggregate; the global total is a second fold of the SAME decimal
+    per-part values — 1 row, broadcast back, so the threshold
+    comparison is map-side and no window ever sees an unpartitioned
+    frame. The one IEEE step is frac × total; both operands
+    bit-identical across engines."""
+    nkey = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    skeys = supplier.join(
+        F.broadcast(nkey), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = lineitem.join(
+        skeys, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("__value")
+    )
+    per_part = scoped_persist(per_part)
+    total = per_part.agg(
+        F.sum("__value").cast("double").alias("__total")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("__value").cast("double") > F.lit(frac) * F.col("__total"))
+        .select(
+            "l_partkey", F.col("__value").cast("double").alias("stock_value")
+        )
+        .orderBy(F.col("stock_value").desc(), "l_partkey")
+    )
+
+
+def supplier_diversity(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#5",
+    excl_type_prefix: str = "PROMO",
+) -> DataFrame:
+    """Distinct-supplier census per part segment, excluding one brand,
+    one type family, and blacklisted suppliers (TPC-H Q16 shape; the
+    supplier⟷part relation is the observed distinct (l_partkey,
+    l_suppkey) pairs — no partsupp — and "customer complaints" proxies
+    as a negative account balance).
+
+    Plan: Q16's NOT IN subquery decorrelates into a left-anti join on
+    the blacklist (scale-proportional subset; AQE may broadcast at
+    small SF). Pair distinct folds at (partkey, suppkey) granularity
+    FIRST — map-side combine collapses a part-supplier's many line
+    items before the shuffle — then the pruned part slice joins on
+    partkey and COUNT(DISTINCT suppkey) folds per (brand, type, size).
+    Two key-partitioned shuffles total, both on pre-collapsed rows;
+    nothing corpus-sized crosses unaggregated."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    clean = pairs.join(
+        bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    seg = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & (~F.col("p_type").startswith(excl_type_prefix))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        clean.join(seg, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def promotion_candidates(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "blue",
+    year: int = 1997,
+    nation_name: str = "NATION_1",
+) -> DataFrame:
+    """Suppliers of one nation with surplus stock of a part family
+    (TPC-H Q20 shape; availqty has no partsupp source, so a supplier
+    qualifies when, for some ``name_token`` part, its ``year``
+    shipments exceed half its all-time shipments of that part — the
+    same "excess inventory" signal Q20's 0.5×qty threshold probes).
+
+    Plan: Q20's three nested subqueries decorrelate into one
+    conditional aggregate — the name-filtered part keys broadcast-semi
+    onto the fact BEFORE any shuffle, then per (partkey, suppkey) the
+    year slice and the all-time total fold in the SAME decimal-exact
+    aggregate (no second pass over the fact); the surplus filter
+    compares 2×year against total in exact decimals (no division);
+    qualifying suppkeys collapse via semi-join into the supplier dim,
+    pruned by the 1-nation broadcast. The fact is scanned once."""
+    keys = part.filter(F.col("p_name").contains(name_token)).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    qty = F.col("l_quantity").cast("decimal(38,6)")
+    in_year = F.year("l_shipdate") == year
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_year, qty).otherwise(F.lit(0).cast("decimal(38,6)"))).alias(
+            "__q_year"
+        ),
+        F.sum(qty).alias("__q_total"),
+    )
+    surplus = per_pair.filter(
+        (F.col("__q_year") > 0) & (F.col("__q_year") * 2 > F.col("__q_total"))
+    ).select("l_suppkey")
+    nkey = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    return (
+        supplier.join(
+            F.broadcast(nkey), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(surplus, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

@@ -486,3 +486,76 @@ def test_runtime_bloom_filter_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_waiting_suppliers_single_fact_scan_no_self_join(spark, sf_dir):
+    """Q21 shape: the EXISTS / NOT EXISTS pair must decorrelate into
+    one per-order aggregate — lineitem is scanned ONCE (the naive plan
+    self-joins the fact and scans it twice), the supplier census folds
+    with map-side partial aggregation, and top-N terminates in
+    TakeOrderedAndProject rather than a global sort."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    plan = explain.plan_string(
+        analytics.waiting_suppliers(t("lineitem"), t("orders"), t("supplier"))
+    )
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_min_cost_supplier_window_is_part_partitioned(spark, sf_dir):
+    """Q2 shape: the correlated-MIN decorrelation must rank inside
+    l_partkey partitions — no windowspecdefinition with an empty
+    partition clause (that would funnel every (part, supplier) row
+    through one task at 100 TB)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    plan = explain.plan_string(
+        analytics.min_cost_supplier(
+            t("lineitem"), t("part"), t("supplier"), t("nation"), t("region")
+        )
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert spec.startswith("l_partkey"), spec
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_important_stock_total_is_broadcast_not_window(spark, sf_dir):
+    """Q11 shape: the scalar HAVING subquery must arrive as a 1-row
+    broadcast (BroadcastNestedLoopJoin over the folded total), never
+    as an empty-partition window over the per-part relation."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    plan = explain.plan_string(
+        analytics.important_stock(t("lineitem"), t("supplier"), t("nation"))
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # per_part is persisted: both the threshold side and the 1-row
+    # total read the SAME InMemoryRelation, so the fact is scanned
+    # once at runtime even though the printed lineage repeats it.
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_promotion_candidates_single_scan_broadcast_keys(spark, sf_dir):
+    """Q20 shape: the three nested subqueries must collapse to one
+    conditional aggregate — lineitem scanned ONCE, the name-filtered
+    part keys broadcast into the semi-join (BroadcastHashJoin ...
+    LeftSemi), totals partial-aggregated map-side."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    t = lambda n: catalog.table(spark, sf_dir, n)  # noqa: E731
+    plan = explain.plan_string(
+        analytics.promotion_candidates(
+            t("lineitem"), t("part"), t("supplier"), t("nation")
+        )
+    )
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert re.search(r"BroadcastHashJoin \[l_partkey[^\]]*\], \[p_partkey[^\]]*\], LeftSemi", plan), plan
+    assert "partial_sum" in plan
