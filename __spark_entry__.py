@@ -5170,6 +5170,98 @@ def _q_promotion_suppliers(spark, sf_dir):
     )
 
 
+@_register(
+    "c_dsir_weights",
+    f"""
+WITH ex AS (
+  SELECT doc_id, source IN ('src0','src1') AS flag,
+         unnest({_SQL_TOKS}) AS term
+  FROM documents
+), pdt AS (
+  SELECT doc_id, flag, term, COUNT(*) AS cnt FROM ex GROUP BY 1, 2, 3
+), pt AS (
+  SELECT term, SUM(cnt) AS c_r,
+         SUM(CASE WHEN flag THEN cnt ELSE 0 END) AS c_t
+  FROM pdt GROUP BY 1
+), sc AS (
+  SELECT SUM(c_r) AS tot_r, SUM(c_t) AS tot_t, COUNT(*) AS vocab FROM pt
+), w AS (
+  SELECT p.doc_id, p.cnt,
+         CAST(FLOOR((CAST(p.cnt AS DOUBLE) *
+           ((CAST(t.c_t + 1 AS DOUBLE) / CAST(t.c_r + 1 AS DOUBLE)) *
+            (CAST(s.tot_r + s.vocab AS DOUBLE) / CAST(s.tot_t + s.vocab AS DOUBLE)))
+         ) * 1048576.0) AS BIGINT) AS wq
+  FROM pdt p JOIN pt t USING (term), sc s
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       (CAST(SUM(wq) AS DOUBLE) / 1048576.0) / CAST(SUM(cnt) AS BIGINT)
+         AS importance
+FROM w GROUP BY doc_id
+""",
+)
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights toward a target domain (sources
+    src0+src1), log-free linear-domain scoring with floor-quantized
+    2^-20 lattice folds — engine- and partitioning-exact."""
+    return curate.dsir_importance(
+        _t(spark, sf_dir, "documents"), ["src0", "src1"]
+    )
+
+
+@_register(
+    "d_repeated_spans",
+    f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[i:i+4], ' ') AS span
+  FROM base, UNNEST(range(1, len(tk) - 3)) u(i)
+  WHERE len(tk) >= 5
+), hot AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs
+  FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+)
+SELECT o.doc_id, o.pos, o.span, h.n_docs
+FROM occ o JOIN hot h USING (span)
+""",
+)
+def _q_repeated_spans(spark, sf_dir):
+    """Substring-level dedup primitive (Lee et al. 2022): every
+    occurrence of a 5-token span repeated across ≥3 distinct docs —
+    the exact ranges a span-removal pass cuts. In-row sliding window,
+    span-key shuffles only, no suffix array, no global order."""
+    return dedup.repeated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+@_register(
+    "t_token_diversity",
+    f"""
+WITH pdt AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(c * c) AS BIGINT) AS simpson_num,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr,
+       CAST(SUM(c * c) AS DOUBLE)
+         / CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE)
+         AS simpson
+FROM pdt GROUP BY doc_id
+""",
+)
+def _q_token_diversity(spark, sf_dir):
+    """Lexical diversity per document: type-token ratio + Simpson
+    concentration Σ(c/n)² — the log-free entropy-family quality
+    filter; exact BIGINT numerators keep it engine-exact."""
+    return textstats.token_diversity(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -5202,6 +5294,12 @@ _VERIFY_FIRST = [
     "q_important_stock",
     "q_supplier_diversity",
     "q_promotion_suppliers",
+    # tier 2 — NEW gates this round: training-pipeline additions
+    # (DSIR importance resampling, substring-level repeated-span
+    # dedup, log-free lexical-diversity quality filter).
+    "c_dsir_weights",
+    "d_repeated_spans",
+    "t_token_diversity",
     # tier 1 — analytics.pareto persists moved to the bounded
     # scoped_persist registry this round.
     "q_pareto_customers",

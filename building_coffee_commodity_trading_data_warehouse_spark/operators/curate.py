@@ -402,3 +402,88 @@ def clean_text(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(raw).cast("long").alias("n_chars_raw"),
         F.length(collapsed).cast("long").alias("n_chars_clean"),
     )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target_sources: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) scores, log-free: rank raw documents by how target-like
+    their token distribution is, so a pipeline can resample a 100 TB
+    crawl toward a small high-quality target domain. The target here
+    is the subset of ``documents`` whose source is in
+    ``target_sources``; features are unigram tokens with add-one
+    smoothing.
+
+    Engine-exact scoring without ``ln``: the classical DSIR weight is
+    exp Σ count_f · log(p_target(f)/p_raw(f)); libm logs differ in the
+    last ulp across engines, so — like tfidf_top_terms' rational idf —
+    the score stays in the LINEAR domain: importance = (Σ_f count_f ·
+    ratio_f) / n_tokens where ratio_f = ((c_t(f)+1)/(c_r(f)+1)) ·
+    ((R+V)/(T+V)). Every operand is an exact integer count; each
+    ratio is two correctly-rounded IEEE divisions and one multiply;
+    the per-doc fold floor-quantizes each term onto the 2^-20 lattice
+    (×2^20 is exact, floor is exact) and sums BIGINTs — associative,
+    so bit-identical on any engine, any partitioning. (No decimal
+    cast of the raw double — a dyadic ratio can land exactly on a
+    half-decimal tie, which Spark rounds HALF_UP and DuckDB
+    HALF_EVEN; and no cross-multiplied products — (c+1)·(R+V) would
+    exceed 2^53 at corpus scale and round.)
+
+    Plan: one token explode → per-(doc, term) counts (map-side
+    combinable); per-term target/raw counts fold from the SAME frame;
+    the three corpus scalars (T, R, V) collapse to ONE broadcast row;
+    the only vocabulary-sized shuffle is the per-(doc, term) ⋈
+    per-term equi-join on the term key. Nothing corpus-sized reaches
+    the driver."""
+    is_target = F.col("source").isin(*target_sources)
+    toks = F.split(F.col(text_col), r"\s+")
+    exploded = documents.select(
+        "doc_id", is_target.alias("__t"), F.explode(toks).alias("term")
+    )
+    per_doc_term = exploded.groupBy("doc_id", "__t", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_term = per_doc_term.groupBy("term").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+    )
+    scalars = per_term.agg(
+        F.sum("c_r").alias("__sc_r"),
+        F.sum("c_t").alias("__sc_t"),
+        F.count(F.lit(1)).alias("__sc_v"),
+    )
+    ratio = (
+        (F.col("c_t") + 1).cast("double") / (F.col("c_r") + 1).cast("double")
+    ) * (
+        (F.col("__sc_r") + F.col("__sc_v")).cast("double")
+        / (F.col("__sc_t") + F.col("__sc_v")).cast("double")
+    )
+    scored = (
+        per_doc_term.join(per_term, "term")
+        .join(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            "cnt",
+            F.floor(F.col("cnt").cast("double") * ratio * F.lit(float(1 << 20)))
+            .cast("long")
+            .alias("__wq"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum("__wq").alias("__wsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("__wsum").cast("double") / F.lit(float(1 << 20)))
+                / F.col("n_tokens")
+            ).alias("importance"),
+        )
+    )

@@ -764,3 +764,49 @@ def incremental_dedup(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "content_md5")
     )
+
+
+def repeated_spans(
+    documents: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Position-level repeated-span detection (the primitive behind
+    substring-level training-data dedup, Lee et al. 2022: memorized
+    boilerplate repeats VERBATIM across documents even when whole-doc
+    near-dup passes miss it). Returns every occurrence — (doc_id, pos,
+    span) — of an ``n``-token span that appears in at least
+    ``min_docs`` DISTINCT documents, i.e. exactly the character ranges
+    a span-removal pass would cut.
+
+    Plan: spans come from one in-row array transform (sliding window
+    over the token array — no self-join, no posexplode join-back);
+    per-span document counts fold map-side on the span key; the
+    occurrence list then re-joins the SAME exploded frame on that key.
+    Both shuffles are span-key-partitioned and carry (span, count) /
+    (span, doc, pos) rows — nothing corpus-sized crosses unkeyed, and
+    the corpus-repeated span dictionary (df ≥ min_docs) is the only
+    frame smaller than the input, so at 100 TB AQE may broadcast it
+    into the occurrence join. A suffix-array build this is not — it
+    needs no global order at all."""
+    toks = F.split(F.col(text_col), r"\s+")
+    spans = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
+    occ = documents.select(
+        "doc_id", F.explode(spans).alias("s")
+    ).select("doc_id", F.col("s.pos").cast("long").alias("pos"), "s.span")
+    hot = (
+        occ.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return occ.join(hot, "span").select("doc_id", "pos", "span", "n_docs")

@@ -276,3 +276,47 @@ def oov_rate(documents: DataFrame, vocab_k: int = 256) -> DataFrame:
         .otherwise(F.size(oov) / F.size("__toks"))
         .alias("oov_rate"),
     )
+
+
+def token_diversity(documents: DataFrame) -> DataFrame:
+    """Lexical-diversity quality signals per document, log-free:
+    type-token ratio and the Simpson concentration index Σ(c_f/n)² —
+    the entropy-family repetition probe that needs no logarithm
+    (Shannon entropy's ln drifts a ulp across libm implementations;
+    Simpson's index is a rational with an exact BIGINT numerator, so
+    the scores are engine- and partitioning-exact). Low TTR or high
+    Simpson flags template/spam documents the way a Gopher-style
+    repetition filter does, but over the whole distribution instead of
+    the single worst n-gram.
+
+    Plan: token explode → per-(doc, term) counts → per-doc fold of
+    (Σc², Σc, #terms); both aggregates are map-side combinable, the
+    shuffle carries only (doc, term, count) rows, and no
+    vocabulary-global state exists at all — embarrassingly parallel
+    at 100 TB."""
+    per_term = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).alias("simpson_num"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "simpson_num",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("ttr"),
+            (
+                F.col("simpson_num").cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens")).cast("double")
+            ).alias("simpson"),
+        )
+    )

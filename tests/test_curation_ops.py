@@ -369,3 +369,48 @@ def test_oov_rate_never_shuffles_corpus_on_doc_id(spark):
     plan = plan_string(textstats.oov_rate(df))
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab broadcast
+
+
+def test_dsir_target_like_doc_scores_higher(spark):
+    """A document whose tokens match the target domain's vocabulary
+    must out-score one drawn from disjoint off-target vocabulary —
+    the defining property of importance resampling."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import (
+        dsir_importance,
+    )
+
+    rows = [
+        # target domain (source tgt): clean prose vocabulary
+        (1, "the quick brown fox jumps over the lazy dog", "tgt"),
+        (2, "the quick dog runs over the brown fox", "tgt"),
+        # raw pool: one target-like doc, one spam-like doc
+        (3, "the brown fox and the lazy dog", "raw"),
+        (4, "buy cheap pills now zzz click here www", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(docs, ["tgt"]).collect()
+    }
+    assert got[3] > got[4]
+    # target members themselves score at least as high as the off-
+    # target doc (their tokens dominate c_t).
+    assert min(got[1], got[2]) > got[4]
+
+
+def test_token_diversity_extremes(spark):
+    """All-identical tokens → simpson 1, ttr 1/n; all-distinct tokens
+    → simpson 1/n, ttr 1. Exact integer numerators make these exact
+    equalities, not approximations."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        token_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in token_diversity(docs).collect()}
+    assert got[1]["simpson"] == 1.0 and got[1]["ttr"] == 0.25
+    assert got[1]["simpson_num"] == 16 and got[1]["n_distinct"] == 1
+    assert got[2]["simpson"] == 0.25 and got[2]["ttr"] == 1.0
+    assert got[2]["simpson_num"] == 4 and got[2]["n_distinct"] == 4

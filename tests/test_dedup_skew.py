@@ -99,3 +99,27 @@ def test_incremental_dedup_planted(spark):
     )
     out = {r["doc_id"] for r in dedup.incremental_dedup(hist, batch).collect()}
     assert out == {11, 13}
+
+
+def test_repeated_spans_planted_positions(spark):
+    """A 5-token span planted in 3 documents is reported at its exact
+    token offset in each; a span shared by only 2 documents is not."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    boiler = "all rights reserved by the"
+    pair = "only in two documents here"
+    rows = [
+        (1, f"intro words {boiler} publisher tail"),
+        (2, f"{boiler} publisher and more text"),
+        (3, f"x y z w {boiler} end {pair}"),
+        (4, f"prefix tokens {pair} suffix"),
+        (5, "completely unrelated filler text with no shared spans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_spans(docs, n=5, min_docs=3).collect()
+    hits = {(r["doc_id"], r["pos"]) for r in got if r["span"] == boiler}
+    assert hits == {(1, 3), (2, 1), (3, 5)}
+    assert all(r["n_docs"] == 3 for r in got if r["span"] == boiler)
+    assert not [r for r in got if r["span"] == pair]
