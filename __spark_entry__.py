@@ -5170,6 +5170,117 @@ def _q_promotion_suppliers(spark, sf_dir):
     )
 
 
+_ZBITS = 16
+_ZQ = "CAST(FLOOR(CAST(({c} - {lo}) * 65535 AS DOUBLE) / CAST(GREATEST({hi} - {lo}, 1) AS DOUBLE)) AS BIGINT)"
+_ZSUM = " + ".join(
+    f"(((qx >> {i}) & 1) * {1 << (2 * i)}) + (((qy >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(_ZBITS)
+)
+
+
+@_register(
+    "m_zorder_layout",
+    f"""
+WITH b AS (
+  SELECT MIN(l_orderkey) AS minx, MAX(l_orderkey) AS maxx,
+         MIN(l_partkey) AS miny, MAX(l_partkey) AS maxy
+  FROM lineitem
+), q AS (
+  SELECT {_ZQ.format(c='l.l_orderkey', lo='b.minx', hi='b.maxx')} AS qx,
+         {_ZQ.format(c='l.l_partkey', lo='b.miny', hi='b.maxy')} AS qy,
+         l.l_orderkey AS x, l.l_partkey AS y
+  FROM lineitem l, b
+), z AS (
+  SELECT ({_ZSUM}) AS zv, x, y FROM q
+)
+SELECT zv >> 22 AS bucket, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z GROUP BY 1
+""",
+)
+def _q_zorder_layout(spark, sf_dir):
+    """Morton (Z-order) clustering codes over (l_orderkey, l_partkey)
+    — the OPTIMIZE ZORDER primitive behind 2-D file skipping —
+    aggregated per curve segment. Bounds come from a 1-row broadcast
+    (the ANALYZE-stats composition); quantize + interleave are pure
+    integer/shift arithmetic, bit-identical in any engine."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        maintenance,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("x"), F.col("l_partkey").alias("y")
+    )
+    b = li.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    j = li.join(F.broadcast(b))
+
+    def _q(c, lo, hi):
+        scaled = (F.col(c) - F.col(lo)) * F.lit((1 << _ZBITS) - 1)
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+        return F.floor(scaled / span).cast("long")
+
+    z = maintenance.zorder_value(
+        _q("x", "minx", "maxx"), _q("y", "miny", "maxy"), bits=_ZBITS
+    )
+    return (
+        j.select(z.alias("zv"), "x", "y")
+        .groupBy(F.shiftright(F.col("zv"), 22).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+@_register(
+    "e_xml_roundtrip",
+    f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_date
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def _q_xml_roundtrip(spark, sf_dir):
+    """XML sink + source round trip (built-in XML data source, Spark
+    4.0+): orders write as row-tagged XML, read back schema-first
+    (dates as strings — XML carries no date type), and re-aggregate
+    decimal-exact. Covers the regulator/legacy-feed interchange format
+    beyond parquet/CSV/JSONL/ORC."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files
+
+    land = tempfile.mkdtemp(prefix="spark_graft_xml_")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    files.write_xml(od, land, row_tag="order")
+    back = files.read_xml(
+        spark,
+        land,
+        "o_orderpriority string, o_totalprice double, o_date string",
+        row_tag="order",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_date").alias("min_date"),
+    )
+
+
 @_register(
     "c_dsir_weights",
     f"""
@@ -5300,6 +5411,8 @@ _VERIFY_FIRST = [
     "c_dsir_weights",
     "d_repeated_spans",
     "t_token_diversity",
+    "e_xml_roundtrip",
+    "m_zorder_layout",
     # tier 1 — analytics.pareto persists moved to the bounded
     # scoped_persist registry this round.
     "q_pareto_customers",

@@ -37,3 +37,25 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (built-in since Spark 4.0 — the spark-xml package
+    merged upstream): one ``row_tag`` element per row. XML is the
+    interchange format regulators and legacy trade systems still emit;
+    a commodity warehouse ingests it or loses the feed."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: str, row_tag: str = "row"
+) -> DataFrame:
+    """Schema-first XML scan. Like read_jsonl, an EXPLICIT schema —
+    XML inference reads the files twice and widens drifting numeric
+    types silently; at 100 TB that is an extra full pass and a
+    correctness hazard."""
+    return (
+        spark.read.schema(schema).format("xml").option("rowTag", row_tag).load(path)
+    )

@@ -559,3 +559,45 @@ def test_promotion_candidates_single_scan_broadcast_keys(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     assert re.search(r"BroadcastHashJoin \[l_partkey[^\]]*\], \[p_partkey[^\]]*\], LeftSemi", plan), plan
     assert "partial_sum" in plan
+
+
+def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER effectiveness: after a Morton-clustered rewrite
+    on (l_orderkey, l_partkey), the summed per-file value span of BOTH
+    columns must shrink versus a round-robin layout — that span is
+    exactly what parquet footer min/max skipping prunes against."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        maintenance,
+    )
+
+    li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    xr = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    yr = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "roundrobin")
+    maintenance.zorder_table(
+        li, zpath, "l_orderkey", "l_partkey",
+        (xr[0], xr[1]), (yr[0], yr[1]), n_files=8,
+    )
+    li.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    def span_sum(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.sum("span")).first()[0]
+
+    for col in ("l_orderkey", "l_partkey"):
+        z, r = span_sum(zpath, col), span_sum(rpath, col)
+        assert z < 0.7 * r, (col, z, r)
+    # content unchanged by the layout-only rewrite
+    a = spark.read.parquet(zpath).agg(
+        F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")
+    ).first()
+    b = li.agg(F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")).first()
+    assert tuple(a) == tuple(b)
