@@ -365,3 +365,74 @@ def test_mad_stats_single_element_group(spark):
     )
     r = aggregates.mad_stats(ev).collect()[0]
     assert (r["median_val"], r["mad"], r["n_rows"]) == (42.5, 0.0, 1)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_zorder_interleave_roundtrip(spark, pairs):
+    """zorder_value is a bijection on [0,2^16)²: de-interleaving the
+    engine-computed Morton code recovers both inputs exactly."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.maintenance import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)], "i long, x long, y long"
+    )
+    got = df.select(
+        "x", "y", zorder_value(F.col("x"), F.col("y"), bits=16).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in got:
+        assert deinterleave(r["z"]) == (r["x"], r["y"])
+
+
+@given(
+    st.integers(min_value=-1000, max_value=1000),
+    st.integers(min_value=1, max_value=5000),
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=2, max_size=30),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_quantize_code_bounds_and_monotone(spark, lo, span, offsets):
+    """quantize_code lands in [0, 2^bits) for every in-range input,
+    maps the endpoints to 0 and 2^bits−1, and preserves order."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.maintenance import (
+        quantize_code,
+    )
+
+    hi = lo + span
+    vals = sorted({lo, hi, *[lo + o % (span + 1) for o in offsets]})
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [
+        r["q"]
+        for r in df.select(quantize_code(F.col("v"), lo, hi, bits=10).alias("q"))
+        .orderBy("q")
+        .collect()
+    ]
+    assert all(0 <= q < (1 << 10) for q in got)
+    by_val = {
+        r["v"]: r["q"]
+        for r in df.select(
+            "v", quantize_code(F.col("v"), lo, hi, bits=10).alias("q")
+        ).collect()
+    }
+    assert by_val[lo] == 0 and by_val[hi] == (1 << 10) - 1
+    ordered = [by_val[v] for v in vals]
+    assert ordered == sorted(ordered)
