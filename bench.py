@@ -60,6 +60,11 @@ HEADLINE = [
     "a_active_users",
     "m_image_phash",
     "a_correlation",
+    # round-5c additions (same caveat)
+    "q_waiting_suppliers",
+    "d_repeated_spans",
+    "c_dsir_weights",
+    "m_zorder_layout",
 ]
 
 

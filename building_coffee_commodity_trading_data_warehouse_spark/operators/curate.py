@@ -443,12 +443,23 @@ def dsir_importance(
     exploded = documents.select(
         "doc_id", is_target.alias("__t"), F.explode(toks).alias("term")
     )
-    per_doc_term = exploded.groupBy("doc_id", "__t", "term").agg(
-        F.count(F.lit(1)).alias("cnt")
+    from ..caching import scoped_persist
+
+    # the explode+count feeds three consumers (scored join, per-term
+    # stats, corpus scalars) — persist once or the 100 TB token
+    # explode runs three times; per_term likewise feeds two.
+    per_doc_term = scoped_persist(
+        exploded.groupBy("doc_id", "__t", "term").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
-    per_term = per_doc_term.groupBy("term").agg(
-        F.sum("cnt").alias("c_r"),
-        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+    per_term = scoped_persist(
+        per_doc_term.groupBy("term").agg(
+            F.sum("cnt").alias("c_r"),
+            F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias(
+                "c_t"
+            ),
+        )
     )
     scalars = per_term.agg(
         F.sum("c_r").alias("__sc_r"),

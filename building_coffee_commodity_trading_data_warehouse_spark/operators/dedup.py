@@ -49,7 +49,15 @@ def shingles(documents: DataFrame, n: int = 2) -> DataFrame:
     n=2 runs as a single zip_with over the array and its shift —
     ~10× faster than indexing each position with element_at inside a
     transform(sequence(...)) (measured at sf0.1: 0.6 s vs 6 s)."""
-    toks = F.split(F.col("text"), r"\s+")
+    # materialize the token array in a projection FIRST: an expression
+    # referenced inside a higher-order-function lambda is NOT common-
+    # subexpression-eliminated across elements, so embedding split()
+    # in the lambda re-tokenizes the document once per position —
+    # O(len²) work (measured 3× wall on repeated_spans at sf0.1).
+    base = documents.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("__tk")
+    )
+    toks = F.col("__tk")
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     if n == 2:
         z = F.zip_with(
@@ -65,7 +73,7 @@ def shingles(documents: DataFrame, n: int = 2) -> DataFrame:
                 " ", *[F.element_at(toks, i + j) for j in range(n)]
             ),
         )
-    return documents.select(
+    return base.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
@@ -790,7 +798,13 @@ def repeated_spans(
     frame smaller than the input, so at 100 TB AQE may broadcast it
     into the occurrence join. A suffix-array build this is not — it
     needs no global order at all."""
-    toks = F.split(F.col(text_col), r"\s+")
+    # tokenize in a projection FIRST — split() inside the lambda would
+    # re-tokenize once per position (no CSE through higher-order
+    # lambdas): measured 3× wall at sf0.1. See shingles().
+    base = documents.select(
+        "doc_id", F.split(F.col(text_col), r"\s+").alias("__tk")
+    )
+    toks = F.col("__tk")
     spans = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -801,7 +815,7 @@ def repeated_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,span:string>>"))
-    occ = documents.select(
+    occ = base.select(
         "doc_id", F.explode(spans).alias("s")
     ).select("doc_id", F.col("s.pos").cast("long").alias("pos"), "s.span")
     hot = (

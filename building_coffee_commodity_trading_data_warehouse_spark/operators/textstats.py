@@ -215,7 +215,11 @@ def bigram_counts(documents: DataFrame, topn: int = 100) -> DataFrame:
     map-side-combinable hash aggregate and the top-N terminates in
     TakeOrderedAndProject — at 100 TB the shuffle carries only
     (bigram, partial_count) rows."""
-    toks = _tokens()
+    # tokenize in a projection FIRST — split() referenced inside the
+    # lambda re-tokenizes per position (no CSE through higher-order
+    # lambdas; see dedup.shingles for the measurement).
+    base = documents.select(_tokens().alias("__tk"))
+    toks = F.col("__tk")
     bigrams = F.when(
         F.size(toks) > 1,
         F.transform(
@@ -224,7 +228,7 @@ def bigram_counts(documents: DataFrame, topn: int = 100) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

@@ -601,3 +601,22 @@ def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
     ).first()
     b = li.agg(F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_partkey")).first()
     assert tuple(a) == tuple(b)
+
+
+def test_dsir_single_explode_and_scalar_broadcast(spark, sf_dir):
+    """DSIR importance: the token explode+count feeds three consumers —
+    it must be persisted (InMemoryTableScan) so the corpus explodes
+    ONCE; the three corpus scalars must arrive as a 1-row broadcast
+    (BroadcastNestedLoopJoin), and no window may appear at all."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    plan = explain.plan_string(curate.dsir_importance(docs, ["src0", "src1"]))
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "windowspecdefinition" not in plan
+    # exactly one documents file scan in the printed lineage outside
+    # cached subtrees would be ideal; at minimum the explode-count
+    # aggregate must not appear more than once outside InMemoryRelation
+    body = plan.split("InMemoryRelation", 1)[0]
+    assert body.count("Generate explode") <= 1, body
