@@ -5170,6 +5170,87 @@ def _q_promotion_suppliers(spark, sf_dir):
     )
 
 
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Chained-CTE oracle for the fixed-iteration PageRank gate — one
+    CTE per superstep, SAME arithmetic as operators/graph.pagerank
+    (the 0.15000000000000002 literal is Python's 1.0−0.85, matching
+    Spark's F.lit(1.0 − damping) bit for bit)."""
+    base_num = repr(1.0 - damping)
+    d = repr(damping)
+    lat = "1073741824.0"
+    parts = [
+        """pr_pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cust,
+         's:' || CAST(l.l_suppkey AS VARCHAR) AS supp
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)""",
+        """pr_edges AS (
+  SELECT cust AS src, supp AS dst FROM pr_pairs
+  UNION ALL SELECT supp AS src, cust AS dst FROM pr_pairs
+)""",
+        """pr_ed AS (
+  SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS outdeg FROM pr_edges
+)""",
+        """pr_nodes AS (
+  SELECT src AS node FROM pr_edges UNION SELECT dst AS node FROM pr_edges
+)""",
+        "pr_nn AS (SELECT COUNT(*) AS n FROM pr_nodes)",
+        "pr_r0 AS (SELECT node, 1.0 / pr_nn.n AS rank FROM pr_nodes, pr_nn)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"""pr_r{t} AS (
+  SELECT pr_nodes.node,
+         {base_num} / pr_nn.n
+           + {d} * (CAST(COALESCE(s.s, 0) AS DOUBLE) / {lat}) AS rank
+  FROM pr_nodes CROSS JOIN pr_nn
+  LEFT JOIN (
+    SELECT e.dst, SUM(CAST(FLOOR((r.rank / e.outdeg) * {lat}) AS BIGINT)) AS s
+    FROM pr_ed e JOIN pr_r{t - 1} r ON e.src = r.node
+    GROUP BY e.dst
+  ) s ON pr_nodes.node = s.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank FROM pr_r{iterations}"
+    )
+
+
+@_register("g_pagerank_trade", _pagerank_sql())
+def _q_pagerank_trade(spark, sf_dir):
+    """PageRank over the undirected customer⟷supplier trade graph,
+    10 fixed supersteps — the Pregel-style driver-loop pattern
+    (join + aggregate per step, per-iteration persist) with 2^-30
+    lattice folds so both engines agree bit for bit."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import graph
+
+    edges = graph.trade_graph(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+    return graph.pagerank(edges, iterations=10)
+
+
+@_register(
+    "a_heavy_hitters",
+    """
+WITH tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS freq
+FROM events, tot
+GROUP BY 1, tot.n
+HAVING COUNT(*) > tot.n / 200.0
+""",
+)
+def _q_heavy_hitters(spark, sf_dir):
+    """EXACT frequent items (freq > n/200) via the distributed
+    two-pass pattern: per-partition Misra-Gries candidate sieves
+    (Arrow-batched, ≤k keys per partition cross the wire), then an
+    exact count restricted to candidates — the key universe never
+    shuffles."""
+    return aggregates.heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=200)
+
+
 _ZBITS = 16
 _ZQ = "CAST(FLOOR(CAST(({c} - {lo}) * 65535 AS DOUBLE) / CAST(GREATEST({hi} - {lo}, 1) AS DOUBLE)) AS BIGINT)"
 _ZSUM = " + ".join(
@@ -5413,6 +5494,8 @@ _VERIFY_FIRST = [
     "t_token_diversity",
     "e_xml_roundtrip",
     "m_zorder_layout",
+    "g_pagerank_trade",
+    "a_heavy_hitters",
     # tier 1 — analytics.pareto persists moved to the bounded
     # scoped_persist registry this round.
     "q_pareto_customers",

@@ -538,3 +538,55 @@ def measure_correlations(lineitem: DataFrame) -> DataFrame:
         _corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
         _corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 200) -> DataFrame:
+    """EXACT frequent items — every value with frequency > n/k, with
+    its exact count — via the distributed two-pass heavy-hitter
+    pattern: per-partition Misra-Gries candidate summaries, then an
+    exact verify restricted to candidates.
+
+    Why not plain groupBy-count: over a 100 TB column with billions of
+    DISTINCT values the full key set shuffles. Here pass 1 emits ≤ k
+    candidate keys PER PARTITION (the mergeable-MG guarantee: any item
+    with global freq > n/k has per-partition freq > n_p/(k+1) in at
+    least one partition by averaging, so it survives that partition's
+    summary); pass 2 semi-joins the broadcast candidates and counts
+    only them — the shuffle carries ≤ k·P aggregated rows, never the
+    key universe. Output is EXACT (counts come from pass 2, the MG
+    counters are only a sieve), so the gate oracle is plain HAVING
+    SQL.
+
+    Pass 1 is Arrow-batched pandas (value_counts per batch, MG merge
+    with (k+1)-th-largest subtraction between batches — vectorized,
+    no per-row Python). The only extra job is the 1-row total count
+    the threshold needs."""
+    import pandas as pd
+
+    key = df.select(F.col(col).cast("string").alias("__key"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["__key"].value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # mergeable-MG truncation: subtract the (k+1)-th
+                # largest count, drop non-positive counters.
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({"__key": pd.Series(list(counters), dtype="object")})
+
+    cands = key.mapInPandas(mg_partition, "__key string").distinct()
+    total = key.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        key.join(F.broadcast(cands), "__key", "left_semi")
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .join(F.broadcast(total))
+        .filter(F.col("freq") > F.col("__n") / F.lit(float(k)))
+        .select(F.col("__key").alias("item"), "freq")
+    )
