@@ -5496,6 +5496,13 @@ _VERIFY_FIRST = [
     "m_zorder_layout",
     "g_pagerank_trade",
     "a_heavy_hitters",
+    # tier 1 — shingles() changed this session (tokenize-before-lambda
+    # CSE fix): every shingle-consuming gate needs a fresh driver row.
+    "d_minhash_lsh",
+    "d_minhash_certify",
+    "d_decontaminate",
+    "d_semantic_decontaminate",
+    "t_bigram_counts",
     # tier 1 — analytics.pareto persists moved to the bounded
     # scoped_persist registry this round.
     "q_pareto_customers",
@@ -5550,7 +5557,6 @@ _VERIFY_FIRST = [
     "m_analyze_stats",
     "q_yoy_growth",
     "a_histogram",
-    "d_minhash_certify",
     "d_incremental_dedup",
     "m_skew_report",
     "q_promo_revenue",
@@ -5587,8 +5593,6 @@ _VERIFY_FIRST = [
     "a_pricing_summary",
     "s_lsh_topk",
     "d_chunk_dedup",
-    "d_decontaminate",
-    "d_semantic_decontaminate",
     "c_stratified_sample",
     "c_pack_chunks",
     "c_curation_pipeline",
@@ -5606,7 +5610,6 @@ _VERIFY_FIRST = [
     "q_priority_late_orders",
     "q_returned_customers",
     "q_shipping_priority",
-    "t_bigram_counts",
     "t_repetition_stats",
     "t_tfidf_topterms",
     "w_cumulative_distinct",
