@@ -5170,6 +5170,102 @@ def _q_promotion_suppliers(spark, sf_dir):
     )
 
 
+_SQL_RECURSIVE_STREAK = """
+WITH RECURSIVE
+ord AS (
+  SELECT o_custkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+),
+walk(o_custkey, rn, o_orderdate) AS (
+  SELECT o_custkey, rn, o_orderdate FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT n.o_custkey, n.rn, n.o_orderdate
+  FROM walk w
+  JOIN ord n ON n.o_custkey = w.o_custkey AND n.rn = w.rn + 1
+  WHERE n.o_orderdate <= w.o_orderdate + INTERVAL 30 DAY
+)
+SELECT CAST(streak_len AS INTEGER) AS streak_len,
+       COUNT(*) AS n_customers
+FROM (SELECT o_custkey, MAX(rn) AS streak_len FROM walk GROUP BY o_custkey)
+GROUP BY streak_len ORDER BY streak_len
+"""
+
+
+@_register("q_recursive_streaks", _SQL_RECURSIVE_STREAK)
+def _q_recursive_streaks(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk each customer's
+    order chain while consecutive orders stay ≤30 days apart — the
+    length distribution of initial re-order streaks. LINEAR recursion
+    (each row spawns ≤1 successor), so the frontier shrinks every
+    step and no path multiplicity exists at any scale — the shape a
+    recursive query must have to survive 100 TB (a graph-walk UNION
+    ALL recursion multiplies paths and hits the engine's recursion
+    row limit; Spark's UnionLoopExec enforces it). Both engines run
+    the literal same recursion text."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_STREAK)
+
+
+@_register(
+    "f_variant_json",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def _q_variant_json(spark, sf_dir):
+    """VARIANT semi-structured path (Spark 4): parse_json once into
+    the binary variant encoding, then typed variant_get extraction —
+    the open-schema ingestion shape for event payloads (no schema
+    declared up front, no string re-parse per field at 100 TB)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_register(
+    "q_sql_function",
+    f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS charged,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_sql_function(spark, sf_dir):
+    """SQL-defined scalar function (Spark 4 CREATE FUNCTION ...
+    RETURN expr): the warehouse's net-charge formula declared ONCE in
+    the catalog and reused by name — it inlines into codegen like any
+    expression (no UDF boundary), so the oracle replays the inlined
+    body verbatim."""
+    catalog.register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1.0 - d) * (1.0 + t)"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(charged_amount(l_extendedprice, l_discount, l_tax) "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS charged, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+
 def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
     """Chained-CTE oracle for the fixed-iteration PageRank gate — one
     CTE per superstep, SAME arithmetic as operators/graph.pagerank
@@ -5496,6 +5592,9 @@ _VERIFY_FIRST = [
     "m_zorder_layout",
     "g_pagerank_trade",
     "a_heavy_hitters",
+    "q_recursive_streaks",
+    "f_variant_json",
+    "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda
     # CSE fix): every shingle-consuming gate needs a fresh driver row.
     "d_minhash_lsh",
