@@ -620,3 +620,34 @@ def test_dsir_single_explode_and_scalar_broadcast(spark, sf_dir):
     # aggregate must not appear more than once outside InMemoryRelation
     body = plan.split("InMemoryRelation", 1)[0]
     assert body.count("Generate explode") <= 1, body
+
+
+def test_tokenize_outside_lambda_no_per_position_resplit(spark, sf_dir):
+    """Guards the CSE-through-lambda fix: split(text) must never
+    appear INSIDE a higher-order lambdafunction body — Spark evaluates
+    the lambda body per array element with no common-subexpression
+    elimination, so an embedded split re-tokenizes the document once
+    per position (O(len²); measured 3× wall on the span/shingle
+    family)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        dedup,
+        textstats,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    for df in (
+        dedup.shingles(docs, 3),
+        dedup.repeated_spans(docs),
+        textstats.bigram_counts(docs),
+    ):
+        plan = explain.plan_string(df)
+        for m in re.finditer(r"lambdafunction\(", plan):
+            # scan the lambda body up to its closing paren depth
+            depth, i = 1, m.end()
+            while depth and i < len(plan):
+                if plan[i] == "(":
+                    depth += 1
+                elif plan[i] == ")":
+                    depth -= 1
+                i += 1
+            assert "split(" not in plan[m.end():i], plan[m.end():i][:200]
