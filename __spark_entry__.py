@@ -5170,6 +5170,28 @@ def _q_promotion_suppliers(spark, sf_dir):
     )
 
 
+_SQL_LATERAL_TOPK = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@_register("q_lateral_topk", _SQL_LATERAL_TOPK)
+def _q_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 4): top-2 customers by
+    balance per nation, written as the per-row subquery a BI user
+    types. Catalyst decorrelates it into a join + per-nation rank —
+    no nested-loop re-execution per outer row (pinned in
+    test_plan_shapes) — and DuckDB runs the identical text."""
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOPK)
+
+
 _SQL_RECURSIVE_STREAK = """
 WITH RECURSIVE
 ord AS (
@@ -5593,6 +5615,7 @@ _VERIFY_FIRST = [
     "g_pagerank_trade",
     "a_heavy_hitters",
     "q_recursive_streaks",
+    "q_lateral_topk",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

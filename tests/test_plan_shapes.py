@@ -651,3 +651,16 @@ def test_tokenize_outside_lambda_no_per_position_resplit(spark, sf_dir):
                     depth -= 1
                 i += 1
             assert "split(" not in plan[m.end():i], plan[m.end():i][:200]
+
+
+def test_lateral_topk_decorrelates_no_nested_loop_per_row(spark, sf_dir):
+    """The correlated LATERAL top-2 must decorrelate into a single
+    join plus a per-nation rank — not a nested-loop that re-executes
+    the subquery per outer row (which at 100 TB scans the inner table
+    once per nation)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_lateral_topk"](spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert plan.count("customer.parquet") == 1, plan
+    assert "CartesianProduct" not in plan
