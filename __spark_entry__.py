@@ -5170,6 +5170,106 @@ def _q_promotion_suppliers(spark, sf_dir):
     )
 
 
+@_register(
+    "e_jdbc_roundtrip",
+    f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def _q_jdbc_roundtrip(spark, sf_dir):
+    """REAL JDBC source/sink round trip (S7) against embedded Apache
+    Derby — the database inside Spark's own jars: orders write over
+    JDBC, read back as ``numPartitions`` bounded range queries on
+    o_orderkey (parallel cursors, the usable-at-scale shape), and
+    re-aggregate decimal-exact against the parquet oracle."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import jdbc
+
+    dbdir = tempfile.mkdtemp(prefix="spark_graft_derby_")
+    url = jdbc.derby_url(f"{dbdir}/db")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bounds = od.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    jdbc.write_table(od, url, "orders_jdbc", driver=jdbc.DERBY_DRIVER)
+    back = jdbc.read_table(
+        spark,
+        url,
+        "orders_jdbc",
+        partition_column="o_orderkey",
+        lower_bound=int(bounds["lo"]),
+        upper_bound=int(bounds["hi"]) + 1,
+        num_partitions=8,
+        driver=jdbc.DERBY_DRIVER,
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@_register(
+    "e_rest_dimension",
+    """
+SELECT CAST(n_nationkey AS VARCHAR) AS code,
+       n_name AS dimension,
+       'REGION' AS parent_dimension,
+       CAST(n_regionkey AS VARCHAR) AS parent_code,
+       CAST(NULL AS VARCHAR) AS parent_title
+FROM nation
+""",
+)
+def _q_rest_dimension(spark, sf_dir):
+    """REST dimension load end to end (S5): the nation table rendered
+    as a WHO-GHO-style JSON payload, served through fetch_payload over
+    a file:// url (stdlib urllib — the same code path as http minus
+    the remote socket), then tabulated by the explicit-schema
+    from_json + explode parse. The oracle re-derives the dimension
+    relationally."""
+    import json
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import rest
+
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )  # 25 fixed-cardinality dim rows — bounded by design
+    payload = json.dumps(
+        {
+            "value": [
+                {
+                    "Code": str(r["n_nationkey"]),
+                    "Title": r["n_name"],
+                    "Dimension": r["n_name"],
+                    "ParentDimension": "REGION",
+                    "ParentCode": str(r["n_regionkey"]),
+                    "ParentTitle": None,
+                }
+                for r in rows
+            ]
+        }
+    )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False, prefix="spark_graft_rest_"
+    ) as fh:
+        fh.write(payload)
+        path = fh.name
+    fetched = rest.fetch_payload(f"file://{path}")
+    return rest.dimension_from_json(spark, fetched)
+
+
 _SQL_LATERAL_TOPK = """
 SELECT n.n_name, t.c_name, t.c_acctbal
 FROM nation n,
@@ -5616,6 +5716,8 @@ _VERIFY_FIRST = [
     "a_heavy_hitters",
     "q_recursive_streaks",
     "q_lateral_topk",
+    "e_jdbc_roundtrip",
+    "e_rest_dimension",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

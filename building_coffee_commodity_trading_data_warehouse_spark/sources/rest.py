@@ -24,12 +24,23 @@ DIMENSION_COLUMNS = ("code", "dimension", "parent_dimension", "parent_code", "pa
 
 
 def fetch_payload(url: str, timeout: int = 30) -> str:
-    """Driver-side GET, gated: no network in this environment — tests
-    inject a payload string instead."""
+    """Driver-side GET. ``file://`` urls go through stdlib urllib —
+    which also makes the whole fetch→tabulate path testable end to end
+    without a network (gate e_rest_dimension); http(s) uses requests
+    when available, urllib otherwise, so no environment lacks the
+    path."""
+    if url.startswith("file://"):
+        from urllib.request import urlopen
+
+        with urlopen(url) as fh:  # noqa: S310 — file scheme only
+            return fh.read().decode("utf-8")
     try:
         import requests
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("requests not available in this environment") from exc
+    except ImportError:  # pragma: no cover
+        from urllib.request import urlopen
+
+        with urlopen(url, timeout=timeout) as fh:  # noqa: S310
+            return fh.read().decode("utf-8")
     return requests.get(url, timeout=timeout).text
 
 
