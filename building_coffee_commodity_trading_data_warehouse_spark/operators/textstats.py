@@ -299,9 +299,7 @@ def token_diversity(documents: DataFrame) -> DataFrame:
     vocabulary-global state exists at all — embarrassingly parallel
     at 100 TB."""
     per_term = (
-        documents.select(
-            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term")
-        )
+        documents.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -292,14 +292,38 @@ def zorder_value(x: "Column", y: "Column", bits: int = 16) -> "Column":
     return z
 
 
-def quantize_code(col: "Column", lo: int, hi: int, bits: int = 16) -> "Column":
-    """Map an integer column in [lo, hi] onto the [0, 2^bits) lattice
-    with pure integer arithmetic — ((col−lo)·(2^bits−1)) div (hi−lo),
-    exact and identical on any engine (no float division, no rounding
-    mode). Callers pass the column's known bounds (catalog stats or a
-    prior ANALYZE pass) so the quantizer stays a map-only projection."""
-    from pyspark.sql import functions as F
+def quantize_code(
+    col: "Column",
+    lo: "int | Column",
+    hi: "int | Column",
+    bits: int = 16,
+) -> "Column":
+    """Map an integer column in [lo, hi] onto the [0, 2^bits) lattice:
+    floor(((col−lo)·(2^bits−1)) / (hi−lo)). The division is ONE
+    correctly-rounded IEEE double division (Spark divides longs as
+    doubles), so it is engine-identical as long as the numerator stays
+    inside double's exact-integer range — enforced below for literal
+    bounds: (hi−lo)·(2^bits−1) must be < 2^53. Wider key ranges must
+    pre-scale (shift the key right) before quantizing; silently losing
+    low bits would make the "same arithmetic on any engine" contract
+    false exactly when it matters. Bounds may also be Columns (e.g. a
+    broadcast 1-row min/max aggregate, the ANALYZE-stats composition)
+    — the overflow guard is then the caller's responsibility. Either
+    way the quantizer stays a map-only projection."""
+    from pyspark.sql import Column, functions as F
 
+    if isinstance(lo, Column) or isinstance(hi, Column):
+        lo_c = lo if isinstance(lo, Column) else F.lit(lo)
+        hi_c = hi if isinstance(hi, Column) else F.lit(hi)
+        span = F.greatest(hi_c - lo_c, F.lit(1))
+        scaled = (col.cast("long") - lo_c) * F.lit((1 << bits) - 1)
+        return F.floor(scaled / span).cast("long")
+    if (hi - lo) * ((1 << bits) - 1) >= (1 << 53):
+        raise ValueError(
+            f"key range {hi - lo} x {bits}-bit lattice exceeds double's "
+            "exact-integer range (2^53) — pre-scale the key (shift right) "
+            "before quantizing"
+        )
     span = max(hi - lo, 1)
     scaled = (col.cast("long") - F.lit(lo)) * F.lit((1 << bits) - 1)
     return F.floor(scaled / F.lit(span)).cast("long")
