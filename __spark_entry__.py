@@ -5270,6 +5270,33 @@ def _q_rest_dimension(spark, sf_dir):
     return rest.dimension_from_json(spark, fetched)
 
 
+@_register(
+    "j_hinted_join",
+    f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice')} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def _q_hinted_join(spark, sf_dir):
+    """Physical-strategy hint (SHUFFLE_HASH) on the big-big orderkey
+    join: skips both sort passes of the default sort-merge — the right
+    call when one side is smaller but unbroadcastable. Results are
+    strategy-independent (the plain-join oracle proves it); the
+    ShuffledHashJoin operator itself is pinned in test_plan_shapes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = joins.hinted_join(
+        li, od, F.col("l_orderkey") == F.col("o_orderkey"), "shuffle_hash"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
 _SQL_LATERAL_TOPK = """
 SELECT n.n_name, t.c_name, t.c_acctbal
 FROM nation n,
@@ -5719,6 +5746,7 @@ _VERIFY_FIRST = [
     "q_lateral_topk",
     "e_jdbc_roundtrip",
     "e_rest_dimension",
+    "j_hinted_join",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

@@ -135,3 +135,26 @@ def reconcile_snapshots(
     return o.join(n, key, "full_outer").select(
         key, "old_val", "new_val", change.alias("change")
     )
+
+
+def hinted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    strategy: str = "shuffle_hash",
+    how: str = "inner",
+) -> DataFrame:
+    """Join with an explicit physical-strategy hint — the operator's
+    escape hatch when the optimizer's choice is wrong for a known
+    workload: ``shuffle_hash`` skips both sort passes of a sort-merge
+    join (right side builds an in-memory hash map per partition — the
+    win when one side is much smaller but too big to broadcast),
+    ``merge`` forces sort-merge (spill-safe for giant×giant),
+    ``broadcast`` forces replication, ``shuffle_replicate_nl`` the
+    cartesian fallback. The hint changes ONLY the physical strategy;
+    results are identical, which is exactly what the gate's plain-join
+    oracle checks."""
+    valid = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+    if strategy not in valid:
+        raise ValueError(f"strategy must be one of {sorted(valid)}")
+    return left.join(right.hint(strategy), on, how)

@@ -664,3 +664,23 @@ def test_lateral_topk_decorrelates_no_nested_loop_per_row(spark, sf_dir):
     plan = explain.plan_string(df)
     assert plan.count("customer.parquet") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_hinted_join_uses_shuffled_hash(spark, sf_dir):
+    """The shuffle_hash hint must produce a ShuffledHashJoin (no sort
+    passes), and the same call with merge must produce SortMergeJoin —
+    the hint controls the physical strategy, nothing else."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import joins
+
+    li = catalog.table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = catalog.table(spark, sf_dir, "orders").select("o_orderkey")
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sh = explain.plan_string(joins.hinted_join(li, od, cond, "shuffle_hash"))
+        sm = explain.plan_string(joins.hinted_join(li, od, cond, "merge"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    assert "ShuffledHashJoin" in sh, sh
+    assert "SortMergeJoin" in sm, sm
