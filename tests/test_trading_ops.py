@@ -208,3 +208,91 @@ def test_resample_ffill_single_tick_scan(spark):
     from building_coffee_commodity_trading_data_warehouse_spark.plans.explain import plan_string
 
     assert plan_string(bi.resample_daily_ffill(df)).count("InMemoryTableScan") >= 2
+
+
+def test_waiting_suppliers_planted_blame(spark):
+    """Q21 decorrelation semantics on a hand-built scenario: blame
+    requires (a) order status 'F', (b) >1 distinct supplier on the
+    order, (c) EXACTLY one of them late."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.analytics import (
+        waiting_suppliers,
+    )
+
+    d0 = dt.datetime(1996, 1, 1)
+    late = d0 + dt.timedelta(days=90)
+    ontime = d0 + dt.timedelta(days=10)
+    li = spark.createDataFrame(
+        [
+            # order 1: two suppliers, only supp 7 late -> blame 7
+            (1, 7, late), (1, 8, ontime),
+            # order 2: two suppliers, both late -> no blame
+            (2, 7, late), (2, 8, late),
+            # order 3: single supplier late -> no blame (not multi)
+            (3, 7, late),
+            # order 4 (status 'O'): would blame 9, but not finished
+            (4, 9, late), (4, 8, ontime),
+            # order 5: two suppliers, supp 9 late -> blame 9
+            (5, 9, late), (5, 7, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    od = spark.createDataFrame(
+        [(1, "F", d0), (2, "F", d0), (3, "F", d0), (4, "O", d0), (5, "F", d0)],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(7, "S7"), (8, "S8"), (9, "S9")], "s_suppkey long, s_name string"
+    )
+    got = {
+        (r["s_suppkey"], r["numwait"])
+        for r in waiting_suppliers(li, od, supp).collect()
+    }
+    assert got == {(7, 1), (9, 1)}
+
+
+def test_min_cost_supplier_planted_argmin(spark):
+    """Q2 decorrelation: per part, the REGIONAL supplier with the
+    minimum observed unit price wins; ties break on suppkey; parts
+    above the size cap and out-of-region suppliers are excluded."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.analytics import (
+        min_cost_supplier,
+    )
+
+    _ = dt
+    li = spark.createDataFrame(
+        [
+            # part 1: supp 1 sells at 2.0/unit, supp 2 at 1.0/unit
+            (100, 1, 1, 10.0, 20.0),
+            (100, 1, 2, 10.0, 10.0),
+            # part 2: only out-of-region supp 3 sells it -> excluded
+            (101, 2, 3, 5.0, 25.0),
+            # part 3 (size too big): cheapest is irrelevant
+            (102, 3, 1, 2.0, 2.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#1", 5), (2, "Brand#2", 5), (3, "Brand#3", 40)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 100.0, 10), (2, "S2", 50.0, 10), (3, "S3", 999.0, 20)],
+        "s_suppkey long, s_name string, s_acctbal double, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(10, "N_IN", 1), (20, "N_OUT", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(1, "ASIA"), (2, "AMERICA")], "r_regionkey int, r_name string"
+    )
+    rows = min_cost_supplier(
+        li, part, supplier, nation, region, region_name="ASIA", max_size=15
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["p_partkey"], r["s_name"], r["unit_cost"]) == (1, "S2", 1.0)
