@@ -5297,6 +5297,82 @@ def _q_hinted_join(spark, sf_dir):
     )
 
 
+@_register(
+    "w_rolling_corr",
+    """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         CAST(COUNT(l_quantity) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS sy,
+         CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS sxy,
+         CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS sxx,
+         CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS syy
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT l_orderkey, l_linenumber, l_partkey, ship_date,
+       CAST(n AS BIGINT) AS n_obs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+            ELSE NULL END AS roll_corr
+FROM f
+""",
+)
+def _q_rolling_corr(spark, sf_dir):
+    """Trailing 20-row Pearson correlation between quantity and price
+    per part — the windowed twin of the exact correlation matrix;
+    decimal frame sums, one fixed double expression tree."""
+    return windows.rolling_correlation(_t(spark, sf_dir, "lineitem"), 20)
+
+
+@_register(
+    "w_rsi",
+    """
+WITH mv AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         l_extendedprice
+           - LAG(l_extendedprice) OVER (PARTITION BY l_partkey
+               ORDER BY strftime(l_shipdate, '%Y-%m-%d'), l_orderkey, l_linenumber)
+           AS diff
+  FROM lineitem
+), gl AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, ship_date,
+         CASE WHEN diff IS NULL THEN NULL ELSE GREATEST(diff, 0.0) END AS g,
+         CASE WHEN diff IS NULL THEN NULL ELSE -LEAST(diff, 0.0) END AS l
+  FROM mv
+), f AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, ship_date,
+         COUNT(g) OVER w AS n,
+         CAST(SUM(CAST(FLOOR(g * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS gain,
+         CAST(SUM(CAST(FLOOR(l * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS loss
+  FROM gl
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY ship_date, l_orderkey, l_linenumber
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT l_orderkey, l_linenumber, l_partkey, ship_date,
+       CASE WHEN n < 14 THEN NULL
+            WHEN gain = 0 AND loss = 0 THEN NULL
+            WHEN loss = 0 THEN 100.0
+            WHEN gain = 0 THEN 0.0
+            ELSE 100.0 - 100.0 / (1.0 + gain / loss) END AS rsi
+FROM f
+""",
+)
+def _q_rsi(spark, sf_dir):
+    """14-period Relative Strength Index per part (simple-average
+    variant): clamped gains/losses from lagged price moves, decimal
+    frame sums, all degenerate cases CASE'd identically on both
+    engines."""
+    return windows.rsi(_t(spark, sf_dir, "lineitem"), 14)
+
+
 _SQL_LATERAL_TOPK = """
 SELECT n.n_name, t.c_name, t.c_acctbal
 FROM nation n,
@@ -5747,6 +5823,8 @@ _VERIFY_FIRST = [
     "e_jdbc_roundtrip",
     "e_rest_dimension",
     "j_hinted_join",
+    "w_rolling_corr",
+    "w_rsi",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

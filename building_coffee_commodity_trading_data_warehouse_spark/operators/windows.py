@@ -492,3 +492,121 @@ def zscore_outliers(events: DataFrame, window_rows: int = 50, z: int = 3) -> Dat
         ),
         (dev * dev > F.lit(z * z) * var_n2).alias("is_outlier"),
     )
+
+
+def rolling_correlation(lineitem: DataFrame, window_rows: int = 20) -> DataFrame:
+    """Trailing Pearson correlation between quantity and price per
+    part over the last ``window_rows`` line items — the windowed twin
+    of aggregates.correlation_matrix (pairs-trading / hedging signal:
+    a desk watches whether volume still moves with price).
+
+    Determinism recipe: every addend (x, y, xy, x², y²) floor-
+    quantizes onto the 2^-16 lattice (×2^16 exact, floor exact) and
+    the five frame sums fold as BIGINTs — associative AND free of the
+    double→DECIMAL cast, whose 6th-decimal rounding tie-splits
+    HALF_UP (Spark) vs HALF_EVEN (DuckDB) on squared prices (measured:
+    one lineitem frame's Σy² differed by 1e-6 between engines). The
+    correlation then combines the de-quantized sums in ONE fixed
+    double expression tree; zero-variance frames emit NULL (CASE'd
+    identically). One exchange on l_partkey; O(frame) per row."""
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    lat = F.lit(float(1 << 16))
+
+    def _s(col):
+        q = F.floor(col * lat).cast("long")
+        return F.sum(q).over(w).cast("double") / lat
+
+    n = F.count(x).over(w).cast("double")
+    sx = _s(x)
+    sy = _s(y)
+    sxy = _s(x * y)
+    sxx = _s(x * x)
+    syy = _s(y * y)
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), num / F.sqrt(vx * vy)
+    ).otherwise(F.lit(None).cast("double"))
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        n.cast("long").alias("n_obs"),
+        corr.alias("roll_corr"),
+    )
+
+
+def rsi(lineitem: DataFrame, periods: int = 14) -> DataFrame:
+    """Relative Strength Index per part over its price series — the
+    momentum oscillator (Wilder) a commodity desk reads next to the
+    reference's MA50/MA200: RSI = 100 − 100/(1+RS) with RS = mean
+    gain / mean loss over the trailing ``periods`` price moves
+    (simple-average variant, not Wilder smoothing, so the window stays
+    a plain frame).
+
+    Determinism: price moves are IEEE subtractions of raw doubles;
+    gains/losses clamp via GREATEST/LEAST (exact); their frame sums
+    floor-quantize onto the 2^-16 lattice and fold as BIGINTs (the
+    double→DECIMAL cast tie-splits across engines — see
+    rolling_correlation); the final RS and RSI are a fixed double
+    expression tree. All-loss frames (mean gain 0) → RSI 0, all-gain
+    frames (mean loss 0) → RSI 100, CASE'd identically on both
+    engines. Warm-up rows with fewer than ``periods`` moves emit NULL.
+    One l_partkey exchange shared by the lag and the frame sums."""
+    # one canonical ordering — the formatted day string + keys — used
+    # by BOTH the lag and the frame sums, so the SQL twin mirrors a
+    # single ORDER BY expression.
+    order = Window.partitionBy("l_partkey").orderBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd"), "l_orderkey", "l_linenumber"
+    )
+    diff = F.col("l_extendedprice") - F.lag("l_extendedprice").over(order)
+    # first row per part has no move: keep gain/loss NULL EXPLICITLY
+    # (GREATEST's null semantics differ across engines) so the frame
+    # count sees only real moves on both sides.
+    moves = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.when(diff.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.greatest(diff, F.lit(0.0)))
+        .alias("__gain"),
+        F.when(diff.isNull(), F.lit(None).cast("double"))
+        .otherwise(-F.least(diff, F.lit(0.0)))
+        .alias("__loss"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(periods - 1), 0)
+    )
+    lat = F.lit(float(1 << 16))
+    n = F.count("__gain").over(w)
+    gain = F.sum(F.floor(F.col("__gain") * lat).cast("long")).over(w).cast(
+        "double"
+    ) / lat
+    loss = F.sum(F.floor(F.col("__loss") * lat).cast("long")).over(w).cast(
+        "double"
+    ) / lat
+    rsi_val = (
+        F.when(n < periods, F.lit(None).cast("double"))
+        .when((gain == 0) & (loss == 0), F.lit(None).cast("double"))
+        .when(loss == 0, F.lit(100.0))
+        .when(gain == 0, F.lit(0.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + gain / loss))
+    )
+    return moves.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "ship_date",
+        rsi_val.alias("rsi"),
+    )

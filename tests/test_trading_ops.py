@@ -296,3 +296,55 @@ def test_min_cost_supplier_planted_argmin(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["p_partkey"], r["s_name"], r["unit_cost"]) == (1, "S2", 1.0)
+
+
+def test_rolling_correlation_extremes(spark):
+    """Perfectly linear series → corr ≈ ±1 (within the 2^-16 lattice
+    tolerance); warm-up row with one observation → NULL."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.windows import (
+        rolling_correlation,
+    )
+
+    d0 = dt.datetime(1996, 1, 1)
+    rows = []
+    for i in range(10):
+        # part 1: y = 3x (positive), part 2: y = 100 - 2x (negative)
+        rows.append((i, 1, 1, float(i + 1), 3.0 * (i + 1), d0 + dt.timedelta(days=i)))
+        rows.append((i, 1, 2, float(i + 1), 100.0 - 2.0 * (i + 1), d0 + dt.timedelta(days=i)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = rolling_correlation(df, 5).collect()
+    by = {(r["l_partkey"], r["l_orderkey"]): r["roll_corr"] for r in got}
+    assert by[(1, 0)] is None  # single observation: zero variance
+    assert abs(by[(1, 9)] - 1.0) < 1e-3
+    assert abs(by[(2, 9)] + 1.0) < 1e-3
+
+
+def test_rsi_monotone_series(spark):
+    """Strictly rising prices → RSI 100 after warm-up; strictly
+    falling → RSI 0; warm-up rows → NULL."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.windows import (
+        rsi,
+    )
+
+    d0 = dt.datetime(1996, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append((i, 1, 1, 100.0 + i, d0 + dt.timedelta(days=i)))
+        rows.append((i, 1, 2, 100.0 - i, d0 + dt.timedelta(days=i)))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {(r["l_partkey"], r["l_orderkey"]): r["rsi"] for r in rsi(df, 14).collect()}
+    assert got[(1, 5)] is None  # warm-up: fewer than 14 moves
+    assert got[(1, 19)] == 100.0
+    assert got[(2, 19)] == 0.0
