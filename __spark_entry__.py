@@ -5298,6 +5298,42 @@ def _q_hinted_join(spark, sf_dir):
 
 
 @_register(
+    "s_pq_certified",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+),
+topk AS (
+  SELECT q_id, c_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+    FROM s
+  ) WHERE rk <= 5
+)
+SELECT q_id, COUNT(*) AS k_exact, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM topk GROUP BY q_id
+""",
+)
+def _q_pq_certified(spark, sf_dir):
+    """Product-quantization ANN (8x16 codebooks on normalized
+    subvectors, ADC lookup scoring, exact rerank) certified against
+    brute force: hash-covered recall booleans + exact cardinalities,
+    the same contract as the IVF and MinHash certificates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.pq_topk_certified(emb, queries_df, k=5, candidates=128)
+
+
+@_register(
     "w_rolling_corr",
     """
 WITH f AS (
@@ -5825,6 +5861,7 @@ _VERIFY_FIRST = [
     "j_hinted_join",
     "w_rolling_corr",
     "w_rsi",
+    "s_pq_certified",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda
