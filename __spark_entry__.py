@@ -1783,6 +1783,32 @@ def _q_st_tumbling(spark, sf_dir):
 
 
 @_register(
+    "st_variant_totals",
+    f"""
+SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
+       {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR")} AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def _q_st_variant_totals(spark, sf_dir):
+    """Open-schema STREAMING ingest through the real engine: payloads
+    parse once into VARIANT, typed variant_get feeds a watermarked
+    tumbling aggregate — producers can evolve payload fields without a
+    declared schema. Value-exact against the batch JSON replay."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        windows as swin,
+    )
+
+    agg = swin.tumbling_variant_totals(_stream_events(spark, sf_dir))
+    return pipeline.run_available_now(agg, f"st_variant_{next(_STREAM_SEQ)}")
+
+
+@_register(
     "st_histogram",
     f"""
 SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
@@ -5901,6 +5927,7 @@ _VERIFY_FIRST = [
     "w_rsi",
     "s_pq_certified",
     "e_snapshot_diff",
+    "st_variant_totals",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

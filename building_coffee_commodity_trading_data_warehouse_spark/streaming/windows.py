@@ -208,3 +208,35 @@ def leaderboard_topk(window_totals: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("window_start", "user_id", "n_events", "sum_value", "rk")
     )
+
+
+def tumbling_variant_totals(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Open-schema streaming ingest: event payloads parse ONCE into
+    the VARIANT encoding (Spark 4) and typed variant_get extraction
+    feeds a watermarked tumbling aggregate — the shape a pipeline uses
+    when producers evolve payload fields faster than schemas can be
+    declared. The parse is a stateless projection (no per-field string
+    re-parse downstream); state per (window, type) is one associative
+    count + BIGINT sum."""
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .select(
+            _fmt("w.start").alias("window_start"),
+            _fmt("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_k",
+            "min_k",
+            "max_k",
+        )
+    )
