@@ -3682,6 +3682,42 @@ def _q_time_travel(spark, sf_dir):
 
 
 @_register(
+    "f_pandas_udf_sql",
+    f"""
+SELECT l_returnflag,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS net_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_pandas_udf_sql(spark, sf_dir):
+    """Arrow-batched pandas UDF registered INTO the SQL catalog
+    (spark.udf.register) and invoked from a SQL string — the bridge a
+    SQL-first team uses to call vectorized Python. The UDF computes
+    per-row net revenue on Arrow record batches (never per-row
+    Python); the decimal fold and the oracle's inlined expression
+    prove the round trip loses nothing."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def _net_rev(p, d):  # pd.Series in, pd.Series out (Arrow batches)
+        return p * (1.0 - d)
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, which the hint-based
+    # pandas_udf resolver cannot evaluate.
+    net_rev = pandas_udf(_net_rev, "double", PandasUDFType.SCALAR)
+    spark.udf.register("net_rev_py", net_rev)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(net_rev_py(l_extendedprice, l_discount) "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+@_register(
     "e_snapshot_diff",
     """
 SELECT 'insert' AS change, o_orderkey
@@ -5928,6 +5964,7 @@ _VERIFY_FIRST = [
     "s_pq_certified",
     "e_snapshot_diff",
     "st_variant_totals",
+    "f_pandas_udf_sql",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda
