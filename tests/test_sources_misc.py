@@ -215,3 +215,47 @@ def test_jsonl_explicit_schema_tolerates_malformed(spark, tmp_path):
     back = files.read_jsonl(spark, str(p), "id long, s string").collect()
     assert len(back) == 2
     assert {(r["id"], r["s"]) for r in back} == {(1, "ok"), (None, None)}
+
+
+def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
+    """XML sink/source must survive markup-significant content:
+    angle brackets, ampersands, quotes, unicode, and NULLs."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files
+
+    rows = [
+        (1, "<tag> & 'quote' \"dq\"", 1.5),
+        (2, "ünïcødé ✓ — em-dash", -2.25),
+        (3, None, None),
+        (4, "]]> cdata-ish & <nested><deep/></nested>", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string, val double")
+    land = str(tmp_path / "xml")
+    files.write_xml(df, land, row_tag="r")
+    back = files.read_xml(spark, land, "id long, txt string, val double", row_tag="r")
+    got = sorted((r["id"], r["txt"], r["val"]) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_jdbc_derby_nulls_and_types_roundtrip(spark, tmp_path):
+    """Embedded-Derby JDBC round trip preserves NULLs, negative
+    doubles, empty strings (Derby stores them as CLOBs), and
+    timestamps."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import jdbc
+
+    rows = [
+        (1, "alpha", -1.5, dt.datetime(1997, 6, 1, 12, 30)),
+        (2, None, None, None),
+        (3, "", 0.0, dt.datetime(2001, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v double, ts timestamp")
+    url = jdbc.derby_url(str(tmp_path / "db"))
+    jdbc.write_table(df, url, "t_nulls", driver=jdbc.DERBY_DRIVER)
+    back = jdbc.read_table(
+        spark, url, "t_nulls",
+        partition_column="id", lower_bound=1, upper_bound=4,
+        num_partitions=2, driver=jdbc.DERBY_DRIVER,
+    )
+    got = sorted((r["id"], r["s"], r["v"], r["ts"]) for r in back.collect())
+    assert got == sorted(rows)
