@@ -855,6 +855,17 @@ def ivf_topk_certified(
     ann = ivf_topk(embeddings, queries, k, n_centroids, nprobe).select(
         "q_id", "c_id"
     )
+    return _recall_certificate(exact, ann, min_recall, min_mean_recall)
+
+
+def _recall_certificate(
+    exact: DataFrame, ann: DataFrame, min_recall: float, min_mean_recall: float
+) -> DataFrame:
+    """Shared recall-certificate tail for every ANN-vs-exact gate
+    (IVF, PQ): per-query exact-top-k cardinality + hash-covered
+    booleans for the per-query and corpus-mean recall floors. One
+    implementation so the certificate contract cannot diverge between
+    ANN families."""
     hits = (
         exact.join(ann, ["q_id", "c_id"], "left_semi")
         .groupBy("q_id")
@@ -999,6 +1010,8 @@ def pq_topk(
     def gen(batches):
         B, LUT, qid_arr = bc.value
         for pdf_b in batches:
+            if not len(pdf_b):
+                continue
             ids = pdf_b["vec_id"].to_numpy()
             Xb = np.stack(pdf_b["embedding"].to_numpy()).astype("float64")
             Xb = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
@@ -1054,24 +1067,4 @@ def pq_topk_certified(
     ann = pq_topk(embeddings, queries, k, candidates=candidates).select(
         "q_id", "c_id"
     )
-    hits = (
-        exact.join(ann, ["q_id", "c_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("__hits"))
-    )
-    per_q = (
-        exact.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("k_exact"))
-        .join(hits, "q_id", "left")
-        .withColumn("__hits", F.coalesce("__hits", F.lit(0)))
-        .withColumn("__recall", F.col("__hits") / F.col("k_exact"))
-    )
-    mean_ok = per_q.agg(
-        (F.avg("__recall") >= F.lit(min_mean_recall)).alias("mean_recall_ok")
-    )
-    return per_q.crossJoin(F.broadcast(mean_ok)).select(
-        "q_id",
-        "k_exact",
-        (F.col("__recall") >= F.lit(min_recall)).alias("recall_ok"),
-        "mean_recall_ok",
-    )
+    return _recall_certificate(exact, ann, min_recall, min_mean_recall)

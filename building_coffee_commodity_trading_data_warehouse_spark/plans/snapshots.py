@@ -123,9 +123,11 @@ def snapshot_diff(
     polls instead of re-reading 100 TB.
 
     Plan: both versions collapse to (key, row-fingerprint) BEFORE any
-    join — the fingerprint is an md5 over the stringified non-key
-    columns, computed map-side, so the diff joins ship 2 narrow
-    columns however wide the table is. Inserts/deletes are anti-joins
+    join — the fingerprint is an md5 over the JSON encoding of the
+    non-key struct (to_json keys every field and drops null ones, so
+    NULL patterns and delimiter-looking content cannot collide the way
+    a concat_ws fold silently does), computed map-side, so the diff
+    joins ship 2 narrow columns however wide the table is. Inserts/deletes are anti-joins
     on the key, updates an inner join filtered on fingerprint
     inequality; all three shuffles share the key partitioning. The
     fingerprint never crosses engines (the gate's oracle re-derives
@@ -133,12 +135,17 @@ def snapshot_diff(
     non-issue."""
     a = read_version(spark, table, v_from)
     b = read_version(spark, table, v_to)
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            "snapshot_diff requires identical schemas; "
+            f"v{v_from} has {sorted(set(a.columns) - set(b.columns))} extra, "
+            f"v{v_to} has {sorted(set(b.columns) - set(a.columns))} extra — "
+            "project both versions to a common schema first"
+        )
     val_cols = [c for c in a.columns if c not in key_cols]
 
     def keyed(df: DataFrame) -> DataFrame:
-        fp = F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in val_cols])
-        )
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in val_cols])))
         return df.select(*key_cols, fp.alias("__fp"))
 
     ka, kb = keyed(a), keyed(b)

@@ -130,3 +130,42 @@ def test_snapshot_diff_all_three_changes(spark, tmp_path):
         for r in snapshots.snapshot_diff(spark, table, 0, 1, ["id"]).collect()
     }
     assert got == {("insert", 4), ("delete", 3), ("update", 2)}
+
+
+def test_snapshot_diff_null_shift_is_an_update(spark, tmp_path):
+    """Fingerprint must distinguish NULL-pattern shifts and
+    delimiter-looking content — the collisions a concat_ws fold
+    silently produces: (NULL,'x')→('x',NULL) and ('x|y','z')→('x','y|z')
+    are both real updates."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, None, "x"), (2, "x|y", "z")], "id long, a string, b string"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "x", None), (2, "x", "y|z")], "id long, a string, b string"
+    )
+    snapshots.write_snapshot(v0, table)
+    snapshots.write_snapshot(v1, table)
+    got = {
+        (r["change"], r["id"])
+        for r in snapshots.snapshot_diff(spark, table, 0, 1, ["id"]).collect()
+    }
+    assert got == {("update", 1), ("update", 2)}
+
+
+def test_snapshot_diff_rejects_schema_drift(spark, tmp_path):
+    import pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    snapshots.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, a string"), table
+    )
+    snapshots.write_snapshot(
+        spark.createDataFrame([(1, "a", 2.0)], "id long, a string, b double"), table
+    )
+    with pytest.raises(ValueError, match="identical schemas"):
+        snapshots.snapshot_diff(spark, table, 0, 1, ["id"])
