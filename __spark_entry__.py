@@ -5434,6 +5434,33 @@ def _q_pq_certified(spark, sf_dir):
 
 
 @_register(
+    "w_anchored_vwap",
+    """
+WITH pd AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m-%d') AS trade_date,
+         SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS pq,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS q
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey, trade_date,
+       CAST(CAST(pq AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(q AS VARCHAR) AS DOUBLE) AS day_vwap,
+       CAST(CAST(SUM(pq) OVER w AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(q) OVER w AS VARCHAR) AS DOUBLE) AS anchored_vwap
+FROM pd
+WINDOW w AS (PARTITION BY l_partkey ORDER BY trade_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def _q_anchored_vwap(spark, sf_dir):
+    """Daily + anchored VWAP per part: decimal-exact price-volume and
+    volume folds, cumulative window sums over part-sized day frames,
+    one IEEE division each. The oracle routes its DECIMAL→DOUBLE casts
+    through VARCHAR (anchored totals exceed the 53-bit exact range)."""
+    return windows.anchored_vwap(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
     "w_rolling_corr",
     """
 WITH f AS (
@@ -5965,6 +5992,7 @@ _VERIFY_FIRST = [
     "e_snapshot_diff",
     "st_variant_totals",
     "f_pandas_udf_sql",
+    "w_anchored_vwap",
     "f_variant_json",
     "q_sql_function",
     # tier 1 — shingles() changed this session (tokenize-before-lambda

@@ -610,3 +610,44 @@ def rsi(lineitem: DataFrame, periods: int = 14) -> DataFrame:
         "ship_date",
         rsi_val.alias("rsi"),
     )
+
+
+def anchored_vwap(lineitem: DataFrame) -> DataFrame:
+    """Daily and anchored (running) volume-weighted average price per
+    part — the execution benchmark a trading desk quotes against
+    ("am I filling better than VWAP since the series started?").
+
+    Exactness: Σ(price·qty) and Σqty fold in DECIMAL per (part, day),
+    the anchored totals are cumulative DECIMAL window sums over the
+    day-level frame (part-sized partitions), and each VWAP is ONE
+    IEEE division of the two exact totals — engine- and
+    partitioning-identical. Aggregate-first: the window runs over
+    #parts × #days rows, never the fact table."""
+    per_day = (
+        lineitem.groupBy(
+            "l_partkey",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("trade_date"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)
+            ).alias("__pq"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("__q"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("trade_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "l_partkey",
+        "trade_date",
+        (F.col("__pq").cast("double") / F.col("__q").cast("double")).alias(
+            "day_vwap"
+        ),
+        (
+            F.sum("__pq").over(w).cast("double")
+            / F.sum("__q").over(w).cast("double")
+        ).alias("anchored_vwap"),
+    )

@@ -348,3 +348,30 @@ def test_rsi_monotone_series(spark):
     assert got[(1, 5)] is None  # warm-up: fewer than 14 moves
     assert got[(1, 19)] == 100.0
     assert got[(2, 19)] == 0.0
+
+
+def test_anchored_vwap_planted_values(spark):
+    """Hand-computable VWAP: day-1 (price 10, qty 2) + (20, 2) →
+    day_vwap 15; day-2 (30, 4) → day_vwap 30 and anchored
+    (10·2+20·2+30·4)/(2+2+4) = 22.5."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.windows import (
+        anchored_vwap,
+    )
+
+    d1, d2 = dt.datetime(1996, 1, 1), dt.datetime(1996, 1, 2)
+    df = spark.createDataFrame(
+        [
+            (1, 1, 1, 2.0, 10.0, d1),
+            (2, 1, 1, 2.0, 20.0, d1),
+            (3, 1, 1, 4.0, 30.0, d2),
+        ],
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_quantity double, l_extendedprice double, l_shipdate timestamp",
+    )
+    got = {r["trade_date"]: r for r in anchored_vwap(df).collect()}
+    assert got["1996-01-01"]["day_vwap"] == 15.0
+    assert got["1996-01-01"]["anchored_vwap"] == 15.0
+    assert got["1996-01-02"]["day_vwap"] == 30.0
+    assert got["1996-01-02"]["anchored_vwap"] == 22.5
