@@ -6010,6 +6010,15 @@ _VERIFY_FIRST = [
     "a_approx_distinct",
     "a_percentiles_approx",
     "s_ivf_topk",
+    # promoted: VERDICT-r4 closure gates (real-PDF ingest, PII
+    # scrub, incremental dedup, WAV codec, CSV round trip, YoY) must
+    # land r5 driver rows ahead of the simpler batteries.
+    "e_pdf_report",
+    "c_pii_scrub",
+    "d_incremental_dedup",
+    "m_audio_wav",
+    "e_csv_roundtrip",
+    "q_yoy_growth",
     # tier 2 — NEW gates this round: the six TPC-H-shaped warehouse
     # queries (Q6/Q7/Q17/Q18/Q19/Q22) landed mid-round.
     "q_filtered_revenue",
@@ -6044,25 +6053,19 @@ _VERIFY_FIRST = [
     "q_order_lifecycle",
     # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
     # PII scrubbing + boilerplate removal (curation family).
-    "e_pdf_report",
-    "c_pii_scrub",
     "c_boilerplate_scrub",
     "c_group_sample",
     "q_shipmode_priority",
     "st_zscore_outliers",
     "w_resample_ffill",
-    "m_audio_wav",
     "c_winsorize",
     "m_analyze_stats",
-    "q_yoy_growth",
     "a_histogram",
-    "d_incremental_dedup",
     "m_skew_report",
     "q_promo_revenue",
     "q_order_distribution",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
-    "e_csv_roundtrip",
     "st_histogram",
     # tier 2 — newest driver row is r1 (three rounds of driver/testdata
     # drift without a hard signal; VERDICT r4 item 3).
