@@ -4768,17 +4768,20 @@ def _q_market_concentration(spark, sf_dir):
     "a_active_users",
     """
 WITH pres AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-b AS (SELECT max(day) AS d1 FROM pres),
+cal AS (
+  SELECT CAST(unnest(generate_series(
+    (SELECT min(day) FROM pres), (SELECT max(day) FROM pres),
+    INTERVAL 1 DAY)) AS DATE) AS day
+),
 tgt AS (
   SELECT DISTINCT p.day + x.i AS day, p.user_id
   FROM pres p, (SELECT CAST(unnest(range(0, 7)) AS INTEGER) AS i) x
 ),
 wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM tgt GROUP BY day),
 dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pres GROUP BY day)
-SELECT strftime(w.day, '%Y-%m-%d') AS day,
-       coalesce(d.dau, 0) AS dau, w.wau AS wau
-FROM wau w LEFT JOIN dau d USING (day), b
-WHERE w.day <= b.d1
+SELECT strftime(c.day, '%Y-%m-%d') AS day,
+       coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau
+FROM cal c LEFT JOIN wau w USING (day) LEFT JOIN dau d USING (day)
 ORDER BY day
 """,
 )
@@ -5852,7 +5855,7 @@ def _q_xml_roundtrip(spark, sf_dir):
     f"""
 WITH ex AS (
   SELECT doc_id, source IN ('src0','src1') AS flag,
-         unnest({_SQL_TOKS}) AS term
+         unnest(list_filter({_SQL_TOKS}, x -> x != '')) AS term
   FROM documents
 ), pdt AS (
   SELECT doc_id, flag, term, COUNT(*) AS cnt FROM ex GROUP BY 1, 2, 3

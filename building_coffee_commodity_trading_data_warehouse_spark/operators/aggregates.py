@@ -420,7 +420,14 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     sets in window state), no self-join over events."""
     day = F.to_date("ts").alias("day")
     pres = events.select(day, "user_id").distinct()
-    bounds = pres.agg(F.max("day").alias("__d1"))
+    # full calendar from first to last observed day — an activity gap
+    # longer than the window must surface as dau=0/wau=0 rows, not a
+    # silently compressed time axis. The 1-row bounds explode to
+    # #days rows (decades ≈ 10⁴ — bounded), never touching events.
+    calendar = (
+        pres.agg(F.min("day").alias("__d0"), F.max("day").alias("__d1"))
+        .select(F.explode(F.sequence("__d0", "__d1")).alias("day"))
+    )
     target = (
         pres.select(
             F.explode(
@@ -433,13 +440,12 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     wau = target.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
     dau = pres.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     return (
-        wau.join(dau, "day", "left")
-        .crossJoin(F.broadcast(bounds))
-        .filter(F.col("day") <= F.col("__d1"))
+        calendar.join(wau, "day", "left")
+        .join(dau, "day", "left")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("dau", F.lit(0)).alias("dau"),
-            "wau",
+            F.coalesce("wau", F.lit(0)).alias("wau"),
         )
         .orderBy("day")
     )

@@ -439,7 +439,13 @@ def dsir_importance(
     per-term equi-join on the term key. Nothing corpus-sized reaches
     the driver."""
     is_target = F.col("source").isin(*target_sources)
-    toks = F.split(F.col(text_col), r"\s+")
+    # filter phantom '' tokens from whitespace-padded text BEFORE the
+    # explode (split() emits them at string edges — the same hazard
+    # boilerplate_scrub documents); a '' vocabulary term would skew
+    # every padded document's n_tokens and ratio.
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
     exploded = documents.select(
         "doc_id", is_target.alias("__t"), F.explode(toks).alias("term")
     )

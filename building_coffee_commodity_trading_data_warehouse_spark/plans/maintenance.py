@@ -208,12 +208,24 @@ def check_constraints(df: DataFrame, rules: dict[str, "Column"]) -> DataFrame:
     shuffle."""
     from pyspark.sql import functions as F
 
+    if not rules:
+        # stack(0, ...) would not parse; an empty suite passes trivially
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "rule string, n_rows bigint, n_violations bigint, passed boolean"
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (_, pred) in enumerate(rules.items()):
         viol = F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
         aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
     row = df.agg(*aggs)
-    pairs = ", ".join(f"'{name}', __v{i}" for i, name in enumerate(rules))
+    # rule names are user text: escape quote characters rather than
+    # splicing them raw into the stack() expression (a name with an
+    # apostrophe would otherwise break — or rewrite — the query).
+    def _q(name: str) -> str:
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    pairs = ", ".join(f"{_q(name)}, __v{i}" for i, name in enumerate(rules))
     return row.select(
         F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
         F.col("__n").alias("n_rows"),

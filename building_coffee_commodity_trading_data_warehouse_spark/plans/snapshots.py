@@ -54,12 +54,30 @@ def _publish(table: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(table))  # atomic publish
 
 
+def _max_version_dir(table: str) -> int:
+    """Highest v=N directory on disk, published or orphaned (-1 if
+    none) — orphans from crashed writes must not collide with the
+    next write."""
+    vroot = os.path.join(table, "_versions")
+    if not os.path.isdir(vroot):
+        return -1
+    vs = [
+        int(d[2:])
+        for d in os.listdir(vroot)
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    return max(vs, default=-1)
+
+
 def write_snapshot(df: DataFrame, table: str) -> int:
     """Write ``df`` as the next immutable version; returns its id.
     The data lands fully before the manifest flips — a crashed write
-    leaves an orphan dir (removable by vacuum), never a torn table."""
+    leaves an orphan dir (removable by vacuum), never a torn table.
+    The next id skips past any orphan directory, so a crashed write
+    never blocks subsequent writes (they would otherwise collide with
+    mode('errorifexists') forever)."""
     m = _read_manifest(table)
-    v = int(m["current"]) + 1
+    v = max(int(m["current"]), _max_version_dir(table)) + 1
     path = os.path.join(table, "_versions", f"v={v}")
     df.write.mode("errorifexists").parquet(path)
     n = df.sparkSession.read.parquet(path).count()

@@ -160,20 +160,30 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.mapInPandas(_batches, schema=DECODED_SCHEMA)
 
 
+def nn_resize(px: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of one raw pixel buffer — THE production
+    kernel (numpy fancy-indexing): shared by resize_images and the
+    certificate gate, so the certificate exercises the real code path
+    and its independent per-pixel verify can actually catch a
+    regression here."""
+    import numpy as _np
+
+    img = _np.frombuffer(bytes(px), dtype=_np.uint8).reshape(h, w, c)
+    yi = (_np.arange(out_h) * h) // out_h
+    xi = (_np.arange(out_w) * w) // out_w
+    return img[yi[:, None], xi[None, :], :].tobytes()
+
+
 def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """REAL nearest-neighbor resize over raw pixel buffers (no codec
-    needed): numpy fancy-indexing per image, Arrow-batched. The row
-    count is unchanged — pure map, partition-parallel."""
+    needed): the shared nn_resize kernel per image, Arrow-batched. The
+    row count is unchanged — pure map, partition-parallel."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as _np
         import pandas as _pd
 
         def _resize(px: bytes, w: int, h: int, c: int) -> bytes:
-            img = _np.frombuffer(bytes(px), dtype=_np.uint8).reshape(h, w, c)
-            yi = (_np.arange(out_h) * h) // out_h
-            xi = (_np.arange(out_w) * w) // out_w
-            return img[yi[:, None], xi[None, :], :].tobytes()
+            return nn_resize(px, w, h, c, out_w, out_h)
 
         for pdf in it:
             yield _pd.DataFrame(
@@ -348,9 +358,15 @@ def certify_image_pipeline(
             w2, h2, c2, rgb2 = decode_bmp(encode_bmp(w, h, rgb))
             roundtrip_ok = (w2, h2, c2) == (w, h, 3) and rgb2 == rgb
             img = src.reshape(h, w, 3)
-            ys = (_np.arange(out_h) * h) // out_h
-            xs = (_np.arange(out_w) * w) // out_w
-            resized = img[ys][:, xs]
+            # run the PRODUCTION kernel (nn_resize), then verify every
+            # output pixel against the floor-index definition with a
+            # per-pixel loop — two separate implementations, so a
+            # kernel regression flips the boolean (the previous
+            # version recomputed the same fancy-index expression and
+            # could never fail).
+            resized = _np.frombuffer(
+                nn_resize(rgb, w, h, 3, out_w, out_h), dtype=_np.uint8
+            ).reshape(out_h, out_w, 3)
             resize_ok = all(
                 (resized[i, j] == img[(i * h) // out_h, (j * w) // out_w]).all()
                 for i in range(out_h)

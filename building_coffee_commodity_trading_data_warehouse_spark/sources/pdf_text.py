@@ -217,6 +217,13 @@ def _tokens(s: bytes):
             j = i
             while j < n and s[j : j + 1] not in b" \t\r\n\x00()<>[]{}/%":
                 j += 1
+            if j == i:
+                # c itself is a delimiter this branch doesn't handle
+                # ('{' / '}' from Type-4 function streams, stray '%'
+                # survivors): a zero-width token would loop forever —
+                # skip the byte instead.
+                i += 1
+                continue
             yield ("op", s[i:j])
             i = j
 

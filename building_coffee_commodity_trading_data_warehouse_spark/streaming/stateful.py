@@ -52,8 +52,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             n, micros, last = 0, 0, None
         for pdf in batches:
             n += len(pdf)
+            # HALF_UP (away from zero), matching the batch oracle's
+            # DECIMAL cast — np.round is half-EVEN and diverges on
+            # exact half-tick doubles (e.g. 1.0000005 region dyadics).
+            scaled = pdf["value"].to_numpy() * 1e6
             micros += int(
-                _np.round(pdf["value"].to_numpy() * 1e6).astype("int64").sum()
+                _np.where(
+                    scaled >= 0,
+                    _np.floor(scaled + 0.5),
+                    _np.ceil(scaled - 0.5),
+                ).astype("int64").sum()
             )
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
@@ -111,7 +119,12 @@ def zscore_stream(events: DataFrame, window_rows: int = 50, z: int = 3) -> DataF
         vals = list(state.get[0]) if state.exists else []
         pdf = _pd.concat(list(batches), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = _np.round(pdf["value"].to_numpy() * 100).astype("int64")
+        # HALF_UP cents, matching zscore_outliers' DECIMAL(18,2) cast
+        # (np.round's half-even ties diverge on dyadic half-cents).
+        sc = pdf["value"].to_numpy() * 100
+        cents = _np.where(
+            sc >= 0, _np.floor(sc + 0.5), _np.ceil(sc - 0.5)
+        ).astype("int64")
         arr = _np.concatenate([_np.asarray(vals, dtype="int64"), cents])
         c1 = _np.concatenate([[0], _np.cumsum(arr)])
         c2 = _np.concatenate([[0], _np.cumsum(arr * arr)])

@@ -220,9 +220,14 @@ def tumbling_variant_totals(
     declared. The parse is a stateless projection (no per-field string
     re-parse downstream); state per (window, type) is one associative
     count + BIGINT sum."""
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    # parse ONCE in a projection; inlining parse_json into each
+    # aggregate re-parses the payload per expression copy.
+    parsed = events.select(
+        "ts", "event_type", F.parse_json("props").alias("__v")
+    )
+    k = F.expr("variant_get(__v, '$.k', 'int')")
     return (
-        events.withWatermark("ts", watermark)
+        parsed.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -242,3 +242,26 @@ def test_phash_pairs_band_join_not_cartesian(spark):
     plan = plan_string(multimodal.phash_pairs(df))
     assert "CartesianProduct" not in plan, plan
     assert "band" in plan, plan
+
+
+def test_nn_resize_golden_values():
+    """Hand-computed nearest-neighbor golden: a 4x2 grayscale-ish RGB
+    image resized to 2x2 must pick the floor-index pixels exactly."""
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.multimodal import (
+        nn_resize,
+    )
+
+    # 2 rows x 4 cols, 3 channels; pixel value = 10*row + col
+    img = np.array(
+        [[[10 * r + c] * 3 for c in range(4)] for r in range(2)], dtype=np.uint8
+    )
+    out = np.frombuffer(
+        nn_resize(img.tobytes(), 4, 2, 3, 2, 2), dtype=np.uint8
+    ).reshape(2, 2, 3)
+    # yi = [0,1], xi = [0,2] -> pixels (0,0),(0,2),(1,0),(1,2)
+    expected = np.array(
+        [[[0] * 3, [2] * 3], [[10] * 3, [12] * 3]], dtype=np.uint8
+    )
+    assert (out == expected).all()

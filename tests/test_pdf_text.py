@@ -139,3 +139,17 @@ def test_invalid_digit_escape_keeps_char():
 
     toks = list(pdf_text._tokens(rb'(\8bad\q) Tj'))
     assert toks[0] == ("str", b"8badq")
+
+
+def test_tokenizer_skips_brace_delimiters_without_hanging():
+    """'{'/'}' bytes (Type-4 function streams) must be skipped, not
+    spun on — the zero-width fallback token used to loop forever."""
+    import itertools
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.pdf_text import (
+        _tokens,
+    )
+
+    toks = list(itertools.islice(_tokens(b"BT { (hi) Tj } ET"), 100))
+    assert ("op", b"") not in toks
+    assert ("op", b"Tj") in toks and ("op", b"ET") in toks

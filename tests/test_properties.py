@@ -436,3 +436,27 @@ def test_quantize_code_bounds_and_monotone(spark, lo, span, offsets):
     assert by_val[lo] == 0 and by_val[hi] == (1 << 10) - 1
     ordered = [by_val[v] for v in vals]
     assert ordered == sorted(ordered)
+
+
+def test_active_users_emits_gap_days(spark):
+    """A gap longer than the WAU window must surface as dau=0/wau=0
+    rows — not a silently compressed time axis."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.aggregates import (
+        active_users,
+    )
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1, 9), "click", 1.0),
+        (2, 11, dt.datetime(2024, 1, 20, 9), "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["day"]: (r["dau"], r["wau"]) for r in active_users(df, 7).collect()}
+    assert len(got) == 20  # every calendar day from Jan 1 to Jan 20
+    assert got["2024-01-01"] == (1, 1)
+    assert got["2024-01-07"] == (0, 1)   # inside the trailing window
+    assert got["2024-01-10"] == (0, 0)   # the gap: present, zeroed
+    assert got["2024-01-20"] == (1, 1)

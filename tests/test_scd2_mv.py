@@ -169,3 +169,22 @@ def test_snapshot_diff_rejects_schema_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="identical schemas"):
         snapshots.snapshot_diff(spark, table, 0, 1, ["id"])
+
+
+def test_write_snapshot_skips_orphan_directory(spark, tmp_path):
+    """A crashed write (data dir present, manifest unflipped) must not
+    block future writes — the next version skips past the orphan."""
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    assert snapshots.write_snapshot(df, table) == 0
+    # simulate a crash: v=1 directory lands but the manifest never flips
+    df.write.parquet(os.path.join(table, "_versions", "v=1"))
+    v = snapshots.write_snapshot(df, table)
+    assert v == 2
+    assert snapshots.read_version(spark, table, v).count() == 1
+    # history only lists published versions; the orphan stays invisible
+    assert [x[0] for x in snapshots.history(table)] == [0, 2]
