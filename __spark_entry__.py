@@ -1254,6 +1254,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 8 + 2 AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS channels,
        TRUE AS roundtrip_ok,
+       TRUE AS png_ok,
        TRUE AS resize_ok
 FROM documents
 """,
@@ -1263,10 +1264,12 @@ def _q_decode_resize(spark, sf_dir):
     payload becomes a deterministic RGB image whose dims an oracle can
     derive in SQL (len%16+2 × len%8+2), runs through the REAL BMP
     encoder+decoder (BGR order, bottom-up rows, stride padding —
-    sources/multimodal.py encode_bmp/decode_bmp) and a nearest-neighbor
-    resize re-derived pixel-by-pixel. Booleans carry the byte-identity
-    and resize proofs into the driver hash; raw-buffer md5s stay in
-    pytest (SQL cannot express them)."""
+    sources/multimodal.py encode_bmp/decode_bmp), the REAL compressed
+    PNG encoder+decoder (chunk CRCs, DEFLATE, five scanline predictors
+    — encode_png/decode_png), and a nearest-neighbor resize re-derived
+    pixel-by-pixel. Booleans carry the byte-identity and resize proofs
+    into the driver hash; raw-buffer md5s stay in pytest (SQL cannot
+    express them)."""
     from building_coffee_commodity_trading_data_warehouse_spark.session import (
         ship_package,
     )
@@ -5180,11 +5183,16 @@ WITH nat_supp AS (
   WHERE l.l_suppkey IN (SELECT s_suppkey FROM nat_supp)
   GROUP BY l.l_partkey
 ), tot AS (
-  SELECT CAST(SUM(value_dec) AS DOUBLE) AS total FROM per_part
+  -- DECIMAL->DOUBLE routed through VARCHAR: DuckDB's direct cast is
+  -- not correctly rounded once the scaled value exceeds 2^53, while
+  -- Spark's BigDecimal.doubleValue is — same fix as w_anchored_vwap.
+  SELECT CAST(CAST(SUM(value_dec) AS VARCHAR) AS DOUBLE) AS total
+  FROM per_part
 )
-SELECT p.l_partkey, CAST(p.value_dec AS DOUBLE) AS stock_value
+SELECT p.l_partkey,
+       CAST(CAST(p.value_dec AS VARCHAR) AS DOUBLE) AS stock_value
 FROM per_part p, tot
-WHERE CAST(p.value_dec AS DOUBLE) > 0.001 * tot.total
+WHERE CAST(CAST(p.value_dec AS VARCHAR) AS DOUBLE) > 0.001 * tot.total
 ORDER BY stock_value DESC, p.l_partkey
 """,
 )

@@ -140,17 +140,22 @@ def snapshot_diff(
     changed) — the downstream-sync primitive a warehouse consumer
     polls instead of re-reading 100 TB.
 
-    Plan: both versions collapse to (key, row-fingerprint) BEFORE any
-    join — the fingerprint is an md5 over the JSON encoding of the
-    non-key struct (to_json keys every field and drops null ones, so
-    NULL patterns and delimiter-looking content cannot collide the way
-    a concat_ws fold silently does), computed map-side, so the diff
-    joins ship 2 narrow columns however wide the table is. Inserts/deletes are anti-joins
-    on the key, updates an inner join filtered on fingerprint
-    inequality; all three shuffles share the key partitioning. The
-    fingerprint never crosses engines (the gate's oracle re-derives
-    changes relationally), so float formatting portability is a
-    non-issue."""
+    Plan: both versions collapse to ONE (key, multiset-fingerprint)
+    row per key BEFORE any join — each row hashes its non-key struct
+    via xxhash64 over the JSON encoding (to_json keys every field and
+    drops null ones, so NULL patterns and delimiter-looking content
+    cannot collide the way a concat_ws fold silently does), then a
+    per-key aggregate folds (row count, sum of hashes): order- and
+    multiset-safe, so ``key_cols`` need NOT uniquely identify rows —
+    a key whose row multiset is unchanged never emits a spurious
+    'update', and duplicate keys cannot cross-pair into n*m join rows.
+    The partial aggregate combines map-side, so the diff joins ship 3
+    narrow columns however wide or duplicated the table is.
+    Inserts/deletes are anti-joins on the now-unique key, updates an
+    inner join filtered on (count, hash-sum) inequality; all three
+    shuffles share the key partitioning. The fingerprint never crosses
+    engines (the gate's oracle re-derives changes relationally), so
+    hash portability is a non-issue."""
     a = read_version(spark, table, v_from)
     b = read_version(spark, table, v_to)
     if set(a.columns) != set(b.columns):
@@ -163,8 +168,19 @@ def snapshot_diff(
     val_cols = [c for c in a.columns if c not in key_cols]
 
     def keyed(df: DataFrame) -> DataFrame:
-        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in val_cols])))
-        return df.select(*key_cols, fp.alias("__fp"))
+        # One row per key: (count, sum-of-row-hashes) is invariant
+        # under row order and exactly identifies the row MULTISET up
+        # to a ~2^-64 random hash collision (sum in decimal(38,0) so
+        # the fold itself never wraps).
+        h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in val_cols])))
+        return (
+            df.select(*key_cols, h.alias("__h"))
+            .groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(F.col("__h").cast("decimal(38,0)")).alias("__fp"),
+            )
+        )
 
     ka, kb = keyed(a), keyed(b)
     inserted = kb.join(ka.select(*key_cols), key_cols, "left_anti").select(
@@ -174,9 +190,16 @@ def snapshot_diff(
         F.lit("delete").alias("change"), *key_cols
     )
     updated = (
-        ka.select(*key_cols, F.col("__fp").alias("__fp_a"))
+        ka.select(
+            *key_cols,
+            F.col("__n").alias("__n_a"),
+            F.col("__fp").alias("__fp_a"),
+        )
         .join(kb, key_cols)
-        .filter(F.col("__fp_a") != F.col("__fp"))
+        .filter(
+            (F.col("__n_a") != F.col("__n"))
+            | (F.col("__fp_a") != F.col("__fp"))
+        )
         .select(F.lit("update").alias("change"), *key_cols)
     )
     return inserted.unionByName(deleted).unionByName(updated)

@@ -105,21 +105,33 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     the downstream RAW-BUFFER operators (resize, frame sample, stats)
     exercise real logic under test. ``codec='bmp'`` is a REAL decoder
     (uncompressed 24-bit BMP, see decode_bmp — BGR/bottom-up/padding
-    semantics) for payloads that actually are BMP bytes.
-    ``codec='pil'`` is the full-format slot — unavailable in this
-    container."""
+    semantics); ``codec='png'`` is a REAL compressed decoder (8-bit
+    gray/RGB/RGBA, all five scanline filters, see decode_png);
+    ``codec='auto'`` sniffs the magic bytes and dispatches per row.
+    ``codec='pil'`` is the slot for formats beyond BMP/PNG (JPEG,
+    WebP, …) — unavailable in this container."""
     if codec == "pil":  # pragma: no cover
         raise NotImplementedError(
-            "no general image codec in this environment; 'bmp' is decoded "
-            "natively (decode_bmp), other formats need PIL/libav"
+            "no general image codec in this environment; BMP and PNG are "
+            "decoded natively (decode_bmp/decode_png), other formats "
+            "need PIL/libav"
         )
-    if codec == "bmp":
+    if codec in ("bmp", "png", "auto"):
 
-        def _bmp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _codec_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pandas as _pd
 
+            def _decode(b: bytes):
+                if codec == "bmp" or (codec == "auto" and b[:2] == b"BM"):
+                    return decode_bmp(b)
+                if codec == "png" or (
+                    codec == "auto" and b[: len(_PNG_SIG)] == _PNG_SIG
+                ):
+                    return decode_png(b)
+                raise ValueError("unrecognized image magic bytes")
+
             for pdf in it:
-                rows = [decode_bmp(bytes(p)) for p in pdf["payload"]]
+                rows = [_decode(bytes(p)) for p in pdf["payload"]]
                 yield _pd.DataFrame(
                     {
                         "doc_id": pdf["doc_id"],
@@ -130,7 +142,7 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
                     }
                 )
 
-        return media.mapInPandas(_bmp_batches, schema=DECODED_SCHEMA)
+        return media.mapInPandas(_codec_batches, schema=DECODED_SCHEMA)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -268,7 +280,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
 CERTIFIED_SCHEMA = (
     "doc_id long, width int, height int, channels int, "
-    "roundtrip_ok boolean, resize_ok boolean"
+    "roundtrip_ok boolean, png_ok boolean, resize_ok boolean"
 )
 
 
@@ -320,6 +332,164 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     return width, height, 3, bgr[:, :, ::-1].tobytes()
 
 
+# ------------------------------------------------------------ PNG codec
+# A REAL compressed image codec, stdlib(zlib)+numpy only: 8-bit
+# non-interlaced PNG (gray / RGB / RGBA). Unlike BMP this exercises a
+# genuinely compressed on-disk format — chunk framing with CRC32,
+# DEFLATE, and the five scanline predictors. The encoder picks the
+# standard minimum-sum-of-absolute-differences filter per scanline, so
+# an encode→decode roundtrip exercises Sub/Up/Average/Paeth
+# reconstruction on real data, not just the None filter.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Encode an (H, W, C) 8-bit buffer as a non-interlaced PNG
+    (C=1 gray, C=3 RGB, C=4 RGBA). Per-scanline filter chosen by the
+    libpng minimum-sum-of-absolute-differences heuristic over all five
+    predictors — vectorized: the predictors read ORIGINAL neighbors,
+    so every filtered candidate is a shifted-array subtraction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count: {channels}")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width * channels)
+    # original-neighbor planes, all (H, stride)
+    left = np.zeros_like(img)
+    left[:, channels:] = img[:, :-channels]
+    up = np.zeros_like(img)
+    up[1:] = img[:-1]
+    upleft = np.zeros_like(img)
+    upleft[1:, channels:] = img[:-1, :-channels]
+    li, ui, uli = (
+        left.astype(np.int16),
+        up.astype(np.int16),
+        upleft.astype(np.int16),
+    )
+    p = li + ui - uli
+    pa, pb, pc = np.abs(p - li), np.abs(p - ui), np.abs(p - uli)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+    cands = np.stack(
+        [
+            img,
+            img - left,
+            img - up,
+            img - ((li + ui) >> 1).astype(np.uint8),
+            img - paeth,
+        ]
+    )  # uint8 arithmetic wraps mod 256, exactly the PNG filter domain
+    # MSAD heuristic: treat filtered bytes as signed, pick min |.| sum
+    signed = np.where(cands < 128, cands, 256 - cands.astype(np.int16))
+    pick = signed.sum(axis=2, dtype=np.int64).argmin(axis=0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(int(pick[y]))
+        raw += cands[pick[y], y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit non-interlaced PNG → (width, height, channels,
+    pixel bytes). Color types 0 (gray), 2 (RGB), 6 (RGBA); all five
+    scanline filters reconstructed (None/Sub/Up vectorized per line,
+    Average/Paeth sequential — their reconstruction reads DECODED left
+    neighbors, an inherent data dependency). Chunk CRCs verified;
+    ancillary chunks skipped; palette/interlace/16-bit rejected."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color_type} "
+            f"interlace={interlace}"
+        )
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f, line = int(filters[y]), lines[y].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-lane cumulative sum, wraps mod 256
+            line = np.cumsum(
+                line.reshape(width, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            line += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (int(line[i]) + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = line
+        prev = line
+    return width, height, channels, out.tobytes()
+
+
 def certify_image_pipeline(
     media: DataFrame, out_w: int = 8, out_h: int = 8
 ) -> DataFrame:
@@ -330,8 +500,11 @@ def certify_image_pipeline(
     decoder, and nearest-neighbor-resize the result.
 
     Emits booleans instead of raw buffers: ``roundtrip_ok`` is
-    byte-identity of decode(encode(img)) — which exercises BGR
-    conversion, bottom-up storage and row padding both ways — and
+    byte-identity of decode_bmp(encode_bmp(img)) — which exercises BGR
+    conversion, bottom-up storage and row padding both ways —
+    ``png_ok`` is byte-identity through the COMPRESSED codec
+    (decode_png(encode_png(img)): chunk CRCs, DEFLATE, and whichever
+    of the five scanline predictors the MSAD heuristic picked), and
     ``resize_ok`` re-derives every resized pixel from the source by
     independent floor-index math. Raw-buffer md5s stay in the pytest
     (engine-portable SQL cannot express them); dims + booleans make
@@ -357,6 +530,8 @@ def certify_image_pipeline(
             rgb = src.tobytes()
             w2, h2, c2, rgb2 = decode_bmp(encode_bmp(w, h, rgb))
             roundtrip_ok = (w2, h2, c2) == (w, h, 3) and rgb2 == rgb
+            w3, h3, c3, rgb3 = decode_png(encode_png(w, h, rgb))
+            png_ok = (w3, h3, c3) == (w, h, 3) and rgb3 == rgb
             img = src.reshape(h, w, 3)
             # run the PRODUCTION kernel (nn_resize), then verify every
             # output pixel against the floor-index definition with a
@@ -372,7 +547,7 @@ def certify_image_pipeline(
                 for i in range(out_h)
                 for j in range(out_w)
             )
-            return w, h, 3, bool(roundtrip_ok), bool(resize_ok)
+            return w, h, 3, bool(roundtrip_ok), bool(png_ok), bool(resize_ok)
 
         for pdf in it:
             rows = [_one(p) for p in pdf["payload"]]
@@ -383,7 +558,8 @@ def certify_image_pipeline(
                     "height": _np.array([r[1] for r in rows], dtype="int32"),
                     "channels": _np.array([r[2] for r in rows], dtype="int32"),
                     "roundtrip_ok": [r[3] for r in rows],
-                    "resize_ok": [r[4] for r in rows],
+                    "png_ok": [r[4] for r in rows],
+                    "resize_ok": [r[5] for r in rows],
                 }
             )
 

@@ -45,6 +45,37 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
+        def _half_up_scaled(vals, decimals, scale):
+            # HALF_UP (away from zero) on the double's EXACT decimal
+            # expansion, matching the batch oracle's DECIMAL cast.
+            # floor(x*scale + 0.5) alone double-rounds: x*scale is an
+            # already-rounded multiply and +0.5 can carry a double
+            # strictly below a half-tick across the boundary. Fast
+            # vectorized path for the bulk; any element within a few
+            # ulps of a half-tick is re-decided exactly via Decimal
+            # (Decimal(float) is the exact binary expansion).
+            scaled = vals * float(scale)
+            out = _np.where(
+                scaled >= 0,
+                _np.floor(scaled + 0.5),
+                _np.ceil(scaled - 0.5),
+            ).astype("int64")
+            frac = _np.abs(scaled - _np.trunc(scaled))
+            risky = _np.abs(frac - 0.5) <= 4.0 * _np.spacing(
+                _np.abs(scaled) + 1.0
+            )
+            if risky.any():
+                from decimal import ROUND_HALF_UP, Decimal
+
+                q = Decimal(1).scaleb(-decimals)
+                for i in _np.nonzero(risky)[0]:
+                    out[i] = int(
+                        Decimal(float(vals[i]))
+                        .quantize(q, rounding=ROUND_HALF_UP)
+                        .scaleb(decimals)
+                    )
+            return out
+
         (user_id,) = key
         if state.exists:
             n, micros, last = state.get
@@ -52,16 +83,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             n, micros, last = 0, 0, None
         for pdf in batches:
             n += len(pdf)
-            # HALF_UP (away from zero), matching the batch oracle's
-            # DECIMAL cast — np.round is half-EVEN and diverges on
-            # exact half-tick doubles (e.g. 1.0000005 region dyadics).
-            scaled = pdf["value"].to_numpy() * 1e6
             micros += int(
-                _np.where(
-                    scaled >= 0,
-                    _np.floor(scaled + 0.5),
-                    _np.ceil(scaled - 0.5),
-                ).astype("int64").sum()
+                _half_up_scaled(
+                    pdf["value"].to_numpy(), 6, 1_000_000
+                ).sum()
             )
             mx = pdf["ts"].max()
             last = mx if last is None or mx > last else last
@@ -119,12 +144,26 @@ def zscore_stream(events: DataFrame, window_rows: int = 50, z: int = 3) -> DataF
         vals = list(state.get[0]) if state.exists else []
         pdf = _pd.concat(list(batches), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        # HALF_UP cents, matching zscore_outliers' DECIMAL(18,2) cast
-        # (np.round's half-even ties diverge on dyadic half-cents).
-        sc = pdf["value"].to_numpy() * 100
+        # HALF_UP cents on the exact expansion, matching
+        # zscore_outliers' DECIMAL(18,2) cast (np.round's half-even
+        # ties and floor(x*100+0.5)'s carry both diverge on dyadics).
+        sc = pdf["value"].to_numpy() * 100.0
         cents = _np.where(
             sc >= 0, _np.floor(sc + 0.5), _np.ceil(sc - 0.5)
         ).astype("int64")
+        risky = _np.abs(
+            _np.abs(sc - _np.trunc(sc)) - 0.5
+        ) <= 4.0 * _np.spacing(_np.abs(sc) + 1.0)
+        if risky.any():
+            from decimal import ROUND_HALF_UP, Decimal
+
+            v = pdf["value"].to_numpy()
+            for i in _np.nonzero(risky)[0]:
+                cents[i] = int(
+                    Decimal(float(v[i]))
+                    .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+                    .scaleb(2)
+                )
         arr = _np.concatenate([_np.asarray(vals, dtype="int64"), cents])
         c1 = _np.concatenate([[0], _np.cumsum(arr)])
         c2 = _np.concatenate([[0], _np.cumsum(arr * arr)])

@@ -155,6 +155,34 @@ def test_snapshot_diff_null_shift_is_an_update(spark, tmp_path):
     assert got == {("update", 1), ("update", 2)}
 
 
+def test_snapshot_diff_duplicate_keys_compare_multisets(spark, tmp_path):
+    """key_cols need not be unique: a key whose row MULTISET is
+    unchanged (even reordered) emits nothing; a changed multiset —
+    including a pure cardinality change with identical values — emits
+    exactly ONE update row, never the n*m cross-pairing a naive
+    row-level inner join would produce."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "x"), (3, "q"), (3, "r")],
+        "id long, v string",
+    )
+    v1 = spark.createDataFrame(
+        # 1: same multiset reordered; 2: {x,x}→{x} cardinality change;
+        # 3: one of two rows changed.
+        [(1, "b"), (1, "a"), (2, "x"), (3, "q"), (3, "s")],
+        "id long, v string",
+    )
+    snapshots.write_snapshot(v0, table)
+    snapshots.write_snapshot(v1, table)
+    got = sorted(
+        (r["change"], r["id"])
+        for r in snapshots.snapshot_diff(spark, table, 0, 1, ["id"]).collect()
+    )
+    assert got == [("update", 2), ("update", 3)]
+
+
 def test_snapshot_diff_rejects_schema_drift(spark, tmp_path):
     import pytest
 
