@@ -5967,122 +5967,63 @@ def _q_token_diversity(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ---- round-5 priority order (driver samples ~50 of 104 gates) ----
-    # tier 1 — refactored after the r4 sweep (commit 698e92f moved
-    # containment onto _bitmap_pair_counts) AND changed this round: the
-    # df-cap now runs as a broadcast LEFT ANTI against the stop-shingle
-    # list (dedup.py _drop_stop_shingles) instead of broadcasting the
-    # vocabulary-sized kept dictionary (VERDICT r4 items 1-2).
-    "d_ngram_jaccard",
-    "d_containment",
-    # tier 2 — NEW gates this round: the five remaining TPC-H query
-    # shapes (Q2/Q11/Q16/Q20/Q21 analogues on lineitem-derived supply).
-    "q_waiting_suppliers",
-    "q_min_cost_supplier",
-    "q_important_stock",
-    "q_supplier_diversity",
-    "q_promotion_suppliers",
-    # tier 2 — NEW gates this round: training-pipeline additions
-    # (DSIR importance resampling, substring-level repeated-span
-    # dedup, log-free lexical-diversity quality filter).
-    "c_dsir_weights",
-    "d_repeated_spans",
-    "t_token_diversity",
-    "e_xml_roundtrip",
-    "m_zorder_layout",
-    "g_pagerank_trade",
-    "a_heavy_hitters",
-    "q_recursive_streaks",
-    "q_lateral_topk",
-    "e_jdbc_roundtrip",
-    "e_rest_dimension",
-    "j_hinted_join",
-    "w_rolling_corr",
-    "w_rsi",
-    "s_pq_certified",
+    # ---- round-6 priority order (driver samples ~50 of 179 gates) ----
+    # tier 1 — never-green or code changed THIS round (commit 083d5ec:
+    # PNG certificate column added to the m_decode_resize gate;
+    # snapshot_diff rewritten to per-key multiset fingerprints;
+    # q_important_stock oracle DECIMAL->DOUBLE routed via VARCHAR; the
+    # stateful trackers' HALF_UP now re-decided exactly near
+    # half-ticks).
+    "m_decode_resize",  # the only gate with zero green driver rows ever
     "e_snapshot_diff",
-    "st_variant_totals",
-    "f_pandas_udf_sql",
-    "w_anchored_vwap",
-    "f_variant_json",
-    "q_sql_function",
-    # tier 1 — shingles() changed this session (tokenize-before-lambda
-    # CSE fix): every shingle-consuming gate needs a fresh driver row.
-    "d_minhash_lsh",
-    "d_minhash_certify",
-    "d_decontaminate",
-    "d_semantic_decontaminate",
-    "t_bigram_counts",
-    # tier 1 — analytics.pareto persists moved to the bounded
-    # scoped_persist registry this round.
-    "q_pareto_customers",
-    # tier 1 — sketch gates rewritten this round to carry their error
-    # bound as a hash-covered boolean (VERDICT r4 item 7).
-    "a_approx_distinct",
-    "a_percentiles_approx",
-    "s_ivf_topk",
-    # promoted: VERDICT-r4 closure gates (real-PDF ingest, PII
-    # scrub, incremental dedup, WAV codec, CSV round trip, YoY) must
-    # land r5 driver rows ahead of the simpler batteries.
+    "q_important_stock",
+    "st_stateful_totals",
+    "st_zscore_outliers",  # never sampled + stateful.py changed
+    # tier 1 — gates whose code commit 5cd7787 (late r5) changed after
+    # their r5 rows may have been recorded; changed code needs a fresh
+    # row (VERDICT r5 item 2).
     "e_pdf_report",
-    "c_pii_scrub",
-    "d_incremental_dedup",
+    "st_variant_totals",
+    "c_dsir_weights",
     "m_audio_wav",
-    "e_csv_roundtrip",
-    "q_yoy_growth",
-    # tier 2 — NEW gates this round: the six TPC-H-shaped warehouse
-    # queries (Q6/Q7/Q17/Q18/Q19/Q22) landed mid-round.
-    "q_filtered_revenue",
-    "q_nation_trade",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_bracket_revenue",
-    "q_dormant_customers",
-    # tier 2 — NEW gates this round: text-pipeline additions.
-    "t_oov_rate",
-    "c_clean_text",
-    "m_validate_rules",
-    "s_embedding_dimstats",
-    "st_leaderboard",
-    "a_active_users",
-    "w_zscore_outliers",
-    "q_basket_pairs",
-    "q_market_concentration",
-    "st_left_join",
-    "a_mad_robust",
-    "a_unpivot_totals",
-    "m_image_phash",
+    "a_active_users",  # never sampled; 5cd7787 calendar-gap semantics
+    "w_zscore_outliers",  # never sampled + touched
+    "m_validate_rules",  # never sampled + touched
+    # tier 2 — the 31 remaining never-driver-sampled gates (VERDICT r5
+    # item 3): after this round every registered gate has a driver row.
+    "e_time_travel",  # also reads plans/snapshots.py (changed this round)
     "a_correlation",
-    "q_product_profit",
-    "f_bitwise_battery",
-    "f_higher_order",
-    "e_udtf_chunks",
-    "e_time_travel",
-    "a_set_ops",
-    "f_null_battery",
-    "a_cube",
-    "q_order_lifecycle",
-    # tier 2 — NEW gates this round: real-PDF ingest end-to-end (S3),
-    # PII scrubbing + boilerplate removal (curation family).
-    "c_boilerplate_scrub",
-    "c_group_sample",
-    "q_shipmode_priority",
-    "st_zscore_outliers",
-    "w_resample_ffill",
-    "c_winsorize",
-    "m_analyze_stats",
     "a_histogram",
-    "m_skew_report",
-    "q_promo_revenue",
-    "q_order_distribution",
+    "a_mad_robust",
+    "a_set_ops",
+    "a_unpivot_totals",
+    "c_boilerplate_scrub",
+    "c_clean_text",
+    "c_group_sample",
+    "c_winsorize",
     "e_jsonl_roundtrip",
     "e_orc_roundtrip",
+    "e_udtf_chunks",
+    "f_bitwise_battery",
+    "f_higher_order",
+    "f_null_battery",
+    "m_analyze_stats",
+    "m_image_phash",
+    "m_skew_report",
+    "q_basket_pairs",
+    "q_market_concentration",
+    "q_order_distribution",
+    "q_order_lifecycle",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_shipmode_priority",
+    "s_embedding_dimstats",
     "st_histogram",
-    # tier 2 — newest driver row is r1 (three rounds of driver/testdata
-    # drift without a hard signal; VERDICT r4 item 3).
-    "m_multimodal_features",
-    "m_frame_counts",
-    "m_decode_resize",
+    "st_leaderboard",
+    "st_left_join",
+    "w_resample_ffill",
+    # tier 3 — newest row is r1: five rounds of driver/testdata drift
+    # with no hard signal (VERDICT r5 item 4); overflow rolls to r7.
     "p_filter_pushdown",
     "q_sql_surface",
     "s_cosine_topk",
@@ -6093,8 +6034,9 @@ _VERIFY_FIRST = [
     "t_quality_language",
     "t_token_stats",
     "w_rank_battery",
-    # tier 3 — newest row is r3; round-robin refresh (overflow past the
-    # driver's sample size rolls to r6).
+    "m_multimodal_features",
+    "m_frame_counts",
+    # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",
     "j_merge_upsert",

@@ -98,6 +98,28 @@ def main() -> None:
         "reps": reps,
         "agg": "median_per_query",
     }
+    # Per-query ratios vs the frozen round-5 baseline (cross-round
+    # TOTALS stopped being comparable when the headline set grew;
+    # verdicts diff per-query against the freeze instead of round 1).
+    # Only meaningful at the freeze's sf — skipped otherwise.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf") == out["sf"]:
+            common = [n for n in timings if n in base["queries"]]
+            out["baseline_round"] = base.get("frozen_at_round")
+            out["vs_baseline"] = {
+                n: round(timings[n] / base["queries"][n], 2) for n in common
+            }
+            out["baseline_total_common"] = round(
+                sum(base["queries"][n] for n in common), 3
+            )
+            out["current_total_common"] = round(
+                sum(timings[n] for n in common), 3
+            )
     print(json.dumps(out))
 
 
