@@ -721,6 +721,42 @@ def _q_simhash(spark, sf_dir):
 
 
 @_register(
+    "d_simhash_pairs",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM documents)
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         SUM((ascii(substr(hh, CAST(j + 1 AS INT), 1)) % 2) * 2 - 1) AS s
+  FROM h CROSS JOIN range(32) r(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT))
+                  ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+)
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate PAIRS — the dedup step on top of the
+    d_simhash fingerprint: 32-bit signatures, Hamming ≤ 1, found by a
+    pigeonhole band join (2 disjoint 16-bit bands; a pair within the
+    budget must agree on one full band) + XOR/bit_count verify — the
+    oracle is the exact O(n²) self-join the banded plan replaces."""
+    sigs = dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+    return dedup.simhash_pairs(sigs, bits=32, max_distance=1)
+
+
+@_register(
     "d_neardup_clusters",
     f"""
 WITH RECURSIVE
@@ -6036,6 +6072,11 @@ _VERIFY_FIRST = [
     "w_rank_battery",
     "m_multimodal_features",
     "m_frame_counts",
+    # tier 3b — NEW gates this round (pytest + local-oracle green;
+    # first driver row lands r7, the same pattern as every round's
+    # newly added gates). Positioned after the verdict's items 1-4 so
+    # they don't displace the never-sampled burn-down.
+    "d_simhash_pairs",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -533,6 +533,67 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     return sig
 
 
+def simhash_pairs(
+    signatures: DataFrame, bits: int = 32, max_distance: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over SimHash
+    signatures — the dedup step that turns the fingerprint into
+    clusters. Banded, never all-pairs: the ``bits`` positions are
+    partitioned into ``max_distance + 1`` disjoint bands (pigeonhole:
+    two signatures within the distance budget must agree on at least
+    one FULL band), candidates come from an equi-join on (band index,
+    band value) — the same bucket-join shape as MinHash-LSH and the
+    image phash_pairs — and are verified with one XOR + bit_count.
+
+    All codegen, one band-keyed shuffle; survives a web-scale corpus
+    where the O(n²) self-join cannot. Expected candidate volume per
+    band is Σ(bucket_df²) over 2^width buckets — width 8 at the
+    defaults, so skew needs ~2^8 docs PER BUCKET before a hot bucket
+    forms (AQE skew-split handles the pathological all-identical
+    corpus)."""
+    nbands = max_distance + 1
+    base, extra = divmod(bits, nbands)
+    bounds, start = [], 0
+    for k in range(nbands):
+        w = base + (1 if k < extra else 0)
+        bounds.append((start, w))
+        start += w
+    banded = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), s).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                    for s, w in bounds
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "band_val",
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", dist.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:

@@ -123,3 +123,51 @@ def test_repeated_spans_planted_positions(spark):
     assert hits == {(1, 3), (2, 1), (3, 5)}
     assert all(r["n_docs"] == 3 for r in got if r["span"] == boiler)
     assert not [r for r in got if r["span"] == pair]
+
+
+def test_simhash_pairs_planted_neardups(spark):
+    """Banded Hamming join recovers exactly the planted
+    within-distance pairs: signatures handed in directly so expected
+    distances are known by construction, including a pair differing
+    only in the SECOND band (catches a plan that joins on one band)."""
+    sigs = spark.createDataFrame(
+        [
+            (1, 0b0000_0000_0000_0000),
+            (2, 0b0000_0000_0000_0001),  # d(1,2)=1  (band 0 differs)
+            (3, 0b1000_0000_0000_0000),  # d(1,3)=1  (band 1 differs)
+            (4, 0b1000_0000_0000_0001),  # d(1,4)=2, d(2,4)=d(3,4)=1
+            (5, 0b0101_0101_0101_0101),  # far from everything
+        ],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(sigs, bits=16, max_distance=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 4): 1, (3, 4): 1}
+    # distance budget 2 admits (1,4) and (2,3) too
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(sigs, bits=16, max_distance=2).collect()
+    }
+    assert got2 == {(1, 2): 1, (1, 3): 1, (2, 4): 1, (3, 4): 1, (1, 4): 2, (2, 3): 2}
+
+
+def test_simhash_pairs_band_join_not_cartesian(spark):
+    """Plan pin: candidates come from a (band, band_val) equi-join —
+    no BroadcastNestedLoopJoin / CartesianProduct may appear."""
+    sigs = dedup.simhash(
+        spark.createDataFrame(
+            [(i, f"alpha beta w{i} w{i+1}") for i in range(50)],
+            "doc_id long, text string",
+        ),
+        bits=32,
+    )
+    plan = (
+        dedup.simhash_pairs(sigs, bits=32, max_distance=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
