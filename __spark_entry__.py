@@ -3320,6 +3320,36 @@ def _q_bigram_counts(spark, sf_dir):
     return textstats.bigram_counts(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "t_bpe_pairs",
+    f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+         freq
+  FROM words WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT 100
+""",
+)
+def _q_bpe_pairs(spark, sf_dir):
+    """First BPE-trainer iteration (Sennrich et al. 2016): adjacent
+    character-pair counts weighted by word frequency, top-100. The
+    corpus collapses to the (word, freq) vocabulary FIRST — the only
+    corpus-sized shuffle — so the pair explode is vocab-sized at any
+    corpus scale; the iterated trainer (textstats.train_bpe) is
+    pytest-pinned against a pure-Python reference implementation."""
+    return textstats.bpe_pair_counts(_t(spark, sf_dir, "documents"), topn=100)
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -6077,6 +6107,7 @@ _VERIFY_FIRST = [
     # newly added gates). Positioned after the verdict's items 1-4 so
     # they don't displace the never-sampled burn-down.
     "d_simhash_pairs",
+    "t_bpe_pairs",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

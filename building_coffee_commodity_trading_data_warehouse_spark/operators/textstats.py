@@ -322,3 +322,114 @@ def token_diversity(documents: DataFrame) -> DataFrame:
             ).alias("simpson"),
         )
     )
+
+
+def bpe_pair_counts(documents: DataFrame, topn: int | None = None) -> DataFrame:
+    """First BPE-trainer iteration (Sennrich et al. 2016, the
+    subword-vocabulary step every tokenizer build runs): corpus-wide
+    counts of adjacent character pairs, weighted by word frequency.
+
+    Plan — the classic trainer trick, which is also the 100 TB
+    answer: the corpus collapses to the (word, freq) VOCABULARY first
+    (one map-side-combinable aggregate; the only corpus-sized
+    shuffle), so the char-level pair explode runs over vocab-sized
+    data however large the corpus. Pair extraction is one in-row
+    ``transform(sequence(...), substring)`` projection — codegen, no
+    Python. ``topn`` returns the global head via
+    TakeOrderedAndProject (total order: count desc, pair asc)."""
+    words = (
+        documents.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        # length-1 words carry no pair; the filter also keeps
+        # sequence(1, 0) (which Spark evaluates DESCENDING) unreachable
+        words.filter(F.char_length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(word) - 1), "
+                    "i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    if topn is not None:
+        return pairs.orderBy(F.col("pair_count").desc(), "pair").limit(topn)
+    return pairs
+
+
+def train_bpe(documents: DataFrame, n_merges: int = 10) -> list[tuple[str, str]]:
+    """Greedy BPE merge-table training: ``n_merges`` rounds of
+    (count adjacent symbol pairs over the vocabulary) → (merge the
+    argmax pair leftmost-first in every word). Returns the ordered
+    merge list — the artifact a tokenizer ships.
+
+    Distributed shape: word symbol sequences live as vocab-sized
+    ``array<string>`` rows; each round is ONE aggregate for the
+    argmax (a single-row driver fetch — bounded) and ONE in-row
+    ``aggregate()`` fold to apply the merge (greedy leftmost-first:
+    the fold merges the accumulator tail exactly when it equals the
+    pair, so 'aaa' + (a,a) → [aa, a], the reference semantics).
+    ``localCheckpoint`` per round keeps the iterative lineage
+    constant-size (the PageRank lesson, graph.py:25)."""
+    words = (
+        documents.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, char_length(word)), "
+                "i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right))
+        merged = left + right
+        words = words.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_str(left)} "
+                f"AND x = {_sql_str(right)} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(merged)})) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"

@@ -414,3 +414,75 @@ def test_token_diversity_extremes(spark):
     assert got[1]["simpson_num"] == 16 and got[1]["n_distinct"] == 1
     assert got[2]["simpson"] == 0.25 and got[2]["ttr"] == 1.0
     assert got[2]["simpson_num"] == 4 and got[2]["n_distinct"] == 4
+
+
+def _ref_bpe(corpus: list[str], n: int) -> list[tuple[str, str]]:
+    """Pure-Python Sennrich-style reference trainer: leftmost-first
+    non-overlapping merge application, ties broken (count desc, pair
+    asc) — the independent implementation train_bpe is pinned to."""
+    from collections import Counter
+
+    words = Counter(w for t in corpus for w in t.split() if w)
+    vocab = {tuple(w): f for w, f in words.items()}
+    out: list[tuple[str, str]] = []
+    for _ in range(n):
+        pc: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        out.append(best)
+        nv: dict = {}
+        for syms, f in vocab.items():
+            s, i, res = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == best[0] and s[i + 1] == best[1]:
+                    res.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            nv[tuple(res)] = nv.get(tuple(res), 0) + f
+        vocab = nv
+    return out
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "aba ab"), (2, "aba")], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: r["pair_count"]
+        for r in textstats.bpe_pair_counts(docs).collect()
+    }
+    # aba freq 2 -> ab:2, ba:2 ; ab freq 1 -> ab:1
+    assert got == {"ab": 3, "ba": 2}
+
+
+def test_train_bpe_matches_reference(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wide wider widest new new",
+        "aaaa aaa aa a",  # overlap stress: leftmost-first on runs
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    assert textstats.train_bpe(docs, n_merges=10) == _ref_bpe(corpus, 10)
+
+
+def test_train_bpe_quote_safe(spark):
+    """Merge application goes through SQL literals — a symbol
+    containing a single quote must not break or corrupt the fold."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = ["a'b a'b a'b c c"]
+    docs = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
+    assert textstats.train_bpe(docs, n_merges=2) == _ref_bpe(corpus, 2)
