@@ -5162,6 +5162,54 @@ def _q_orc_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "e_schema_evolution",
+    """
+WITH v1 AS (
+  SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 2 = 0
+), v2 AS (
+  SELECT doc_id, lang, n_chars, source FROM documents WHERE doc_id % 2 = 1
+), u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT lang,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(CASE WHEN source IS NULL THEN 1 END) AS BIGINT)
+         AS n_pre_evolution,
+       COUNT(DISTINCT source) AS n_sources
+FROM u GROUP BY lang
+""",
+)
+def _q_schema_evolution(spark, sf_dir):
+    """Schema-evolution landing zone: batch 1 lands WITHOUT the
+    ``source`` column, batch 2 lands after the column was added; a
+    mergeSchema read unions the footer schemas so batch-1 rows read
+    back as NULL source — no history rewrite. The aggregate proves
+    row routing, NULL backfill, and value survival across the
+    evolution boundary."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files as files_src
+
+    land = tempfile.mkdtemp(prefix="spark_graft_evolve_")
+    docs = _t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(land + "/batch=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    ).write.mode("overwrite").parquet(land + "/batch=2")
+    back = files_src.read_parquet_evolved(spark, land)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count(F.when(F.col("source").isNull(), 1))
+        .cast("long")
+        .alias("n_pre_evolution"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@_register(
     "q_waiting_suppliers",
     """
 WITH per_order AS (
@@ -6108,6 +6156,7 @@ _VERIFY_FIRST = [
     # they don't displace the never-sampled burn-down.
     "d_simhash_pairs",
     "t_bpe_pairs",
+    "e_schema_evolution",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -31,6 +31,19 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution scan: ``mergeSchema=true`` unions the footer
+    schemas of every file under ``path`` — batches written before a
+    column existed read back as NULL in that column, so a landing zone
+    can add columns without rewriting history.
+
+    Scale note: schema merging reads every file FOOTER (not the data)
+    on the driver; at 100 TB of small files pin the merged schema in a
+    catalog instead and pass it explicitly — this helper is for the
+    landing-zone case where batches are few and drift is expected."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 

@@ -259,3 +259,22 @@ def test_jdbc_derby_nulls_and_types_roundtrip(spark, tmp_path):
     )
     got = sorted((r["id"], r["s"], r["v"], r["ts"]) for r in back.collect())
     assert got == sorted(rows)
+
+
+def test_read_parquet_evolved_null_backfill(spark, tmp_path):
+    """mergeSchema read unions footer schemas: rows written before a
+    column existed come back NULL in it; values and partition routing
+    survive."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import files as files_src
+
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, a long"
+    ).write.parquet(land + "/batch=1")
+    spark.createDataFrame(
+        [(3, 30, "x"), (4, 40, None)], "id long, a long, b string"
+    ).write.parquet(land + "/batch=2")
+    back = files_src.read_parquet_evolved(spark, land)
+    assert set(back.columns) >= {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in back.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "x"), 4: (40, None)}
