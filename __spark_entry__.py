@@ -5210,6 +5210,25 @@ def _q_schema_evolution(spark, sf_dir):
 
 
 @_register(
+    "w_global_rownum",
+    """
+SELECT doc_id, lang,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS row_num
+FROM documents
+""",
+)
+def _q_global_rownum(spark, sf_dir):
+    """Dense global row numbering WITHOUT a single-partition window:
+    value-range buckets + per-bucket row_number + broadcast prefix
+    offsets (operators/windows.py global_row_numbers — the pareto
+    distributed-prefix-sum pattern). The oracle is the empty-OVER
+    ROW_NUMBER the operator replaces at scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = windows.global_row_numbers(docs, "doc_id")
+    return out.select("doc_id", "lang", F.col("row_num").cast("long").alias("row_num"))
+
+
+@_register(
     "q_waiting_suppliers",
     """
 WITH per_order AS (
@@ -6157,6 +6176,7 @@ _VERIFY_FIRST = [
     "d_simhash_pairs",
     "t_bpe_pairs",
     "e_schema_evolution",
+    "w_global_rownum",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -651,3 +651,69 @@ def anchored_vwap(lineitem: DataFrame) -> DataFrame:
             / F.sum("__q").over(w).cast("double")
         ).alias("anchored_vwap"),
     )
+
+
+def global_row_numbers(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    out_col: str = "row_num",
+) -> DataFrame:
+    """Dense 1-based global row numbers under the total order of
+    ``key_col`` (unique, numeric-orderable) — WITHOUT the
+    empty-``partitionBy()`` window that funnels the whole table
+    through one task (the anti-pattern top_suppliers/pareto were
+    rewritten away from).
+
+    Distributed shape (the pareto prefix-sum pattern,
+    plans/analytics.py pareto_customers): rows bucket by deterministic
+    VALUE ranges (width_bucket over the broadcast min/max — a pure
+    function of the key, no sampled boundaries, so re-runs are
+    bit-identical); each bucket numbers its own rows under a
+    bucket-partitioned window (ONE corpus exchange, on ``__b``); the
+    cross-bucket offsets come from the tiny per-bucket counts
+    (≤ ``n_buckets`` rows — their single-partition prefix sum is
+    bucket-sized, never corpus-sized) broadcast back. A skewed key
+    distribution skews bucket sizes, never correctness."""
+    from ..caching import scoped_persist
+
+    key = F.col(key_col)
+    stats = df.agg(
+        F.min(key.cast("double")).alias("__lo"),
+        F.max(key.cast("double")).alias("__hi"),
+    )
+    bucket = F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(n_buckets),
+            F.width_bucket(
+                key.cast("double"), F.col("__lo"), F.col("__hi"), F.lit(n_buckets)
+            ),
+        )
+    )
+    bucketed = scoped_persist(
+        df.crossJoin(F.broadcast(stats)).withColumn("__b", bucket)
+    )
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__b", "__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy(key_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .select(
+            *df.columns,
+            (F.col("__off") + F.row_number().over(w_in)).alias(out_col),
+        )
+    )

@@ -684,3 +684,26 @@ def test_hinted_join_uses_shuffled_hash(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     assert "ShuffledHashJoin" in sh, sh
     assert "SortMergeJoin" in sm, sm
+
+
+def test_global_row_numbers_values_and_plan(spark):
+    """Dense ids match the empty-OVER ROW_NUMBER semantics on shuffled
+    input, and the corpus-sized row_number window is partitioned by
+    the value bucket — the only SinglePartition window in the plan is
+    the ≤n_buckets offset prefix sum."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import windows as W
+
+    rows = [(k * 7 % 101, f"v{k}") for k in range(101)]  # shuffled unique keys
+    df = spark.createDataFrame(rows, "k long, v string").repartition(8)
+    out = W.global_row_numbers(df, "k", n_buckets=16)
+    got = {r["k"]: r["row_num"] for r in out.collect()}
+    for rank, key in enumerate(sorted(k for k, _ in rows), start=1):
+        assert got[key] == rank
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-sized row_number window must be keyed by the bucket
+    # column (an unkeyed spec would read "windowspecdefinition(k#...")
+    assert re.search(r"row_number\(\) windowspecdefinition\(__b#\d+L?, k#", plan), plan
+    # offsets join is broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
