@@ -1771,6 +1771,63 @@ def _q_st_left_join(spark, sf_dir):
 
 
 @_register(
+    "st_full_join",
+    """
+SELECT c.event_id AS click_id, v.event_id AS view_id,
+       COALESCE(c.user_id, v.user_id) AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+WHERE COALESCE(c.user_id, v.user_id) >= 0
+""",
+)
+def _q_st_full_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join through the real engine
+    — the symmetric completion of st_left_join: unmatched clicks AND
+    unmatched views each emit once, null-padded, when their watermark
+    certifies the absence. Far-future sentinel pair flushes the drain;
+    sentinels (negative user_id) filtered out of both sides via the
+    coalesced key."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    land = pipeline.stage_with_sentinel(spark, sf_dir)
+    ev = pipeline.stream_events(spark, land)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+    )
+    joined = pipeline.interval_join_full(
+        clicks, views, cond, ("click_ts", "view_ts")
+    )
+    out = pipeline.run_available_now(
+        joined, f"st_fjoin_{next(_STREAM_SEQ)}", output_mode="append"
+    )
+    return out.filter(
+        F.coalesce(F.col("user_id"), F.col("v_user_id")) >= 0
+    ).select(
+        "click_id",
+        "view_id",
+        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+    )
+
+
+@_register(
     "st_ohlcv_bars",
     f"""
 SELECT {_SQL_TS.format("time_bucket(INTERVAL 1 HOUR, ts)")} AS window_start,
@@ -6177,6 +6234,7 @@ _VERIFY_FIRST = [
     "t_bpe_pairs",
     "e_schema_evolution",
     "w_global_rownum",
+    "st_full_join",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

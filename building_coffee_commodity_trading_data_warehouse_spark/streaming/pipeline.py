@@ -218,3 +218,22 @@ def interval_join_outer(
     return left_stream.withWatermark(l_col, watermark).join(
         right_stream.withWatermark(r_col, watermark), cond, "leftOuter"
     )
+
+
+def interval_join_full(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    cond,
+    watermark_cols: tuple[str, str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join with a time-range condition: the
+    symmetric completion of ``interval_join_outer`` — unmatched rows
+    on EITHER side emit once, null-padded, when their watermark proves
+    no future partner can satisfy the interval. Both watermarks and
+    the range bound are mandatory (the engine cannot otherwise expire
+    state or certify an absence on either side)."""
+    l_col, r_col = watermark_cols
+    return left_stream.withWatermark(l_col, watermark).join(
+        right_stream.withWatermark(r_col, watermark), cond, "fullOuter"
+    )
