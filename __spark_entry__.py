@@ -3459,6 +3459,55 @@ def _q_asof_tolerance(spark, sf_dir):
 
 
 @_register(
+    "j_asof_forward",
+    """
+WITH trades AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), quotes AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT t.event_id AS trade_id, t.user_id,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f') AS trade_ts,
+       q.value AS quote_asof,
+       strftime(q.ts, '%Y-%m-%d %H:%M:%S.%f') AS quote_ts_asof
+FROM trades t LEFT JOIN LATERAL (
+  SELECT value, ts FROM quotes q
+  WHERE q.user_id = t.user_id AND q.ts >= t.ts
+    AND q.ts <= t.ts + INTERVAL 30 MINUTE
+  ORDER BY q.ts ASC, q.event_id ASC LIMIT 1
+) q ON true
+""",
+)
+def _q_asof_forward(spark, sf_dir):
+    """FORWARD as-of join with tolerance (merge_asof
+    direction='forward'): the next quote at or after the trade, but
+    not more than 30 min ahead — the settlement-price lookup. Same
+    one-shuffle union+window plan, mirrored frame; the three
+    directions are pandas-pinned in tests/test_asof_range.py."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    trades = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("trade_id"), "user_id", "ts"
+    )
+    quotes = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("value").alias("quote")
+    )
+    joined = asof.asof_join(
+        trades, quotes, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["quote"], tiebreak="event_id", tolerance_seconds=1800,
+        direction="forward",
+    )
+    return joined.select(
+        "trade_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("trade_ts"),
+        F.col("quote_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("quote_ts_asof"),
+    )
+
+
+@_register(
     "w_percentile_ranks",
     """
 SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
@@ -6235,6 +6284,7 @@ _VERIFY_FIRST = [
     "e_schema_evolution",
     "w_global_rownum",
     "st_full_join",
+    "j_asof_forward",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

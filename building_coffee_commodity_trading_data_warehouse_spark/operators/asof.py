@@ -107,10 +107,18 @@ def asof_join(
     tiebreak: str | None = None,
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every ``left`` row, attach the ``right``
-    row with the greatest ``right_ts`` <= ``left_ts`` within the same
-    ``on`` key (ties on ``right_ts`` broken by the greatest ``tiebreak``).
+    """As-of join. ``direction='backward'`` (default): for every
+    ``left`` row, attach the ``right`` row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same ``on`` key (ties on
+    ``right_ts`` broken by the greatest ``tiebreak``).
+    ``direction='forward'``: the mirror — smallest ``right_ts`` >=
+    ``left_ts`` (ties broken by the SMALLEST ``tiebreak``).
+    ``direction='nearest'``: whichever of the two is closer in
+    absolute time; an exact tie prefers backward (pandas
+    ``merge_asof`` semantics, empirically pinned in tests). Exact-ts
+    matches are visible to every direction.
 
     Returns all of ``left``'s columns plus, for each ``c`` in
     ``value_cols``, a column ``c + suffix`` (NULL when no right row
@@ -127,41 +135,99 @@ def asof_join(
     ``asof_join_bucketed``.
 
     ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``
-    tolerance): a match older than the bound is rejected — the row
-    survives with NULL matched columns (an expired quote must not
-    price a trade). Applied AFTER the window fill as a pure projection
-    — the plan shape is unchanged.
+    tolerance): a match further than the bound (in the match's own
+    direction) is rejected — the row survives with NULL matched
+    columns (an expired quote must not price a trade). Applied AFTER
+    the window fill as a pure projection — the plan shape is
+    unchanged.
+
+    Plan shape per direction: 'backward'/'forward' are one window pass
+    each; 'nearest' stacks the two window specs over the SAME
+    partitioning (one Exchange on ``on``, two local sorts) and picks
+    per row with a null-safe projection.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     tiebreak = tiebreak or right_ts
     fill_cols = list(value_cols) + [right_ts]
+    pay_t = _payload_type(right, fill_cols)
     l_tagged, r_tagged = _tag_sides(
         left, right, on, left_ts, right_ts, fill_cols, tiebreak
     )
-    w = (
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # unix_micros over a timestamp cast works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (a direct numeric cast of NTZ is rejected
+    # by the analyzer); both sides convert identically, so the
+    # session-tz interpretation cancels in the difference.
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    # backward: right rows sort BEFORE left at equal ts (side 0 < 1),
+    # so an exactly simultaneous quote is inside the trailing frame.
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col(left_ts), F.col(_SIDE), F.col(_TIE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_tagged.unionByName(r_tagged).select(
-        *left.columns,
-        F.col(_SIDE),
-        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+    # forward: left rows sort BEFORE right at equal ts (side desc), so
+    # the simultaneous quote is inside the leading frame; _TIE asc
+    # makes the first match the smallest tiebreak.
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(left_ts), F.col(_SIDE).desc(), F.col(_TIE))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    if tolerance_seconds is not None:
-        pay_t = _payload_type(right, fill_cols)
-        # unix_micros over a timestamp cast works for TIMESTAMP and
-        # TIMESTAMP_NTZ alike (a direct numeric cast of NTZ is rejected
-        # by the analyzer); both sides convert identically, so the
-        # session-tz interpretation cancels in the difference.
-        def _micros(c):
-            return F.unix_micros(c.cast("timestamp"))
 
-        stale = (
-            _micros(F.col(left_ts)) - _micros(F.col(_PAY)[right_ts])
-        ) > float(tolerance_seconds) * 1e6
-        filled = filled.withColumn(
-            _PAY,
-            F.when(stale, F.lit(None).cast(pay_t)).otherwise(F.col(_PAY)),
+    def _bounded(pay, delta_from, delta_to):
+        """NULL out a fill whose (direction-signed) staleness exceeds
+        the tolerance. delta = delta_from - delta_to in micros."""
+        if tolerance_seconds is None:
+            return pay
+        stale = (_micros(delta_from) - _micros(delta_to)) > float(
+            tolerance_seconds
+        ) * 1e6
+        return F.when(stale, F.lit(None).cast(pay_t)).otherwise(pay)
+
+    if direction == "nearest":
+        staged = unioned.select(
+            *left.columns,
+            F.col(_SIDE),
+            F.last(_PAY, ignorenulls=True).over(w_back).alias("__pay_b"),
+            F.first(_PAY, ignorenulls=True).over(w_fwd).alias("__pay_f"),
+        ).select(
+            *left.columns,
+            F.col(_SIDE),
+            _bounded(
+                F.col("__pay_b"), F.col(left_ts), F.col("__pay_b")[right_ts]
+            ).alias("__pay_b"),
+            _bounded(
+                F.col("__pay_f"), F.col("__pay_f")[right_ts], F.col(left_ts)
+            ).alias("__pay_f"),
+        )
+        db = _micros(F.col(left_ts)) - _micros(F.col("__pay_b")[right_ts])
+        df_ = _micros(F.col("__pay_f")[right_ts]) - _micros(F.col(left_ts))
+        pay = (
+            F.when(F.col("__pay_b").isNull(), F.col("__pay_f"))
+            .when(F.col("__pay_f").isNull(), F.col("__pay_b"))
+            # exact tie prefers backward (pandas merge_asof)
+            .when(df_ < db, F.col("__pay_f"))
+            .otherwise(F.col("__pay_b"))
+        )
+        filled = staged.select(*left.columns, F.col(_SIDE), pay.alias(_PAY))
+    elif direction == "backward":
+        base = F.last(_PAY, ignorenulls=True).over(w_back)
+        filled = unioned.select(
+            *left.columns,
+            F.col(_SIDE),
+            _bounded(base, F.col(left_ts), base[right_ts]).alias(_PAY),
+        )
+    else:  # forward
+        base = F.first(_PAY, ignorenulls=True).over(w_fwd)
+        filled = unioned.select(
+            *left.columns,
+            F.col(_SIDE),
+            _bounded(base, base[right_ts], F.col(left_ts)).alias(_PAY),
         )
     return _project_matched(filled, left.columns, fill_cols, suffix)
 

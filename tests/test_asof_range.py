@@ -184,3 +184,77 @@ def test_asof_tolerance_rejects_stale_quotes(spark):
         value_cols=["quote"], tiebreak="event_id", tolerance_seconds=300,
     ).collect()[0]
     assert stale["quote_asof"] is None and stale["ts_asof"] is None
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """forward/nearest/backward pinned against pandas.merge_asof on
+    randomized keyed tick data (tolerance included): the independent
+    reference implementation for all three search directions, ties and
+    exact-timestamp matches included."""
+    import numpy as np
+    import pandas as pd
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import asof
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 120, 90
+    left_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_l),
+            "lts": pd.to_datetime(
+                rng.integers(0, 500, n_l) * 1_000_000_000 + 1_600_000_000_000_000_000
+            ),
+            "lid": np.arange(n_l),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, n_r),
+            "rts": pd.to_datetime(
+                rng.integers(0, 500, n_r) * 1_000_000_000 + 1_600_000_000_000_000_000
+            ),
+            "px": rng.integers(100, 200, n_r).astype("float64"),
+        }
+    )
+    # merge_asof requires unique, sorted on-keys per direction; drop
+    # duplicate (k, rts) so the expected match is well-defined
+    right_pd = right_pd.drop_duplicates(["k", "rts"]).reset_index(drop=True)
+    ldf = spark.createDataFrame(left_pd, "k long, lts timestamp, lid long")
+    rdf = spark.createDataFrame(right_pd, "k long, rts timestamp, px double")
+
+    for direction, tol in [
+        ("backward", None),
+        ("forward", None),
+        ("nearest", None),
+        ("backward", 60.0),
+        ("forward", 60.0),
+        ("nearest", 60.0),
+    ]:
+        got = (
+            asof.asof_join(
+                ldf,
+                rdf,
+                on=["k"],
+                left_ts="lts",
+                right_ts="rts",
+                value_cols=["px"],
+                tolerance_seconds=tol,
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left_pd.sort_values("lts"),
+            right_pd.sort_values("rts"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values("lid").reset_index(drop=True)
+        assert (
+            got["px_asof"].fillna(-1).to_numpy()
+            == exp["px"].fillna(-1).to_numpy()
+        ).all(), f"direction={direction} tol={tol}"
