@@ -562,6 +562,31 @@ def _q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "t_feature_hashing",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hh, 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+         CASE WHEN ascii(substr(hh, 9, 1)) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM h
+)
+SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS feature_val
+FROM f GROUP BY doc_id, bucket
+""",
+)
+def _q_feature_hashing(spark, sf_dir):
+    """Hashing-trick vectorizer (Weinberger et al. 2009): signed
+    ±1 token hashing into 64 buckets, sparse long form. Bucket and
+    sign derive from md5 hex — the engine-portable hash family — so
+    the oracle replays the exact feature values."""
+    return textstats.feature_hashing(_t(spark, sf_dir, "documents"), dim=64)
+
+
 # ---------------------------------------------------------------------------
 # north-star: dedup (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -6285,6 +6310,7 @@ _VERIFY_FIRST = [
     "w_global_rownum",
     "st_full_join",
     "j_asof_forward",
+    "t_feature_hashing",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

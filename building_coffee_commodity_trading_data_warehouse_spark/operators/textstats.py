@@ -433,3 +433,31 @@ def train_bpe(documents: DataFrame, n_merges: int = 10) -> list[tuple[str, str]]
 def _sql_str(s: str) -> str:
     """Single-quoted SQL string literal (quotes doubled)."""
     return "'" + s.replace("'", "''") + "'"
+
+
+def feature_hashing(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger et al. 2009): each token
+    hashes to one of ``dim`` buckets and contributes ±1 (sign from an
+    independent hash bit, so collision noise is zero-mean instead of
+    additive). Emitted in sparse long form (doc_id, bucket,
+    feature_val); zero-sum collisions stay as explicit 0 rows — that
+    cancellation IS the trick's semantics, not a bug to filter.
+
+    Portability: bucket = first 8 md5 hex chars as an integer mod dim,
+    sign = parity of the 9th — the repo's engine-portable hash family
+    (no xxhash64: DuckDB's hash() is a different function). Plan: one
+    explode + one map-side-combinable sum keyed (doc, bucket) — the
+    shuffle carries ≤ dim rows per document at any corpus size."""
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("tok"))
+    h = F.md5(F.col("tok").cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    sign = (
+        F.when(F.ascii(F.substring(h, 9, 1)) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("feature_val"))
+    )
