@@ -5293,6 +5293,55 @@ def _q_orc_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "e_cdc_apply",
+    """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(md5(text)) AS min_text_md5
+FROM documents GROUP BY lang
+""",
+)
+def _q_cdc_apply(spark, sf_dir):
+    """CDC round trip: v0 is a corrupted past (missing the %13 rows →
+    inserts, stale text on the %7 rows → updates, phantom extra rows →
+    deletes); snapshot_changes(v0→v1) produces the payload feed and
+    apply_changes replays it onto v0 — the result must equal v1 (the
+    raw documents table) EXACTLY, which the oracle checks by
+    aggregating the relation directly (counts, sums, content md5)."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = tempfile.mkdtemp(prefix="spark_graft_cdc_") + "/t"
+    docs = _t(spark, sf_dir, "documents")
+    v0 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("_stale"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000
+            )
+        )
+    )
+    snapshots.write_snapshot(v0, table)
+    snapshots.write_snapshot(docs, table)
+    feed = snapshots.snapshot_changes(spark, table, 0, 1, ["doc_id"])
+    replica = snapshots.apply_changes(
+        snapshots.read_version(spark, table, 0), feed, ["doc_id"]
+    )
+    return replica.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_text_md5"),
+    )
+
+
+@_register(
     "e_schema_evolution",
     """
 WITH v1 AS (
@@ -6311,6 +6360,7 @@ _VERIFY_FIRST = [
     "st_full_join",
     "j_asof_forward",
     "t_feature_hashing",
+    "e_cdc_apply",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -203,3 +203,58 @@ def snapshot_diff(
         .select(F.lit("update").alias("change"), *key_cols)
     )
     return inserted.unionByName(deleted).unionByName(updated)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change feed WITH payload — the consumable twin of
+    ``snapshot_diff``: insert/update rows carry their full ``v_to``
+    values, delete rows carry NULL values (the key columns always
+    populated). Duplicate keys follow the multiset contract: an
+    insert/update key contributes ALL of its v_to rows, so applying
+    the feed reproduces v_to's row multiset exactly.
+
+    Plan: the classified keys from snapshot_diff (already narrow)
+    join v_to's rows on the key — one key-partitioned shuffle shared
+    with the diff's own joins; deletes project NULL payload from the
+    classification alone, no extra scan."""
+    diff = snapshot_diff(spark, table, v_from, v_to, key_cols)
+    b = read_version(spark, table, v_to)
+    val_cols = [c for c in b.columns if c not in key_cols]
+    upserts = (
+        diff.filter(F.col("change") != "delete")
+        .join(b, key_cols)
+        .select("change", *key_cols, *val_cols)
+    )
+    deletes = diff.filter(F.col("change") == "delete").select(
+        "change",
+        *key_cols,
+        *[F.lit(None).cast(b.schema[c].dataType).alias(c) for c in val_cols],
+    )
+    return upserts.unionByName(deletes)
+
+
+def apply_changes(
+    base: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Apply a ``snapshot_changes`` feed to ``base``: every key in the
+    feed is removed from base (delete and update both retire the old
+    rows; insert keys remove nothing by definition), then the
+    insert/update payload rows append. By construction
+    ``apply_changes(v_from, snapshot_changes(v_from→v_to))``
+    reconstructs v_to's row multiset exactly — the downstream-replica
+    sync primitive, property-tested in tests.
+
+    Plan: one left-anti join on the (distinct, narrow) feed keys —
+    scale-proportional to the feed, not the base, once AQE broadcasts
+    a small feed — plus a union; no window, no full rewrite."""
+    removed = base.join(
+        changes.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    adds = changes.filter(F.col("change") != "delete").select(*base.columns)
+    return removed.unionByName(adds)

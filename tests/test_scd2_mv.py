@@ -216,3 +216,38 @@ def test_write_snapshot_skips_orphan_directory(spark, tmp_path):
     assert snapshots.read_version(spark, table, v).count() == 1
     # history only lists published versions; the orphan stays invisible
     assert [x[0] for x in snapshots.history(table)] == [0, 2]
+
+
+def test_cdc_feed_reconstructs_target_multiset(spark, tmp_path):
+    """apply_changes(v0, snapshot_changes(v0→v1)) == v1 as a row
+    MULTISET, including duplicate keys, NULL payloads, reorderings,
+    and cardinality-only changes."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import snapshots
+
+    table = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "x"), (3, "q"), (5, "gone")],
+        "id long, v string",
+    )
+    v1 = spark.createDataFrame(
+        # 1 reordered (unchanged), 2 loses a dup, 3 changes, 4 inserted
+        # (with a NULL), 5 deleted
+        [(1, "b"), (1, "a"), (2, "x"), (3, "Q"), (4, None)],
+        "id long, v string",
+    )
+    snapshots.write_snapshot(v0, table)
+    snapshots.write_snapshot(v1, table)
+    feed = snapshots.snapshot_changes(spark, table, 0, 1, ["id"])
+    got = snapshots.apply_changes(
+        snapshots.read_version(spark, table, 0), feed, ["id"]
+    )
+    assert sorted(
+        ((r["id"], r["v"]) for r in got.collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    ) == sorted(
+        ((r["id"], r["v"]) for r in v1.collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    # the feed itself: delete rows carry NULL payload, key populated
+    deletes = feed.filter(feed.change == "delete").collect()
+    assert [(r["id"], r["v"]) for r in deletes] == [(5, None)]
