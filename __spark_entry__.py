@@ -5785,6 +5785,119 @@ def _q_anchored_vwap(spark, sf_dir):
 
 
 @_register(
+    "w_bollinger",
+    """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         l_extendedprice AS price,
+         CAST(COUNT(l_extendedprice) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS sx,
+         CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 65536.0) AS BIGINT)) OVER w AS DOUBLE) / 65536.0 AS sxx
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT *, sx / n AS mid,
+         CASE WHEN (n * sxx - sx * sx) > 0
+              THEN SQRT(n * sxx - sx * sx) / n ELSE 0.0 END AS sd
+  FROM f
+)
+SELECT l_orderkey, l_linenumber, l_partkey, ship_date, price,
+       CAST(n AS BIGINT) AS n_obs, mid,
+       mid + 2.0 * sd AS upper,
+       mid - 2.0 * sd AS lower,
+       CASE WHEN mid + 2.0 * sd <> mid - 2.0 * sd
+            THEN (price - (mid - 2.0 * sd))
+                 / ((mid + 2.0 * sd) - (mid - 2.0 * sd))
+            ELSE NULL END AS pct_b
+FROM g
+""",
+)
+def _q_bollinger(spark, sf_dir):
+    """Bollinger bands per part price series (20-row mid ± 2σ + %B):
+    lattice-folded Σx/Σx² (the rolling_correlation recipe) combined in
+    one fixed IEEE tree — engine- and partitioning-exact."""
+    return windows.bollinger_bands(_t(spark, sf_dir, "lineitem"))
+
+
+@_register(
+    "e_date_dim",
+    """
+WITH cal AS (
+  SELECT CAST(x.d AS DATE) AS d
+  FROM generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                       INTERVAL 1 DAY) x(d)
+),
+od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT CAST(strftime(cal.d, '%Y%m%d') AS INT) AS date_id,
+       strftime(cal.d, '%Y-%m-%d') AS date_actual,
+       year(cal.d) AS year, quarter(cal.d) AS quarter,
+       month(cal.d) AS month, monthname(cal.d) AS month_name,
+       day(cal.d) AS day, dayofyear(cal.d) AS day_of_year,
+       isodow(cal.d) AS iso_dow, dayname(cal.d) AS day_name,
+       weekofyear(cal.d) AS iso_week,
+       isodow(cal.d) >= 6 AS is_weekend,
+       strftime(date_trunc('month', cal.d), '%Y-%m-%d') AS first_day_of_month,
+       strftime(last_day(cal.d), '%Y-%m-%d') AS last_day_of_month,
+       CAST(cal.d - DATE '1970-01-01' AS INT) AS epoch_day,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       CAST(CAST(COALESCE(od.rev, 0) AS VARCHAR) AS DOUBLE) AS revenue
+FROM cal LEFT JOIN od ON cal.d = od.d
+""",
+)
+def _q_date_dim(spark, sf_dir):
+    """Kimball date dimension generated on-cluster (spark.range —
+    zero shuffle, no driver list) for the reference's ``ods_date``
+    consumer (ODS.py:57,96-105), proven joinable by enriching it with
+    aggregate-first per-day order counts and decimal-exact revenue
+    (dim side broadcastable; the fact aggregates BEFORE the join so
+    only #days rows move)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import ods
+
+    dim = ods.date_dim(spark, "1995-01-01", "2001-12-31")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("date_actual"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("rev"),
+        )
+    )
+    joined = dim.join(od, "date_actual", "left")
+    return joined.select(
+        "date_id",
+        F.date_format("date_actual", "yyyy-MM-dd").alias("date_actual"),
+        "year",
+        "quarter",
+        "month",
+        "month_name",
+        "day",
+        "day_of_year",
+        "iso_dow",
+        "day_name",
+        "iso_week",
+        "is_weekend",
+        F.date_format("first_day_of_month", "yyyy-MM-dd").alias(
+            "first_day_of_month"
+        ),
+        F.date_format("last_day_of_month", "yyyy-MM-dd").alias(
+            "last_day_of_month"
+        ),
+        "epoch_day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+@_register(
     "w_rolling_corr",
     """
 WITH f AS (
@@ -6361,6 +6474,8 @@ _VERIFY_FIRST = [
     "j_asof_forward",
     "t_feature_hashing",
     "e_cdc_apply",
+    "w_bollinger",
+    "e_date_dim",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -653,6 +653,55 @@ def anchored_vwap(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def bollinger_bands(
+    lineitem: DataFrame, window_rows: int = 20, k: int = 2
+) -> DataFrame:
+    """Bollinger bands per part price series: trailing ``window_rows``
+    mean ± ``k`` standard deviations, plus %B (where the tick sits
+    inside the band). Completes the reference's moving-average toolkit
+    (ODS.py:66-67 charts MA50/MA200; a desk overlays the dispersion
+    envelope on the same frames).
+
+    Determinism recipe (rolling_correlation's): price and price²
+    floor-quantize onto the 2^-16 lattice and the frame sums fold as
+    BIGINTs — associative, and free of the double→DECIMAL cast whose
+    6th-decimal rounding tie-splits HALF_UP vs HALF_EVEN on squared
+    prices. Mid, σ, bands, and %B then combine in ONE fixed double
+    expression tree (each op individually correctly rounded on
+    bit-identical operands), so any engine and any partitioning lands
+    the same bits; a zero-variance frame has σ=0 and a NULL %B. One
+    exchange on l_partkey (part-sized partitions — small and
+    skew-free at any corpus scale); the frame scan is O(frame) per
+    row on the sorted run, no second shuffle."""
+    w = w_series().rowsBetween(-(window_rows - 1), 0)
+    v = F.col("l_extendedprice")
+    lat = F.lit(float(1 << 16))
+
+    def _s(col):
+        return F.sum(F.floor(col * lat).cast("long")).over(w).cast("double") / lat
+
+    n = F.count(v).over(w).cast("double")
+    sx = _s(v)
+    sxx = _s(v * v)
+    mid = sx / n
+    vx = n * sxx - sx * sx
+    sd = F.when(vx > 0, F.sqrt(vx) / n).otherwise(F.lit(0.0))
+    upper = mid + F.lit(float(k)) * sd
+    lower = mid - F.lit(float(k)) * sd
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        v.alias("price"),
+        n.cast("long").alias("n_obs"),
+        mid.alias("mid"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.when(upper != lower, (v - lower) / (upper - lower)).alias("pct_b"),
+    )
+
+
 def global_row_numbers(
     df: DataFrame,
     key_col: str,

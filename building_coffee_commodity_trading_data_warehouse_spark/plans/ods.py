@@ -131,6 +131,47 @@ def build_fact(
     )
 
 
+def date_dim(spark, start: str, end: str) -> DataFrame:
+    """Generate the ``ods_date`` dimension the fact build consumes
+    (reference ODS.py:57,96-105 SELECTs a pre-existing ``ods_date``
+    and joins snapshot_date → date_id; this is the missing producer) —
+    a Kimball calendar: smart yyyymmdd surrogate key plus the
+    year/quarter/month/week/day attributes BI slices on.
+
+    Shape: ``spark.range`` over the day count — generated in parallel
+    straight into the executors, ZERO shuffle, no driver-side list;
+    every attribute is a codegen date function of the one generated
+    column. A century is ~36k rows, so the dim broadcasts into every
+    fact join (build_fact) at any corpus scale. Week fields are ISO
+    (Spark ``weekofyear``; day-of-week renumbered Monday=1) so they
+    agree across engines and with the warehouse convention."""
+    import datetime as _dt
+
+    d0 = _dt.date.fromisoformat(start)
+    n_days = (_dt.date.fromisoformat(end) - d0).days + 1
+    if n_days <= 0:
+        raise ValueError(f"empty calendar range {start}..{end}")
+    d = F.date_add(F.to_date(F.lit(start)), F.col("id").cast("int"))
+    iso_dow = ((F.dayofweek(d) + 5) % 7) + 1  # Monday=1 .. Sunday=7
+    return spark.range(n_days).select(
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_id"),
+        d.alias("date_actual"),
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.dayofmonth(d).alias("day"),
+        F.dayofyear(d).alias("day_of_year"),
+        iso_dow.alias("iso_dow"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.weekofyear(d).alias("iso_week"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.trunc(d, "MM").alias("first_day_of_month"),
+        F.last_day(d).alias("last_day_of_month"),
+        F.datediff(d, F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+    )
+
+
 def load_fact(fact: DataFrame, path: str) -> None:
     """S10 — atomic replace of the fact table, date-partitioned so the
     commented-out incremental predicates of the reference (ODS.py:38,81)

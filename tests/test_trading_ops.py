@@ -375,3 +375,59 @@ def test_anchored_vwap_planted_values(spark):
     assert got["1996-01-01"]["anchored_vwap"] == 15.0
     assert got["1996-01-02"]["day_vwap"] == 30.0
     assert got["1996-01-02"]["anchored_vwap"] == 22.5
+
+
+def test_bollinger_planted_values(spark):
+    """Constant series → σ=0, bands collapse onto mid, %B NULL; a
+    known 5-tick frame → textbook mid ± 2σ and in-band %B."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.windows import (
+        bollinger_bands,
+    )
+
+    d0 = dt.datetime(1996, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append((i, 1, 1, 50.0, d0 + dt.timedelta(days=i)))  # flat
+        rows.append(
+            (i, 1, 2, [10.0, 20.0, 30.0, 40.0, 50.0, 60.0][i], d0 + dt.timedelta(days=i))
+        )
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_partkey long, "
+        "l_extendedprice double, l_shipdate timestamp",
+    )
+    got = bollinger_bands(df, window_rows=5, k=2).collect()
+    by = {(r["l_partkey"], r["l_orderkey"]): r for r in got}
+    flat = by[(1, 5)]
+    assert flat["mid"] == 50.0 and flat["upper"] == 50.0 and flat["lower"] == 50.0
+    assert flat["pct_b"] is None
+    r = by[(2, 5)]  # frame 20..60: mean 40, pop σ = sqrt(200)
+    assert abs(r["mid"] - 40.0) < 1e-4
+    sd = math.sqrt(200.0)
+    assert abs(r["upper"] - (40.0 + 2 * sd)) < 1e-3
+    assert abs(r["lower"] - (40.0 - 2 * sd)) < 1e-3
+    # price 60 sits at (60-lower)/(upper-lower)
+    assert abs(r["pct_b"] - (60.0 - r["lower"]) / (r["upper"] - r["lower"])) < 1e-12
+
+
+def test_date_dim_calendar_edges(spark):
+    """Leap day present, ISO week/dow renumbering correct at year
+    boundaries, smart-key join-ready, empty range raises."""
+    import pytest as _pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.ods import date_dim
+
+    dim = date_dim(spark, "1995-12-30", "1996-03-02").collect()
+    by = {r["date_actual"].isoformat(): r for r in dim}
+    assert len(dim) == 64  # 2 (Dec) + 31 + 29 + 2 — 1996 is a leap year
+    assert "1996-02-29" in by
+    jan1 = by["1996-01-01"]  # a Monday: ISO week 1, dow 1
+    assert (jan1["iso_dow"], jan1["iso_week"], jan1["day_name"]) == (1, 1, "Monday")
+    dec31 = by["1995-12-31"]  # a Sunday: ISO dow 7, week 52 of 1995
+    assert (dec31["iso_dow"], dec31["iso_week"], dec31["is_weekend"]) == (7, 52, True)
+    assert jan1["date_id"] == 19960101 and jan1["epoch_day"] == 9496
+    assert by["1996-02-29"]["last_day_of_month"].isoformat() == "1996-02-29"
+    with _pytest.raises(ValueError):
+        date_dim(spark, "1996-01-02", "1996-01-01")
