@@ -587,6 +587,56 @@ def _q_feature_hashing(spark, sf_dir):
     return textstats.feature_hashing(_t(spark, sf_dir, "documents"), dim=64)
 
 
+def _model_weights(dim: int = 64, scale: int = 1000) -> list[int]:
+    """Deterministic pseudo-trained weight vector for the scorer gate:
+    md5-derived integers in [-scale, scale] — stands in for a real
+    trained model, reproducible in both engines' SQL/literals."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w{k}".encode()).hexdigest()[:8], 16) % (2 * scale + 1)
+        - scale
+        for k in range(dim)
+    ]
+
+
+@_register(
+    "c_model_score",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hh, 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+         CASE WHEN ascii(substr(hh, 9, 1)) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM h
+),
+c AS (
+  SELECT doc_id,
+         s * ({_model_weights()}[CAST(bucket + 1 AS INT)]) AS c
+  FROM f
+),
+g AS (SELECT doc_id, SUM(c) AS raw, COUNT(*) AS n_tokens FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(raw AS DOUBLE) / (1000.0 * n_tokens) AS score,
+       CAST(raw AS DOUBLE) / (1000.0 * n_tokens) > 0.0 AS keep
+FROM g
+""",
+)
+def _q_model_score(spark, sf_dir):
+    """Trained-filter apply: fastText-style linear scorer over hashed
+    token features — integer weights on the 1/1000 lattice ride as a
+    broadcast array literal (no join), the per-doc fold is one exact
+    BIGINT sum, and the length-normalized score is a single IEEE
+    division. The oracle replays the identical model from the same
+    md5-derived weight list."""
+    return curate.linear_score(
+        _t(spark, sf_dir, "documents"), _model_weights(), scale=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # north-star: dedup (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -6476,6 +6526,7 @@ _VERIFY_FIRST = [
     "e_cdc_apply",
     "w_bollinger",
     "e_date_dim",
+    "c_model_score",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

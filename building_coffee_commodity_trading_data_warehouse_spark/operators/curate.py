@@ -504,3 +504,55 @@ def dsir_importance(
             ).alias("importance"),
         )
     )
+
+
+def linear_score(
+    documents: DataFrame,
+    weights: list[int],
+    scale: int = 1000,
+    bias: int = 0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality classifier applied at corpus
+    scale: each token's hashing-trick feature (bucket, ±1 sign —
+    textstats.hashed_token_features) looks its weight up in the
+    broadcast model and the per-doc score is the length-normalized
+    mean contribution. This is the "apply a trained filter model to
+    100 TB" step of a curation pipeline (the trained weights arrive
+    as a plain list, ``scale`` fixed-point units per 1.0).
+
+    Exactness + scale: weights are INTEGERS on the 1/scale lattice, so
+    the per-doc accumulation is one BIGINT sum — associative, exact,
+    map-side combinable; the model rides along as an array literal
+    indexed by ``element_at`` (no join, nothing driver-side at query
+    time). score = (bias + Σ s·w[b]) / (scale·n_tokens): the product
+    of two exact integers then ONE IEEE division — bit-identical on
+    any engine and any partitioning. One doc_id exchange total. Empty
+    text scores as the tokenizer's single empty token (split('') =
+    [''] on every engine — the text-family convention), so every
+    document appears exactly once."""
+    from .textstats import hashed_token_features
+
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("weights must be non-empty")
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    feats = hashed_token_features(documents, dim)
+    contrib = F.col("s") * F.element_at(warr, (F.col("bucket") + 1).cast("int"))
+    scored = (
+        feats.select("doc_id", contrib.alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("__raw"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    score = (F.col("__raw") + F.lit(int(bias))).cast("double") / (
+        F.lit(float(scale)) * F.col("n_tokens")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        (score > F.lit(float(threshold))).alias("keep"),
+    )

@@ -448,6 +448,19 @@ def feature_hashing(documents: DataFrame, dim: int = 64) -> DataFrame:
     (no xxhash64: DuckDB's hash() is a different function). Plan: one
     explode + one map-side-combinable sum keyed (doc, bucket) — the
     shuffle carries ≤ dim rows per document at any corpus size."""
+    return (
+        hashed_token_features(documents, dim)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("feature_val"))
+    )
+
+
+def hashed_token_features(documents: DataFrame, dim: int) -> DataFrame:
+    """Token-level hashing-trick projection shared by the vectorizer
+    and the linear scorer: one row per token with its ``bucket`` in
+    [0, dim) and ±1 ``s`` sign (md5-derived — the engine-portable hash
+    family). Pure map-side explode+projection; callers choose the one
+    aggregation that suits them."""
     toks = documents.select("doc_id", F.explode(_tokens()).alias("tok"))
     h = F.md5(F.col("tok").cast("binary"))
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
@@ -456,8 +469,4 @@ def feature_hashing(documents: DataFrame, dim: int = 64) -> DataFrame:
         .otherwise(F.lit(-1))
         .cast("long")
     )
-    return (
-        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.sum("s").alias("feature_val"))
-    )
+    return toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))

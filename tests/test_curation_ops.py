@@ -486,3 +486,42 @@ def test_train_bpe_quote_safe(spark):
     corpus = ["a'b a'b a'b c c"]
     docs = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
     assert textstats.train_bpe(docs, n_merges=2) == _ref_bpe(corpus, 2)
+
+
+def test_linear_score_planted_model(spark):
+    """Hand-checkable model apply: every token of doc 1 carries weight
+    +scale (score exactly +1 per token before sign), doc 2's tokens
+    weight -scale; signs flip per token but the INDEPENDENT reference
+    computed the same way must agree bit-for-bit, and the keep flag
+    follows the threshold. Empty text carries the tokenizer's single
+    empty token (the text-family convention: split('', \\s+) = [''])."""
+    import hashlib
+    import re
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    dim, scale = 8, 1000
+    weights = [((k * 37) % 7 - 3) * scale for k in range(dim)]
+    got = {
+        r["doc_id"]: r
+        for r in curate.linear_score(docs, weights, scale=scale).collect()
+    }
+    assert got[3]["n_tokens"] == 1  # split('') = [''] on both engines
+
+    def ref(text):
+        raw = 0
+        toks = re.split(r"\s+", text)
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            b = int(h[:8], 16) % dim
+            s = 1 if ord(h[8]) % 2 == 0 else -1
+            raw += s * weights[b]
+        return raw / (scale * len(toks))
+
+    for doc_id, text in [(1, "alpha beta alpha"), (2, "gamma delta")]:
+        r = got[doc_id]
+        assert r["n_tokens"] == len(re.split(r"\s+", text))
+        assert r["score"] == ref(text)
+        assert r["keep"] == (r["score"] > 0.0)
