@@ -587,6 +587,52 @@ def _q_feature_hashing(spark, sf_dir):
     return textstats.feature_hashing(_t(spark, sf_dir, "documents"), dim=64)
 
 
+@_register(
+    "t_bpe_encode",
+    f"""
+WITH words AS (
+  SELECT lang, tok AS word, COUNT(*) AS freq
+  FROM (SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS n_tokens,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS n_chars,
+       TRUE AS roundtrip_ok, TRUE AS bounds_ok, TRUE AS compressed_ok
+FROM words GROUP BY lang
+""",
+)
+def _q_bpe_encode(spark, sf_dir):
+    """End-to-end subword tokenizer: fit 6 BPE merges on the corpus
+    (train_bpe — vocab-sized driver rounds) and APPLY them with the
+    chained in-row fold encoder (bpe_encode — no UDF, vocab-sized).
+    Hash-covered contract: the per-lang vocabulary census (word,
+    token, char counts) is oracle-exact; roundtrip (subwords
+    reassemble every word), per-word bounds, and strict corpus-level
+    compression are certificates the oracle pins to literal TRUE.
+    Exact merge positions are pytest-pinned against an independent
+    Python encoder (test_bpe_encode_matches_reference)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textstats.train_bpe(docs, n_merges=6)
+    enc = textstats.bpe_encode(docs, merges, by="lang")
+    n_sub = F.size("subwords")
+    n_chr = F.length("word")
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum((F.col("freq") * n_chr).cast("long")).alias("n_chars"),
+        F.bool_and(F.concat_ws("", F.col("subwords")) == F.col("word")).alias(
+            "roundtrip_ok"
+        ),
+        F.bool_and((n_sub >= 1) & (n_sub <= n_chr)).alias("bounds_ok"),
+        (
+            F.sum((F.col("freq") * n_sub).cast("long"))
+            < F.sum((F.col("freq") * n_chr).cast("long"))
+        ).alias("compressed_ok"),
+    )
+
+
 def _model_weights(dim: int = 64, scale: int = 1000) -> list[int]:
     """Deterministic pseudo-trained weight vector for the scorer gate:
     md5-derived integers in [-scale, scale] — stands in for a real
@@ -6527,6 +6573,7 @@ _VERIFY_FIRST = [
     "w_bollinger",
     "e_date_dim",
     "c_model_score",
+    "t_bpe_encode",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -430,6 +430,52 @@ def train_bpe(documents: DataFrame, n_merges: int = 10) -> list[tuple[str, str]]
     return merges
 
 
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[str, str]],
+    by: str | None = None,
+) -> DataFrame:
+    """Encode the corpus vocabulary with a trained BPE merge table
+    (the tokenize-for-training step that follows ``train_bpe``):
+    one row per distinct word (optionally per ``by`` stratum) with its
+    frequency and subword sequence.
+
+    Semantics: merges apply one pass each, in rank order, greedy
+    leftmost-first within a word — the same in-row ``aggregate()``
+    fold the trainer uses, so encode(train corpus) reproduces the
+    trainer's final state. On a rank-ordered table (every merged
+    token's components were created by strictly earlier ranks — what
+    ``train_bpe`` emits) this equals the priority-queue BPE encoder.
+
+    Scale: the corpus collapses to the (word, freq) vocabulary FIRST
+    (one shuffle), so the chained folds run once per DISTINCT word —
+    vocabulary-sized compute at any corpus scale; the merge table
+    compiles into a single nested codegen expression (size linear in
+    ranks), no UDF, no driver loop, nothing corpus-sized anywhere."""
+    keys = [by] if by else []
+    words = (
+        documents.select(*keys, F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(*keys, "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    expr = (
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+    )
+    for left, right in merges:
+        merged = left + right
+        expr = (
+            f"aggregate({expr}, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_str(left)} "
+            f"AND x = {_sql_str(right)} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(merged)})) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+    return words.select(
+        *keys, "word", "freq", F.expr(expr).alias("subwords")
+    )
+
+
 def _sql_str(s: str) -> str:
     """Single-quoted SQL string literal (quotes doubled)."""
     return "'" + s.replace("'", "''") + "'"

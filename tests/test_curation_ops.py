@@ -525,3 +525,60 @@ def test_linear_score_planted_model(spark):
         assert r["n_tokens"] == len(re.split(r"\s+", text))
         assert r["score"] == ref(text)
         assert r["keep"] == (r["score"] > 0.0)
+
+
+def _ref_bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent encoder reference: one pass per merge in rank
+    order, leftmost-first non-overlapping — the _ref_bpe apply step."""
+    s = list(word)
+    for a, b in merges:
+        i, res = 0, []
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                res.append(s[i] + s[i + 1])
+                i += 2
+            else:
+                res.append(s[i])
+                i += 1
+        s = res
+    return s
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Trained-table apply: encode the training corpus with its own
+    merges and pin every word's subword sequence to the independent
+    Python encoder; overlapping runs and multi-char cascades included."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest news",
+        "aaaa aaa aa banana bandana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = textstats.train_bpe(docs, n_merges=8)
+    assert merges == _ref_bpe(corpus, 8)
+    got = {r["word"]: r for r in textstats.bpe_encode(docs, merges).collect()}
+    from collections import Counter
+
+    freqs = Counter(w for t in corpus for w in t.split())
+    assert set(got) == set(freqs)
+    for w, f in freqs.items():
+        assert got[w]["freq"] == f
+        assert got[w]["subwords"] == _ref_bpe_encode(w, merges), w
+        assert "".join(got[w]["subwords"]) == w
+
+
+def test_bpe_encode_empty_table_and_stratum(spark):
+    """Zero merges → plain character split; `by` keeps per-stratum
+    vocab rows separate with their own frequencies."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab", "en"), (1, "ab", "de")], "doc_id long, text string, lang string"
+    )
+    got = textstats.bpe_encode(docs, [], by="lang").collect()
+    rows = {(r["lang"], r["word"]): (r["freq"], r["subwords"]) for r in got}
+    assert rows == {("en", "ab"): (2, ["a", "b"]), ("de", "ab"): (1, ["a", "b"])}
