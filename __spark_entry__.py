@@ -3689,6 +3689,31 @@ def _q_approx_distinct(spark, sf_dir):
 
 
 @_register(
+    "a_sketch_rollup",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_exact,
+       TRUE AS merge_close_ok, TRUE AS bound_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def _q_sketch_rollup(spark, sf_dir):
+    """Persistable-sketch rollup (the incremental-cube pattern):
+    Datasketches HLL built at the (returnflag, linestatus) grain,
+    UNION-aggregated up to returnflag — no fact rescan at the coarse
+    grain. Hash-covered certificate: the rolled-up estimate agrees
+    with the direct coarse-grain estimate within 2% (sparse→dense
+    promotion order is path-dependent, so bounded not equated) and
+    lands within 5% of the oracle-exact distinct count."""
+    return aggregates.sketch_rollup(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag"],
+        "l_orderkey",
+    )
+
+
+@_register(
     "st_static_enrich",
     """
 WITH dim AS (
@@ -6574,6 +6599,7 @@ _VERIFY_FIRST = [
     "e_date_dim",
     "c_model_score",
     "t_bpe_encode",
+    "a_sketch_rollup",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -76,3 +76,36 @@ def test_certified_sketch_gates_all_true(spark, sf_dir):
     qs = emb.filter(F.col("vec_id") % 25 == 0)
     for row in similarity.ivf_topk_certified(emb, qs).collect():
         assert row["recall_ok"] and row["mean_recall_ok"], row
+
+
+def test_sketch_rollup_planted_overlap(spark, sf_dir):
+    """Rollup semantics on a planted frame: fine groups share members
+    (the same order id under both statuses), so a SUM of fine counts
+    would double-count — the sketch union must NOT (it estimates the
+    true distinct union). Certificate booleans hold on real data too."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    rows = [("A", s, i) for s in ("F", "O") for i in range(200)] + [
+        ("B", "F", i) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, l_orderkey long"
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in aggregates.sketch_rollup(
+            df, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_orderkey"
+        ).collect()
+    }
+    # 200 distinct under A (each appears in TWO fine groups), 50 under B
+    assert got["A"]["n_exact"] == 200 and got["B"]["n_exact"] == 50
+    for r in got.values():
+        assert r["merge_close_ok"] and r["bound_ok"], r
+
+    li = entry_mod._t(spark, sf_dir, "lineitem")
+    for r in aggregates.sketch_rollup(
+        li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_orderkey"
+    ).collect():
+        assert r["merge_close_ok"] and r["bound_ok"], r
