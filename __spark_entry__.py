@@ -5843,6 +5843,29 @@ def _q_hinted_join(spark, sf_dir):
 
 
 @_register(
+    "j_edit_distance",
+    """
+WITH v AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       a.name AS text_a, b.name AS text_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM v a JOIN v b
+  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+""",
+)
+def _q_edit_distance(spark, sf_dir):
+    """Fuzzy entity match on the customer dim: every name pair within
+    Levenshtein distance 1 via the SymSpell deletion-neighborhood band
+    join (each name emits its 1-char deletes as keys; candidates
+    verify with codegen levenshtein — never all-pairs). The oracle IS
+    the all-pairs self-join, feasible at gate scale, so the banded
+    plan is hash-checked against brute force."""
+    return dedup.edit_distance_pairs(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name", max_dist=1
+    )
+
+
+@_register(
     "s_pq_certified",
     f"""
 WITH ex AS ({_SQL_EX}),
@@ -6600,6 +6623,7 @@ _VERIFY_FIRST = [
     "c_model_score",
     "t_bpe_encode",
     "a_sketch_rollup",
+    "j_edit_distance",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

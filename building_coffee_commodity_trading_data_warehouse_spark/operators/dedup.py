@@ -885,3 +885,77 @@ def repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return occ.join(hot, "span").select("doc_id", "pos", "span", "n_docs")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy entity-match self-join: all pairs within Levenshtein
+    distance ``max_dist`` (1 or 2) — typo-tolerant dim-key matching
+    (customer/supplier name reconciliation), the string twin of the
+    embedding/simhash near-dup joins.
+
+    Never all-pairs (the SymSpell deletion-neighborhood guarantee):
+    every string emits its ≤``max_dist``-char deletion variants as
+    band keys; two strings within distance d share at least one
+    variant (delete the edited positions from each side), so the
+    equi-join on the variant key sees exactly the near-identical
+    cluster — then ``levenshtein`` (JVM codegen) verifies the bounded
+    candidates. Keys per string: O(L) at d=1, O(L²) at d=2 — emitted
+    by in-row transforms, no UDF. A bucket only grows with strings
+    that agree on everything but the deleted positions; when many
+    strings ARE that close the OUTPUT is quadratic in them, which is
+    the result's own size, not a planning artifact."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    s = F.col(text_col)
+
+    def _deletes(c):
+        # one-char deletion variants; sequence(1,0) counts DOWN, so
+        # the empty string must short-circuit to an empty array.
+        return F.when(
+            F.length(c) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c)),
+                lambda i: F.concat(
+                    c.substr(F.lit(1), i - F.lit(1)),
+                    c.substr(i + F.lit(1), F.length(c) - i),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    keys1 = F.array_union(F.array(s), _deletes(s))
+    if max_dist == 2:
+        # deletes-of-deletes, flattened + deduped in-row
+        keys = F.array_distinct(
+            F.flatten(F.transform(keys1, lambda v: F.array_union(F.array(v), _deletes(v))))
+        )
+    else:
+        keys = keys1
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(keys).alias("__k"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__k") == F.col("b.__k"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__s").alias("text_a"),
+            F.col("b.__s").alias("text_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    return cand.filter(dist <= max_dist).select(
+        "id_a", "id_b", "text_a", "text_b", dist.cast("int").alias("dist")
+    )

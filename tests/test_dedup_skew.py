@@ -171,3 +171,39 @@ def test_simhash_pairs_band_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    """Banded SymSpell join == brute-force Levenshtein at d=1 and
+    d=2, including insert/delete/substitute cases, the empty string,
+    and 1-char words; invalid distance raises."""
+    import itertools
+
+    import pytest as _pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    words = {1: "table", 2: "tble", 3: "tables", 4: "fable", 5: "spark", 6: "", 7: "t"}
+    df = spark.createDataFrame(list(words.items()), "id long, w string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for d in (1, 2):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.edit_distance_pairs(df, "id", "w", d).collect()
+        )
+        exp = sorted(
+            (a, b, lev(words[a], words[b]))
+            for a, b in itertools.combinations(sorted(words), 2)
+            if lev(words[a], words[b]) <= d
+        )
+        assert got == exp, d
+    with _pytest.raises(ValueError):
+        dedup.edit_distance_pairs(df, "id", "w", 3)
