@@ -2255,6 +2255,48 @@ def _q_st_dedup(spark, sf_dir):
 
 
 @_register(
+    "st_dedup_jitter",
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def _q_st_dedup_jitter(spark, sf_dir):
+    """At-least-once redelivery with RETRY JITTER: every fifth event
+    is re-delivered 90 s later (same payload, shifted event time) —
+    the case plain keyed dropDuplicates state handles only without
+    expiry. dropDuplicatesWithinWatermark collapses the jittered
+    copies while keeping state bounded by the 1 h watermark; the
+    drained payload aggregate must equal the clean batch table.
+    Payload columns are identical across deliveries, so the result is
+    winner-independent."""
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    land = tempfile.mkdtemp(prefix="spark_graft_jitter_landing_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    jittered = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS")
+    )
+    ev.unionByName(jittered).write.mode("overwrite").parquet(land)
+    stream = pipeline.stream_events(spark, land)
+    deduped = pipeline.dedup_stream_within_watermark(stream, ["event_id"])
+    drained = pipeline.run_available_now(
+        deduped.select("event_type", "value"),
+        f"st_dedup_jitter_{next(_STREAM_SEQ)}",
+        output_mode="append",
+    )
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@_register(
     "s_ivf_topk",
     f"""
 WITH ex AS ({_SQL_EX}),
@@ -6624,6 +6666,7 @@ _VERIFY_FIRST = [
     "t_bpe_encode",
     "a_sketch_rollup",
     "j_edit_distance",
+    "st_dedup_jitter",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

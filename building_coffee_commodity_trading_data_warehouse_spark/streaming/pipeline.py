@@ -237,3 +237,23 @@ def interval_join_full(
     return left_stream.withWatermark(l_col, watermark).join(
         right_stream.withWatermark(r_col, watermark), cond, "fullOuter"
     )
+
+
+def dedup_stream_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once dedup when re-deliveries carry a DIFFERENT event
+    time (retry jitter): ``dropDuplicatesWithinWatermark`` keys its
+    state by ``keys`` alone and still expires per-key state once the
+    watermark passes — the combination plain ``dropDuplicates`` cannot
+    express (keys-only state never expires; keys+ts state misses the
+    jittered copy). The guarantee: duplicates arriving within the
+    watermark horizon of the first record are dropped; state is
+    bounded by the horizon — the production shape for at-least-once
+    sources at 100 TB/day."""
+    return stream_df.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)

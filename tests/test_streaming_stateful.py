@@ -293,3 +293,36 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # the late id=4 never revised it and appears nowhere
     assert got["1970-01-01 00:00:00"] == 2
     assert 9.0 not in {r["sum_value"] for r in spark.read.parquet(out_dir).collect()}
+
+
+def test_dedup_within_watermark_drops_jittered_redelivery(spark, tmp_path):
+    """A key re-delivered with a SHIFTED event time must still
+    collapse to one row (plain keyed dedup semantics but with
+    watermark-bounded state); distinct keys all survive."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, None),
+        (1, t0 + dt.timedelta(seconds=90), 7, "click", 1.0, None),  # jitter
+        (2, t0 + dt.timedelta(minutes=5), 8, "view", 2.0, None),
+    ]
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(land)
+    out = pipeline.run_available_now(
+        pipeline.dedup_stream_within_watermark(
+            pipeline.stream_events(spark, land), ["event_id"]
+        ).select("event_id", "event_type", "value"),
+        "st_jitter_test",
+        output_mode="append",
+    ).collect()
+    got = sorted((r["event_id"], r["event_type"], r["value"]) for r in out)
+    assert got == [(1, "click", 1.0), (2, "view", 2.0)]
