@@ -195,3 +195,79 @@ def zscore_stream(events: DataFrame, window_rows: int = 50, z: int = 3) -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Typed-state twin of ``running_user_totals`` on Spark 4's
+    ``transformWithStateInPandas`` API (StatefulProcessor +
+    ValueState): same exact integer-micros accumulation, same output
+    schema — the forward-looking stateful surface with per-state-var
+    typing, timers, and RocksDB-backed state.
+
+    ENVIRONMENT GATE (fails loudly at the swap point, the multimodal
+    'pil' convention): PySpark's TWS control channel speaks protobuf
+    (pyspark.sql.streaming.proto.StateMessage_pb2); without the
+    ``google.protobuf`` package the driver worker crashes at init
+    with an opaque STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, so
+    this raises a clear NotImplementedError instead. The
+    ``applyInPandasWithState`` twin covers identical semantics and is
+    fully gated (st_stateful_totals)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-specific
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf "
+            "package (PySpark's typed-state wire protocol) — absent "
+            "in this environment. Use running_user_totals "
+            "(applyInPandasWithState) for the same semantics."
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Tracker(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getValueState(
+                "totals", "n_events long, total_micros long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n, micros = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            last = None
+            for pdf in rows:
+                n += len(pdf)
+                # same exact HALF_UP micros fold as running_user_totals
+                from decimal import ROUND_HALF_UP, Decimal
+
+                micros += sum(
+                    int(
+                        Decimal(float(v))
+                        .quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                        .scaleb(6)
+                    )
+                    for v in pdf["value"]
+                )
+                mx = pdf["ts"].max()
+                last = mx if last is None or mx > last else last
+            self._totals.update((n, micros))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [micros / 1_000_000],
+                    "last_ts": [last],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Tracker(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

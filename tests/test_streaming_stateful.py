@@ -326,3 +326,50 @@ def test_dedup_within_watermark_drops_jittered_redelivery(spark, tmp_path):
     ).collect()
     got = sorted((r["event_id"], r["event_type"], r["value"]) for r in out)
     assert got == [(1, "click", 1.0), (2, "view", 2.0)]
+
+
+def test_tws_totals_guard_or_parity(spark, tmp_path):
+    """The transformWithStateInPandas twin either runs (protobuf
+    present: drained totals equal the applyInPandasWithState twin) or
+    fails LOUDLY at the swap point with the documented guard — never
+    the opaque runner-init crash."""
+    import datetime as dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    land = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(1, t0, 7, "click", 1.5, None), (2, t0, 7, "view", 2.25, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(land)
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    stream = pipeline.stream_events(spark, land)
+    if not has_pb:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="google.protobuf"):
+            stateful.running_user_totals_tws(stream)
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out = pipeline.run_available_now(
+        stateful.running_user_totals_tws(stream),
+        "tws_parity_test",
+        output_mode="update",
+    ).collect()
+    assert [(r["user_id"], r["n_events"], r["total_value"]) for r in out] == [
+        (7, 2, 3.75)
+    ]
