@@ -910,6 +910,51 @@ def _q_neardup_clusters(spark, sf_dir):
     return dedup.neardup_clusters(docs, pairs)
 
 
+@_register(
+    "d_cluster_canonical",
+    f"""
+WITH RECURSIVE
+jac AS ({_SQL_JACCARD_PAIRS}),
+p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.2),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM p
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM p
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+q AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+rep AS (
+  SELECT cluster_id, doc_id AS canonical_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM q
+)
+SELECT q.doc_id, q.cluster_id, r.canonical_id,
+       CAST(q.doc_id = r.canonical_id AS BIGINT) AS is_canonical
+FROM q JOIN (SELECT cluster_id, canonical_id FROM rep WHERE rk = 1) r
+  USING (cluster_id)
+""",
+)
+def _q_cluster_canonical(spark, sf_dir):
+    """Quality-aware keeper selection per near-dup cluster
+    (``dedup.cluster_canonical``): transitive closure as in
+    d_neardup_clusters, then argmax-quality representative via one
+    ``max_by`` aggregate (tie → min doc_id) instead of a per-cluster
+    window — the retention rule pretraining curation actually applies,
+    vs the reference's min-key keep (STG.py:102-110)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.2)
+    return dedup.cluster_canonical(docs, pairs)
+
+
 # ---------------------------------------------------------------------------
 # north-star: dataset curation (operators/curate.py) — deterministic
 # hash splitting/sampling and fixed-window chunking. Boundaries are
@@ -6563,6 +6608,53 @@ def _q_token_diversity(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round 6b — sparse similarity / sketches / graph / training-pair ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s_sparse_cosine",
+    r"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+kept AS (
+  SELECT * FROM tf
+  WHERE tok NOT IN (SELECT tok FROM tf GROUP BY tok HAVING COUNT(*) > 100)
+),
+n2 AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY doc_id
+),
+num AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot_tf
+  FROM kept a JOIN kept b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot_tf,
+       dot_tf / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cosine
+FROM num JOIN n2 x ON doc_a = x.doc_id JOIN n2 y ON doc_b = y.doc_id
+WHERE dot_tf * dot_tf * 4 >= x.n2 * y.n2
+""",
+)
+def _q_sparse_cosine(spark, sf_dir):
+    """Sparse bag-of-words cosine pairs ≥ 0.5
+    (``similarity.sparse_cosine_pairs``): inverted-index term join with
+    broadcast stop-term pruning (df > 100), BIGINT dot/norm sums, and a
+    pure-integer threshold test — the sparse twin of the dense
+    embedding pipelines, oracle = the exact all-pairs SQL the inverted
+    index replaces."""
+    return similarity.sparse_cosine_pairs(
+        _t(spark, sf_dir, "documents"), max_df=100, t_num=1, t_den=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -6667,6 +6759,8 @@ _VERIFY_FIRST = [
     "a_sketch_rollup",
     "j_edit_distance",
     "st_dedup_jitter",
+    "d_cluster_canonical",
+    "s_sparse_cosine",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

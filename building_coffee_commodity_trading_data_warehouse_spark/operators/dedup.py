@@ -675,6 +675,49 @@ def neardup_dedup(
     return documents.join(losers, id_col, "left_anti")
 
 
+def cluster_canonical(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Retention policy on top of near-dup clustering: per cluster keep
+    the HIGHEST-QUALITY member, not the smallest id — (doc_id,
+    cluster_id, canonical_id, is_canonical) for every document. This is
+    the step real pretraining dedup runs after transitive closure
+    (``neardup_clusters`` keeps min-id; curation wants argmax quality,
+    tie-broken by min id for determinism).
+
+    Shape: cluster labels come from the pair graph only (tiny next to
+    the corpus); the representative is a single ``max_by`` aggregate
+    over (quality, −id) — map-side partial argmax, one narrow shuffle
+    keyed by cluster_id, then a broadcast-sized join back. No window
+    over per-doc singleton partitions, so it holds at corpus scale
+    where almost every cluster has one member. Extends the reference's
+    key-equality dedup (STG.py:102-110) with a quality-aware keep rule.
+    """
+    clustered = neardup_clusters(
+        documents.select(id_col), pairs, id_col
+    ).join(documents.select(id_col, quality_col), id_col)
+    reps = clustered.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(quality_col), (-F.col(id_col)).alias("neg_id")),
+        ).alias("canonical_id")
+    )
+    return (
+        clustered.join(reps, "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).cast("long").alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 def decontaminate(
     documents: DataFrame, benchmark: DataFrame, n: int = 3
 ) -> DataFrame:

@@ -1068,3 +1068,78 @@ def pq_topk_certified(
         "q_id", "c_id"
     )
     return _recall_certificate(exact, ann, min_recall, min_mean_recall)
+
+
+def sparse_cosine_pairs(
+    documents: DataFrame,
+    max_df: int = 100,
+    t_num: int = 1,
+    t_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse count-vector cosine pairs — the bag-of-words twin of the
+    dense embedding pipelines above: documents whose term-frequency
+    vectors have cosine ≥ t_num/t_den, found via an inverted-index
+    equality join on the shared term (the classic sparse-similarity
+    plan), never a dense all-pairs product.
+
+    Exactness: dot products and squared norms are BIGINT sums of tf
+    products — order-independent integers — and the threshold test runs
+    entirely in integer arithmetic (num²·t_den² ≥ t_num²·‖a‖²·‖b‖²),
+    so no float boundary can flip a pair; the reported cosine is one
+    double expression over those exact integers.
+
+    Scale: the pair stream is Σ_term df² — terms with df > ``max_df``
+    (stopwords: exactly the skew that melts a 100 TB self-join) are
+    removed by a broadcast LEFT ANTI on the (tiny) stop list before the
+    join, the same bound proven for stop-shingles in
+    ``dedup._drop_stop_shingles``. Everything downstream of the explode
+    is narrow (doc_id, tok, tf) — text never shuffles.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    stop = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("tok")
+    )
+    kept = tf.join(F.broadcast(stop), "tok", "left_anti")
+    n2 = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    num = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot_tf"))
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2_a"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2_b"))
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("dot_tf") * F.col("dot_tf") * F.lit(t_den * t_den)
+            >= F.lit(t_num * t_num) * F.col("n2_a") * F.col("n2_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot_tf",
+            (
+                F.col("dot_tf")
+                / F.sqrt((F.col("n2_a") * F.col("n2_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

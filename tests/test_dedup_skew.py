@@ -207,3 +207,87 @@ def test_edit_distance_pairs_vs_bruteforce(spark):
         assert got == exp, d
     with _pytest.raises(ValueError):
         dedup.edit_distance_pairs(df, "id", "w", 3)
+
+
+def test_cluster_canonical_picks_highest_quality(spark):
+    # cluster {1,2,3} linked by pairs; doc 2 has the most chars so it
+    # is canonical despite not being the min id; 4 is a singleton
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 30), (3, "c", 20), (4, "d", 5)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cluster_canonical(docs, pairs).collect()
+    }
+    assert {r["cluster_id"] for r in out.values()} == {1, 4}
+    for d in (1, 2, 3):
+        assert out[d]["canonical_id"] == 2
+    assert out[2]["is_canonical"] == 1 and out[1]["is_canonical"] == 0
+    assert out[4]["canonical_id"] == 4 and out[4]["is_canonical"] == 1
+
+
+def test_cluster_canonical_quality_tie_breaks_min_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "x", 10), (9, "y", 10)], "doc_id long, text string, n_chars long"
+    )
+    pairs = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in dedup.cluster_canonical(docs, pairs).collect()}
+    assert out[7]["canonical_id"] == 7 and out[9]["canonical_id"] == 7
+
+
+def test_sparse_cosine_exact_known_vectors(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    # doc 1 = [a:2, b:1], doc 2 = [a:1, b:2] -> cos = 4/5 = 0.8
+    # doc 3 shares nothing with 1/2
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    rows = similarity.sparse_cosine_pairs(
+        docs, max_df=100, t_num=1, t_den=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["dot_tf"]) == (1, 2, 4)
+    assert r["cosine"] == 0.8
+
+
+def test_sparse_cosine_integer_threshold_boundary(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b")], "doc_id long, text string"
+    )
+    # cos = 0.8 exactly: kept at t=4/5, dropped just above
+    assert (
+        similarity.sparse_cosine_pairs(docs, t_num=4, t_den=5).count() == 1
+    )
+    assert (
+        similarity.sparse_cosine_pairs(docs, t_num=81, t_den=100).count() == 0
+    )
+
+
+def test_sparse_cosine_stop_terms_pruned(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    # "the" appears in all 4 docs; with max_df=3 it is dropped, so the
+    # only surviving pair is the one sharing a non-stop term
+    docs = spark.createDataFrame(
+        [(1, "the u1 q"), (2, "the u2 q"), (3, "the u3"), (4, "the u4")],
+        "doc_id long, text string",
+    )
+    rows = similarity.sparse_cosine_pairs(
+        docs, max_df=3, t_num=0, t_den=1
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
