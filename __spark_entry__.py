@@ -6654,6 +6654,61 @@ def _q_sparse_cosine(spark, sf_dir):
     )
 
 
+@_register(
+    "a_countmin_freq",
+    r"""
+WITH o AS (
+  SELECT item
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS item FROM documents)
+  WHERE item <> ''
+),
+cells AS (
+  SELECT r,
+         CAST(concat('0x', substr(md5(r || '|' || item), 1, 8)) AS BIGINT)
+           % 256 AS c,
+         COUNT(*) AS cell
+  FROM o CROSS JOIN range(4) t(r)
+  GROUP BY 1, 2
+),
+tr AS (SELECT item, COUNT(*) AS true_count FROM o GROUP BY item),
+top AS (SELECT * FROM tr ORDER BY true_count DESC, item LIMIT 20),
+n AS (SELECT COUNT(*) AS total FROM o),
+probes AS (
+  SELECT item, true_count, r,
+         CAST(concat('0x', substr(md5(r || '|' || item), 1, 8)) AS BIGINT)
+           % 256 AS c
+  FROM top CROSS JOIN range(4) t(r)
+),
+est AS (
+  SELECT p.item, p.true_count, MIN(c.cell) AS cms_estimate
+  FROM probes p JOIN cells c USING (r, c)
+  GROUP BY 1, 2
+)
+SELECT item, true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate >= true_count AS BIGINT) AS no_underestimate,
+       CAST(cms_estimate <= true_count + (2 * total) / 256 AS BIGINT)
+         AS within_bound
+FROM est, n
+""",
+)
+def _q_countmin_freq(spark, sf_dir):
+    """Count-Min sketch token frequencies
+    (``aggregates.count_min_estimates``): the 4×256-cell mergeable
+    frequency summary read back for the true top-20 tokens, with the
+    no-underestimate theorem and the 2N/width collision bound as
+    hash-covered booleans. Every hash is md5-derived, so the DuckDB
+    oracle replays the ENTIRE sketch cell-for-cell — estimates are
+    value-exact, not just bound-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("item")
+    ).filter(F.col("item") != "")
+    return aggregates.count_min_estimates(
+        toks, item_col="item", depth=4, width=256, topn=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6761,6 +6816,7 @@ _VERIFY_FIRST = [
     "st_dedup_jitter",
     "d_cluster_canonical",
     "s_sparse_cosine",
+    "a_countmin_freq",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -657,3 +657,96 @@ def sketch_rollup(
             "bound_ok"
         ),
     )
+
+
+def _cms_bucket(item: Column, row: int, width: int) -> Column:
+    """md5-derived Count-Min column index for hash row ``row`` —
+    engine-portable (same bytes from DuckDB's md5/substr/conv chain)."""
+    h = F.md5(F.concat(F.lit(f"{row}|"), item.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).alias(
+        "c"
+    )
+
+
+def count_min_estimates(
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+    topn: int = 20,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built as a
+    depth×width cell table, then read back for the true top-``topn``
+    items: (item, true_count, cms_estimate, no_underestimate,
+    within_bound). The sketch is the mergeable fixed-size frequency
+    summary a 100 TB stream reduces to — each partition folds its items
+    into ≤ depth·width cells map-side (one struct explode per hash
+    row), the shuffle moves only cells, and two sketches merge by cell
+    addition.
+
+    Certification: CMS never underestimates (est = min over rows of the
+    item's cell ≥ true count — a theorem, so ``no_underestimate`` must
+    be all-1), and overestimates by at most the collision mass
+    (``within_bound``: est ≤ true + 2N/width, the Markov bound at twice
+    the per-row expectation, held with margin by the min over
+    ``depth`` independent rows). Both booleans are hash-covered; the
+    estimates themselves are also exact cross-engine because every hash
+    is md5-derived.
+    """
+    occurrences = items.select(F.col(item_col).cast("string").alias("item"))
+    cells = (
+        occurrences.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("item"), r, width),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    true = occurrences.groupBy("item").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    top = true.orderBy(F.desc("true_count"), F.col("item")).limit(topn)
+    total = occurrences.agg(F.count(F.lit(1)).alias("__n"))
+    probes = top.select(
+        "item",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("item"), r, width),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("item", "true_count", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("item", "true_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "item",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("true_count"))
+        .cast("long")
+        .alias("no_underestimate"),
+        (
+            F.col("cms_estimate")
+            <= F.col("true_count") + (2 * F.col("__n")) / width
+        )
+        .cast("long")
+        .alias("within_bound"),
+    )

@@ -89,3 +89,36 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
             for r in heavy_hitters(df.repartition(parts), "k", k=k).collect()
         }
         assert got == brute, parts
+
+
+def test_count_min_certificates_and_exactness(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.aggregates import (
+        count_min_estimates,
+    )
+
+    # skewed stream: "hot" 500x, 50 distinct cold items 1x each
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(50)]
+    items = spark.createDataFrame(rows, "item string")
+    out = {
+        r["item"]: r
+        for r in count_min_estimates(items, topn=10).collect()
+    }
+    assert len(out) == 10 and "hot" in out
+    for r in out.values():
+        assert r["no_underestimate"] == 1
+        assert r["within_bound"] == 1
+        assert r["cms_estimate"] >= r["true_count"]
+    assert out["hot"]["true_count"] == 500
+
+
+def test_count_min_partition_invariant(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.aggregates import (
+        count_min_estimates,
+    )
+
+    rows = [(f"w{i % 37}",) for i in range(1000)]
+    one = spark.createDataFrame(rows, "item string").coalesce(1)
+    many = spark.createDataFrame(rows, "item string").repartition(16)
+    a = sorted(map(tuple, count_min_estimates(one, topn=15).collect()))
+    b = sorted(map(tuple, count_min_estimates(many, topn=15).collect()))
+    assert a == b
