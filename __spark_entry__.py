@@ -6709,6 +6709,49 @@ def _q_countmin_freq(spark, sf_dir):
     )
 
 
+@_register(
+    "g_triangle_counts",
+    """
+WITH p AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM p e1
+  JOIN p e2 ON e1.pb = e2.pa
+  JOIN p e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+""",
+)
+def _q_triangle_counts(spark, sf_dir):
+    """Per-part triangle counts on the co-purchase graph (parts sharing
+    an order) via ``graph.triangle_counts`` — degree-oriented wedge
+    enumeration, m^1.5-bounded, each triangle found at exactly one
+    center; the oracle is the textbook a<b<c three-way self-join the
+    orientation replaces."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return graph.triangle_counts(edges)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6817,6 +6860,7 @@ _VERIFY_FIRST = [
     "d_cluster_canonical",
     "s_sparse_cosine",
     "a_countmin_freq",
+    "g_triangle_counts",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -132,3 +132,63 @@ def trade_graph(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
     rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     return fwd.union(rev)
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts — (node, n_triangles) for every node in
+    ≥ 1 triangle — via DEGREE ORIENTATION (the MapReduce-era standard,
+    Suri & Vassilvitskii 2011): orient each undirected edge from the
+    (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    between a node's OUT-edges, and close them against the canonical
+    edge set. Every triangle then has exactly one wedge center, so it
+    is found once, and per-node out-degree is O(√m) on any graph — the
+    wedge stream is m^1.5-bounded instead of Σdeg² (hub nodes, the
+    quadratic killer on a 100 TB co-occurrence graph, never self-pair).
+
+    Shapes: three equality joins (wedge self-join keyed by center,
+    closure keyed by the {v,w} pair) + one explode of the 3 triangle
+    roles into a count — no cartesian, nothing driver-side.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    x = oriented.select("u", F.col("v").alias("v1"))
+    y = oriented.select("u", F.col("v").alias("v2"))
+    wedges = x.join(y, "u").filter(F.col("v1") < F.col("v2"))
+    # v1 < v2 already, so the canonical closure edge is exactly (v1, v2)
+    closed = wedges.join(
+        und, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    )
+    return (
+        closed.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -122,3 +122,38 @@ def test_count_min_partition_invariant(spark):
     a = sorted(map(tuple, count_min_estimates(one, topn=15).collect()))
     b = sorted(map(tuple, count_min_estimates(many, topn=15).collect()))
     assert a == b
+
+
+def test_triangle_counts_known_graphs(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4: every node sits in C(3,2)=3 triangles
+    k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # star graph: hub with many leaves has no triangle at all
+    star = [(0, i) for i in range(1, 20)]
+    assert (
+        triangle_counts(
+            spark.createDataFrame(star, "src long, dst long")
+        ).count()
+        == 0
+    )
+
+    # triangle + pendant edge, duplicate/reversed edges collapse
+    g = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4)]
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(g, "src long, dst long")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
