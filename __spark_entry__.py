@@ -6752,6 +6752,39 @@ def _q_triangle_counts(spark, sf_dir):
     return graph.triangle_counts(edges)
 
 
+@_register(
+    "c_negative_pairs",
+    """
+WITH idx AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk FROM documents
+),
+n AS (SELECT COUNT(*) AS total FROM documents),
+anchors AS (
+  SELECT doc_id, rnk, total, i,
+         CAST(concat('0x', substr(md5('neg' || i || '|' || doc_id), 1, 8))
+              AS BIGINT) % total AS tgt0
+  FROM idx, n, range(4) t(i)
+),
+fixed AS (
+  SELECT doc_id, i AS neg_i,
+         CASE WHEN tgt0 = rnk - 1 THEN (tgt0 + 1) % total ELSE tgt0 END + 1
+           AS tgt
+  FROM anchors
+)
+SELECT f.doc_id, CAST(f.neg_i AS INT) AS neg_i, x.doc_id AS neg_id
+FROM fixed f JOIN idx x ON f.tgt = x.rnk
+""",
+)
+def _q_negative_pairs(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (``curate.negative_pairs``): 4 md5-addressed uniform partners per
+    document over bucketed prefix-sum dense ranks (no single-task
+    window, no RNG state), deterministic self-skip — the training-pair
+    generator whose output is reproducible bit-for-bit on any engine
+    or partitioning."""
+    return curate.negative_pairs(_t(spark, sf_dir, "documents"), k=4)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6861,6 +6894,7 @@ _VERIFY_FIRST = [
     "s_sparse_cosine",
     "a_countmin_freq",
     "g_triangle_counts",
+    "c_negative_pairs",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

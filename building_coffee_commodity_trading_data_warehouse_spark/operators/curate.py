@@ -556,3 +556,71 @@ def linear_score(
         score.alias("score"),
         (score > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def negative_pairs(
+    documents: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic contrastive NEGATIVE sampling: for every document,
+    ``k`` pseudo-random partners drawn uniformly from the corpus —
+    (doc_id, neg_i, neg_id) — with no RNG state: partner choice is a
+    pure function of (seed, neg_i, doc_id), so pair sets are
+    reproducible across runs, partitionings, and engines, and stable
+    for the anchors that existed when the corpus grows only by append
+    at the id tail.
+
+    Shape: the corpus gets dense ranks via the bucketed prefix-sum
+    row-numbering (``windows.global_row_numbers`` — no single-task
+    window), each anchor explodes into ``k`` md5-derived target ranks
+    (mod N, one broadcast scalar), a deterministic +1 skip avoids
+    self-pairs, and one rank-equality join resolves targets back to
+    ids. Two narrow shuffles regardless of corpus width; requires ≥ 2
+    documents (the self-skip wraps mod N).
+    """
+    from .windows import global_row_numbers
+
+    idx = global_row_numbers(
+        documents.select(id_col), id_col, out_col="__rank"
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("__n"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.col("neg_i").cast("string"),
+                    F.lit("|"),
+                    F.col(id_col).cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tgt0 = h % F.col("__n")
+    own0 = F.col("__rank") - 1
+    anchors = (
+        idx.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "__rank",
+            "__n",
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_i"),
+        )
+        .withColumn(
+            "__tgt",
+            F.when(tgt0 == own0, (tgt0 + 1) % F.col("__n")).otherwise(tgt0)
+            + 1,
+        )
+    )
+    targets = idx.select(
+        F.col("__rank").alias("__tgt"), F.col(id_col).alias("neg_id")
+    )
+    return anchors.join(targets, "__tgt").select(
+        id_col, F.col("neg_i").cast("int").alias("neg_i"), "neg_id"
+    )

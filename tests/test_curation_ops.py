@@ -582,3 +582,40 @@ def test_bpe_encode_empty_table_and_stratum(spark):
     got = textstats.bpe_encode(docs, [], by="lang").collect()
     rows = {(r["lang"], r["word"]): (r["freq"], r["subwords"]) for r in got}
     assert rows == {("en", "ab"): (2, ["a", "b"]), ("de", "ab"): (1, ["a", "b"])}
+
+
+def test_negative_pairs_deterministic_no_self(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(i * 10,) for i in range(25)], "doc_id long"
+    )
+    a = sorted(map(tuple, curate.negative_pairs(docs, k=3).collect()))
+    b = sorted(
+        map(tuple, curate.negative_pairs(docs.repartition(8), k=3).collect())
+    )
+    assert a == b, "partitioning changed the sample"
+    assert len(a) == 25 * 3
+    for doc_id, neg_i, neg_id in a:
+        assert neg_id != doc_id, "self-pair leaked"
+        assert neg_id in {i * 10 for i in range(25)}
+    # per-anchor count is exactly k
+    from collections import Counter
+
+    c = Counter(d for d, _, _ in a)
+    assert set(c.values()) == {3}
+
+
+def test_negative_pairs_stable_under_append_at_tail(spark):
+    """Anchors keep their partners when docs append AFTER them only if
+    the modulus is unchanged — the op guarantees reproducibility per
+    (seed, corpus), not cross-corpus; pin the documented contract:
+    same corpus -> same pairs, different seed -> different pairs."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    s1 = sorted(map(tuple, curate.negative_pairs(docs, k=2, seed="a").collect()))
+    s2 = sorted(map(tuple, curate.negative_pairs(docs, k=2, seed="a").collect()))
+    s3 = sorted(map(tuple, curate.negative_pairs(docs, k=2, seed="b").collect()))
+    assert s1 == s2
+    assert s1 != s3
