@@ -6785,6 +6785,33 @@ def _q_negative_pairs(spark, sf_dir):
     return curate.negative_pairs(_t(spark, sf_dir, "documents"), k=4)
 
 
+@_register(
+    "w_rolling_quartiles",
+    """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       CAST(COUNT(q) OVER w AS BIGINT) AS n_obs,
+       quantile_cont(q, 0.25) OVER w / 65536.0 AS q25,
+       quantile_cont(q, 0.5) OVER w / 65536.0 AS median,
+       quantile_cont(q, 0.75) OVER w / 65536.0 AS q75,
+       quantile_cont(q, 0.75) OVER w / 65536.0
+         - quantile_cont(q, 0.25) OVER w / 65536.0 AS iqr
+FROM (SELECT *, CAST(FLOOR(l_quantity * 65536.0) AS BIGINT) AS q
+      FROM lineitem)
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def _q_rolling_quartiles(spark, sf_dir):
+    """Trailing exact q25/median/q75/IQR per part
+    (``windows.rolling_quartiles``): order statistics have no
+    prefix-sum shortcut, so the frame ranks inside the JVM window
+    buffer — lattice-quantized ints + dyadic interpolation weights
+    keep percentile() ≡ DuckDB quantile_cont bit-for-bit."""
+    return windows.rolling_quartiles(_t(spark, sf_dir, "lineitem"), 20)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6895,6 +6922,7 @@ _VERIFY_FIRST = [
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
+    "w_rolling_quartiles",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

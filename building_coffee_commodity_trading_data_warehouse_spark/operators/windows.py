@@ -766,3 +766,56 @@ def global_row_numbers(
             (F.col("__off") + F.row_number().over(w_in)).alias(out_col),
         )
     )
+
+
+def rolling_quartiles(lineitem: DataFrame, window_rows: int = 20) -> DataFrame:
+    """Trailing EXACT order statistics per part: q25/median/q75 (and
+    IQR) of quantity over the last ``window_rows`` line items — the
+    robust-dispersion twin of rolling_volatility (an IQR band flags
+    regime change without the outlier sensitivity of σ).
+
+    Unlike the mean/variance family there is no prefix-sum shortcut
+    for order statistics — the frame must be ranked per row, O(frame
+    · log frame) inside the JVM's window buffer, still partition-
+    parallel by part with ONE exchange. Determinism recipe: quantity
+    floor-quantizes onto the 2^-16 lattice first, so the linear
+    interpolation between adjacent order statistics runs on exact
+    integers with dyadic weights g ∈ {0, ¼, ½, ¾} (n ≤ 20 ⇒ (n−1)/4
+    is a quarter-multiple) — every lerp term is an exact double on
+    both engines, and the final /2^16 de-quantize is a power-of-two
+    division. percentile() here = DuckDB quantile_cont, verified
+    value-identical."""
+    # ship_date strings (yyyy-MM-dd) sort identically to the DATE they
+    # format, so the window can order by the projected column
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    lat = F.lit(float(1 << 16))
+    q = F.floor(F.col("l_quantity") * lat).cast("long")
+    qdf = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        q.alias("__q"),
+    )
+
+    def _p(frac: float) -> Column:
+        return F.expr(f"percentile(__q, {frac})").over(w) / lat
+
+    q25 = _p(0.25)
+    med = _p(0.5)
+    q75 = _p(0.75)
+    return qdf.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "ship_date",
+        F.count("__q").over(w).cast("long").alias("n_obs"),
+        q25.alias("q25"),
+        med.alias("median"),
+        q75.alias("q75"),
+        (q75 - q25).alias("iqr"),
+    )

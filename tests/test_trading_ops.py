@@ -431,3 +431,31 @@ def test_date_dim_calendar_edges(spark):
     assert by["1996-02-29"]["last_day_of_month"].isoformat() == "1996-02-29"
     with _pytest.raises(ValueError):
         date_dim(spark, "1996-01-02", "1996-01-01")
+
+
+def test_rolling_quartiles_known_frames(spark):
+    import datetime as _dt
+
+    rows = [
+        # one part, quantities 10,20,90,40 in ship order
+        (1, 1, 7, _dt.date(1995, 1, 1), 10.0),
+        (2, 1, 7, _dt.date(1995, 1, 2), 20.0),
+        (3, 1, 7, _dt.date(1995, 1, 3), 90.0),
+        (4, 1, 7, _dt.date(1995, 1, 4), 40.0),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_shipdate date, l_quantity double",
+    )
+    out = {
+        r["l_orderkey"]: r
+        for r in windows.rolling_quartiles(li, window_rows=4).collect()
+    }
+    assert out[1]["median"] == 10.0 and out[1]["n_obs"] == 1
+    assert out[2]["median"] == 15.0  # {10,20}
+    assert out[3]["median"] == 20.0  # {10,20,90}
+    assert out[4]["median"] == 30.0  # {10,20,40,90} -> (20+40)/2
+    # quartiles of {10,20,40,90}: q25 at rank 0.75 -> 17.5, q75 -> 52.5
+    assert out[4]["q25"] == 17.5 and out[4]["q75"] == 52.5
+    assert out[4]["iqr"] == 35.0
