@@ -6812,6 +6812,41 @@ def _q_rolling_quartiles(spark, sf_dir):
     return windows.rolling_quartiles(_t(spark, sf_dir, "lineitem"), 20)
 
 
+@_register(
+    "w_holt_smoothing",
+    """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq
+  FROM events
+),
+h(user_id, event_id, seq, level, trend) AS (
+  SELECT user_id, event_id, seq, CAST(value AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM s WHERE seq = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.seq,
+         0.5 * s.value + 0.5 * (h.level + h.trend),
+         0.25 * ((0.5 * s.value + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.75 * h.trend
+  FROM h JOIN s ON s.user_id = h.user_id AND s.seq = h.seq + 1
+)
+SELECT user_id, event_id, CAST(seq AS BIGINT) AS seq, level, trend,
+       level + trend AS forecast
+FROM h
+""",
+)
+def _q_holt_smoothing(spark, sf_dir):
+    """Holt double exponential smoothing per user series
+    (``windows.holt_smoothing``): two coupled states (level + linear
+    trend) make each step a 2×2 recurrence with no closed-form window
+    rewrite — the honest Arrow-batched ``applyInPandas`` stateful fold,
+    bit-equal to the DuckDB recursive CTE because all smoothing
+    constants are dyadic (α=½, β=¼) and op order matches textually."""
+    return windows.holt_smoothing(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6923,6 +6958,7 @@ _VERIFY_FIRST = [
     "g_triangle_counts",
     "c_negative_pairs",
     "w_rolling_quartiles",
+    "w_holt_smoothing",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -819,3 +819,66 @@ def rolling_quartiles(lineitem: DataFrame, window_rows: int = 20) -> DataFrame:
         q75.alias("q75"),
         (q75 - q25).alias("iqr"),
     )
+
+
+def holt_smoothing(events: DataFrame) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    user value series — the classic short-horizon forecaster the EWMA
+    family cannot express: ``ewma`` is a scalar power fold, but Holt's
+    two COUPLED states make each step a 2×2 matrix recurrence with no
+    per-row closed form, so this is the honest custom-stateful case:
+    an Arrow-batched ``applyInPandas`` fold per key (one shuffle on
+    user_id, series iterated sequentially inside the executor — the
+    same shape a 100 TB run needs, since each key's series must be
+    visited in order no matter the engine).
+
+    Engine exactness without lattices: α=½, β=¼ — every smoothing
+    multiply is by a dyadic constant (exact in binary), the remaining
+    adds are single correctly-rounded IEEE ops executed in the same
+    textual order as the DuckDB recursive-CTE oracle, so the floats
+    match bit-for-bit. Init: level₀ = y₀, trend₀ = 0.
+
+    Output: (user_id, event_id, seq, level, trend, forecast) with
+    forecast = one-step-ahead level + trend.
+    """
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        levels, trends = [], []
+        lvl = trend = 0.0
+        for i, y in enumerate(pdf["value"].astype(float)):
+            if i == 0:
+                lvl, trend = float(y), 0.0
+            else:
+                new_lvl = 0.5 * float(y) + 0.5 * (lvl + trend)
+                trend = 0.25 * (new_lvl - lvl) + 0.75 * trend
+                lvl = new_lvl
+            levels.append(lvl)
+            trends.append(trend)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "seq": range(1, len(pdf) + 1),
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    out_schema = (
+        "user_id long, event_id long, seq long, level double, trend double"
+    )
+    folded = (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, out_schema)
+    )
+    return folded.select(
+        "user_id",
+        "event_id",
+        "seq",
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast"),
+    )

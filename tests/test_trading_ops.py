@@ -459,3 +459,48 @@ def test_rolling_quartiles_known_frames(spark):
     # quartiles of {10,20,40,90}: q25 at rank 0.75 -> 17.5, q75 -> 52.5
     assert out[4]["q25"] == 17.5 and out[4]["q75"] == 52.5
     assert out[4]["iqr"] == 35.0
+
+
+def test_holt_smoothing_matches_python_reference(spark):
+    import datetime as _dt
+
+    ys = [10.0, 14.0, 9.0, 20.0, 18.0, 25.0]
+    rows = [
+        (i + 1, _dt.datetime(2024, 1, 1, 0, i), 1, "t", y, "{}")
+        for i, y in enumerate(ys)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["seq"]: r for r in windows.holt_smoothing(ev).collect()
+    }
+    lvl, tr = ys[0], 0.0
+    for i, y in enumerate(ys):
+        if i > 0:
+            new = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.25 * (new - lvl) + 0.75 * tr
+            lvl = new
+        r = got[i + 1]
+        assert r["level"] == lvl and r["trend"] == tr
+        assert r["forecast"] == lvl + tr
+
+
+def test_holt_smoothing_partition_invariant(spark):
+    import datetime as _dt
+
+    rows = [
+        (u * 100 + i, _dt.datetime(2024, 1, 1, u, i), u, "t", float(i * u + 1), "{}")
+        for u in range(1, 6)
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    a = sorted(map(tuple, windows.holt_smoothing(ev.coalesce(1)).collect()))
+    b = sorted(map(tuple, windows.holt_smoothing(ev.repartition(16)).collect()))
+    assert a == b
