@@ -6847,6 +6847,80 @@ def _q_holt_smoothing(spark, sf_dir):
     return windows.holt_smoothing(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "a_seasonal_anomaly",
+    """
+WITH b AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hour, value,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+s AS (
+  SELECT event_type, hour, COUNT(*) AS n_obs,
+         CAST(SUM(v) AS DECIMAL(18,2)) AS sx,
+         CAST(SUM(v * v) AS DECIMAL(18,4)) AS sx2
+  FROM b GROUP BY 1, 2
+),
+d AS (
+  SELECT b.event_id, b.event_type, b.hour, b.value, s.n_obs,
+         CAST(s.n_obs * b.v - s.sx AS DECIMAL(18,4)) AS dev,
+         CAST(s.n_obs * s.sx2 - s.sx * s.sx AS DECIMAL(22,4)) AS var_n2
+  FROM b JOIN s USING (event_type, hour)
+)
+SELECT event_id, event_type, hour, value, n_obs,
+       CAST(dev * dev AS DOUBLE) AS sq_dev_n2,
+       CAST(9 * var_n2 AS DOUBLE) AS sq_bound_n2,
+       dev * dev > 9 * var_n2 AS is_outlier
+FROM d
+""",
+)
+def _q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-cell (event_type × hour-of-day) z-score anomaly flags
+    (``aggregates.seasonal_anomalies``): the calendar-profile twin of
+    w_zscore_outliers, same all-integer decision — one tiny grouped
+    baseline broadcast back over a single corpus scan."""
+    return aggregates.seasonal_anomalies(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "a_path_trigrams",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+tri AS (
+  SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+         || '>' || LEAD(event_type, 2) OVER w2 AS path
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n
+FROM tri WHERE path IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 50
+""",
+)
+def _q_path_trigrams(spark, sf_dir):
+    """Top-50 in-session 3-step event paths
+    (``analytics.event_path_trigrams``): sessionize → two forward
+    LEADs → count — the discovery query behind funnel definitions;
+    one user-keyed shuffle, no explode, path space ≤ |types|³."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.event_path_trigrams(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -6959,6 +7033,8 @@ _VERIFY_FIRST = [
     "c_negative_pairs",
     "w_rolling_quartiles",
     "w_holt_smoothing",
+    "a_seasonal_anomaly",
+    "a_path_trigrams",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

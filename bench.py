@@ -65,6 +65,13 @@ HEADLINE = [
     "d_repeated_spans",
     "c_dsir_weights",
     "m_zorder_layout",
+    # round-6 additions (no BENCH_BASELINE entry yet — frozen at r5;
+    # their first quiet-machine medians become the baseline next round)
+    "s_sparse_cosine",
+    "a_countmin_freq",
+    "c_negative_pairs",
+    "w_rolling_quartiles",
+    "w_holt_smoothing",
 ]
 
 

@@ -750,3 +750,49 @@ def count_min_estimates(
         .cast("long")
         .alias("within_bound"),
     )
+
+
+def seasonal_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
+    """Seasonal-baseline anomaly flags: an event is anomalous when its
+    value sits more than ``z``σ from the mean of its OWN seasonal cell
+    (event_type × hour-of-day) — the calendar-profile twin of the
+    trailing ``windows.zscore_outliers`` (a burst at 3 am is an
+    anomaly even when the trailing window has already absorbed it).
+
+    Same zero-float DECISION as the rolling variant: |x−μ| > z·σ
+    multiplied through by n² — (n·x − Σx)² > z²·(n·Σx² − (Σx)²) — with
+    every term in exact integer cents. The baseline is one grouped
+    aggregate over ≤ |types|·24 cells (map-side combinable, broadcast
+    back), so the corpus scans once and nothing corpus-sized shuffles.
+    Overflow bound: n_cell·(100·max|v|)² < 2^63; at far larger cells
+    swap the long sums for DECIMAL accumulators.
+    """
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hour"),
+        "value",
+        cents.alias("__c"),
+    )
+    stats = base.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__c").alias("__sx"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sx2"),
+    )
+    j = base.join(F.broadcast(stats), ["event_type", "hour"])
+    n = F.col("n_obs")
+    dev = n * F.col("__c") - F.col("__sx")
+    var_n2 = n * F.col("__sx2") - F.col("__sx") * F.col("__sx")
+    return j.select(
+        "event_id",
+        "event_type",
+        "hour",
+        "value",
+        "n_obs",
+        ((dev * dev).cast("double") / F.lit(10000.0)).alias("sq_dev_n2"),
+        ((F.lit(z * z) * var_n2).cast("double") / F.lit(10000.0)).alias(
+            "sq_bound_n2"
+        ),
+        (dev * dev > F.lit(z * z) * var_n2).alias("is_outlier"),
+    )

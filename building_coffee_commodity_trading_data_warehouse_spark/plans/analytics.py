@@ -1137,3 +1137,43 @@ def promotion_candidates(
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+def event_path_trigrams(events: DataFrame, gap_minutes: int = 30, topn: int = 50) -> DataFrame:
+    """Clickstream path mining: the top-``topn`` 3-step event-type
+    paths users take WITHIN a session — sessionize (lag + conditional
+    cumsum, ``windows.sessionize``), then two LEADs build each row's
+    forward trigram and a map-side-combinable count ends in
+    TakeOrderedAndProject. The funnel family (a_funnel_steps) asks "did
+    the fixed path happen"; this asks the inverse — "which paths
+    happen", the query that DISCOVERS the funnels worth defining.
+
+    Shape: both window specs (session assignment, forward leads) key
+    by user, so the corpus shuffles once on user_id; trigram
+    concatenation is NULL-propagating (last two rows of a session emit
+    no path) — no explode, no self-join, path cardinality bounded by
+    |event_types|³.
+    """
+    from ..operators.windows import sessionize
+
+    sess = sessionize(events, gap_minutes)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws skips NULLs rather than propagating: guard explicitly
+    full = (
+        F.lead("event_type", 2).over(w).isNotNull()
+        & F.lead("event_type", 1).over(w).isNotNull()
+    )
+    return (
+        sess.select(F.when(full, path).alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(topn)
+    )

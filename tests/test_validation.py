@@ -204,3 +204,62 @@ def test_streaming_drains_compose_with_snapshots(spark, sf_dir, tmp_path):
     n0 = snapshots.read_version(spark, table, 0).count()
     n1 = snapshots.read_version(spark, table, 1).count()
     assert n0 == n1 > 0  # same static source → same aggregate, twice
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    # 40 calm events at hour 3 + one 100x spike in the same cell;
+    # a different hour keeps its own baseline
+    rows = [
+        (i, _dt.datetime(2024, 1, 1 + i % 20, 3, i % 60), 1, "view",
+         10.0 + (i % 2), "{}")
+        for i in range(40)
+    ]
+    rows.append((99, _dt.datetime(2024, 1, 5, 3, 30), 1, "view", 1000.0, "{}"))
+    rows += [
+        (200 + i, _dt.datetime(2024, 1, 1, 7, i), 1, "view", 10.0 + (i % 2), "{}")
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in aggregates.seasonal_anomalies(ev).collect()}
+    assert out[99]["is_outlier"] is True
+    flagged = [k for k, r in out.items() if r["is_outlier"]]
+    assert flagged == [99]
+    assert out[99]["hour"] == 3 and out[99]["n_obs"] == 41
+
+
+def test_event_path_trigrams_known_session(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    # one session a>b>c>d -> trigrams a>b>c, b>c>d; a second session
+    # (90 min later) repeats a>b>c
+    t0 = _dt.datetime(2024, 1, 1, 8, 0)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + _dt.timedelta(minutes=1), 1, "b", 1.0, "{}"),
+        (3, t0 + _dt.timedelta(minutes=2), 1, "c", 1.0, "{}"),
+        (4, t0 + _dt.timedelta(minutes=3), 1, "d", 1.0, "{}"),
+        (5, t0 + _dt.timedelta(minutes=95), 1, "a", 1.0, "{}"),
+        (6, t0 + _dt.timedelta(minutes=96), 1, "b", 1.0, "{}"),
+        (7, t0 + _dt.timedelta(minutes=97), 1, "c", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["path"]: r["n"] for r in analytics.event_path_trigrams(ev).collect()}
+    assert got == {"a>b>c": 2, "b>c>d": 1}
