@@ -6921,6 +6921,59 @@ def _q_path_trigrams(spark, sf_dir):
     return analytics.event_path_trigrams(_t(spark, sf_dir, "events"))
 
 
+_MH_K = 8
+_MH_HASHES = ",\n         ".join(
+    f"MIN(md5('{i}|' || shingle)) AS h_{i}" for i in range(_MH_K)
+)
+_MH_PB = ",\n         ".join(
+    f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(_MH_K)
+)
+_MH_MERGE = ",\n         ".join(f"MIN(mh_{i}) AS mh_{i}" for i in range(_MH_K))
+_MH_OK = " AND ".join(f"m.mh_{i} = d2.h_{i}" for i in range(_MH_K))
+_MH_OUT = ", ".join(f"m.mh_{i}" for i in range(_MH_K))
+
+
+@_register(
+    "d_minhash_rollup",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+g AS (
+  SELECT s.doc_id, s.shingle, d.source, s.doc_id % 3 AS batch
+  FROM sh s JOIN documents d USING (doc_id)
+),
+pb AS (
+  SELECT source, batch,
+         {_MH_PB}
+  FROM g GROUP BY source, batch
+),
+m AS (
+  SELECT source,
+         {_MH_MERGE}
+  FROM pb GROUP BY source
+),
+d2 AS (
+  SELECT source,
+         {_MH_HASHES}
+  FROM g GROUP BY source
+)
+SELECT m.source, {_MH_OUT},
+       CAST({_MH_OK} AS BIGINT) AS merge_ok
+FROM m JOIN d2 USING (source)
+""",
+)
+def _q_minhash_rollup(spark, sf_dir):
+    """Mergeable per-source MinHash set signatures with the
+    elementwise-min MERGE CERTIFICATE (``dedup.minhash_rollup_certify``)
+    — the MinHash twin of the HLL sketch rollup: per-batch signatures
+    maintained incrementally must equal the direct per-source fold
+    (sig(A∪B) = min(sig A, sig B), a theorem the query proves on real
+    data). Signatures are md5-lexicographic minima, replayed exactly
+    by the oracle; merge_ok must be all-1."""
+    return dedup.minhash_rollup_certify(
+        _t(spark, sf_dir, "documents"), k=_MH_K, n=2, n_batches=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7035,6 +7088,7 @@ _VERIFY_FIRST = [
     "w_holt_smoothing",
     "a_seasonal_anomaly",
     "a_path_trigrams",
+    "d_minhash_rollup",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -1002,3 +1002,64 @@ def edit_distance_pairs(
     return cand.filter(dist <= max_dist).select(
         "id_a", "id_b", "text_a", "text_b", dist.cast("int").alias("dist")
     )
+
+
+def minhash_rollup_certify(
+    documents: DataFrame,
+    k: int = 8,
+    n: int = 2,
+    group_col: str = "source",
+    n_batches: int = 3,
+) -> DataFrame:
+    """Mergeable SET-level MinHash: one k-seed signature per group
+    (e.g. per source) summarizing the group's whole shingle set, plus
+    a per-seed MERGE certificate — the MinHash twin of the HLL sketch
+    rollup (a_sketch_rollup): sig(A∪B) = elementwise min(sig(A),
+    sig(B)), so per-batch signatures maintained incrementally must
+    equal the signature computed directly over the full group.
+
+    This query PROVES that identity on real data: shingles split into
+    ``n_batches`` deterministic batches (doc_id mod), per-(group,
+    batch) signatures fold first (map-side partial mins — the only
+    shingle-sized shuffle), batches merge by elementwise min, and the
+    result is compared seed-by-seed against the direct per-group
+    fold. Output: (group, mh_0..mh_{k-1}, merge_ok) with the
+    signatures themselves in the output — md5-lexicographic minima,
+    so the oracle replays them exactly; merge_ok must be all-true by
+    the theorem. At 100 TB this is how per-partition sketches roll up
+    to corpus level without ever recomputing from raw text.
+    """
+    sh = shingles(documents, n).join(
+        documents.select("doc_id", group_col), "doc_id"
+    )
+    hashes = sh.select(
+        F.col(group_col).alias("grp"),
+        (F.col("doc_id") % n_batches).alias("batch"),
+        *[
+            F.md5(
+                F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary")
+            ).alias(f"h_{i}")
+            for i in range(k)
+        ],
+    )
+    per_batch = hashes.groupBy("grp", "batch").agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(k)]
+    )
+    merged = per_batch.groupBy("grp").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(k)]
+    )
+    direct = hashes.groupBy("grp").agg(
+        *[F.min(f"h_{i}").alias(f"d_{i}") for i in range(k)]
+    )
+    ok = None
+    for i in range(k):
+        eq = F.col(f"mh_{i}") == F.col(f"d_{i}")
+        ok = eq if ok is None else (ok & eq)
+    return (
+        merged.join(direct, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            *[F.col(f"mh_{i}") for i in range(k)],
+            ok.cast("long").alias("merge_ok"),
+        )
+    )

@@ -291,3 +291,32 @@ def test_sparse_cosine_stop_terms_pruned(spark):
         docs, max_df=3, t_num=0, t_den=1
     ).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+
+
+def test_minhash_rollup_merge_certificate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web"),
+            (2, "beta gamma epsilon", "web"),
+            (3, "zeta eta theta", "web"),
+            (4, "alpha beta unrelated words", "book"),
+            (5, "totally different text here", "book"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dedup.minhash_rollup_certify(docs, k=4, n=2, n_batches=2).collect()
+    assert {r["source"] for r in out} == {"web", "book"}
+    for r in out:
+        assert r["merge_ok"] == 1
+    # the signature is a pure set property: doubling a doc's batch
+    # membership (merge order) must not change the per-source sig
+    again = {
+        (r["source"], r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"])
+        for r in dedup.minhash_rollup_certify(
+            docs.repartition(7), k=4, n=2, n_batches=5
+        ).collect()
+    }
+    base = {
+        (r["source"], r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"]) for r in out
+    }
+    assert again == base
