@@ -6974,6 +6974,68 @@ def _q_minhash_rollup(spark, sf_dir):
     )
 
 
+@_register(
+    "st_countmin",
+    """
+WITH o AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+cells AS (
+  SELECT r,
+         CAST(concat('0x', substr(md5(r || '|' || item), 1, 8)) AS BIGINT)
+           % 128 AS c,
+         COUNT(*) AS cell
+  FROM o CROSS JOIN range(4) t(r)
+  GROUP BY 1, 2
+),
+tr AS (SELECT item, COUNT(*) AS true_count FROM o GROUP BY item),
+top AS (SELECT * FROM tr ORDER BY true_count DESC, item LIMIT 20),
+n AS (SELECT COUNT(*) AS total FROM o),
+probes AS (
+  SELECT item, true_count, r,
+         CAST(concat('0x', substr(md5(r || '|' || item), 1, 8)) AS BIGINT)
+           % 128 AS c
+  FROM top CROSS JOIN range(4) t(r)
+),
+est AS (
+  SELECT p.item, p.true_count, MIN(c.cell) AS cms_estimate
+  FROM probes p JOIN cells c USING (r, c)
+  GROUP BY 1, 2
+)
+SELECT item, true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate >= true_count AS BIGINT) AS no_underestimate,
+       CAST(cms_estimate <= true_count + (2 * total) / 128 AS BIGINT)
+         AS within_bound
+FROM est, n
+""",
+)
+def _q_st_countmin(spark, sf_dir):
+    """STREAMING Count-Min: the 4×128 cell table is maintained BY THE
+    STREAMING ENGINE (``aggregates.count_min_cells`` runs unchanged on
+    the event stream, complete mode — cross-micro-batch state update
+    IS the sketch's cell-addition merge), drained via availableNow,
+    then read back in batch (``count_min_readback``) for the true
+    top-20 users with the no-underestimate and 2N/width certificates.
+    Value-exact vs the batch oracle because streamed counts are exact
+    and every hash is md5-derived."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    occ_stream = _stream_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    cells_stream = aggregates.count_min_cells(occ_stream, depth=4, width=128)
+    cells = pipeline.run_available_now(
+        cells_stream, f"st_cms_{next(_STREAM_SEQ)}"
+    )
+    occ_batch = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("item")
+    )
+    return aggregates.count_min_readback(
+        cells, occ_batch, depth=4, width=128, topn=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7089,6 +7151,7 @@ _VERIFY_FIRST = [
     "a_seasonal_anomaly",
     "a_path_trigrams",
     "d_minhash_rollup",
+    "st_countmin",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -694,7 +694,22 @@ def count_min_estimates(
     is md5-derived.
     """
     occurrences = items.select(F.col(item_col).cast("string").alias("item"))
-    cells = (
+    cells = count_min_cells(occurrences, depth=depth, width=width)
+    return count_min_readback(
+        cells, occurrences, depth=depth, width=width, topn=topn
+    )
+
+
+def count_min_cells(
+    occurrences: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The sketch itself: (r, c, cell) counts over an ``item`` column —
+    a plain groupBy, so it runs UNCHANGED on a STREAMING DataFrame
+    (complete mode): the engine maintains the ≤ depth·width cells
+    incrementally across micro-batches, which IS the CMS merge
+    (cell-wise addition). Split out so batch and streaming share one
+    definition."""
+    return (
         occurrences.select(
             F.explode(
                 F.array(
@@ -711,6 +726,17 @@ def count_min_estimates(
         .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("cell"))
     )
+
+
+def count_min_readback(
+    cells: DataFrame,
+    occurrences: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    topn: int = 20,
+) -> DataFrame:
+    """Estimate read-back + certification against true counts (see
+    count_min_estimates docstring for the bounds)."""
     true = occurrences.groupBy("item").agg(
         F.count(F.lit(1)).alias("true_count")
     )

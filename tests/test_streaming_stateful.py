@@ -373,3 +373,43 @@ def test_tws_totals_guard_or_parity(spark, tmp_path):
     assert [(r["user_id"], r["n_events"], r["total_value"]) for r in out] == [
         (7, 2, 3.75)
     ]
+
+
+def test_streaming_countmin_cells_equal_batch(spark, tmp_path):
+    """The CMS cell table maintained across micro-batches must equal
+    the batch sketch — cell addition IS the merge, so feeding the same
+    rows in two files (two micro-batches) cannot change any cell."""
+    import pandas as pd
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    rows_a = [{"item": f"u{i % 7}"} for i in range(40)]
+    rows_b = [{"item": f"u{i % 13}"} for i in range(60)]
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(rows_a).to_parquet(src / "a.parquet")
+    pd.DataFrame(rows_b).to_parquet(src / "b.parquet")
+
+    batch_df = spark.read.parquet(str(src))
+    stream_df = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    want = sorted(
+        map(tuple, aggregates.count_min_cells(batch_df, 4, 64).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            pipeline.run_available_now(
+                aggregates.count_min_cells(stream_df, 4, 64), "t_cms_cells"
+            ).collect(),
+        )
+    )
+    assert got == want
