@@ -7036,6 +7036,48 @@ def _q_st_countmin(spark, sf_dir):
     )
 
 
+@_register(
+    "w_cusum",
+    """
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(FLOOR(value * 65536.0) AS BIGINT) AS c
+  FROM events
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sx
+  FROM b GROUP BY user_id
+),
+p AS (
+  SELECT b.event_id, b.user_id, b.ts, b.value, s.n,
+         SUM(s.n * b.c - s.sx) OVER w AS pp
+  FROM b JOIN s USING (user_id)
+  WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+m AS (
+  SELECT *, pp - MIN(pp) OVER w2 AS st
+  FROM p
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       value, CAST(n AS BIGINT) AS n_obs,
+       CAST(st AS DOUBLE) / (n * 65536.0) AS cusum_stat,
+       st > n * CAST(200 * 65536 AS BIGINT) AS is_alarm
+FROM m
+""",
+)
+def _q_cusum(spark, sf_dir):
+    """One-sided CUSUM change detection per user
+    (``windows.cusum_changepoints``): the max(0, s+(x−μ)) recursion
+    rewritten as P_t − min prefix P — two stacked window functions on
+    one exchange, zero floating point until the final division (the
+    deviation multiplies through by n like the z-score family)."""
+    return windows.cusum_changepoints(_t(spark, sf_dir, "events"), h_units=200)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7152,6 +7194,7 @@ _VERIFY_FIRST = [
     "a_path_trigrams",
     "d_minhash_rollup",
     "st_countmin",
+    "w_cusum",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -882,3 +882,53 @@ def holt_smoothing(events: DataFrame) -> DataFrame:
         "trend",
         (F.col("level") + F.col("trend")).alias("forecast"),
     )
+
+
+def cusum_changepoints(events: DataFrame, h_units: int = 200) -> DataFrame:
+    """One-sided CUSUM change detection per user: the alarm statistic
+    s_t = max(0, s_{t−1} + (x_t − μ)) looks inherently sequential, but
+    it has the classic prefix rewrite s_t = P_t − min_{j≤t} P_j with
+    P = Σ(x−μ) — so the whole detector becomes TWO stacked window
+    functions (running sum, running min) on ONE exchange per user key,
+    no applyInPandas, no recursion. μ is the user's own mean
+    (two-pass: one tiny per-user aggregate broadcast back).
+
+    Zero floating point anywhere: x quantizes to the 2^-16 lattice and
+    the deviation multiplies through by n — d_t = n·c_t − Σc is an
+    exact integer, so P, its running min, s, and the alarm comparison
+    s_t > h·n·2^16 all stay in BIGINT. The reported statistic leaves
+    as ONE double division at the end. Alarm threshold ``h_units`` is
+    in value units.
+    """
+    lat = 1 << 16
+    c = F.floor(F.col("value") * F.lit(float(lat))).cast("long")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        c.alias("__c"),
+    )
+    stats = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__c").alias("__sx")
+    )
+    j = base.join(F.broadcast(stats), "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.col("__n") * F.col("__c") - F.col("__sx")
+    # two projections because window functions cannot nest — both
+    # specs share partitioning+ordering, so they stack on ONE exchange
+    with_p = j.withColumn("__p", F.sum(dev).over(run))
+    s = F.col("__p") - F.min("__p").over(run)  # ≥ 0 by construction
+    alarm = s > F.col("__n") * F.lit(h_units * lat)
+    return with_p.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        F.col("__n").alias("n_obs"),
+        (s.cast("double") / (F.col("__n") * F.lit(float(lat)))).alias(
+            "cusum_stat"
+        ),
+        alarm.alias("is_alarm"),
+    )

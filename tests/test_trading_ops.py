@@ -504,3 +504,33 @@ def test_holt_smoothing_partition_invariant(spark):
     a = sorted(map(tuple, windows.holt_smoothing(ev.coalesce(1)).collect()))
     b = sorted(map(tuple, windows.holt_smoothing(ev.repartition(16)).collect()))
     assert a == b
+
+
+def test_cusum_matches_recursive_definition(spark):
+    import datetime as _dt
+
+    # calm series then a level shift: the rewrite P_t - min(P) must
+    # equal the textbook recursion s_t = max(0, s_{t-1} + (x_t - mu))
+    ys = [10.0, 10.0, 10.0, 10.0, 30.0, 30.0, 30.0, 30.0]
+    rows = [
+        (i + 1, _dt.datetime(2024, 1, 1, 0, i), 1, "t", y, "{}")
+        for i, y in enumerate(ys)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["event_id"]: r
+        for r in windows.cusum_changepoints(ev, h_units=5).collect()
+    }
+    mu = sum(ys) / len(ys)  # 20.0, exact in double
+    s = 0.0
+    for i, y in enumerate(ys):
+        s = max(0.0, s + (y - mu))
+        got = out[i + 1]
+        assert got["cusum_stat"] == s, (i, got["cusum_stat"], s)
+    # the shifted tail must alarm at h=5 (s reaches 40), the calm head not
+    assert out[1]["is_alarm"] is False
+    assert out[8]["is_alarm"] is True
