@@ -7078,6 +7078,53 @@ def _q_cusum(spark, sf_dir):
     return windows.cusum_changepoints(_t(spark, sf_dir, "events"), h_units=200)
 
 
+@_register(
+    "m_image_patches",
+    r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
+  FROM documents
+),
+l AS (
+  SELECT doc_id, n, w, h,
+         list_transform(range(1, GREATEST(n, 1) + 1),
+           i -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS L
+  FROM t
+),
+px AS (
+  SELECT doc_id, w, h, k,
+         ( L[(k * 3 + 0) % GREATEST(n, 1) + 1]
+         + L[(k * 3 + 1) % GREATEST(n, 1) + 1]
+         + L[(k * 3 + 2) % GREATEST(n, 1) + 1]) // 3 AS gray
+  FROM l, UNNEST(range(0, w * h)) u(k)
+)
+SELECT doc_id,
+       CAST(CASE WHEN k // w < h // 2 THEN 0 ELSE 1 END AS INT) AS patch_row,
+       CAST(CASE WHEN k % w < w // 2 THEN 0 ELSE 1 END AS INT) AS patch_col,
+       COUNT(*) AS n_px,
+       CAST(SUM(gray) // COUNT(*) AS BIGINT) AS mean_gray,
+       CAST(1 AS BOOLEAN) AS stable_ok
+FROM px
+GROUP BY 1, 2, 3
+""",
+)
+def _q_image_patches(spark, sf_dir):
+    """ViT patch tokenization (multimodal.image_patches): 2×2 patch
+    grid per image, integer mean gray per patch — the oracle replays
+    every patch mean from the payload bytes (floor-boundary patches:
+    y < h//2 ⇔ patch row 0 at grid 2). stable_ok pins the real BMP
+    encode/decode round trip preserving all patch means."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.image_patches(media, grid=2)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7195,6 +7242,7 @@ _VERIFY_FIRST = [
     "d_minhash_rollup",
     "st_countmin",
     "w_cusum",
+    "m_image_patches",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

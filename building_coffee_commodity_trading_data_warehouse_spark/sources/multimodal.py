@@ -800,3 +800,85 @@ def _band_value(k: int, width: int):
     )
     hi_part = F.col("hash_hi").bitwiseAND(F.lit((1 << (width - lo_part_bits)) - 1))
     return F.shiftleft(hi_part, lo_part_bits).bitwiseOR(lo_part)
+
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row int, patch_col int, n_px long, "
+    "mean_gray long, stable_ok boolean"
+)
+
+
+def image_patches(media: DataFrame, grid: int = 2) -> DataFrame:
+    """ViT-style patch grid: split each image into ``grid``×``grid``
+    patches and emit one row per patch with its pixel count and
+    integer mean gray — the tokenization step a vision-transformer
+    ingest pipeline runs before embedding (patch → vector), expressed
+    as the same Arrow-batched ``mapInPandas`` plumbing as the other
+    codecs: per-batch numpy, no shuffle, nothing driver-side.
+
+    Patch (pr, pc) covers rows [(pr·h)//grid, ((pr+1)·h)//grid) ×
+    cols likewise — the floor-boundary convention, so patches tile
+    exactly even when dims don't divide. All-integer math (gray =
+    (r+g+b)//3, mean = Σ//count): the oracle replays every patch mean
+    from the payload bytes. The image derives deterministically from
+    the payload (dims = len%16+2 × len%8+2, tiled bytes — the same
+    fake-codec rule the phash gate pins) and round-trips the REAL BMP
+    encoder/decoder; ``stable_ok`` proves patch means survive it.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _means(img: "_np.ndarray", h: int, w: int):
+            gray = img.astype(_np.int64).sum(axis=2) // 3
+            out = []
+            for pr in range(grid):
+                for pc in range(grid):
+                    y0, y1 = (pr * h) // grid, ((pr + 1) * h) // grid
+                    x0, x1 = (pc * w) // grid, ((pc + 1) * w) // grid
+                    patch = gray[y0:y1, x0:x1]
+                    out.append(
+                        (pr, pc, patch.size, int(patch.sum()) // patch.size)
+                    )
+            return out
+
+        def _one(doc_id: int, payload: bytes):
+            b = bytes(payload)
+            w = len(b) % 16 + 2
+            h = len(b) % 8 + 2
+            need = w * h * 3
+            if not b:
+                b = b"\x00"
+            src = _np.frombuffer(
+                (b * (need // max(len(b), 1) + 1))[:need], dtype=_np.uint8
+            )
+            img = src.reshape(h, w, 3)
+            means = _means(img, h, w)
+            w2, h2, _c2, rgb2 = decode_bmp(encode_bmp(w, h, src.tobytes()))
+            img2 = _np.frombuffer(rgb2, dtype=_np.uint8).reshape(h2, w2, 3)
+            stable = (w2, h2) == (w, h) and _means(img2, h2, w2) == means
+            return [
+                (doc_id, pr, pc, n_px, mg, bool(stable))
+                for (pr, pc, n_px, mg) in means
+            ]
+
+        for pdf in it:
+            rows = [
+                r
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+                for r in _one(int(d), p)
+            ]
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "patch_row",
+                    "patch_col",
+                    "n_px",
+                    "mean_gray",
+                    "stable_ok",
+                ],
+            )
+
+    return media.mapInPandas(_batches, schema=PATCH_SCHEMA)

@@ -371,3 +371,61 @@ def test_decode_image_png_and_auto_dispatch(spark):
     assert bytes(out[1]["pixels"]) == img_b.tobytes()
     only_png = mm.decode_image(_media(spark, [png]), codec="png").collect()[0]
     assert bytes(only_png["pixels"]) == img_a.tobytes()
+
+
+def test_image_patches_known_image(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    # payload of 4 bytes -> w = 4%16+2 = 6, h = 4%8+2 = 6: even split,
+    # 3x3 patches of 9 px each
+    docs = spark.createDataFrame(
+        [(1, "abcd", "t", "src", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = multimodal.image_patches(media, grid=2).collect()
+    assert len(rows) == 4
+    assert all(r["stable_ok"] for r in rows)
+    assert {(r["patch_row"], r["patch_col"]) for r in rows} == {
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    }
+    assert all(r["n_px"] == 9 for r in rows)
+    # replay one patch mean in python
+    import numpy as np
+
+    b = b"abcd"
+    w = h = 6
+    need = w * h * 3
+    src = np.frombuffer((b * (need // 4 + 1))[:need], dtype=np.uint8)
+    gray = src.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+    want00 = int(gray[0:3, 0:3].sum()) // 9
+    got = {(r["patch_row"], r["patch_col"]): r["mean_gray"] for r in rows}
+    assert got[(0, 0)] == want00
+
+
+def test_image_patches_odd_dims_tile_exactly(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    # 15 bytes -> w = 15%16+2 = 17 (odd), h = 15%8+2 = 9 (odd)
+    docs = spark.createDataFrame(
+        [(2, "abcdefghijklmno", "t", "src", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = multimodal.image_patches(media, grid=2).collect()
+    # patches tile the full image: counts sum to w*h
+    assert sum(r["n_px"] for r in rows) == 17 * 9
+    sizes = {(r["patch_row"], r["patch_col"]): r["n_px"] for r in rows}
+    assert sizes[(0, 0)] == 4 * 8 and sizes[(1, 1)] == 5 * 9
