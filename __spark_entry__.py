@@ -7125,6 +7125,34 @@ def _q_image_patches(spark, sf_dir):
     return multimodal.image_patches(media, grid=2)
 
 
+@_register(
+    "s_mips_topk",
+    f"""
+WITH ex AS ({_SQL_EX}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         list_sum(list(q.val * c.val ORDER BY q.pos)) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT q_id, c_id, dot, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id)
+           AS rk
+  FROM d
+) WHERE rk <= 5
+""",
+)
+def _q_mips_topk(spark, sf_dir):
+    """Exact max-inner-product top-5 (``similarity.mips_topk``) — the
+    unnormalized-retrieval twin of s_cosine_topk: broadcast query
+    matrix, one corpus scan, fixed-order double folds bit-identical to
+    the DuckDB ordered-list fold; at scale MIPS reduces to cosine ANN
+    via norm augmentation, certified against this exact scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mips_topk(emb, emb.filter(F.col("vec_id") % 25 == 0), k=5)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7243,6 +7271,7 @@ _VERIFY_FIRST = [
     "st_countmin",
     "w_cusum",
     "m_image_patches",
+    "s_mips_topk",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -1143,3 +1143,44 @@ def sparse_cosine_pairs(
             ).alias("cosine"),
         )
     )
+
+
+def mips_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact MAX-INNER-PRODUCT top-k per query (MIPS) — the retrieval
+    objective recommender and reranker embeddings actually optimize
+    (unnormalized dot, so a vector's magnitude is part of its score —
+    cosine deliberately erases exactly that signal).
+
+    Plan: the query matrix broadcasts (queries are few by contract),
+    the corpus scans once, each pair scores with the fixed-order
+    double ``dot_fold`` (bit-identical to the DuckDB ordered-list
+    fold), and the per-query top-k terminates in one q_id-partitioned
+    row_number — the same shape as the cosine baseline. Scale path:
+    MIPS reduces to cosine ANN by the norm-augmentation transform
+    (Shrivastava & Li 2014) — append sqrt(M²−‖x‖²) to candidates and 0
+    to queries, then every LSH/IVF/PQ strategy above applies; this
+    exact scan is the oracle those would be certified against.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("__q")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("c_id"), as_double(F.col("embedding")).alias("__c")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            dot_fold(F.col("__q"), F.col("__c")).alias("dot"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "dot", F.col("rk").cast("long").alias("rk"))
+    )

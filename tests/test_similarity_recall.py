@@ -156,3 +156,25 @@ def test_pq_recall_tighter_aggregate_floor(spark, sf_dir):
     cert = similarity.pq_topk_certified(emb, q, 5, candidates=128).collect()
     assert cert and all(r["recall_ok"] and r["mean_recall_ok"] for r in cert)
     assert all(r["k_exact"] == 5 for r in cert)
+
+
+def test_mips_topk_prefers_magnitude(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    # same direction, different magnitudes: MIPS must rank the longer
+    # vector first even though cosine would tie them
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [10.0, 0.0], 0),   # large parallel
+        (2, [0.9, 0.1], 0),    # near-parallel small
+        (3, [0.0, 1.0], 0),    # orthogonal
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.mips_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    order = [r["c_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    assert order == [1, 2, 3]
+    assert sorted(out, key=lambda r: r["rk"])[0]["dot"] == 10.0
