@@ -7153,6 +7153,51 @@ def _q_mips_topk(spark, sf_dir):
     return similarity.mips_topk(emb, emb.filter(F.col("vec_id") % 25 == 0), k=5)
 
 
+@_register(
+    "w_interpolate",
+    """
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+         epoch_us(ts) AS t
+  FROM events
+),
+w2 AS (
+  SELECT *,
+         LAST_VALUE(v IGNORE NULLS) OVER back AS vp,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER back AS tp,
+         FIRST_VALUE(v IGNORE NULLS) OVER fwd AS vn,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER fwd AS tn
+  FROM b
+  WINDOW back AS (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         fwd AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, value,
+       CAST(v IS NULL AS BIGINT) AS was_masked,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN tp IS NOT NULL AND tn IS NOT NULL AND tn <> tp
+              THEN vp + (vn - vp)
+                   * (CAST(t - tp AS DOUBLE) / CAST(tn - tp AS DOUBLE))
+            WHEN tp IS NOT NULL AND tn IS NOT NULL THEN vp
+            WHEN tp IS NOT NULL THEN vp
+            ELSE vn END AS filled_value
+FROM w2
+""",
+)
+def _q_interpolate(spark, sf_dir):
+    """Time-weighted linear interpolation of masked series values
+    (``windows.interpolate_linear``): IGNORE-NULLS window extremes find
+    both bracketing observations on one user exchange; epoch-µs BIGINT
+    time deltas + one fixed double lerp make the fill bit-identical to
+    the oracle; edges degrade to the available side."""
+    return windows.interpolate_linear(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7272,6 +7317,7 @@ _VERIFY_FIRST = [
     "w_cusum",
     "m_image_patches",
     "s_mips_topk",
+    "w_interpolate",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -932,3 +932,59 @@ def cusum_changepoints(events: DataFrame, h_units: int = 200) -> DataFrame:
         ),
         alarm.alias("is_alarm"),
     )
+
+
+def interpolate_linear(
+    events: DataFrame, mask_mod: int = 5
+) -> DataFrame:
+    """Time-weighted LINEAR interpolation of missing series values per
+    user — the step up from ``forward_fill`` (which holds the last
+    value flat): a gap is filled on the straight line between its
+    bracketing observations, weighted by actual timestamps, the
+    standard sensor/price-series repair before resampling.
+
+    Missingness here is deterministic for the gate (event_id %
+    ``mask_mod`` == 0 is masked); production passes a column that is
+    already NULL. Both neighbor scans are IGNORE NULLS window
+    extremes — last non-null value/timestamp looking back, first
+    looking forward — stacked on ONE user exchange (same
+    partitioning+ordering, two frame directions). Timestamps diff as
+    exact epoch-microsecond BIGINTs; the interpolation is one fixed
+    double expression (prev + (next−prev)·frac), bit-identical across
+    engines; edges degrade to the available side.
+    """
+    masked = F.when(
+        F.col("event_id") % mask_mod == 0, F.lit(None).cast("double")
+    ).otherwise(F.col("value"))
+    t = F.unix_micros(F.col("ts"))
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        masked.alias("__v"),
+        t.alias("__t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    back = w.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    vp = F.last("__v", ignorenulls=True).over(back)
+    tp = F.last(F.when(F.col("__v").isNotNull(), F.col("__t")), True).over(back)
+    vn = F.first("__v", ignorenulls=True).over(fwd)
+    tn = F.first(F.when(F.col("__v").isNotNull(), F.col("__t")), True).over(fwd)
+    frac = (F.col("__t") - tp).cast("double") / (tn - tp).cast("double")
+    interp = vp + (vn - vp) * frac
+    filled = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.when(tp.isNotNull() & tn.isNotNull() & (tn != tp), interp)
+        .when(tp.isNotNull() & tn.isNotNull(), vp)
+        .when(tp.isNotNull(), vp)
+        .otherwise(vn)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        F.col("__v").isNull().cast("long").alias("was_masked"),
+        filled.alias("filled_value"),
+    )

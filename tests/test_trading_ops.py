@@ -534,3 +534,44 @@ def test_cusum_matches_recursive_definition(spark):
     # the shifted tail must alarm at h=5 (s reaches 40), the calm head not
     assert out[1]["is_alarm"] is False
     assert out[8]["is_alarm"] is True
+
+
+def test_interpolate_linear_time_weighted(spark):
+    import datetime as _dt
+
+    # event_id 5 and 10 are masked (id % 5 == 0); 5 sits 1/4 of the
+    # way between its neighbors in TIME, so the fill is time-weighted
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (4, t0, 1, "t", 10.0, "{}"),
+        (5, t0 + _dt.timedelta(seconds=10), 1, "t", 999.0, "{}"),  # masked
+        (6, t0 + _dt.timedelta(seconds=40), 1, "t", 50.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in windows.interpolate_linear(ev).collect()}
+    assert out[5]["was_masked"] == 1
+    assert out[5]["filled_value"] == 10.0 + (50.0 - 10.0) * 0.25
+    assert out[4]["filled_value"] == 10.0 and out[4]["was_masked"] == 0
+
+
+def test_interpolate_linear_edges_degrade(spark):
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (5, t0, 1, "t", 1.0, "{}"),               # masked, leading edge
+        (6, t0 + _dt.timedelta(minutes=1), 1, "t", 7.0, "{}"),
+        (10, t0 + _dt.timedelta(minutes=2), 1, "t", 2.0, "{}"),  # masked tail
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in windows.interpolate_linear(ev).collect()}
+    assert out[5]["filled_value"] == 7.0   # no prev -> next
+    assert out[10]["filled_value"] == 7.0  # no next -> prev
