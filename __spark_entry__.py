@@ -7198,6 +7198,81 @@ def _q_interpolate(spark, sf_dir):
     return windows.interpolate_linear(_t(spark, sf_dir, "events"))
 
 
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST({__import__('math').log10(1 + 1 / d)!r} AS DOUBLE)"
+    for d in range(1, 10)
+) + " END"
+
+
+@_register(
+    "a_benford",
+    f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+f AS (SELECT digit FROM c WHERE digit >= 1),
+g AS (SELECT digit, COUNT(*) AS n_obs FROM f GROUP BY digit),
+n AS (SELECT COUNT(*) AS total FROM f)
+SELECT digit, n_obs,
+       total * ({_BENFORD_CASE}) AS expected_n,
+       (n_obs - total * ({_BENFORD_CASE}))
+         * (n_obs - total * ({_BENFORD_CASE}))
+         / (total * ({_BENFORD_CASE})) AS chi2_term
+FROM g, n
+""",
+)
+def _q_benford(spark, sf_dir):
+    """Benford first-digit audit over order totals
+    (``aggregates.benford_digits``): leading digit from the
+    DECIMAL-cents integer's string (no float formatting, no log of
+    data), expected log10(1+1/d) proportions embedded as identical
+    repr literals — counts exact, expectations and χ² terms the same
+    fixed double expressions on both engines."""
+    return aggregates.benford_digits(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "a_markov_transitions",
+    """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+),
+p AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type, 1) OVER w2 AS to_type
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n_trans
+  FROM p WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS row_n FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n_trans, c.n_trans / r.row_n AS p
+FROM c JOIN r USING (from_type)
+""",
+)
+def _q_markov_transitions(spark, sf_dir):
+    """First-order in-session Markov transition matrix
+    (``aggregates.markov_transitions``): sessionize + one LEAD on the
+    shared user exchange, ≤ |types|² output rows; probabilities are
+    one BIGINT/BIGINT double division."""
+    return aggregates.markov_transitions(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7318,6 +7393,8 @@ _VERIFY_FIRST = [
     "m_image_patches",
     "s_mips_topk",
     "w_interpolate",
+    "a_benford",
+    "a_markov_transitions",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

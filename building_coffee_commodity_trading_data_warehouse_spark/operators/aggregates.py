@@ -822,3 +822,67 @@ def seasonal_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
         ),
         (dev * dev > F.lit(z * z) * var_n2).alias("is_outlier"),
     )
+
+
+def benford_digits(df: DataFrame, amount_col: str = "o_totalprice") -> DataFrame:
+    """Benford's-law first-digit audit over a monetary column — the
+    classic fraud/data-quality screen (fabricated amounts flunk the
+    log-uniform leading-digit law). One narrow projection + a 9-row
+    groupBy; nothing else moves.
+
+    Exactness: the leading digit comes from the DECIMAL-cents integer
+    rendered as a string (identical on any engine — no float
+    formatting, no log10 of data). The expected proportions log10(1 +
+    1/d) are data-independent CONSTANTS embedded as repr literals, so
+    expected counts and χ² contributions are the same fixed double
+    expressions on both sides.
+    """
+    import math
+
+    cents = (F.col(amount_col).cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = df.select(digit.alias("digit")).filter(F.col("digit") >= 1)
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = base.agg(F.count(F.lit(1)).alias("__total"))
+    probs = F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)])
+    exp = F.col("__total") * F.element_at(probs, F.col("digit"))
+    chi = (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            exp.alias("expected_n"),
+            chi.alias("chi2_term"),
+        )
+    )
+
+
+def markov_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """First-order Markov transition matrix of event types WITHIN
+    sessions: (from_type, to_type, n_trans, p) with p row-normalized —
+    the model behind next-action prediction and the summary the
+    path-trigram query unrolls. Sessionize + one LEAD on the shared
+    user exchange; the matrix is ≤ |types|² rows.
+    """
+    from .windows import sessionize
+    from pyspark.sql import Window as _W
+
+    sess = sessionize(events, gap_minutes)
+    w = _W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    row_tot = counts.groupBy("from_type").agg(
+        F.sum("n_trans").alias("__row_n")
+    )
+    return counts.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (F.col("n_trans") / F.col("__row_n")).alias("p"),
+    )

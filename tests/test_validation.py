@@ -263,3 +263,48 @@ def test_event_path_trigrams_known_session(spark):
     )
     got = {r["path"]: r["n"] for r in analytics.event_path_trigrams(ev).collect()}
     assert got == {"a>b>c": 2, "b>c>d": 1}
+
+
+def test_benford_counts_and_expectations(spark):
+    import math
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    # 30 values with digit 1, 10 with digit 9
+    rows = [(float(100 + i),) for i in range(30)] + [(900.5,)] * 10
+    df = spark.createDataFrame(rows, "o_totalprice double")
+    out = {r["digit"]: r for r in aggregates.benford_digits(df).collect()}
+    assert out[1]["n_obs"] == 30 and out[9]["n_obs"] == 10
+    assert out[1]["expected_n"] == 40 * math.log10(2)
+    # chi2 term is the fixed (obs-exp)^2/exp expression
+    e = out[9]["expected_n"]
+    assert out[9]["chi2_term"] == (10 - e) * (10 - e) / e
+
+
+def test_markov_transitions_probabilities(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 9, 0)
+    seq = ["a", "b", "a", "b", "c"]
+    rows = [
+        (i, t0 + _dt.timedelta(minutes=i), 1, et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["p"])
+        for r in aggregates.markov_transitions(ev).collect()
+    }
+    # transitions: a>b (x2), b>a, b>c
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5) and got[("b", "c")] == (1, 0.5)
