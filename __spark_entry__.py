@@ -7273,6 +7273,36 @@ def _q_markov_transitions(spark, sf_dir):
     return aggregates.markov_transitions(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "c_shard_plan",
+    r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard
+FROM r
+""",
+)
+def _q_shard_plan(spark, sf_dir):
+    """Balanced-output shard planning (``curate.shard_plan``): docs in
+    stable id order pack into ≈4096-token shards via a DISTRIBUTED
+    prefix sum (rank buckets + broadcast offsets — no single-task
+    window; the oracle's one-partition OVER() is exactly the plan
+    shape this avoids). The step before repartitionByRange(shard) when
+    writing even-sized training shards at 100 TB."""
+    return curate.shard_plan(
+        _t(spark, sf_dir, "documents"), tokens_per_shard=4096
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7395,6 +7425,7 @@ _VERIFY_FIRST = [
     "w_interpolate",
     "a_benford",
     "a_markov_transitions",
+    "c_shard_plan",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

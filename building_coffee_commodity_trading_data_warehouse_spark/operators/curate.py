@@ -624,3 +624,74 @@ def negative_pairs(
     return anchors.join(targets, "__tgt").select(
         id_col, F.col("neg_i").cast("int").alias("neg_i"), "neg_id"
     )
+
+
+def shard_plan(
+    documents: DataFrame,
+    tokens_per_shard: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic shard assignment for balanced training-data
+    output: documents in stable ``id_col`` order are packed into
+    consecutive shards of ≈ ``tokens_per_shard`` whitespace tokens —
+    (doc_id, n_tokens, cum_tokens, shard) with shard = ⌊(cum −
+    n)/budget⌋, the greedy boundary rule (a doc starts in the shard
+    its PREFIX lands in, so every shard except the last holds at
+    least one token and order is preserved across shards).
+
+    At 100 TB this is the writer-planning step before
+    ``df.repartitionByRange(shard).write`` — shards become even-sized
+    output files no matter how skewed document lengths are. The prefix
+    sum reuses the bucketed dense-rank pattern
+    (``windows.global_row_numbers``): token counts cumulate inside
+    value-range buckets (one corpus exchange) with broadcast
+    per-bucket offsets — no single-task window over the corpus.
+    """
+    from .windows import global_row_numbers
+    from pyspark.sql import Window as _W
+
+    toks = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    base = documents.select(F.col(id_col), toks.alias("n_tokens"))
+    ranked = global_row_numbers(base, id_col, out_col="__rank")
+    # global cumsum WITHOUT a single-task window: cumulate inside
+    # dense-rank buckets, then add broadcast per-bucket offsets — the
+    # same two-level shape the rank itself used
+    n_buckets = 64
+    total = base.agg(F.count(F.lit(1)).alias("__total"))
+    bucketed = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "__b",
+        ((F.col("__rank") - 1) * n_buckets / F.col("__total")).cast("int"),
+    )
+    w_in = (
+        _W.partitionBy("__b")
+        .orderBy("__rank")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    in_bucket = bucketed.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    offsets = (
+        in_bucket.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__bn"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__bn").over(
+                    _W.orderBy("__b").rowsBetween(_W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__b", "__off")
+    )
+    return (
+        in_bucket.join(F.broadcast(offsets), "__b")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__cum_in") + F.col("__off")).alias("cum_tokens"),
+            F.floor(
+                (F.col("__cum_in") + F.col("__off") - F.col("n_tokens"))
+                / F.lit(tokens_per_shard)
+            ).cast("long").alias("shard"),
+        )
+    )

@@ -619,3 +619,34 @@ def test_negative_pairs_stable_under_append_at_tail(spark):
     s3 = sorted(map(tuple, curate.negative_pairs(docs, k=2, seed="b").collect()))
     assert s1 == s2
     assert s1 != s3
+
+
+def test_shard_plan_boundaries_and_balance(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    # 10 docs x 3 tokens, budget 7 -> prefix starts 0,3,6,9,... shard = prefix//7
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    out = sorted(
+        curate.shard_plan(docs, tokens_per_shard=7).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["n_tokens"] for r in out] == [3] * 10
+    assert [r["cum_tokens"] for r in out] == [3 * (i + 1) for i in range(10)]
+    assert [r["shard"] for r in out] == [(3 * i) // 7 for i in range(10)]
+    # shards are contiguous in doc order
+    shards = [r["shard"] for r in out]
+    assert shards == sorted(shards)
+
+
+def test_shard_plan_partition_invariant(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 9 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, curate.shard_plan(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, curate.shard_plan(docs.repartition(16)).collect()))
+    assert a == b
