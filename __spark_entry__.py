@@ -7303,6 +7303,38 @@ def _q_shard_plan(spark, sf_dir):
     )
 
 
+@_register(
+    "q_receivables_aging",
+    f"""
+SELECT c.c_mktsegment,
+       CASE WHEN date_diff('day', o.o_orderdate, DATE '1998-08-01') <= 30
+              THEN '1:0-30'
+            WHEN date_diff('day', o.o_orderdate, DATE '1998-08-01') <= 60
+              THEN '2:31-60'
+            WHEN date_diff('day', o.o_orderdate, DATE '1998-08-01') <= 90
+              THEN '3:61-90'
+            ELSE '4:90+' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice')} AS open_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY 1, 2
+""",
+)
+def _q_receivables_aging(spark, sf_dir):
+    """Receivables aging (``analytics.receivables_aging``): open order
+    value per segment × age bucket vs an as-of date — fact pre-filter
+    before the broadcast dim join, bucket as a projection, one
+    decimal-exact grouped sum."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.receivables_aging(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7426,6 +7458,7 @@ _VERIFY_FIRST = [
     "a_benford",
     "a_markov_transitions",
     "c_shard_plan",
+    "q_receivables_aging",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

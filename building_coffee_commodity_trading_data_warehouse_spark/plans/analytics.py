@@ -1177,3 +1177,42 @@ def event_path_trigrams(events: DataFrame, gap_minutes: int = 30, topn: int = 50
         .orderBy(F.desc("n"), "path")
         .limit(topn)
     )
+
+
+def receivables_aging(
+    customer: DataFrame,
+    orders: DataFrame,
+    as_of: str = "1998-08-01",
+) -> DataFrame:
+    """Receivables aging report — the finance-desk staple the
+    reference's warehouse consumer would run next: open (non-finished)
+    order value per market segment bucketed by age against an as-of
+    date (current / 31-60 / 61-90 / 90+ days).
+
+    Shape: orders pre-filter (status <> 'F') BEFORE the broadcast
+    customer join — the fact shuffle carries only open orders; the
+    aging bucket is a pure projection (datediff + CASE); one grouped
+    decimal-exact sum ends it. Buckets are labeled with a sort prefix
+    so the report orders stably without a custom collation.
+    """
+    age = F.datediff(F.to_date(F.lit(as_of)), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "1:0-30")
+        .when(age <= 60, "2:31-60")
+        .when(age <= 90, "3:61-90")
+        .otherwise("4:90+")
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") != "F").select(
+        "o_custkey", "o_totalprice", bucket.alias("age_bucket")
+    )
+    return (
+        open_orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("open_value"),
+        )
+    )
