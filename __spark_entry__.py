@@ -7335,6 +7335,29 @@ def _q_receivables_aging(spark, sf_dir):
     )
 
 
+@_register(
+    "d_dup_stats",
+    """
+WITH pc AS (
+  SELECT source, md5(text) AS content_md5, COUNT(*) AS n_copies
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       (SUM(n_copies) - COUNT(*)) / SUM(n_copies) AS dup_rate
+FROM pc GROUP BY source
+""",
+)
+def _q_dup_stats(spark, sf_dir):
+    """Per-source duplication health report
+    (``dedup.duplication_stats``): exact-content dup rate per source —
+    text collapses to 32-byte hashes map-side, then a group-sized
+    rollup; the metric that decides where dedup effort goes."""
+    return dedup.duplication_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7459,6 +7482,7 @@ _VERIFY_FIRST = [
     "a_markov_transitions",
     "c_shard_plan",
     "q_receivables_aging",
+    "d_dup_stats",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

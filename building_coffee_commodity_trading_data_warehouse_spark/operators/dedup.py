@@ -1063,3 +1063,34 @@ def minhash_rollup_certify(
             ok.cast("long").alias("merge_ok"),
         )
     )
+
+
+def duplication_stats(
+    documents: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Per-group duplication report: (group, n_docs, n_unique,
+    n_dup_docs, dup_rate) where uniqueness is exact content identity —
+    the health metric a curation team tracks per crawl/source before
+    deciding where dedup effort goes.
+
+    One narrow aggregate over (group, content_md5) — text collapses to
+    its 32-byte hash map-side, the same trick as exact_dedup, then a
+    group-sized rollup. dup_rate is one BIGINT/BIGINT double division.
+    """
+    per_content = (
+        documents.select(
+            F.col(group_col).alias("grp"),
+            F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        )
+        .groupBy("grp", "content_md5")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    return per_content.groupBy("grp").agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_docs"),
+        (
+            (F.sum("n_copies") - F.count(F.lit(1)))
+            / F.sum("n_copies")
+        ).alias("dup_rate"),
+    ).withColumnRenamed("grp", group_col)

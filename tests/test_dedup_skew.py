@@ -320,3 +320,20 @@ def test_minhash_rollup_merge_certificate(spark):
         (r["source"], r["mh_0"], r["mh_1"], r["mh_2"], r["mh_3"]) for r in out
     }
     assert again == base
+
+
+def test_duplication_stats_exact_rates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same", "a"),
+            (2, "same", "a"),
+            (3, "other", "a"),
+            (4, "x", "b"),
+            (5, "y", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dedup.duplication_stats(docs).collect()}
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_unique"] == 2
+    assert out["a"]["n_dup_docs"] == 1 and out["a"]["dup_rate"] == 1 / 3
+    assert out["b"]["n_dup_docs"] == 0 and out["b"]["dup_rate"] == 0.0
