@@ -7358,6 +7358,55 @@ def _q_dup_stats(spark, sf_dir):
     return dedup.duplication_stats(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "w_forecast_intervals",
+    """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq
+  FROM events
+),
+h(user_id, event_id, seq, level, trend) AS (
+  SELECT user_id, event_id, seq, CAST(value AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  FROM s WHERE seq = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.seq,
+         0.5 * s.value + 0.5 * (h.level + h.trend),
+         0.25 * ((0.5 * s.value + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.75 * h.trend
+  FROM h JOIN s ON s.user_id = h.user_id AND s.seq = h.seq + 1
+),
+nx AS (
+  SELECT user_id, event_id,
+         LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_value
+  FROM events
+),
+r AS (
+  SELECT h.user_id,
+         CAST(FLOOR((nx.next_value - (h.level + h.trend)) * 65536.0)
+              AS BIGINT) AS rr
+  FROM h JOIN nx USING (user_id, event_id)
+  WHERE nx.next_value IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_resid,
+       quantile_cont(rr, 0.25) / 65536.0 AS q25_resid,
+       quantile_cont(rr, 0.5) / 65536.0 AS median_resid,
+       quantile_cont(rr, 0.75) / 65536.0 AS q75_resid
+FROM r GROUP BY user_id
+""",
+)
+def _q_forecast_intervals(spark, sf_dir):
+    """Conformal-style forecast-error calibration
+    (``windows.forecast_intervals``): Holt one-step forecasts scored
+    against realized next values, per-user residual quartiles on the
+    2^-16 lattice — the empirical prediction interval that makes the
+    point forecaster actionable."""
+    return windows.forecast_intervals(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7483,6 +7532,7 @@ _VERIFY_FIRST = [
     "c_shard_plan",
     "q_receivables_aging",
     "d_dup_stats",
+    "w_forecast_intervals",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -988,3 +988,42 @@ def interpolate_linear(
         F.col("__v").isNull().cast("long").alias("was_masked"),
         filled.alias("filled_value"),
     )
+
+
+def forecast_intervals(events: DataFrame) -> DataFrame:
+    """Per-user forecast-error calibration for the Holt forecaster —
+    conformal-style: run ``holt_smoothing``, score each one-step-ahead
+    forecast against the realized next value, and summarize the
+    residual distribution per user as exact quartiles — (user_id,
+    n_resid, q25_resid, median_resid, q75_resid). Adding these offsets
+    to a live forecast yields an empirical prediction interval, the
+    step that turns a point forecaster into something a desk can act
+    on.
+
+    Shapes: the forecast fold shuffles once on user_id; the realized
+    next value is one LEAD on the same key; residuals floor-quantize
+    onto the 2^-16 lattice so the per-user exact percentiles (dyadic
+    quartile positions) stay engine-exact.
+    """
+    h = holt_smoothing(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.select(
+        "user_id",
+        "event_id",
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+    lat = F.lit(float(1 << 16))
+    resid = F.floor(
+        (F.col("next_value") - F.col("forecast")) * lat
+    ).cast("long")
+    j = (
+        h.join(nxt, ["user_id", "event_id"])
+        .filter(F.col("next_value").isNotNull())
+        .select("user_id", resid.alias("__r"))
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_resid"),
+        (F.percentile("__r", 0.25) / lat).alias("q25_resid"),
+        (F.percentile("__r", 0.5) / lat).alias("median_resid"),
+        (F.percentile("__r", 0.75) / lat).alias("q75_resid"),
+    )

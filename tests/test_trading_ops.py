@@ -575,3 +575,36 @@ def test_interpolate_linear_edges_degrade(spark):
     out = {r["event_id"]: r for r in windows.interpolate_linear(ev).collect()}
     assert out[5]["filled_value"] == 7.0   # no prev -> next
     assert out[10]["filled_value"] == 7.0  # no next -> prev
+
+
+def test_forecast_intervals_known_residuals(spark):
+    import datetime as _dt
+
+    ys = [10.0, 10.0, 10.0, 22.0, 10.0]
+    rows = [
+        (i + 1, _dt.datetime(2024, 1, 1, 0, i), 1, "t", y, "{}")
+        for i, y in enumerate(ys)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = windows.forecast_intervals(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_resid"] == 4  # last event has no realized next value
+    # replay: forecasts from the holt fold, residual = next - forecast
+    lvl, tr = ys[0], 0.0
+    resids = []
+    for i, y in enumerate(ys):
+        if i > 0:
+            resids.append(y - (lvl + tr))
+            new = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.25 * (new - lvl) + 0.75 * tr
+            lvl = new
+    import math
+
+    lat = [math.floor(x * 65536.0) for x in sorted(resids)]
+    med = (lat[1] + lat[2]) / 2 / 65536.0
+    assert r["median_resid"] == med
