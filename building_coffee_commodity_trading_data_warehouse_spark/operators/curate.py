@@ -659,9 +659,18 @@ def shard_plan(
     # same two-level shape the rank itself used
     n_buckets = 64
     total = base.agg(F.count(F.lit(1)).alias("__total"))
-    bucketed = ranked.crossJoin(F.broadcast(total)).withColumn(
-        "__b",
-        ((F.col("__rank") - 1) * n_buckets / F.col("__total")).cast("int"),
+    # persisted: BOTH the in-bucket cumsum branch and the per-bucket
+    # offset branch read this frame — without the persist the rank
+    # windows upstream run twice (plan-audited)
+    from ..caching import scoped_persist
+
+    bucketed = scoped_persist(
+        ranked.crossJoin(F.broadcast(total)).withColumn(
+            "__b",
+            ((F.col("__rank") - 1) * n_buckets / F.col("__total")).cast(
+                "int"
+            ),
+        )
     )
     w_in = (
         _W.partitionBy("__b")
@@ -670,7 +679,7 @@ def shard_plan(
     )
     in_bucket = bucketed.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
     offsets = (
-        in_bucket.groupBy("__b")
+        bucketed.groupBy("__b")
         .agg(F.sum("n_tokens").alias("__bn"))
         .withColumn(
             "__off",

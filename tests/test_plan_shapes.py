@@ -707,3 +707,74 @@ def test_global_row_numbers_values_and_plan(spark):
     assert re.search(r"row_number\(\) windowspecdefinition\(__b#\d+L?, k#", plan), plan
     # offsets join is broadcast, not a shuffle join
     assert "BroadcastHashJoin" in plan
+
+
+def test_sparse_cosine_plan_broadcast_anti_no_cartesian(spark):
+    """The stop-term prune must be a BROADCAST LeftAnti (the stop list
+    is tiny by the df-cap bound) and nothing in the plan may fall back
+    to a cartesian/BNLJ — the inverted-index join is equality-keyed."""
+    import re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the a{i} b{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        similarity.sparse_cosine_pairs(docs, max_df=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_canonical_plan_uses_aggregate_not_window(spark):
+    """The keeper argmax must be a max_by AGGREGATE keyed by cluster
+    (map-side partials), never a per-cluster window — at corpus scale
+    nearly every cluster is a singleton and a window would rank groups
+    of one over a full sort."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", i * 2) for i in range(20)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    plan = (
+        dedup.cluster_canonical(docs, pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_cusum_windows_share_one_user_exchange(spark):
+    """Both window functions (running sum, running min) and the stats
+    join must reuse the SAME user_id hash partitioning: exactly two
+    hash exchanges total (one for the per-user stats aggregate, one
+    for the windows) and zero single-partition exchanges."""
+    import datetime as _dt
+    import re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        windows as W,
+    )
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, 0, i % 60), i % 3, "t", float(i), "{}")
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    plan = (
+        W.cusum_changepoints(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
