@@ -7407,6 +7407,34 @@ def _q_forecast_intervals(spark, sf_dir):
     return windows.forecast_intervals(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "c_dataset_card",
+    r"""
+WITH b AS (
+  SELECT source, md5(text) AS m,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+         n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT m) AS n_unique,
+       (COUNT(*) - COUNT(DISTINCT m)) / COUNT(*) AS dup_rate,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       SUM(en) / COUNT(*) AS pct_en,
+       quantile_cont(n_chars, 0.5) AS median_chars
+FROM b GROUP BY source
+""",
+)
+def _q_dataset_card(spark, sf_dir):
+    """Per-source dataset datasheet (``curate.dataset_card``): docs /
+    unique / dup rate / tokens / language share / median length in ONE
+    grouped aggregate over a narrow map-side projection — the summary
+    a curation review starts from."""
+    return curate.dataset_card(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7533,6 +7561,7 @@ _VERIFY_FIRST = [
     "q_receivables_aging",
     "d_dup_stats",
     "w_forecast_intervals",
+    "c_dataset_card",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

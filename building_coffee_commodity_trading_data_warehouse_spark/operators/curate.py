@@ -704,3 +704,32 @@ def shard_plan(
             ).cast("long").alias("shard"),
         )
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Per-source dataset datasheet — the one-stop summary a curation
+    review starts from: (source, n_docs, n_unique, dup_rate,
+    total_tokens, pct_en, median_chars). ONE grouped aggregate over a
+    narrow projection (content hash, token count, lang flag computed
+    map-side); every statistic is either an exact integer, a
+    BIGINT/BIGINT division, or an exact dyadic-position percentile —
+    engine-exact without any lattice tricks.
+    """
+    base = documents.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("__md5"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("__tok"),
+        (F.col("lang") == "en").cast("long").alias("__en"),
+        F.col("n_chars"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__md5").alias("n_unique"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("__md5"))
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        F.sum("__tok").alias("total_tokens"),
+        (F.sum("__en") / F.count(F.lit(1))).alias("pct_en"),
+        F.percentile("n_chars", 0.5).alias("median_chars"),
+    )

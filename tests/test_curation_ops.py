@@ -650,3 +650,25 @@ def test_shard_plan_partition_invariant(spark):
     a = sorted(map(tuple, curate.shard_plan(docs.coalesce(1)).collect()))
     b = sorted(map(tuple, curate.shard_plan(docs.repartition(16)).collect()))
     assert a == b
+
+
+def test_dataset_card_known_mix(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "web", 5),
+            (2, "a b c", "en", "web", 5),   # exact dup
+            (3, "d e", "fr", "web", 3),
+            (4, "x", "en", "book", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in curate.dataset_card(docs).collect()}
+    w = out["web"]
+    assert (w["n_docs"], w["n_unique"]) == (3, 2)
+    assert w["dup_rate"] == 1 / 3
+    assert w["total_tokens"] == 8
+    assert w["pct_en"] == 2 / 3
+    assert w["median_chars"] == 5.0
+    assert out["book"]["dup_rate"] == 0.0
