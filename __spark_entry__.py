@@ -7435,6 +7435,42 @@ def _q_dataset_card(spark, sf_dir):
     return curate.dataset_card(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "m_video_pairs",
+    """
+WITH f AS (
+  SELECT doc_id, i,
+         md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS fh
+  FROM documents, UNNEST(range(0, length(text) // 64)) u(i)
+  WHERE i % 4 = 0
+),
+d AS (SELECT DISTINCT doc_id, fh FROM f),
+kept AS (
+  SELECT * FROM d
+  WHERE fh NOT IN (SELECT fh FROM d GROUP BY fh HAVING COUNT(*) > 100)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM kept a JOIN kept b USING (fh)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+)
+def _q_video_pairs(spark, sf_dir):
+    """Video near-dup pairs by shared frame fingerprints
+    (``multimodal.video_frame_pairs``): sampled frames → md5
+    fingerprints → stop-frame-pruned inverted-index self-join, ≥ 2
+    shared frames — the multimodal twin of chunk dedup; the oracle
+    replays the deterministic frame slicing byte-for-byte."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.video_frame_pairs(media)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7562,6 +7598,7 @@ _VERIFY_FIRST = [
     "d_dup_stats",
     "w_forecast_intervals",
     "c_dataset_card",
+    "m_video_pairs",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

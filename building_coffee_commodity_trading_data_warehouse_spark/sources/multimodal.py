@@ -882,3 +882,47 @@ def image_patches(media: DataFrame, grid: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=PATCH_SCHEMA)
+
+
+def video_frame_pairs(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Video-level near-duplicate PAIRS by shared frame fingerprints —
+    the multimodal twin of chunk-level text dedup: sample frames
+    (``sample_frames``), fingerprint each (md5 of the raw frame),
+    and join videos that share ≥ ``min_shared`` distinct fingerprints.
+    Re-encoded or trimmed copies of a clip keep most sampled frames
+    byte-identical, which is exactly what this catches.
+
+    Scale shape: the pair stream is the frame-fingerprint inverted
+    index (Σ df² per fingerprint) — ubiquitous frames (black/intro
+    slates: the video equivalent of stopword shingles) are removed by
+    a broadcast LEFT ANTI on the ``max_df`` stop list before the
+    self-join, the same bound as stop-shingles. Fingerprints travel as
+    32-byte hashes; frame bytes never shuffle.
+    """
+    frames = (
+        sample_frames(media, frame_bytes, every_n)
+        .select("doc_id", F.md5(F.col("frame")).alias("fh"))
+        .distinct()
+    )
+    stop = (
+        frames.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fh")
+    )
+    kept = frames.join(F.broadcast(stop), "fh", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fh")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -429,3 +429,52 @@ def test_image_patches_odd_dims_tile_exactly(spark):
     assert sum(r["n_px"] for r in rows) == 17 * 9
     sizes = {(r["patch_row"], r["patch_col"]): r["n_px"] for r in rows}
     assert sizes[(0, 0)] == 4 * 8 and sizes[(1, 1)] == 5 * 9
+
+
+def test_video_frame_pairs_planted_clip_copy(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (  # noqa: F401
+        dedup,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    clip = "".join(chr(65 + (i % 26)) for i in range(512))  # 8 frames
+    other = "".join(chr(97 + (i * 7 % 26)) for i in range(512))
+    docs = spark.createDataFrame(
+        [
+            (1, clip, "en", "a", 512),
+            (2, clip[:448], "en", "a", 448),  # trimmed copy: shares frames
+            (3, other, "en", "a", 512),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = multimodal.video_frame_pairs(media).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    # sampled frames of the trimmed copy: indices 0 and 4 -> 2 shared
+    assert rows[0]["n_shared"] == 2
+
+
+def test_video_frame_pairs_stop_frames_pruned(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    slate = "X" * 64  # identical intro slate in every doc
+    docs = spark.createDataFrame(
+        [(i, slate + f"unique tail {i} " * 10, "en", "a", 200) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    # with the cap at 3, the everywhere-slate is dropped and no pair
+    # reaches min_shared
+    assert multimodal.video_frame_pairs(media, max_df=3).count() == 0
