@@ -7471,6 +7471,41 @@ def _q_video_pairs(spark, sf_dir):
     return multimodal.video_frame_pairs(media)
 
 
+@_register(
+    "q_seasonal_index",
+    f"""
+WITH ym AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         o_totalprice
+  FROM orders
+),
+m AS (
+  SELECT yr, mo, {sql_dsum('o_totalprice')} AS month_rev,
+         COUNT(*) AS n_orders
+  FROM ym GROUP BY yr, mo
+),
+y AS (
+  SELECT yr, {sql_dsum('o_totalprice')} AS year_rev FROM ym GROUP BY yr
+)
+SELECT m.yr, m.mo, m.n_orders, m.month_rev,
+       m.month_rev * 12.0 / y.year_rev AS seasonal_index
+FROM m JOIN y USING (yr)
+""",
+)
+def _q_seasonal_index(spark, sf_dir):
+    """Monthly revenue seasonality index
+    (``analytics.seasonal_index``): month ÷ (year/12), both sides
+    decimal-exact aggregates re-folded from orders, broadcast-joined
+    on year — the deseasonalization factor behind the reference's
+    Season-token concern (STG.py season parsing)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.seasonal_index(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7599,6 +7634,7 @@ _VERIFY_FIRST = [
     "w_forecast_intervals",
     "c_dataset_card",
     "m_video_pairs",
+    "q_seasonal_index",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

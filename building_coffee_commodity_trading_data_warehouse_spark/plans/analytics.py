@@ -1216,3 +1216,38 @@ def receivables_aging(
             dsum("o_totalprice").alias("open_value"),
         )
     )
+
+
+def seasonal_index(orders: DataFrame) -> DataFrame:
+    """Monthly seasonality index of order revenue: month revenue ÷
+    (year total / 12) — the deseasonalization factor a commodity desk
+    applies before comparing months (harvest cycles make raw
+    month-over-month meaningless; SURVEY §0's seasonal Season token is
+    the same concern at ingest).
+
+    Two decimal-exact aggregates from the same base (month level and
+    year level — the year side re-aggregates from orders rather than
+    from the month frame so both stay order-independent decimal
+    folds), broadcast-joined on year; the index is one fixed double
+    expression over the exact sums. Months with a zero year total
+    cannot occur (a year present has revenue), so no guard division.
+    """
+    ym = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_totalprice",
+    )
+    monthly = ym.groupBy("yr", "mo").agg(
+        dsum("o_totalprice").alias("month_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    yearly = ym.groupBy("yr").agg(dsum("o_totalprice").alias("year_rev"))
+    return monthly.join(F.broadcast(yearly), "yr").select(
+        "yr",
+        "mo",
+        "n_orders",
+        "month_rev",
+        (F.col("month_rev") * F.lit(12.0) / F.col("year_rev")).alias(
+            "seasonal_index"
+        ),
+    )
