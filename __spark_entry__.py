@@ -7506,6 +7506,43 @@ def _q_seasonal_index(spark, sf_dir):
     return analytics.seasonal_index(_t(spark, sf_dir, "orders"))
 
 
+@_register(
+    "a_sign_runs",
+    """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           - LAG(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN dd > 0 THEN 1 ELSE -1 END AS sg
+  FROM d WHERE dd IS NOT NULL AND dd <> 0
+),
+b AS (
+  SELECT user_id, sg,
+         CASE WHEN LAG(sg) OVER w IS NULL OR sg <> LAG(sg) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, COUNT(*) AS n_moves,
+       CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(brk) AS BIGINT) AS n_runs
+FROM b GROUP BY user_id
+""",
+)
+def _q_sign_runs(spark, sf_dir):
+    """Runs-test audit per user series (``aggregates.sign_runs``):
+    up/down move counts + maximal same-direction runs, all-integer on
+    the DECIMAL-cents lattice — the order-statistics cousin of the
+    Benford screen."""
+    return aggregates.sign_runs(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7635,6 +7672,7 @@ _VERIFY_FIRST = [
     "c_dataset_card",
     "m_video_pairs",
     "q_seasonal_index",
+    "a_sign_runs",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -886,3 +886,45 @@ def markov_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "n_trans",
         (F.col("n_trans") / F.col("__row_n")).alias("p"),
     )
+
+
+def sign_runs(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz-style runs audit per user series: directions of
+    consecutive value diffs (flat diffs dropped), counted as up-moves,
+    down-moves, and maximal same-direction RUNS — a manipulated or
+    synthetic series shows far fewer (trending fabrication) or far
+    more (alternating fabrication) runs than a random one, which makes
+    this the order-statistics cousin of the Benford digit screen.
+
+    All-integer: signs are ±1 from exact DECIMAL-cents comparisons, a
+    run boundary is ``sign ≠ lag(sign)``, and the count is a plain sum
+    — two stacked windows (diff, then boundary over the flat-filtered
+    sequence) on one user exchange plus a per-user rollup.
+    """
+    from pyspark.sql import Window as _W
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    diffed = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (cents - F.lag(cents, 1).over(w)).alias("__d"),
+    ).filter(F.col("__d").isNotNull() & (F.col("__d") != 0))
+    sgn = F.when(F.col("__d") > 0, 1).otherwise(-1)
+    signed = diffed.select("user_id", "ts", "event_id", sgn.alias("__s"))
+    w2 = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = (
+        F.lag("__s", 1).over(w2).isNull()
+        | (F.col("__s") != F.lag("__s", 1).over(w2))
+    ).cast("long")
+    return (
+        signed.select("user_id", "__s", boundary.alias("__b"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.sum((F.col("__s") == 1).cast("long")).alias("n_up"),
+            F.sum((F.col("__s") == -1).cast("long")).alias("n_down"),
+            F.sum("__b").alias("n_runs"),
+        )
+    )

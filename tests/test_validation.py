@@ -308,3 +308,28 @@ def test_markov_transitions_probabilities(spark):
     # transitions: a>b (x2), b>a, b>c
     assert got[("a", "b")] == (2, 1.0)
     assert got[("b", "a")] == (1, 0.5) and got[("b", "c")] == (1, 0.5)
+
+
+def test_sign_runs_known_sequence(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    # values 1,2,3,3,2,4 -> diffs +1,+1,0,-1,+2 -> signs (flat dropped)
+    # +,+,-,+ -> runs: [++][-][+] = 3
+    ys = [1.0, 2.0, 3.0, 3.0, 2.0, 4.0]
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, 0, i), 7, "t", y, "{}")
+        for i, y in enumerate(ys)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = aggregates.sign_runs(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_moves"], r["n_up"], r["n_down"], r["n_runs"]) == (4, 3, 1, 3)
