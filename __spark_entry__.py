@@ -7543,6 +7543,36 @@ def _q_sign_runs(spark, sf_dir):
     return aggregates.sign_runs(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "a_aqp_revenue",
+    f"""
+WITH b AS (
+  SELECT o_orderpriority, o_totalprice,
+         CASE WHEN CAST(concat('0x', substr(md5('aqp|' || o_orderkey), 1, 8))
+                   AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS s
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_exact,
+       CAST(SUM(s) AS BIGINT) AS n_sample,
+       {sql_dsum('o_totalprice * s')} * 16 AS est_rev,
+       {sql_dsum('o_totalprice')} AS exact_rev,
+       CAST(ABS({sql_dsum('o_totalprice * s')} * 16
+                - {sql_dsum('o_totalprice')})
+            <= 0.1 * {sql_dsum('o_totalprice')} AS BIGINT) AS rel_err_ok
+FROM b GROUP BY 1
+""",
+)
+def _q_aqp_revenue(spark, sf_dir):
+    """Approximate query processing (``aggregates.aqp_group_estimates``):
+    per-priority revenue from a deterministic 1/16 hash sample,
+    certified within 10% of the exact decimal aggregate computed
+    alongside — the scan-a-fraction dashboard trade, kept honest by a
+    cross-engine-checked error certificate."""
+    return aggregates.aqp_group_estimates(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7673,6 +7703,7 @@ _VERIFY_FIRST = [
     "m_video_pairs",
     "q_seasonal_index",
     "a_sign_runs",
+    "a_aqp_revenue",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

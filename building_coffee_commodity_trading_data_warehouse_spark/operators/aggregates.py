@@ -928,3 +928,61 @@ def sign_runs(events: DataFrame) -> DataFrame:
             F.sum("__b").alias("n_runs"),
         )
     )
+
+
+def aqp_group_estimates(
+    orders: DataFrame, inv_fraction: int = 16, max_rel_err: float = 0.1
+) -> DataFrame:
+    """Approximate query processing (AQP) demonstrator: per-priority
+    revenue estimated from a DETERMINISTIC 1/``inv_fraction`` hash
+    sample (content-addressed — the same rows on every engine and
+    run), scaled by the inverse fraction, CERTIFIED against the exact
+    decimal aggregate computed alongside: (group, n_exact, n_sample,
+    est_rev, exact_rev, rel_err_ok).
+
+    This is the scan-1/16th-answer-in-1/16th-time trade an interactive
+    dashboard makes at 100 TB; the certificate column keeps the gate
+    honest (``rel_err_ok`` asserts |est−exact| ≤ ``max_rel_err``·exact
+    — deterministic here because the sample is hash-fixed, and checked
+    cross-engine since both sides replay the identical sample).
+    Estimates stay decimal-exact (the ×inv_fraction scale is an
+    integer multiply on the decimal accumulator), so the comparison is
+    engine-exact too.
+    """
+    from ..functions.exact import dsum as _dsum
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("aqp|"), F.col("o_orderkey").cast("string"))
+                .cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    in_sample = (h % inv_fraction == 0).cast("long")
+    base = orders.select(
+        "o_orderpriority", "o_totalprice", in_sample.alias("__s")
+    )
+    g = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("__s").alias("n_sample"),
+        _dsum("o_totalprice").alias("exact_rev"),
+        _dsum(F.col("o_totalprice") * F.col("__s")).alias("__sample_rev"),
+    )
+    est = F.col("__sample_rev") * inv_fraction
+    ok = (
+        F.abs(est - F.col("exact_rev"))
+        <= F.lit(max_rel_err) * F.col("exact_rev")
+    )
+    return g.select(
+        "o_orderpriority",
+        "n_exact",
+        "n_sample",
+        est.alias("est_rev"),
+        "exact_rev",
+        ok.cast("long").alias("rel_err_ok"),
+    )

@@ -333,3 +333,20 @@ def test_sign_runs_known_sequence(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["n_moves"], r["n_up"], r["n_down"], r["n_runs"]) == (4, 3, 1, 3)
+
+
+def test_aqp_estimates_exact_replay_and_bound(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    # inv_fraction=1 -> the "sample" is everything: estimate == exact
+    docs = spark.createDataFrame(
+        [(i, "P", 100.0 + i) for i in range(40)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    out = aggregates.aqp_group_estimates(docs, inv_fraction=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sample"] == r["n_exact"] == 40
+    assert r["est_rev"] == r["exact_rev"] and r["rel_err_ok"] == 1
