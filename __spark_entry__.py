@@ -7573,6 +7573,48 @@ def _q_aqp_revenue(spark, sf_dir):
     return aggregates.aqp_group_estimates(_t(spark, sf_dir, "orders"))
 
 
+@_register(
+    "a_ks_drift",
+    """
+WITH t AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pv AS (
+  SELECT v, CAST(SUM(a) AS BIGINT) AS d_a, CAST(SUM(b) AS BIGINT) AS d_b
+  FROM t GROUP BY v
+),
+c AS (
+  SELECT v,
+         CAST(SUM(d_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c_a,
+         CAST(SUM(d_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c_b
+  FROM pv
+),
+n AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+  FROM t
+)
+SELECT n_a, n_b,
+       CAST(MAX(ABS(n_b * c_a - n_a * c_b)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(n_b * c_a - n_a * c_b)) AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS ks_stat
+FROM c, n
+GROUP BY n_a, n_b
+""",
+)
+def _q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic
+    (``aggregates.ks_drift``): click-vs-view value distributions,
+    exact — per-tick counts first (distinct values bounded by the
+    2-decimal lattice, not the corpus), integer cross-multiplied CDF
+    difference, one division at the end."""
+    return aggregates.ks_drift(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7704,6 +7746,7 @@ _VERIFY_FIRST = [
     "q_seasonal_index",
     "a_sign_runs",
     "a_aqp_revenue",
+    "a_ks_drift",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -986,3 +986,63 @@ def aqp_group_estimates(
         "exact_rev",
         ok.cast("long").alias("rel_err_ok"),
     )
+
+
+def ks_drift(
+    events: DataFrame, type_a: str = "click", type_b: str = "view"
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types — the drift test a pipeline runs
+    between yesterday's and today's feature distribution before
+    trusting a model. Output: one row (n_a, n_b, ks_num, ks_stat)
+    where ks_stat = max|F_a − F_b|.
+
+    Exact, no sort of the raw data: values collapse to per-DISTINCT-
+    value counts first (one corpus shuffle; the 2-decimal tick lattice
+    bounds distinct values by the value RANGE — ~10⁴·range ticks —
+    independent of corpus size, so the subsequent ordered prefix sum
+    runs over a bounded frame, the same vocabulary-sized-sort argument
+    as the bitmap dictionary). The CDF difference cross-multiplies to
+    integers: ks_num = max|n_b·C_a(v) − n_a·C_b(v)| is an exact
+    BIGINT; the statistic divides once at the end.
+    """
+    from pyspark.sql import Window as _W
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    tagged = events.filter(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        cents.alias("v"),
+        (F.col("event_type") == type_a).cast("long").alias("__a"),
+        (F.col("event_type") == type_b).cast("long").alias("__b"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("__a").alias("d_a"), F.sum("__b").alias("d_b")
+    )
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("d_a").over(w).alias("c_a"),
+        F.sum("d_b").over(w).alias("c_b"),
+    )
+    totals = tagged.agg(
+        F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b")
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("n_b") * F.col("c_a") - F.col("n_a") * F.col("c_b")
+        ).alias("__d"),
+    )
+    return diffs.groupBy("n_a", "n_b").agg(
+        F.max("__d").alias("ks_num")
+    ).select(
+        "n_a",
+        "n_b",
+        "ks_num",
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks_stat"),
+    )

@@ -350,3 +350,53 @@ def test_aqp_estimates_exact_replay_and_bound(spark):
     r = out[0]
     assert r["n_sample"] == r["n_exact"] == 40
     assert r["est_rev"] == r["exact_rev"] and r["rel_err_ok"] == 1
+
+
+def test_ks_drift_matches_scipy_style_definition(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [3.0, 4.0, 5.0, 6.0]
+    rows = [
+        (i, _dt.datetime(2024, 1, 1), 1, "click", v, "{}")
+        for i, v in enumerate(a_vals)
+    ] + [
+        (100 + i, _dt.datetime(2024, 1, 1), 1, "view", v, "{}")
+        for i, v in enumerate(b_vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = aggregates.ks_drift(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    # at v=2: F_a = 2/4, F_b = 0 -> D = 0.5 (the max)
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_stat"] == 0.5 and r["ks_num"] == 8
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1), 1, t, float(i % 5), "{}")
+        for i in range(20)
+        for t in ("click", "view")
+    ]
+    ev = spark.createDataFrame(
+        [(i * 2 + j, ts, u, t, v, p) for i, (_, ts, u, t, v, p) in enumerate(rows) for j in [0]],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = aggregates.ks_drift(ev).collect()[0]
+    assert r["ks_num"] == 0 and r["ks_stat"] == 0.0
