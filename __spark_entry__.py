@@ -7615,6 +7615,43 @@ def _q_ks_drift(spark, sf_dir):
     return aggregates.ks_drift(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "q_association_rules",
+    """
+WITH n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM lineitem),
+p AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pc AS (SELECT part_a, part_b, COUNT(*) AS c_ab FROM p GROUP BY 1, 2),
+ia AS (
+  SELECT l_partkey AS part, COUNT(DISTINCT l_orderkey) AS c_item
+  FROM lineitem GROUP BY 1
+)
+SELECT pc.part_a, pc.part_b, pc.c_ab,
+       x.c_item AS c_a, y.c_item AS c_b,
+       pc.c_ab / nb AS support,
+       pc.c_ab / x.c_item AS confidence,
+       CAST(pc.c_ab * nb AS DOUBLE)
+         / CAST(x.c_item * y.c_item AS DOUBLE) AS lift
+FROM pc JOIN ia x ON pc.part_a = x.part JOIN ia y ON pc.part_b = y.part, n
+ORDER BY lift DESC, part_a, part_b LIMIT 20
+""",
+)
+def _q_association_rules(spark, sf_dir):
+    """Association rules (support/confidence/lift) over order baskets
+    (``analytics.association_rules``): array-native pair generation
+    (no self-join — the oracle IS the naive self-join it replaces),
+    broadcast item counts, ratios of exact BIGINTs, top-20 by lift
+    into TakeOrderedAndProject."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.association_rules(_t(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7747,6 +7784,7 @@ _VERIFY_FIRST = [
     "a_sign_runs",
     "a_aqp_revenue",
     "a_ks_drift",
+    "q_association_rules",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -1251,3 +1251,71 @@ def seasonal_index(orders: DataFrame) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+def association_rules(lineitem: DataFrame, topn: int = 20) -> DataFrame:
+    """Association rules over order baskets — support, confidence and
+    lift for the strongest part pairs (the step after ``basket_pairs``
+    that turns co-occurrence counts into actionable "X implies Y"
+    rules, Agrawal-style without the multi-level Apriori tail).
+
+    Same array-native pair generation (no self-join), one extra tiny
+    aggregate for per-part basket counts (broadcast both ways onto the
+    pair frame) and a 1-row basket total. All three metrics are
+    ratios of exact BIGINT counts — single fixed double divisions —
+    and the rule ranking is by lift with a full lexical tiebreak into
+    TakeOrderedAndProject.
+    """
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("__ps")
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("__n"))
+    item_counts = (
+        baskets.select(F.explode("__ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("c_item"))
+    )
+    ps = F.col("__ps")
+    pair_lists = F.transform(
+        ps,
+        lambda x, i: F.transform(
+            F.slice(ps, i + 2, F.greatest(F.size(ps) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+        ),
+    )
+    pairs = (
+        baskets.select(F.explode(F.flatten(pair_lists)).alias("__p"))
+        .select(
+            F.col("__p.part_a").alias("part_a"),
+            F.col("__p.part_b").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = item_counts.select(
+        F.col("part").alias("part_a"), F.col("c_item").alias("c_a")
+    )
+    cb = item_counts.select(
+        F.col("part").alias("part_b"), F.col("c_item").alias("c_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.col("c_ab") / F.col("__n")).alias("support"),
+            (F.col("c_ab") / F.col("c_a")).alias("confidence"),
+            (
+                (F.col("c_ab") * F.col("__n")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(topn)
