@@ -7652,6 +7652,42 @@ def _q_association_rules(spark, sf_dir):
     return analytics.association_rules(_t(spark, sf_dir, "lineitem"))
 
 
+@_register(
+    "w_obv",
+    """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+         CAST(FLOOR(l_quantity * 65536.0) AS BIGINT) AS q
+  FROM lineitem
+),
+d AS (
+  SELECT *, p - LAG(p) OVER w AS dp
+  FROM b
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY ship_date, l_orderkey, l_linenumber)
+),
+s AS (
+  SELECT *, CASE WHEN dp > 0 THEN q WHEN dp < 0 THEN -q ELSE 0 END AS sq
+  FROM d
+)
+SELECT l_orderkey, l_linenumber, l_partkey, ship_date,
+       CAST(SUM(sq) OVER (PARTITION BY l_partkey
+                          ORDER BY ship_date, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / 65536.0 AS obv
+FROM s
+""",
+)
+def _q_obv(spark, sf_dir):
+    """On-balance volume per part (``windows.on_balance_volume``):
+    signed-quantity running sum keyed by the tick-lattice price diff —
+    the volume-confirms-price indicator as two stacked windows on one
+    part exchange, all-integer until the final division."""
+    return windows.on_balance_volume(_t(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7785,6 +7821,7 @@ _VERIFY_FIRST = [
     "a_aqp_revenue",
     "a_ks_drift",
     "q_association_rules",
+    "w_obv",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -1027,3 +1027,47 @@ def forecast_intervals(events: DataFrame) -> DataFrame:
         (F.percentile("__r", 0.5) / lat).alias("median_resid"),
         (F.percentile("__r", 0.75) / lat).alias("q75_resid"),
     )
+
+
+def on_balance_volume(lineitem: DataFrame) -> DataFrame:
+    """On-balance volume per part series: OBV_t = OBV_{t−1} ±
+    quantity, sign taken from the price move (flat moves contribute
+    zero) — the classic volume-confirms-price indicator, and another
+    "sequential" recurrence that is really just a running sum of
+    signed terms: one lag for the price diff, one cumulative sum, both
+    on the SAME part exchange.
+
+    All-integer: price diffs compare on the DECIMAL tick lattice and
+    quantities fold as lattice BIGINTs; the indicator leaves as one
+    double division.
+    """
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    lat = F.lit(float(1 << 16))
+    base = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("__p"),
+        F.floor(F.col("l_quantity") * lat).cast("long").alias("__q"),
+    )
+    diff = F.col("__p") - F.lag("__p", 1).over(w)
+    signed = (
+        F.when(diff > 0, F.col("__q"))
+        .when(diff < 0, -F.col("__q"))
+        .otherwise(F.lit(0))
+    )
+    stepped = base.withColumn("__s", signed)
+    return stepped.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "ship_date",
+        (F.sum("__s").over(run).cast("double") / lat).alias("obv"),
+    )

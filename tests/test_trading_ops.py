@@ -608,3 +608,26 @@ def test_forecast_intervals_known_residuals(spark):
     lat = [math.floor(x * 65536.0) for x in sorted(resids)]
     med = (lat[1] + lat[2]) / 2 / 65536.0
     assert r["median_resid"] == med
+
+
+def test_on_balance_volume_textbook(spark):
+    import datetime as _dt
+
+    # prices 10,12,11,11,15 with qty 1,2,3,4,5 ->
+    # OBV: 0, +2, -1, -1 (flat), +4
+    rows = [
+        (i + 1, 1, 7, _dt.date(1995, 1, 1 + i), float(p), float(q))
+        for i, (p, q) in enumerate(
+            [(10, 1), (12, 2), (11, 3), (11, 4), (15, 5)]
+        )
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_shipdate date, l_extendedprice double, l_quantity double",
+    )
+    out = {
+        r["l_orderkey"]: r["obv"]
+        for r in windows.on_balance_volume(li).collect()
+    }
+    assert out == {1: 0.0, 2: 2.0, 3: -1.0, 4: -1.0, 5: 4.0}
