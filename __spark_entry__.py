@@ -7688,6 +7688,46 @@ def _q_obv(spark, sf_dir):
     return windows.on_balance_volume(_t(spark, sf_dir, "lineitem"))
 
 
+@_register(
+    "t_tvd_sources",
+    r"""
+WITH t AS (
+  SELECT source, tok
+  FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents
+        WHERE source IN ('src0', 'src1'))
+  WHERE tok <> ''
+),
+c AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_a,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_b
+  FROM t GROUP BY tok
+),
+n AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+  FROM c
+)
+SELECT n_a, n_b,
+       CAST(SUM(ABS(c_a * n_b - c_b * n_a)) AS BIGINT) AS tvd_num,
+       CAST(SUM(ABS(c_a * n_b - c_b * n_a)) AS DOUBLE)
+         / CAST(2 * n_a * n_b AS DOUBLE) AS tvd
+FROM c, n
+GROUP BY n_a, n_b
+""",
+)
+def _q_tvd_sources(spark, sf_dir):
+    """Total-variation distance between two sources' unigram
+    distributions (``textstats.source_tvd``): the log-free corpus-mix
+    drift metric — exact BIGINT cross-multiplied numerator over the
+    Heaps-bounded vocabulary, one division at the end."""
+    return textstats.source_tvd(
+        _t(spark, sf_dir, "documents"), "src0", "src1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7822,6 +7862,7 @@ _VERIFY_FIRST = [
     "a_ks_drift",
     "q_association_rules",
     "w_obv",
+    "t_tvd_sources",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

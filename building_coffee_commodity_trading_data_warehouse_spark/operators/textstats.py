@@ -516,3 +516,57 @@ def hashed_token_features(documents: DataFrame, dim: int) -> DataFrame:
         .cast("long")
     )
     return toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+
+
+def source_tvd(
+    documents: DataFrame, source_a: str, source_b: str
+) -> DataFrame:
+    """Total-variation distance between two sources' unigram
+    distributions — the log-free corpus-mix drift metric (TVD = ½Σ|p −
+    q| bounds every downstream probability difference; the Jensen-
+    Shannon cousin needs logs, TVD stays rational): one row (n_a, n_b,
+    tvd_num, tvd) with the numerator an exact BIGINT.
+
+    Shape: one token pass filtered to the two sources (map-side
+    combinable counts per (source, token) folded in a single groupBy),
+    then the cross-multiplied sum tvd_num = Σ|c_a·n_b − c_b·n_a| over
+    the vocabulary (Heaps-bounded) — exact BIGINTs throughout;
+    tvd = tvd_num / (2·n_a·n_b) is the one double division at the end.
+    """
+    toks = (
+        documents.filter(F.col("source").isin(source_a, source_b))
+        .select(
+            "source",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum((F.col("source") == source_a).cast("long")).alias("c_a"),
+            F.sum((F.col("source") == source_b).cast("long")).alias("c_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    merged = counts.crossJoin(F.broadcast(totals))
+    num = merged.select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")
+        ).alias("__d"),
+    )
+    return num.groupBy("n_a", "n_b").agg(
+        F.sum("__d").alias("tvd_num")
+    ).select(
+        "n_a",
+        "n_b",
+        "tvd_num",
+        (
+            F.col("tvd_num").cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("tvd"),
+    )

@@ -672,3 +672,35 @@ def test_dataset_card_known_mix(spark):
     assert w["pct_en"] == 2 / 3
     assert w["median_chars"] == 5.0
     assert out["book"]["dup_rate"] == 0.0
+
+
+def test_source_tvd_known_distributions(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    # A: {x:2, y:2}; B: {x:1, z:3} -> p=(.5,.5,0), q=(.25,0,.75)
+    # TVD = .5*(|.5-.25| + |.5-0| + |0-.75|) = .75
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y y", "A"),
+            (2, "x z z z", "B"),
+            (3, "ignored", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = textstats.source_tvd(docs, "A", "B").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["tvd"] == 0.75
+    # identical distributions -> zero
+    same = textstats.source_tvd(
+        spark.createDataFrame(
+            [(1, "a b", "A"), (2, "a b", "B")],
+            "doc_id long, text string, source string",
+        ),
+        "A",
+        "B",
+    ).collect()[0]
+    assert same["tvd_num"] == 0 and same["tvd"] == 0.0
