@@ -7728,6 +7728,42 @@ def _q_tvd_sources(spark, sf_dir):
     )
 
 
+@_register(
+    "q_customer_migration",
+    f"""
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+         {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1, 2
+),
+tiers AS (
+  SELECT yr, o_custkey,
+         CAST(NTILE(4) OVER (PARTITION BY yr
+                             ORDER BY rev DESC, o_custkey) AS INT) AS tier
+  FROM yearly
+),
+m AS (SELECT MAX(yr) AS max_yr FROM tiers)
+SELECT t.yr, t.tier,
+       CAST(COALESCE(n.tier, 0) AS INT) AS next_tier,
+       COUNT(*) AS n_customers
+FROM tiers t
+LEFT JOIN tiers n ON n.yr = t.yr + 1 AND n.o_custkey = t.o_custkey, m
+WHERE t.yr < m.max_yr
+GROUP BY 1, 2, 3
+""",
+)
+def _q_customer_migration(spark, sf_dir):
+    """Year-over-year revenue-quartile migration matrix with churn as
+    tier 0 (``analytics.customer_migration``): deterministic NTILE
+    over decimal-exact yearly revenue, key-equality self-join on the
+    small yearly frame — the retention-economics rollup."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.customer_migration(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7863,6 +7899,7 @@ _VERIFY_FIRST = [
     "q_association_rules",
     "w_obv",
     "t_tvd_sources",
+    "q_customer_migration",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

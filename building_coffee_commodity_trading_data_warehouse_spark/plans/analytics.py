@@ -1319,3 +1319,38 @@ def association_rules(lineitem: DataFrame, topn: int = 20) -> DataFrame:
     return out.orderBy(
         F.col("lift").desc(), "part_a", "part_b"
     ).limit(topn)
+
+
+def customer_migration(orders: DataFrame) -> DataFrame:
+    """Year-over-year customer tier migration: customers quartiled by
+    yearly revenue (NTILE 4, deterministic revenue-then-key order),
+    then counted per (year, tier → next-year tier) transition with
+    churn (absent next year) as tier 0 — the retention-economics view
+    a commercial team plans against.
+
+    Shapes: one decimal-exact (year, customer) rollup; quartiles are a
+    year-partitioned window (years are few, customers per year many —
+    partitions stay balanced); the self-join on (customer, year+1) is
+    key-equality on the SMALL yearly frame, not on orders. The final
+    year emits no row (no next year to migrate into).
+    """
+    yearly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.col("o_custkey")
+    ).agg(dsum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("yr").orderBy(F.desc("rev"), "o_custkey")
+    tiers = yearly.select(
+        "yr", "o_custkey", F.ntile(4).over(w).alias("tier")
+    )
+    nxt = tiers.select(
+        (F.col("yr") - 1).alias("yr"),
+        "o_custkey",
+        F.col("tier").alias("next_tier"),
+    )
+    max_yr = tiers.agg(F.max("yr").alias("__max_yr"))
+    return (
+        tiers.join(nxt, ["yr", "o_custkey"], "left")
+        .crossJoin(F.broadcast(max_yr))
+        .filter(F.col("yr") < F.col("__max_yr"))
+        .groupBy("yr", "tier", F.coalesce("next_tier", F.lit(0)).alias("next_tier"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
