@@ -7764,6 +7764,52 @@ def _q_customer_migration(spark, sf_dir):
     return analytics.customer_migration(_t(spark, sf_dir, "orders"))
 
 
+@_register(
+    "d_bloom_prefilter",
+    """
+WITH hist AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+hb AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(r || '|' || text), 1, 8)) AS BIGINT)
+           % 4096 AS b
+  FROM hist CROSS JOIN range(3) t(r)
+),
+batch AS (SELECT doc_id, text FROM documents),
+bp AS (
+  SELECT doc_id, r,
+         CAST(concat('0x', substr(md5(r || '|' || text), 1, 8)) AS BIGINT)
+           % 4096 AS b
+  FROM batch CROSS JOIN range(3) t(r)
+),
+hits AS (
+  SELECT doc_id,
+         CAST(MIN(CASE WHEN b IN (SELECT b FROM hb) THEN 1 ELSE 0 END)
+              AS BIGINT) AS bloom_hit
+  FROM bp GROUP BY doc_id
+),
+ex AS (
+  SELECT doc_id,
+         CAST(md5(text) IN (SELECT md5(text) FROM hist) AS BIGINT)
+           AS is_dup_exact
+  FROM batch
+)
+SELECT h.doc_id, h.bloom_hit, e.is_dup_exact,
+       CAST(NOT (e.is_dup_exact = 1 AND h.bloom_hit = 0) AS BIGINT)
+         AS no_false_negative
+FROM hits h JOIN ex e USING (doc_id)
+""",
+)
+def _q_bloom_prefilter(spark, sf_dir):
+    """Certified Bloom pre-filter for incremental dedup
+    (``dedup.bloom_prefilter_dedup``): history folds into one
+    broadcast 4096-bit word row (conditional bit_or — history never
+    shuffles), batch probes are a projection, and the exact check runs
+    alongside so the no-false-negative theorem is hash-verified per
+    row; the oracle replays the bit-set semantics from the same md5
+    positions."""
+    return dedup.bloom_prefilter_dedup(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7900,6 +7946,7 @@ _VERIFY_FIRST = [
     "w_obv",
     "t_tvd_sources",
     "q_customer_migration",
+    "d_bloom_prefilter",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

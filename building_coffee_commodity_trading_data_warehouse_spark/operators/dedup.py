@@ -1094,3 +1094,105 @@ def duplication_stats(
             / F.sum("n_copies")
         ).alias("dup_rate"),
     ).withColumnRenamed("grp", group_col)
+
+
+def bloom_prefilter_dedup(
+    documents: DataFrame,
+    mod: int = 2,
+    bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter PRE-FILTER for incremental dedup, with its
+    no-false-negative theorem as a per-row certificate: history docs
+    (doc_id ≡ 0 mod ``mod``) fold into a ``bits``-bit Bloom filter
+    (``k`` md5-derived hash rows), each batch doc probes it, and the
+    exact content check runs alongside — (doc_id, bloom_hit,
+    is_dup_exact, no_false_negative). ``no_false_negative`` must be
+    all-1 (a true duplicate ALWAYS hits the filter); bloom_hit −
+    is_dup_exact rows are the false-positive mass the filter trades
+    for its fixed size.
+
+    This is the join-pruning pattern at 100 TB: the filter is ONE
+    broadcast row of 32-bit words (built by a single conditional
+    bit_or aggregate — history never shuffles, exactly like the
+    shingle bitmap dictionary), the probe is a pure projection, and
+    only probe-positive rows would need the exact (expensive) join in
+    production — here both branches run so the certificate can hold
+    the filter to its contract. All hashes are md5-derived, so the
+    oracle replays the bit SET semantically (distinct positions +
+    membership) and every column is value-exact.
+    """
+    n_words = bits // 32
+    # history = ids ≡ 0 (mod ``mod``), batch = ALL docs: the batch then
+    # contains every history doc, so the no-false-negative theorem is
+    # exercised on real positives even in a dup-free corpus (a disjoint
+    # id split would probe only the false-positive path)
+    hist = documents.filter(F.col("doc_id") % mod == 0)
+    batch = documents
+
+    def pos(r: int) -> Column:
+        h = F.md5(
+            F.concat(F.lit(f"{r}|"), F.col("text")).cast("binary")
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % bits
+
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    hist_bits = (
+        hist.select(
+            F.explode(F.array(*[pos(r) for r in range(k)])).alias("b")
+        )
+        .distinct()
+        .select(
+            (F.col("b") / 32).cast("int").alias("w"),
+            F.element_at(pow2, (F.col("b") % 32).cast("int") + 1).alias(
+                "bit"
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    bloom_row = hist_bits.groupBy().agg(
+        *[
+            F.bit_or(
+                F.when(F.col("w") == w, F.col("bit")).otherwise(zero)
+            ).alias(f"w{w}")
+            for w in range(n_words)
+        ]
+    )
+    bloom = bloom_row.select(
+        F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("__bloom")
+    )
+    probed = batch.crossJoin(F.broadcast(bloom))
+    hit = None
+    for r in range(k):
+        p = pos(r)
+        word = F.element_at(F.col("__bloom"), (p / 32).cast("int") + 1)
+        bit = F.element_at(pow2, (p % 32).cast("int") + 1)
+        h_r = word.bitwiseAND(bit) != 0
+        hit = h_r if hit is None else (hit & h_r)
+    hist_md5 = hist.select(
+        F.md5(F.col("text").cast("binary")).alias("__m")
+    ).distinct()
+    with_md5 = probed.withColumn(
+        "__m", F.md5(F.col("text").cast("binary"))
+    ).withColumn("bloom_hit", hit.cast("long"))
+    dup_ids = (
+        with_md5.join(F.broadcast(hist_md5), "__m", "left_semi")
+        .select("doc_id")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        with_md5.join(dup_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup_exact"),
+            (
+                ~(
+                    (F.coalesce(F.col("__dup"), F.lit(0)) == 1)
+                    & (F.col("bloom_hit") == 0)
+                )
+            )
+            .cast("long")
+            .alias("no_false_negative"),
+        )
+    )

@@ -337,3 +337,24 @@ def test_duplication_stats_exact_rates(spark):
     assert out["a"]["n_docs"] == 3 and out["a"]["n_unique"] == 2
     assert out["a"]["n_dup_docs"] == 1 and out["a"]["dup_rate"] == 1 / 3
     assert out["b"]["n_dup_docs"] == 0 and out["b"]["dup_rate"] == 0.0
+
+
+def test_bloom_prefilter_no_false_negatives_and_hits(spark):
+    # history = even ids; batch = everything. Odd doc 5 duplicates
+    # history content, odd docs 7/9 are fresh.
+    rows = [(i, f"hist text {i}") for i in range(0, 6, 2)]  # 0,2,4
+    rows += [(5, "hist text 0"), (7, "fresh a"), (9, "fresh b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.bloom_prefilter_dedup(docs, mod=2).collect()
+    }
+    assert set(out) == {0, 2, 4, 5, 7, 9}
+    for r in out.values():
+        assert r["no_false_negative"] == 1
+    # every history doc is its own duplicate in the batch and MUST hit
+    for d in (0, 2, 4):
+        assert out[d]["is_dup_exact"] == 1 and out[d]["bloom_hit"] == 1
+    assert out[5]["is_dup_exact"] == 1 and out[5]["bloom_hit"] == 1
+    for d in (7, 9):
+        assert out[d]["is_dup_exact"] == 0
