@@ -7810,6 +7810,45 @@ def _q_bloom_prefilter(spark, sf_dir):
     return dedup.bloom_prefilter_dedup(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "c_epoch_plan",
+    r"""
+WITH ps AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+           AS tokens_available
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT *,
+         CAST(FLOOR(sqrt(CAST(tokens_available AS DOUBLE)) * 1048576.0)
+              AS BIGINT) AS sq
+  FROM ps
+),
+n AS (SELECT CAST(SUM(sq) AS BIGINT) AS norm FROM q)
+SELECT source, tokens_available,
+       CAST(sq AS DOUBLE) / CAST(norm AS DOUBLE) AS weight,
+       CAST(sq AS DOUBLE) / CAST(norm AS DOUBLE) * 100000.0
+         AS tokens_target,
+       CAST(sq AS DOUBLE) / CAST(norm AS DOUBLE) * 100000.0
+         / CAST(tokens_available AS DOUBLE) AS epochs,
+       CAST(CAST(sq AS DOUBLE) / CAST(norm AS DOUBLE) * 100000.0
+              / CAST(tokens_available AS DOUBLE) > 4.0 AS BIGINT)
+         AS over_cap
+FROM q, n
+""",
+)
+def _q_epoch_plan(spark, sf_dir):
+    """Data-budget epoch planner (``curate.epoch_plan``): temperature-2
+    source weights on the 2^-20 sqrt lattice (order-free BIGINT
+    normalizer), implied per-source epoch counts against a 100k-token
+    budget, repetition flagged past 4 epochs — the feasibility report
+    before any shard is written."""
+    return curate.epoch_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=100_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7947,6 +7986,7 @@ _VERIFY_FIRST = [
     "t_tvd_sources",
     "q_customer_migration",
     "d_bloom_prefilter",
+    "c_epoch_plan",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

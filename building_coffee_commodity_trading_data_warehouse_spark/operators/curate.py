@@ -733,3 +733,46 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         (F.sum("__en") / F.count(F.lit(1))).alias("pct_en"),
         F.percentile("n_chars", 0.5).alias("median_chars"),
     )
+
+
+def epoch_plan(
+    documents: DataFrame,
+    budget_tokens: int = 100_000,
+    epoch_cap: float = 4.0,
+) -> DataFrame:
+    """Data-budget epoch planner: given a token budget for one
+    training run, allocate it across sources by temperature-2 weights
+    (√tokens, the same flattening as ``temperature_mix``) and report
+    the implied per-source EPOCH count — (source, tokens_available,
+    weight, tokens_target, epochs, over_cap). ``epochs`` > 1 means the
+    source repeats; ``over_cap`` flags sources whose repetition
+    exceeds ``epoch_cap`` (the data-constrained-scaling rule of thumb
+    that repeated data stops helping) — exactly the report that
+    decides whether a mix is feasible before any shard is written.
+
+    Determinism: √tokens floor-quantizes onto the 2^-20 lattice and
+    the cross-source normalizer folds those BIGINTs (order-free); each
+    output is then a fixed double expression per source.
+    """
+    toks = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    per_source = documents.groupBy("source").agg(
+        F.sum(toks).alias("tokens_available")
+    )
+    lat = F.lit(float(1 << 20))
+    sq = F.floor(F.sqrt(F.col("tokens_available").cast("double")) * lat).cast(
+        "long"
+    )
+    with_sq = per_source.withColumn("__sq", sq)
+    norm = with_sq.agg(F.sum("__sq").alias("__norm"))
+    j = with_sq.crossJoin(F.broadcast(norm))
+    weight = F.col("__sq").cast("double") / F.col("__norm").cast("double")
+    target = weight * F.lit(float(budget_tokens))
+    epochs = target / F.col("tokens_available").cast("double")
+    return j.select(
+        "source",
+        "tokens_available",
+        weight.alias("weight"),
+        target.alias("tokens_target"),
+        epochs.alias("epochs"),
+        (epochs > F.lit(epoch_cap)).cast("long").alias("over_cap"),
+    )

@@ -704,3 +704,27 @@ def test_source_tvd_known_distributions(spark):
         "B",
     ).collect()[0]
     assert same["tvd_num"] == 0 and same["tvd"] == 0.0
+
+
+def test_epoch_plan_weights_and_caps(spark):
+    import math
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    # big: 100 docs x 10 tokens = 1000; small: 1 doc x 10 tokens
+    docs = spark.createDataFrame(
+        [(i, "t " * 9 + "t", "big") for i in range(100)]
+        + [(1000, "t " * 9 + "t", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in curate.epoch_plan(docs, budget_tokens=1000).collect()}
+    assert out["big"]["tokens_available"] == 1000
+    assert out["small"]["tokens_available"] == 10
+    # sqrt temperature flattens: small gets ~9% weight not ~1%
+    sq_b = math.floor(math.sqrt(1000.0) * (1 << 20))
+    sq_s = math.floor(math.sqrt(10.0) * (1 << 20))
+    assert out["small"]["weight"] == sq_s / (sq_b + sq_s)
+    # small's target (~91 tokens) implies >4 epochs of its 10 tokens
+    assert out["small"]["over_cap"] == 1
+    assert out["big"]["over_cap"] == 0
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
