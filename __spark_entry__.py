@@ -7849,6 +7849,53 @@ def _q_epoch_plan(spark, sf_dir):
     )
 
 
+@_register(
+    "t_langid_ngram",
+    """
+WITH tri AS (
+  SELECT doc_id, lang, tg
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, GREATEST(length(text) - 1, 1)),
+                      i -> substr(text, CAST(i AS INT), 3))) AS tg
+        FROM documents)
+  WHERE length(tg) = 3
+),
+pc AS (SELECT lang, tg, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+prof AS (
+  SELECT lang AS p_lang, tg FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY c DESC, tg) AS rk
+    FROM pc
+  ) WHERE rk <= 50
+),
+dt AS (SELECT DISTINCT doc_id, tg FROM tri),
+sc AS (
+  SELECT d.doc_id, p.p_lang, COUNT(*) AS score
+  FROM dt d JOIN prof p USING (tg)
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, p_lang AS pred_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, p_lang) AS rk
+    FROM sc
+  ) WHERE rk = 1
+)
+SELECT d.doc_id, d.lang,
+       COALESCE(p.pred_lang, 'unk') AS pred_lang,
+       CAST(d.lang = COALESCE(p.pred_lang, 'unk') AS BIGINT) AS correct
+FROM documents d LEFT JOIN pred p USING (doc_id)
+""",
+)
+def _q_langid_ngram(spark, sf_dir):
+    """Character-trigram language ID (Cavnar-Trenkle n-gram heuristic,
+    ``textstats.langid_ngram``): per-language top-50 trigram profiles
+    trained on the labeled corpus, argmax profile-overlap prediction —
+    integer counts, lexicographic tie-breaks, per-row correctness
+    hash-compared."""
+    return textstats.langid_ngram(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -7987,6 +8034,7 @@ _VERIFY_FIRST = [
     "q_customer_migration",
     "d_bloom_prefilter",
     "c_epoch_plan",
+    "t_langid_ngram",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

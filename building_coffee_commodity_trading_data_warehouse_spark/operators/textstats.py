@@ -570,3 +570,66 @@ def source_tvd(
             / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("tvd"),
     )
+
+
+def langid_ngram(
+    documents: DataFrame, profile_size: int = 50
+) -> DataFrame:
+    """Character-trigram language identification — the classic n-gram
+    heuristic (Cavnar & Trenkle): build a top-``profile_size`` trigram
+    PROFILE per labeled language from the corpus itself, score every
+    document by how many profile trigrams it contains, predict the
+    argmax language — (doc_id, lang, pred_lang, correct).
+
+    Shapes: the trigram stream explodes in-row (no self-join); profiles
+    are language-cardinality × ``profile_size`` rows (broadcast);
+    scoring is one semi-style inner join on the trigram + a per-doc
+    argmax window over ≤ |languages| rows. Integer counts end to end;
+    ties break lexicographically (rank: count desc, trigram asc —
+    prediction: score desc, lang asc) so the argmax is deterministic.
+    """
+    from pyspark.sql import Window as _W
+
+    tri = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)), "
+                "i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    ).filter(F.length("tg") == 3)
+    prof_counts = tri.groupBy("lang", "tg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_p = _W.partitionBy("lang").orderBy(F.desc("c"), "tg")
+    profile = (
+        prof_counts.withColumn("rk", F.row_number().over(w_p))
+        .filter(F.col("rk") <= profile_size)
+        .select(F.col("lang").alias("p_lang"), "tg")
+    )
+    doc_tris = tri.select("doc_id", "tg").distinct()
+    scores = (
+        doc_tris.join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_d = _W.partitionBy("doc_id").orderBy(F.desc("score"), "p_lang")
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w_d))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("p_lang").alias("pred_lang"))
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("unk")).alias("pred_lang"),
+            (F.col("lang") == F.coalesce("pred_lang", F.lit("unk")))
+            .cast("long")
+            .alias("correct"),
+        )
+    )

@@ -728,3 +728,21 @@ def test_epoch_plan_weights_and_caps(spark):
     assert out["small"]["over_cap"] == 1
     assert out["big"]["over_cap"] == 0
     assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-12
+
+
+def test_langid_ngram_separable_languages(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    # two synthetic "languages" with disjoint character inventories
+    en = "the cat sat on the mat and the dog ran"
+    zz = "zyx wvu zyx qpo zyx wvu nml zyx qpo zyx"
+    docs = spark.createDataFrame(
+        [(1, en, "en"), (2, en + " again", "en"), (3, zz, "zz"),
+         (4, zz + " more", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in textstats.langid_ngram(docs).collect()}
+    assert all(r["correct"] == 1 for r in out.values()), out
+    assert out[1]["pred_lang"] == "en" and out[3]["pred_lang"] == "zz"
