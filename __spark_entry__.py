@@ -7896,6 +7896,47 @@ def _q_langid_ngram(spark, sf_dir):
     return textstats.langid_ngram(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "a_cramers_v",
+    """
+WITH b AS (
+  SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS INT) AS b FROM events
+),
+obs AS (SELECT a, b, COUNT(*) AS o FROM b GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY 1),
+n AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+  FROM obs
+),
+cells AS (
+  SELECT COALESCE(obs.o, 0) AS o, ra.ra, cb.cb, n.n, n.r, n.c,
+         CAST(COALESCE(obs.o, 0) * n.n - ra.ra * cb.cb AS DOUBLE) AS dev
+  FROM ra CROSS JOIN cb
+  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b, n
+),
+s AS (
+  SELECT n, r, c,
+         CAST(SUM(CAST(FLOOR(dev * dev
+                / (CAST(ra * cb AS DOUBLE) * CAST(n AS DOUBLE))
+                * 1073741824.0) AS BIGINT)) AS DOUBLE)
+           / 1073741824.0 AS chi2
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT n, r, c, chi2,
+       sqrt(chi2 / CAST(n * LEAST(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+FROM s
+""",
+)
+def _q_cramers_v(spark, sf_dir):
+    """Cramér's V association between event type and weekday
+    (``aggregates.cramers_v``): χ² from integer contingency margins,
+    cross-multiplied deviations squared in double, cell terms folded
+    on a 2^-30 lattice (order-free), one sqrt at the end."""
+    return aggregates.cramers_v(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8035,6 +8076,7 @@ _VERIFY_FIRST = [
     "d_bloom_prefilter",
     "c_epoch_plan",
     "t_langid_ngram",
+    "a_cramers_v",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

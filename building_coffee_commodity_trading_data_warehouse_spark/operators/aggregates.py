@@ -1046,3 +1046,74 @@ def ks_drift(
             / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("ks_stat"),
     )
+
+
+def cramers_v(
+    events: DataFrame, col_a: str = "event_type", col_b: str = "__dow"
+) -> DataFrame:
+    """Cramér's V association between two categoricals (does event mix
+    depend on weekday?) — χ² over the contingency table normalized to
+    [0, 1]: one row (n, r, c, chi2, cramers_v). The routine screen for
+    "is this feature informative / is this drift structural".
+
+    Exact-portable: observed counts are integers; each expected count
+    is the rational (row·col)/n — the χ² term computes in ONE fixed
+    double expression from exact BIGINTs ((o·n − rc)² / (rc·n),
+    cross-multiplied so no intermediate rounding), summed over ≤ r·c
+    cells after a broadcast join of the two margin vectors. V =
+    √(χ²/(n·min(r−1, c−1))).
+    """
+    base = events.select(
+        F.col(col_a).alias("a"),
+        (
+            F.dayofweek("ts").cast("int")
+            if col_b == "__dow"
+            else F.col(col_b)
+        ).alias("b"),
+    )
+    obs = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    # FULL r×c grid, not just observed combos — zero cells carry χ²
+    # mass ((0−e)²/e) and omitting them understates the statistic
+    grid = ra.crossJoin(cb)
+    cells = (
+        grid.join(obs, ["a", "b"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    # dev² overflows int64 at corpus scale (dev ≤ o·n ≈ 1e10 → 1e20):
+    # cast the exact integer dev to double FIRST (dev < 2^53, so the
+    # cast is exact) and square in double — same op order both engines
+    dev = (
+        F.col("o") * F.col("n") - F.col("ra") * F.col("cb")
+    ).cast("double")
+    term = (dev * dev) / (
+        (F.col("ra") * F.col("cb")).cast("double") * F.col("n").cast("double")
+    )
+    # χ² folds as a 2^-30-lattice BIGINT sum: cell order is partition-
+    # dependent and a raw double Σ would drift in the last ulp
+    lat = F.lit(float(1 << 30))
+    chi2 = F.sum(F.floor(term * lat).cast("long")).cast("double") / lat
+    return (
+        cells.groupBy("n", "r", "c")
+        .agg(chi2.alias("chi2"))
+        .select(
+            "n",
+            "r",
+            "c",
+            "chi2",
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(F.col("r") - 1, F.col("c") - 1)
+                ).cast("double")
+            ).alias("cramers_v"),
+        )
+    )

@@ -400,3 +400,35 @@ def test_ks_drift_identical_distributions_zero(spark):
     )
     r = aggregates.ks_drift(ev).collect()[0]
     assert r["ks_num"] == 0 and r["ks_stat"] == 0.0
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    # perfect association: type 'a' only on Mondays, 'b' only on Tuesdays
+    mon, tue = _dt.datetime(2024, 1, 1, 9), _dt.datetime(2024, 1, 2, 9)
+    rows = [(i, mon, 1, "a", 1.0, "{}") for i in range(20)]
+    rows += [(100 + i, tue, 1, "b", 1.0, "{}") for i in range(20)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = aggregates.cramers_v(ev).collect()[0]
+    assert (r["r"], r["c"], r["n"]) == (2, 2, 40)
+    assert abs(r["cramers_v"] - 1.0) < 1e-8
+
+    # independence: both types on both days in equal counts -> V ~ 0
+    rows = [(i, mon, 1, t, 1.0, "{}") for i, t in enumerate(["a", "b"] * 10)]
+    rows += [(100 + i, tue, 1, t, 1.0, "{}") for i, t in enumerate(["a", "b"] * 10)]
+    ev2 = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r2 = aggregates.cramers_v(ev2).collect()[0]
+    assert r2["cramers_v"] < 1e-6
