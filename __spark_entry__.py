@@ -7937,6 +7937,40 @@ def _q_cramers_v(spark, sf_dir):
     return aggregates.cramers_v(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "q_duplicate_payments",
+    """
+WITH s AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         o_orderdate
+  FROM orders
+)
+SELECT a.o_custkey,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       ABS(a.c - b.c) / 100.0 AS amount_diff,
+       strftime(a.o_orderdate, '%Y-%m-%d') AS date_a,
+       strftime(b.o_orderdate, '%Y-%m-%d') AS date_b,
+       CAST(ABS(date_diff('day', b.o_orderdate, a.o_orderdate)) AS INT)
+         AS days_apart
+FROM s a JOIN s b ON a.o_custkey = b.o_custkey
+WHERE a.o_orderkey < b.o_orderkey
+  AND ABS(a.c - b.c) <= 100000
+  AND ABS(date_diff('day', b.o_orderdate, a.o_orderdate)) <= 30
+""",
+)
+def _q_duplicate_payments(spark, sf_dir):
+    """Near-duplicate payment screen (``analytics.duplicate_payments``):
+    same customer, amounts within $1000 on the exact cents lattice,
+    dates within 30 days — customer-keyed self-join whose pair stream
+    is bounded by per-customer order counts."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.duplicate_payments(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8077,6 +8111,7 @@ _VERIFY_FIRST = [
     "c_epoch_plan",
     "t_langid_ngram",
     "a_cramers_v",
+    "q_duplicate_payments",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

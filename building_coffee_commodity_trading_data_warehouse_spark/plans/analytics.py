@@ -1354,3 +1354,61 @@ def customer_migration(orders: DataFrame) -> DataFrame:
         .groupBy("yr", "tier", F.coalesce("next_tier", F.lit(0)).alias("next_tier"))
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+def duplicate_payments(
+    orders: DataFrame,
+    window_days: int = 30,
+    amount_tol_cents: int = 100_000,
+) -> DataFrame:
+    """Near-duplicate payment audit: pairs of orders from the SAME
+    customer with amounts within ``amount_tol_cents`` and dates within
+    ``window_days`` — the accounts-payable double-charge screen (real
+    double-pays rarely match to the cent once fees differ, so the
+    screen bands the amount).
+
+    Equality-keyed self-join on custkey with band predicates on exact
+    DECIMAL-cents amount and date — the pair stream is Σ(orders per
+    customer)², bounded because per-customer order counts are (orders
+    follow customers, not corpus size); a pathological mega-customer
+    would call for amount-bucket banding on top, the same pigeonhole
+    trick as the Hamming joins. Deduped by id order; dates surface as
+    strings.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    side = orders.select(
+        "o_orderkey", "o_custkey", cents.alias("__c"), "o_orderdate"
+    )
+    a = side.select(
+        F.col("o_orderkey").alias("order_a"),
+        "o_custkey",
+        F.col("__c").alias("c_a"),
+        F.col("o_orderdate").alias("date_a"),
+    )
+    b = side.select(
+        F.col("o_orderkey").alias("order_b"),
+        "o_custkey",
+        F.col("__c").alias("c_b"),
+        F.col("o_orderdate").alias("date_b"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.abs(F.col("c_a") - F.col("c_b")) <= amount_tol_cents)
+            & (F.abs(F.datediff("date_a", "date_b")) <= window_days)
+        )
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            (F.abs(F.col("c_a") - F.col("c_b")) / F.lit(100.0)).alias(
+                "amount_diff"
+            ),
+            F.date_format("date_a", "yyyy-MM-dd").alias("date_a"),
+            F.date_format("date_b", "yyyy-MM-dd").alias("date_b"),
+            F.abs(F.datediff("date_a", "date_b")).cast("int").alias(
+                "days_apart"
+            ),
+        )
+    )
