@@ -7971,6 +7971,47 @@ def _q_duplicate_payments(spark, sf_dir):
     return analytics.duplicate_payments(_t(spark, sf_dir, "orders"))
 
 
+@_register(
+    "q_supplier_scorecard",
+    f"""
+WITH m AS (
+  SELECT l_suppkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+         {sql_dsum('l_quantity')} AS volume,
+         {sql_davg('l_discount')} AS avg_disc
+  FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rk_revenue,
+         ROW_NUMBER() OVER (ORDER BY volume DESC, l_suppkey) AS rk_volume,
+         ROW_NUMBER() OVER (ORDER BY avg_disc ASC, l_suppkey) AS rk_discount
+  FROM m
+)
+SELECT r.l_suppkey, s.s_name, r.revenue, r.volume, r.avg_disc,
+       CAST(rk_revenue AS INT) AS rk_revenue,
+       CAST(rk_volume AS INT) AS rk_volume,
+       CAST(rk_discount AS INT) AS rk_discount,
+       CAST(rk_revenue + rk_volume + rk_discount AS INT) AS borda_score
+FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+ORDER BY borda_score, l_suppkey LIMIT 25
+""",
+)
+def _q_supplier_scorecard(spark, sf_dir):
+    """Borda-aggregated supplier scorecard
+    (``analytics.supplier_scorecard``): revenue/volume/discount ranks
+    summed into a weight-free composite — three window ranks over the
+    supplier-cardinality frame (dimension-sized, never the fact), one
+    decimal fact aggregate, top-25."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.supplier_scorecard(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8112,6 +8153,7 @@ _VERIFY_FIRST = [
     "t_langid_ngram",
     "a_cramers_v",
     "q_duplicate_payments",
+    "q_supplier_scorecard",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -1412,3 +1412,55 @@ def duplicate_payments(
             ),
         )
     )
+
+
+def supplier_scorecard(
+    supplier: DataFrame, lineitem: DataFrame, topn: int = 25
+) -> DataFrame:
+    """Multi-metric supplier scorecard via Borda rank aggregation:
+    revenue, shipped volume, and average discount (lower = better
+    margin discipline) each rank independently, the composite is the
+    rank SUM, and the final ordering is by composite — the standard
+    way to combine incommensurable KPIs without inventing weights.
+
+    Exact: metrics are decimal folds; ranks are dense integers under
+    deterministic (metric, key) orders; the composite is a small
+    integer. One fact aggregate keyed by supplier, three window ranks
+    over the supplier-cardinality frame, top-N out.
+    """
+    m = lineitem.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        dsum("l_quantity").alias("volume"),
+        davg("l_discount").alias("avg_disc"),
+    )
+    w_rev = Window.orderBy(F.desc("revenue"), "l_suppkey")
+    w_vol = Window.orderBy(F.desc("volume"), "l_suppkey")
+    w_dis = Window.orderBy(F.asc("avg_disc"), "l_suppkey")
+    ranked = (
+        m.withColumn("rk_revenue", F.row_number().over(w_rev))
+        .withColumn("rk_volume", F.row_number().over(w_vol))
+        .withColumn("rk_discount", F.row_number().over(w_dis))
+    )
+    composite = (
+        F.col("rk_revenue") + F.col("rk_volume") + F.col("rk_discount")
+    )
+    out = (
+        ranked.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_suppkey",
+            "s_name",
+            "revenue",
+            "volume",
+            "avg_disc",
+            "rk_revenue",
+            "rk_volume",
+            "rk_discount",
+            composite.alias("borda_score"),
+        )
+    )
+    return out.orderBy("borda_score", "l_suppkey").limit(topn)
