@@ -8012,6 +8012,38 @@ def _q_supplier_scorecard(spark, sf_dir):
     )
 
 
+@_register(
+    "t_vocab_growth",
+    r"""
+WITH r AS (
+  SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+  FROM documents
+),
+t AS (
+  SELECT rk, tok
+  FROM (SELECT rk, unnest(string_split_regex(text, '\s+')) AS tok FROM r)
+  WHERE tok <> ''
+),
+f AS (SELECT tok, MIN(rk) AS fr FROM t GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT CAST(pct AS INT) AS pct,
+       CAST((n * pct) // 100 AS BIGINT) AS docs_scanned,
+       CAST(SUM(CASE WHEN fr <= (n * pct) // 100 THEN 1 ELSE 0 END)
+            AS BIGINT) AS vocab_size
+FROM f, n, (SELECT unnest([25, 50, 75, 100]) AS pct)
+GROUP BY 1, 2
+""",
+)
+def _q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve (``textstats.vocab_growth``):
+    distinct tokens at 25/50/75/100% of the corpus in stable order —
+    measured from each token's FIRST-occurrence rank (one min
+    aggregate, no repeated prefix scans; ranks from the bucketed dense
+    numbering). Measures the flattening every vocabulary-sized-frame
+    argument in this repo relies on."""
+    return textstats.vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8154,6 +8186,7 @@ _VERIFY_FIRST = [
     "a_cramers_v",
     "q_duplicate_payments",
     "q_supplier_scorecard",
+    "t_vocab_growth",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

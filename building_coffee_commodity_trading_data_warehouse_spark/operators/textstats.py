@@ -633,3 +633,47 @@ def langid_ngram(
             .alias("correct"),
         )
     )
+
+
+def vocab_growth(documents: DataFrame) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, empirically): distinct
+    token count after scanning 25 / 50 / 75 / 100% of the corpus in
+    stable doc_id order — (pct, docs_scanned, vocab_size). The curve's
+    flattening rate is what justifies every vocabulary-sized-frame
+    argument in this repo (stop lists, BPE vocab, profiles), so this
+    op MEASURES the assumption instead of citing it.
+
+    One pass: each token reduces to its FIRST-occurrence document rank
+    (a min aggregate — no repeated prefix scans), and each checkpoint
+    counts tokens whose first rank clears its threshold; ranks come
+    from the bucketed dense numbering (no single-task window).
+    """
+    from .windows import global_row_numbers
+
+    ranked = global_row_numbers(
+        documents.select("doc_id", "text"), "doc_id", out_col="__rank"
+    )
+    toks = ranked.select(
+        "__rank", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("__rank").alias("__fr"))
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    cps = F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 100)])).alias(
+        "pct"
+    )
+    grid = first.crossJoin(F.broadcast(n)).select("__fr", "__n", cps)
+    thr = (F.col("__n") * F.col("pct") / 100).cast("long")
+    return (
+        grid.withColumn("__thr", thr)
+        .groupBy("pct", "__thr")
+        .agg(
+            F.sum((F.col("__fr") <= F.col("__thr")).cast("long")).alias(
+                "vocab_size"
+            )
+        )
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.col("__thr").alias("docs_scanned"),
+            "vocab_size",
+        )
+    )

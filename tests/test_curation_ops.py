@@ -746,3 +746,22 @@ def test_langid_ngram_separable_languages(spark):
     out = {r["doc_id"]: r for r in textstats.langid_ngram(docs).collect()}
     assert all(r["correct"] == 1 for r in out.values()), out
     assert out[1]["pred_lang"] == "en" and out[3]["pred_lang"] == "zz"
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    # 4 docs: doc1 {a,b}, doc2 {a,c}, doc3 {d}, doc4 {a}
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "d"), (4, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["pct"]: r for r in textstats.vocab_growth(docs).collect()}
+    assert out[25]["docs_scanned"] == 1 and out[25]["vocab_size"] == 2
+    assert out[50]["vocab_size"] == 3   # + c
+    assert out[75]["vocab_size"] == 4   # + d
+    assert out[100]["vocab_size"] == 4  # doc4 adds nothing
+    sizes = [out[p]["vocab_size"] for p in (25, 50, 75, 100)]
+    assert sizes == sorted(sizes)
