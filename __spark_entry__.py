@@ -7036,9 +7036,7 @@ def _q_st_countmin(spark, sf_dir):
     )
 
 
-@_register(
-    "w_cusum",
-    """
+_CUSUM_SQL = """
 WITH b AS (
   SELECT event_id, user_id, ts, value,
          CAST(FLOOR(value * 65536.0) AS BIGINT) AS c
@@ -7067,8 +7065,10 @@ SELECT event_id, user_id,
        CAST(st AS DOUBLE) / (n * 65536.0) AS cusum_stat,
        st > n * CAST(200 * 65536 AS BIGINT) AS is_alarm
 FROM m
-""",
-)
+"""
+
+
+@_register("w_cusum", _CUSUM_SQL)
 def _q_cusum(spark, sf_dir):
     """One-sided CUSUM change detection per user
     (``windows.cusum_changepoints``): the max(0, s+(x−μ)) recursion
@@ -7076,6 +7076,37 @@ def _q_cusum(spark, sf_dir):
     one exchange, zero floating point until the final division (the
     deviation multiplies through by n like the z-score family)."""
     return windows.cusum_changepoints(_t(spark, sf_dir, "events"), h_units=200)
+
+
+@_register("st_cusum", _CUSUM_SQL)
+def _q_st_cusum(spark, sf_dir):
+    """STREAMING CUSUM (``stateful.cusum_stream``): the per-user
+    reference profile comes from a static batch pass joined
+    stream-static (no driver-side state), the alarm statistic folds
+    with two longs of per-key state via the prefix-min identity —
+    drained output is bit-identical to the batch w_cusum, same
+    oracle."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    prof = stateful.cusum_profile(_t(spark, sf_dir, "events"))
+    flagged = stateful.cusum_stream(
+        _stream_events(spark, sf_dir), prof, h_units=200
+    )
+    out = pipeline.run_available_now(
+        flagged, f"st_cusum_{next(_STREAM_SEQ)}", output_mode="update"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "value",
+        "n_obs",
+        "cusum_stat",
+        "is_alarm",
+    )
 
 
 @_register(
@@ -8187,6 +8218,7 @@ _VERIFY_FIRST = [
     "q_duplicate_payments",
     "q_supplier_scorecard",
     "t_vocab_growth",
+    "st_cusum",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -271,3 +271,81 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+CUSUM_STATE_SCHEMA = "p long, minp long"
+CUSUM_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, value double, "
+    "n_obs long, cusum_stat double, is_alarm boolean"
+)
+
+
+def cusum_profile(static_events: DataFrame) -> DataFrame:
+    """The batch PROFILING pass for ``cusum_stream``: per-user count
+    and lattice value sum — exactly the quantities the batch
+    ``windows.cusum_changepoints`` derives its reference mean from, so
+    stream and batch share one definition of μ."""
+    from pyspark.sql import functions as F
+
+    c = F.floor(F.col("value") * F.lit(65536.0)).cast("long")
+    return static_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"), F.sum(c).alias("sx")
+    )
+
+
+def cusum_stream(
+    events: DataFrame, profile: DataFrame, h_units: int = 200
+) -> DataFrame:
+    """Streaming twin of ``windows.cusum_changepoints`` — the
+    profile-from-batch / monitor-in-stream split a real deployment
+    runs: the per-user reference (n, Σc) comes from a STATIC profiling
+    table joined stream-static (scales to any user count — no
+    driver-side dict), and the alarm statistic folds with TWO LONGS of
+    per-key state (running P and its prefix minimum; the prefix-min
+    identity makes the "sequential" recursion a pure streaming fold).
+
+    All-integer like the batch twin, so a drain is bit-identical to
+    the batch statistic row for row. In-order per-key delivery is the
+    landing contract, as with the other trackers.
+    """
+    joined = events.join(profile, "user_id")
+
+    def _fold(key, batches, state):
+        import numpy as _np
+        import pandas as _pd
+
+        (user_id,) = key
+        pdf = _pd.concat(list(batches), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        c = _np.floor(pdf["value"].to_numpy() * 65536.0).astype("int64")
+        n = int(pdf["n_obs"].iloc[0])
+        sx = int(pdf["sx"].iloc[0])
+        d = n * c - sx
+        ps = _np.cumsum(d)
+        if state.exists:
+            p0, minp0 = state.get
+            ps = ps + p0
+            run_min = _np.minimum(_np.minimum.accumulate(ps), minp0)
+        else:
+            run_min = _np.minimum.accumulate(ps)
+        s = ps - run_min
+        state.update((int(ps[-1]), int(run_min[-1])))
+        yield _pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": user_id,
+                "ts": pdf["ts"],
+                "value": pdf["value"].to_numpy(),
+                "n_obs": _np.full(len(pdf), n, dtype="int64"),
+                "cusum_stat": s.astype("float64") / (n * 65536.0),
+                "is_alarm": s > n * (h_units * 65536),
+            }
+        )
+
+    return joined.groupBy("user_id").applyInPandasWithState(
+        _fold,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

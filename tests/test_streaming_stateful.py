@@ -413,3 +413,68 @@ def test_streaming_countmin_cells_equal_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_cusum_stream_bridges_batches_exactly(spark, tmp_path):
+    """The two-long CUSUM state must bridge micro-batch boundaries:
+    feeding the same rows as two files equals the batch operator."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        windows as W,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": i,
+            "ts": t0 + _dt.timedelta(minutes=i),
+            "user_id": 1,
+            "event_type": "t",
+            "value": float(v),
+            "props": "{}",
+        }
+        for i, v in enumerate([10, 10, 10, 30, 30, 30, 30, 5, 5, 5])
+    ]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    pd.DataFrame(rows[:5]).to_parquet(
+        src / "a.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    pd.DataFrame(rows[5:]).to_parquet(
+        src / "b.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    static = spark.read.schema(schema).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prof = stateful.cusum_profile(static)
+    drained = pipeline.run_available_now(
+        stateful.cusum_stream(stream, prof, h_units=5),
+        "t_cusum_stream",
+        output_mode="update",
+    )
+    got = {
+        r["event_id"]: (r["n_obs"], r["cusum_stat"], r["is_alarm"])
+        for r in drained.collect()
+    }
+    want = {
+        r["event_id"]: (r["n_obs"], r["cusum_stat"], r["is_alarm"])
+        for r in W.cusum_changepoints(static, h_units=5).collect()
+    }
+    assert got == want
