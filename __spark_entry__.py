@@ -8075,6 +8075,54 @@ def _q_vocab_growth(spark, sf_dir):
     return textstats.vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "m_audio_vad",
+    """
+WITH f AS (
+  SELECT doc_id, i,
+         list_sum(list_transform(range(1, 65),
+           j -> (ascii(substr(text, CAST(i * 64 + j AS INT), 1)) - 128)
+              * (ascii(substr(text, CAST(i * 64 + j AS INT), 1)) - 128)))
+           AS energy
+  FROM documents, UNNEST(range(0, length(text) // 64)) u(i)
+),
+a AS (SELECT doc_id, i FROM f WHERE energy > 128000),
+g AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM a
+),
+seg AS (SELECT doc_id, COUNT(*) AS len FROM g GROUP BY doc_id, grp),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_run
+  FROM seg GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_frames,
+         SUM(CASE WHEN energy > 128000 THEN 1 ELSE 0 END) AS n_active
+  FROM f GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_frames, CAST(t.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.longest_run, 0) AS BIGINT) AS longest_run
+FROM tot t LEFT JOIN per p USING (doc_id)
+""",
+)
+def _q_audio_vad(spark, sf_dir):
+    """Energy-based VAD segmentation
+    (``multimodal.audio_activity_segments``): per-frame Σ(sample−128)²
+    energies, threshold activity, consecutive-frame segment merge —
+    all-integer, oracle replays energies and island bookkeeping from
+    the payload bytes."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.audio_activity_segments(media)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8219,6 +8267,7 @@ _VERIFY_FIRST = [
     "q_supplier_scorecard",
     "t_vocab_growth",
     "st_cusum",
+    "m_audio_vad",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

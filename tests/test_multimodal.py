@@ -478,3 +478,29 @@ def test_video_frame_pairs_stop_frames_pruned(spark):
     # with the cap at 3, the everywhere-slate is dropped and no pair
     # reaches min_shared
     assert multimodal.video_frame_pairs(media, max_df=3).count() == 0
+
+
+def test_audio_vad_planted_segments(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    # frame of '~' (126): dev=-2 -> energy 64*4=256 (quiet)
+    # frame of ' ' (32): dev=-96 -> energy 64*9216=589824 (active)
+    quiet, loud = "~" * 64, " " * 64
+    text = quiet + loud + loud + quiet + loud  # segments: [2], [1]
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text)), (2, "xy", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = multimodal.audio_activity_segments(media).collect()
+    out = {r["doc_id"]: r for r in rows}
+    assert set(out) == {1}  # doc 2 is shorter than one frame
+    r = out[1]
+    assert (r["n_frames"], r["n_active"]) == (5, 3)
+    assert (r["n_segments"], r["longest_run"]) == (2, 2)
