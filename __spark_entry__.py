@@ -8123,6 +8123,37 @@ def _q_audio_vad(spark, sf_dir):
     return multimodal.audio_activity_segments(media)
 
 
+@_register(
+    "a_mann_kendall",
+    """
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS l
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(l) AS BIGINT) AS n_obs,
+       CAST(list_sum(list_transform(l, (x, i) ->
+              COALESCE(list_sum(list_transform(list_slice(l, 1, i - 1),
+                y -> CASE WHEN y < x THEN 1
+                          WHEN y > x THEN -1 ELSE 0 END)), 0)))
+            AS BIGINT) AS s_stat,
+       CAST(list_sum(list_transform(l, (x, i) ->
+              COALESCE(list_sum(list_transform(list_slice(l, 1, i - 1),
+                y -> CASE WHEN y < x THEN 1
+                          WHEN y > x THEN -1 ELSE 0 END)), 0)))
+            AS DOUBLE)
+         / CAST(len(l) * (len(l) - 1) / 2 AS DOUBLE) AS tau
+FROM s
+""",
+)
+def _q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test per user (``aggregates.mann_kendall``):
+    S = Σ sign(x_j − x_i) over i<j and Kendall's τ — the O(n²) pair
+    scan runs array-native inside each user's row (bounded per-key
+    series, no self-join), exact integers until the final division."""
+    return aggregates.mann_kendall(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8268,6 +8299,7 @@ _VERIFY_FIRST = [
     "t_vocab_growth",
     "st_cusum",
     "m_audio_vad",
+    "a_mann_kendall",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -1117,3 +1117,46 @@ def cramers_v(
             ).alias("cramers_v"),
         )
     )
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann–Kendall trend test per user series: S = Σ_{i<j}
+    sign(x_j − x_i) and Kendall's τ = S / C(n,2) — the nonparametric
+    "is this series trending" screen that complements the runs test
+    (runs sees oscillation, MK sees monotone drift; neither assumes a
+    distribution).
+
+    The O(n²) pair scan runs ARRAY-NATIVE inside each user's row
+    (collect → sort → nested fold): per-key series are bounded, so the
+    quadratic is per-row constant work with NO self-join and no
+    shuffle beyond the one collect_list aggregate — the same
+    in-row-pairs shape as basket_pairs. S is an exact integer; τ is
+    one division.
+    """
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    base = events.groupBy("user_id").agg(arr.alias("__a"))
+    vals = F.transform(F.col("__a"), lambda s: s["value"])
+    pair_signs = F.transform(
+        vals,
+        lambda x, j: F.aggregate(
+            F.slice(vals, 1, j),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc
+            + F.when(y < x, 1).when(y > x, -1).otherwise(0),
+        ),
+    )
+    s_stat = F.aggregate(
+        pair_signs, F.lit(0).cast("long"), lambda acc, t: acc + t
+    )
+    n = F.size(F.col("__a")).cast("long")
+    return base.select(
+        "user_id",
+        n.alias("n_obs"),
+        s_stat.alias("s_stat"),
+        (
+            s_stat.cast("double")
+            / (n * (n - 1) / 2).cast("double")
+        ).alias("tau"),
+    )

@@ -432,3 +432,33 @@ def test_cramers_v_perfect_and_independent(spark):
     )
     r2 = aggregates.cramers_v(ev2).collect()[0]
     assert r2["cramers_v"] < 1e-6
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    import datetime as _dt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        aggregates,
+    )
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1, 0, i), 1, "t", float(i), "{}")
+        for i in range(10)
+    ]  # strictly increasing -> tau = 1
+    rows += [
+        (100 + i, _dt.datetime(2024, 1, 1, 0, i), 2, "t", 5.0, "{}")
+        for i in range(10)
+    ]  # constant -> S = 0, tau = 0
+    rows += [
+        (200 + i, _dt.datetime(2024, 1, 1, 0, i), 3, "t", float(9 - i), "{}")
+        for i in range(10)
+    ]  # strictly decreasing -> tau = -1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in aggregates.mann_kendall(ev).collect()}
+    assert out[1]["s_stat"] == 45 and out[1]["tau"] == 1.0
+    assert out[2]["s_stat"] == 0 and out[2]["tau"] == 0.0
+    assert out[3]["s_stat"] == -45 and out[3]["tau"] == -1.0
