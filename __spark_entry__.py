@@ -8154,6 +8154,49 @@ def _q_mann_kendall(spark, sf_dir):
     return aggregates.mann_kendall(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "q_order_backlog",
+    """
+WITH placed AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS n_placed
+  FROM orders GROUP BY 1
+),
+done AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS d FROM lineitem GROUP BY 1
+),
+shipped AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day, COUNT(*) AS n_shipped
+  FROM done GROUP BY 1
+),
+daily AS (
+  SELECT COALESCE(p.day, s.day) AS day,
+         COALESCE(n_placed, 0) AS n_placed,
+         COALESCE(n_shipped, 0) AS n_shipped
+  FROM placed p FULL JOIN shipped s USING (day)
+)
+SELECT day, n_placed, n_shipped,
+       CAST(SUM(n_placed) OVER w AS BIGINT) AS cum_placed,
+       CAST(SUM(n_shipped) OVER w AS BIGINT) AS cum_shipped,
+       CAST(SUM(n_placed) OVER w - SUM(n_shipped) OVER w AS BIGINT)
+         AS backlog
+FROM daily
+WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+""",
+)
+def _q_order_backlog(spark, sf_dir):
+    """Open-order backlog curve (``analytics.order_backlog``): running
+    placed-minus-fully-shipped balance per calendar day — both streams
+    collapse to daily counts map-side, the running sums ride one
+    window over the CALENDAR-bounded frame."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.order_backlog(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8300,6 +8343,7 @@ _VERIFY_FIRST = [
     "st_cusum",
     "m_audio_vad",
     "a_mann_kendall",
+    "q_order_backlog",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

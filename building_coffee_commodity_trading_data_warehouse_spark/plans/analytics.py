@@ -1464,3 +1464,43 @@ def supplier_scorecard(
         )
     )
     return out.orderBy("borda_score", "l_suppkey").limit(topn)
+
+
+def order_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Open-order backlog curve: for every calendar day, orders placed
+    to date minus orders FULLY shipped to date (an order ships when its
+    last line item does) — the operations metric behind lead-time and
+    capacity planning.
+
+    Shapes: both event streams collapse to per-day counts first
+    (map-side combinable; the "shipped" stream needs one per-order max
+    before its daily count), the calendar unions the two day sets, and
+    the two running sums ride ONE window over the CALENDAR-bounded
+    frame (days since epoch — a few thousand rows regardless of fact
+    size, the same bounded-frame argument as the KS tick lattice).
+    """
+    placed = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_placed"))
+    shipped = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__done"))
+        .groupBy(F.date_format("__done", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    daily = placed.join(shipped, "day", "full").select(
+        "day",
+        F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+        F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_placed",
+        "n_shipped",
+        F.sum("n_placed").over(w).alias("cum_placed"),
+        F.sum("n_shipped").over(w).alias("cum_shipped"),
+        (F.sum("n_placed").over(w) - F.sum("n_shipped").over(w)).alias(
+            "backlog"
+        ),
+    )
