@@ -8197,6 +8197,42 @@ def _q_order_backlog(spark, sf_dir):
     )
 
 
+@_register(
+    "t_burstiness",
+    r"""
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+pt AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2,
+         COUNT(*) AS df
+  FROM tf GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS nn FROM documents)
+SELECT tok, sc, df, vmr, CAST(rk AS INT) AS rk FROM (
+  SELECT tok, sc, df,
+         CAST(nn * sc2 - sc * sc AS DOUBLE)
+           / CAST(nn * sc AS DOUBLE) AS vmr,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(nn * sc2 - sc * sc AS DOUBLE)
+                      / CAST(nn * sc AS DOUBLE) DESC, tok) AS rk
+  FROM pt, n WHERE df >= 5
+) WHERE rk <= 25
+""",
+)
+def _q_burstiness(spark, sf_dir):
+    """Token burstiness / Fano factor (``textstats.token_burstiness``):
+    VMR of per-document counts over the whole corpus via BIGINT
+    cross-multiplication (absent-doc zeros are free), top-25 — the
+    boilerplate/spam-template profile a curation pass reads."""
+    return textstats.token_burstiness(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8344,6 +8380,7 @@ _VERIFY_FIRST = [
     "m_audio_vad",
     "a_mann_kendall",
     "q_order_backlog",
+    "t_burstiness",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

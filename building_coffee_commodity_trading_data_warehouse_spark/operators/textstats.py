@@ -677,3 +677,54 @@ def vocab_growth(documents: DataFrame) -> DataFrame:
             "vocab_size",
         )
     )
+
+
+def token_burstiness(documents: DataFrame, topn: int = 25, min_df: int = 5) -> DataFrame:
+    """Token burstiness (Fano factor): variance-to-mean ratio of each
+    token's per-document count over the WHOLE corpus (absent docs
+    count 0) — content words are bursty (VMR ≫ 1: absent mostly, then
+    repeated), function words are not; extreme VMR flags boilerplate
+    and spam templates, which is why curation pipelines profile it.
+
+    Exact: with N docs and per-doc counts c, VMR = (N·Σc² − (Σc)²) /
+    (N·Σc) — all BIGINT cross-multiplication (zeros contribute nothing
+    to Σc or Σc², so the absent-doc zeros are FREE: one token pass,
+    one vocabulary-sized aggregate, the corpus count as a broadcast
+    scalar). Top-``topn`` by VMR, df ≥ ``min_df``, token tiebreak.
+    """
+    from pyspark.sql import Window as _W
+
+    tf = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_tok = tf.groupBy("tok").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    n = documents.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        per_tok.filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            "sc",
+            "df",
+            (
+                (F.col("__n") * F.col("sc2") - F.col("sc") * F.col("sc"))
+                .cast("double")
+                / (F.col("__n") * F.col("sc")).cast("double")
+            ).alias("vmr"),
+        )
+    )
+    w = _W.orderBy(F.desc("vmr"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topn)
+        .select("tok", "sc", "df", "vmr", F.col("rk").cast("int").alias("rk"))
+    )

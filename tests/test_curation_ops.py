@@ -765,3 +765,26 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert out[100]["vocab_size"] == 4  # doc4 adds nothing
     sizes = [out[p]["vocab_size"] for p in (25, 50, 75, 100)]
     assert sizes == sorted(sizes)
+
+
+def test_token_burstiness_bursty_vs_uniform(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    # 'burst' appears 5x in each of 5 docs (absent in 5): bursty.
+    # 'even' appears once in all 10 docs: VMR = (10*10-100)/(10*10)=0.
+    docs = spark.createDataFrame(
+        [
+            (i, ("burst " * 5 if i < 5 else "") + "even") for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["tok"]: r
+        for r in textstats.token_burstiness(docs, topn=5, min_df=5).collect()
+    }
+    # burst: sc=25, sc2=125, N=10 -> VMR = (1250-625)/250 = 2.5
+    assert out["burst"]["vmr"] == 2.5 and out["burst"]["sc"] == 25
+    assert out["even"]["vmr"] == 0.0
+    assert out["burst"]["rk"] < out["even"]["rk"]
