@@ -8233,6 +8233,48 @@ def _q_burstiness(spark, sf_dir):
     return textstats.token_burstiness(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "w_atr",
+    """
+WITH bars AS (
+  SELECT user_id,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar_hour,
+         MAX(value) AS high, MIN(value) AS low,
+         arg_max(value, printf('%020d%012d', epoch_us(ts), event_id))
+           AS close
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT *, LAG(close) OVER w AS pc
+  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_hour)
+),
+q AS (
+  SELECT user_id, bar_hour, high, low, close,
+         CAST(FLOOR((CASE WHEN pc IS NULL THEN high - low
+                          ELSE GREATEST(high - low, ABS(high - pc),
+                                        ABS(low - pc)) END)
+               * 65536.0) AS BIGINT) AS trq
+  FROM t
+)
+SELECT user_id, bar_hour, high, low, close,
+       CAST(trq AS DOUBLE) / 65536.0 AS true_range,
+       CAST(SUM(trq) OVER f AS DOUBLE) / (COUNT(trq) OVER f * 65536.0)
+         AS atr
+FROM q
+WINDOW f AS (PARTITION BY user_id ORDER BY bar_hour
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def _q_atr(spark, sf_dir):
+    """Average True Range over hourly OHLCV bars (``bi.atr_from_bars``
+    on ``bi.ohlcv_bars``): TR from identical doubles, floor-quantized,
+    trailing 14-bar mean folded as lattice BIGINTs — lag + frame sum
+    share one user exchange."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+    return bi.atr_from_bars(bi.ohlcv_bars(_t(spark, sf_dir, "events")), 14)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8381,6 +8423,7 @@ _VERIFY_FIRST = [
     "a_mann_kendall",
     "q_order_backlog",
     "t_burstiness",
+    "w_atr",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -178,3 +178,48 @@ def resample_daily_ffill(events: DataFrame) -> DataFrame:
         (F.col("day_close").isNotNull()).alias("observed"),
         F.last("day_close", ignorenulls=True).over(w_fill).alias("close_ffill"),
     )
+
+
+def atr_from_bars(bars: DataFrame, periods: int = 14) -> DataFrame:
+    """Average True Range over OHLCV bars per user: TR = max(high−low,
+    |high−prev_close|, |low−prev_close|) (first bar degrades to
+    high−low), ATR = trailing ``periods``-bar mean — the volatility
+    gauge position-sizing rules are built on, derived from the bars
+    ``ohlcv_bars`` already produces.
+
+    Determinism: TR computes from identical doubles on both engines,
+    floor-quantizes onto the 2^-16 lattice, and the trailing mean
+    folds lattice BIGINTs under the frame (no double accumulation
+    drift); one user-keyed exchange shared by the lag and the frame
+    sum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("bar_hour")
+    frame = w.rowsBetween(-(periods - 1), 0)
+    prev_c = F.lag("close", 1).over(w)
+    tr = F.when(
+        prev_c.isNull(), F.col("high") - F.col("low")
+    ).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev_c),
+            F.abs(F.col("low") - prev_c),
+        )
+    )
+    lat = F.lit(float(1 << 16))
+    with_tr = bars.withColumn(
+        "__trq", F.floor(tr * lat).cast("long")
+    )
+    return with_tr.select(
+        "user_id",
+        "bar_hour",
+        "high",
+        "low",
+        "close",
+        (F.col("__trq").cast("double") / lat).alias("true_range"),
+        (
+            F.sum("__trq").over(frame).cast("double")
+            / (F.count("__trq").over(frame) * lat)
+        ).alias("atr"),
+    )

@@ -77,3 +77,26 @@ def test_ohlcv_pipeline_end_to_end(spark, tmp_path):
         lo = max(0, i - 50)
         want = sum(series[lo : i + 1]) / (i + 1 - lo)
         assert abs(out[i]["ma_50"] - want) < 1e-9, i
+
+
+def test_atr_known_bars(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+    bars = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00", 12.0, 8.0, 10.0),
+            (1, "2024-01-01 10:00", 11.0, 10.5, 10.5),  # gap vs pc=10
+            (1, "2024-01-01 11:00", 20.0, 15.0, 18.0),  # jump vs pc=10.5
+        ],
+        "user_id long, bar_hour string, high double, low double, close double",
+    )
+    out = {
+        r["bar_hour"]: r for r in bi.atr_from_bars(bars, periods=2).collect()
+    }
+    # TRs: bar1 = 12-8 = 4; bar2 = max(0.5, |11-10|, |10.5-10|) = 1;
+    # bar3 = max(5, |20-10.5|, |15-10.5|) = 9.5
+    assert out["2024-01-01 09:00"]["true_range"] == 4.0
+    assert out["2024-01-01 10:00"]["true_range"] == 1.0
+    assert out["2024-01-01 11:00"]["true_range"] == 9.5
+    assert out["2024-01-01 10:00"]["atr"] == 2.5   # (4+1)/2
+    assert out["2024-01-01 11:00"]["atr"] == 5.25  # (1+9.5)/2
