@@ -8275,6 +8275,38 @@ def _q_atr(spark, sf_dir):
     return bi.atr_from_bars(bi.ohlcv_bars(_t(spark, sf_dir, "events")), 14)
 
 
+@_register(
+    "a_gini",
+    """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+  FROM pc
+)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(x) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+FROM r
+""",
+)
+def _q_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration
+    (``analytics.gini_concentration``): integer-cents revenues, one
+    dimension-sized rank window, every sum in the closed-form formula
+    a BIGINT, one division."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.gini_concentration(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8424,6 +8456,7 @@ _VERIFY_FIRST = [
     "q_order_backlog",
     "t_burstiness",
     "w_atr",
+    "a_gini",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

@@ -462,3 +462,30 @@ def test_mann_kendall_monotone_and_flat(spark):
     assert out[1]["s_stat"] == 45 and out[1]["tau"] == 1.0
     assert out[2]["s_stat"] == 0 and out[2]["tau"] == 0.0
     assert out[3]["s_stat"] == -45 and out[3]["tau"] == -1.0
+
+
+def test_gini_equal_and_concentrated(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    # perfectly equal: 4 customers x $100 -> G = 0
+    eq = spark.createDataFrame(
+        [(i, i, 100.0) for i in range(4)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    r = analytics.gini_concentration(eq).collect()[0]
+    assert r["gini"] == 0.0 and r["n_customers"] == 4
+
+    # one customer has everything meaningful: G -> (n-1)/n as the
+    # small shares vanish; check against the closed form directly
+    con = spark.createDataFrame(
+        [(1, 1, 0.01), (2, 2, 0.01), (3, 3, 0.01), (4, 4, 1000.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    r2 = analytics.gini_concentration(con).collect()[0]
+    xs = sorted([1, 1, 1, 100000])
+    n = 4
+    num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sum(xs)
+    assert r2["gini"] == num / (n * sum(xs))
+    assert r2["gini"] > 0.74
