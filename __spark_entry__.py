@@ -8307,6 +8307,36 @@ def _q_gini(spark, sf_dir):
     return analytics.gini_concentration(_t(spark, sf_dir, "orders"))
 
 
+@_register(
+    "c_split_leakage",
+    f"""
+WITH jac AS ({_SQL_JACCARD_PAIRS}),
+p AS (SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2),
+s AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_BUCKET.format(seed="split")} < {_B_TRAIN}
+                THEN 'train'
+              WHEN {_SQL_BUCKET.format(seed="split")} < {_B_VAL}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       x.split AS split_a, y.split AS split_b, p.jaccard
+FROM p JOIN s x ON p.doc_a = x.doc_id JOIN s y ON p.doc_b = y.doc_id
+WHERE x.split <> y.split
+""",
+)
+def _q_split_leakage(spark, sf_dir):
+    """Train/test near-dup leakage report (``curate.split_leakage``):
+    Jaccard ≥ 0.2 pairs whose members land in DIFFERENT hash splits —
+    the eval-contamination check a pipeline runs before trusting its
+    numbers; split labels join the tiny pair list, never the corpus."""
+    return curate.split_leakage(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8457,6 +8487,7 @@ _VERIFY_FIRST = [
     "t_burstiness",
     "w_atr",
     "a_gini",
+    "c_split_leakage",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

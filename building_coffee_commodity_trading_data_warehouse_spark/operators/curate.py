@@ -776,3 +776,37 @@ def epoch_plan(
         epochs.alias("epochs"),
         (epochs > F.lit(epoch_cap)).cast("long").alias("over_cap"),
     )
+
+
+def split_leakage(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Train/test NEAR-DUP leakage report: after the deterministic
+    ``hash_split``, exact-dup holdout is guaranteed only for identical
+    ids — near-duplicate TEXT can still straddle the split and leak
+    eval content into training. This query finds exactly those pairs:
+    (doc_a, doc_b, split_a, split_b, jaccard) where the two sides land
+    in DIFFERENT splits — the check a careful pipeline runs before
+    trusting its eval numbers.
+
+    Shape: the near-dup pair stream comes from the stop-shingle-capped
+    Jaccard join (the proven Σdf² bound); split labels are pure
+    hash projections joined onto the (tiny) pair list, never onto the
+    corpus. An empty result is the PASS condition.
+    """
+    from . import dedup as _dedup
+
+    labeled = hash_split(documents.select("doc_id"), "doc_id")
+    pairs = _dedup.ngram_jaccard_pairs(documents, n=2, threshold=threshold)
+    a = labeled.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = labeled.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

@@ -788,3 +788,34 @@ def test_token_burstiness_bursty_vs_uniform(spark):
     assert out["burst"]["vmr"] == 2.5 and out["burst"]["sc"] == 25
     assert out["even"]["vmr"] == 0.0
     assert out["burst"]["rk"] < out["even"]["rk"]
+
+
+def test_split_leakage_finds_cross_split_neardups(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    # find two ids the hash split puts in different splits, then give
+    # them near-identical text; same-split near-dups must NOT appear
+    base = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in curate.hash_split(base, "doc_id").collect()
+    }
+    train = [d for d, s in splits.items() if s == "train"]
+    other = [d for d, s in splits.items() if s != "train"]
+    assert train and other, splits
+    a, b = train[0], other[0]
+    c, d = train[1], train[2]
+    rows = [
+        (a, "shared near duplicate content here"),
+        (b, "shared near duplicate content here now"),
+        (c, "same split twin content words"),
+        (d, "same split twin content words too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate.split_leakage(docs, threshold=0.2).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == {(min(a, b), max(a, b))}
+    r = out[0]
+    assert {r["split_a"], r["split_b"]} == {splits[a], splits[b]}
