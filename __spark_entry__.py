@@ -8337,6 +8337,27 @@ def _q_split_leakage(spark, sf_dir):
     )
 
 
+@_register(
+    "c_quota_sample",
+    f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_SQL_BUCKET.format(seed="quota")} ASC, doc_id ASC)
+           AS rk
+  FROM documents
+) WHERE rk <= 10
+""",
+)
+def _q_quota_sample(spark, sf_dir):
+    """Exact-quota deterministic sampling (``curate.quota_sample``):
+    exactly 10 docs per source as the k smallest content-addressed
+    hash buckets — the balanced eval-set constructor, zero RNG state,
+    graceful under corpus growth; one per-stratum rank window."""
+    return curate.quota_sample(_t(spark, sf_dir, "documents"), k=10)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8488,6 +8509,7 @@ _VERIFY_FIRST = [
     "w_atr",
     "a_gini",
     "c_split_leakage",
+    "c_quota_sample",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

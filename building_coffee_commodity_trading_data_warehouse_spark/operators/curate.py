@@ -810,3 +810,34 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+def quota_sample(
+    documents: DataFrame,
+    k: int = 10,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "quota",
+) -> DataFrame:
+    """EXACT-quota deterministic sampling: exactly ``k`` documents per
+    stratum (fewer only if the stratum is smaller), chosen as the k
+    smallest content-addressed hash buckets — the balanced eval-set
+    constructor fraction sampling cannot give you (fractions wobble
+    per stratum; quotas don't), still with zero RNG state: membership
+    is a pure function of (seed, id) and re-runs are identical.
+
+    One rank window per stratum (strata are the partition key, so the
+    sort is per-group and balanced); the hash order stands in for a
+    shuffle, and adding k+1th-smallest docs later CANNOT evict an
+    existing member unless their hash is smaller — quota membership
+    degrades gracefully under corpus growth.
+    """
+    from pyspark.sql import Window as _W
+
+    b = hash_bucket(F.col(id_col), seed)
+    w = _W.partitionBy(strata_col).orderBy(b.asc(), F.col(id_col).asc())
+    return (
+        documents.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, strata_col, F.col("__rk").cast("int").alias("rk"))
+    )

@@ -819,3 +819,29 @@ def test_split_leakage_finds_cross_split_neardups(spark):
     assert got == {(min(a, b), max(a, b))}
     r = out[0]
     assert {r["split_a"], r["split_b"]} == {splits[a], splits[b]}
+
+
+def test_quota_sample_exact_k_and_growth_stable(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)],
+        "doc_id long, source string",
+    )
+    out = curate.quota_sample(docs, k=5, strata_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["a"]) == 5 and len(by_src["b"]) == 5
+    # growth stability: adding docs with LARGER buckets cannot evict;
+    # verify by re-running on a subset that still contains the chosen
+    chosen_a = by_src["a"]
+    sub = docs.filter(
+        (F.col("source") != "a") | F.col("doc_id").isin([*chosen_a, 99])
+    )
+    again = {
+        r["doc_id"]
+        for r in curate.quota_sample(sub, k=5, strata_col="source").collect()
+        if r["source"] == "a"
+    }
+    assert chosen_a == again
