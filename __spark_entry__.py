@@ -8358,6 +8358,48 @@ def _q_quota_sample(spark, sf_dir):
     return curate.quota_sample(_t(spark, sf_dir, "documents"), k=10)
 
 
+@_register(
+    "q_cohort_ltv",
+    """
+WITH first AS (
+  SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INT) AS cohort_year
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT o.o_custkey, f.cohort_year,
+         CAST(year(o.o_orderdate) - f.cohort_year AS INT) AS age_years,
+         o.o_totalprice
+  FROM orders o JOIN first f USING (o_custkey)
+),
+sizes AS (
+  SELECT cohort_year, COUNT(*) AS n_customers FROM first GROUP BY 1
+),
+pa AS (
+  SELECT cohort_year, age_years,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6))
+           AS rev_d
+  FROM j GROUP BY 1, 2
+)
+SELECT p.cohort_year, p.age_years, s.n_customers,
+       CAST(p.rev_d AS DOUBLE) AS rev,
+       CAST(CAST(SUM(p.rev_d) OVER w AS DECIMAL(38,6)) AS DOUBLE)
+         / s.n_customers AS cum_rev_per_customer
+FROM pa p JOIN sizes s USING (cohort_year)
+WINDOW w AS (PARTITION BY p.cohort_year ORDER BY p.age_years
+             ROWS UNBOUNDED PRECEDING)
+""",
+)
+def _q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve (``analytics.cohort_ltv``): first-order-year
+    cohorts, cumulative decimal-exact revenue per customer by age —
+    the acquisition-pricing view on top of retention."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.cohort_ltv(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8510,6 +8552,7 @@ _VERIFY_FIRST = [
     "a_gini",
     "c_split_leakage",
     "c_quota_sample",
+    "q_cohort_ltv",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

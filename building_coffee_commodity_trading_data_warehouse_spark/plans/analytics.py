@@ -1534,3 +1534,53 @@ def gini_concentration(orders: DataFrame) -> DataFrame:
             / (F.count(F.lit(1)) * F.sum("__x")).cast("double")
         ).alias("gini"),
     )
+
+
+def cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    YEAR, cumulative revenue per customer tracked by years-since-first
+    — the LTV view that prices acquisition (retention counts say who
+    stayed; this says what they were worth).
+
+    Shapes: first-order year is one min aggregate per customer
+    (broadcast back — customer-cardinality); revenue rolls up per
+    (cohort, age) with decimal-exact sums; the cumulative curve rides
+    a window partitioned by cohort over the ≤ years² frame. Output:
+    (cohort_year, age_years, n_customers, rev, cum_rev_per_customer).
+    """
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    j = orders.join(F.broadcast(first), "o_custkey").select(
+        "o_custkey",
+        "cohort_year",
+        (F.year("o_orderdate") - F.col("cohort_year")).alias("age_years"),
+        "o_totalprice",
+    )
+    cohort_sizes = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    # the cumulative stays DECIMAL through the window (a double running
+    # sum would hit DuckDB's segment-tree association order), cast once
+    # on the way out
+    per_age = j.groupBy("cohort_year", "age_years").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("__rev_d")
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_age.join(F.broadcast(cohort_sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "n_customers",
+            F.col("__rev_d").cast("double").alias("rev"),
+            (
+                F.sum("__rev_d").over(w).cast("double")
+                / F.col("n_customers")
+            ).alias("cum_rev_per_customer"),
+        )
+    )
