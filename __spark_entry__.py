@@ -8486,10 +8486,13 @@ _VERIFY_FIRST = [
     "w_rank_battery",
     "m_multimodal_features",
     "m_frame_counts",
-    # tier 3b — NEW gates this round (pytest + local-oracle green;
+    # tier 3b — NEW gates this round (pytest + local-oracle green, and
+    # every one ALSO verified repr-exact vs DuckDB at sf0.01 in-session;
     # first driver row lands r7, the same pattern as every round's
     # newly added gates). Positioned after the verdict's items 1-4 so
-    # they don't displace the never-sampled burn-down.
+    # they don't displace the never-sampled burn-down. The r6 build
+    # sessions appended ~48 gates here — r7 should rotate them into
+    # the sampled range after the r6 carry-over tiers clear.
     "d_simhash_pairs",
     "t_bpe_pairs",
     "e_schema_evolution",
