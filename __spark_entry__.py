@@ -8400,6 +8400,36 @@ def _q_cohort_ltv(spark, sf_dir):
     return analytics.cohort_ltv(_t(spark, sf_dir, "orders"))
 
 
+@_register(
+    "w_stochastic",
+    """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+         l_extendedprice AS price
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_partkey, ship_date, price,
+       MIN(price) OVER w AS low_n,
+       MAX(price) OVER w AS high_n,
+       CASE WHEN MAX(price) OVER w > MIN(price) OVER w
+            THEN (price - MIN(price) OVER w)
+                 / (MAX(price) OVER w - MIN(price) OVER w)
+            ELSE NULL END AS pct_k
+FROM b
+WINDOW w AS (PARTITION BY l_partkey
+             ORDER BY ship_date, l_orderkey, l_linenumber
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def _q_stochastic(spark, sf_dir):
+    """Stochastic oscillator %K per part
+    (``windows.stochastic_oscillator``): trailing min/max pick
+    existing doubles (order-free), one division, NULL on flat windows
+    — completes the RSI/Bollinger/ATR indicator family."""
+    return windows.stochastic_oscillator(_t(spark, sf_dir, "lineitem"), 14)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8556,6 +8586,7 @@ _VERIFY_FIRST = [
     "c_split_leakage",
     "c_quota_sample",
     "q_cohort_ltv",
+    "w_stochastic",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

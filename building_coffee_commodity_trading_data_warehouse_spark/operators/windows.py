@@ -1071,3 +1071,46 @@ def on_balance_volume(lineitem: DataFrame) -> DataFrame:
         "ship_date",
         (F.sum("__s").over(run).cast("double") / lat).alias("obv"),
     )
+
+
+def stochastic_oscillator(
+    lineitem: DataFrame, periods: int = 14
+) -> DataFrame:
+    """Stochastic oscillator %K per part series: where the current
+    price sits inside its trailing ``periods``-row [low, high] range —
+    %K = (p − min_n) / (max_n − min_n), the classic overbought/
+    oversold gauge that completes the RSI/Bollinger/ATR family.
+
+    Exact by construction: trailing MIN/MAX pick existing double
+    values (no accumulation at all — order-free), so the numerator and
+    denominator are differences of identical doubles on both engines
+    and %K is one division; a flat window (max = min) emits NULL
+    identically. One part-keyed exchange shared by both extremes.
+    """
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("ship_date", "l_orderkey", "l_linenumber")
+        .rowsBetween(-(periods - 1), 0)
+    )
+    base = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    lo = F.min("price").over(w)
+    hi = F.max("price").over(w)
+    k = F.when(hi > lo, (F.col("price") - lo) / (hi - lo)).otherwise(
+        F.lit(None).cast("double")
+    )
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "ship_date",
+        "price",
+        lo.alias("low_n"),
+        hi.alias("high_n"),
+        k.alias("pct_k"),
+    )

@@ -631,3 +631,26 @@ def test_on_balance_volume_textbook(spark):
         for r in windows.on_balance_volume(li).collect()
     }
     assert out == {1: 0.0, 2: 2.0, 3: -1.0, 4: -1.0, 5: 4.0}
+
+
+def test_stochastic_known_frames(spark):
+    import datetime as _dt
+
+    rows = [
+        (i + 1, 1, 7, _dt.date(1995, 1, 1 + i), p)
+        for i, p in enumerate([10.0, 20.0, 15.0, 10.0])
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_partkey long, "
+        "l_shipdate date, l_extendedprice double",
+    )
+    out = {
+        r["l_orderkey"]: r
+        for r in windows.stochastic_oscillator(li, periods=3).collect()
+    }
+    assert out[1]["pct_k"] is None           # flat 1-row window
+    assert out[2]["pct_k"] == 1.0            # at the high of {10,20}
+    assert out[3]["pct_k"] == 0.5            # mid of {10,20,15}
+    assert out[4]["pct_k"] == 0.0            # at the low of {20,15,10}
+    assert out[4]["low_n"] == 10.0 and out[4]["high_n"] == 20.0
