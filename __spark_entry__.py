@@ -7054,7 +7054,7 @@ p AS (
                ROWS UNBOUNDED PRECEDING)
 ),
 m AS (
-  SELECT *, pp - MIN(pp) OVER w2 AS st
+  SELECT *, pp - LEAST(0, MIN(pp) OVER w2) AS st
   FROM p
   WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING)

@@ -919,7 +919,13 @@ def cusum_changepoints(events: DataFrame, h_units: int = 200) -> DataFrame:
     # two projections because window functions cannot nest — both
     # specs share partitioning+ordering, so they stack on ONE exchange
     with_p = j.withColumn("__p", F.sum(dev).over(run))
-    s = F.col("__p") - F.min("__p").over(run)  # ≥ 0 by construction
+    # the prefix minimum must include the EMPTY prefix (P₀ = 0) — the
+    # textbook recursion starts at s₀ = max(0, d₀), so a first positive
+    # deviation must surface; min over rows alone would zero it
+    # (caught by the hypothesis property test)
+    s = F.col("__p") - F.least(
+        F.lit(0).cast("long"), F.min("__p").over(run)
+    )  # ≥ 0 by construction
     alarm = s > F.col("__n") * F.lit(h_units * lat)
     return with_p.select(
         "event_id",

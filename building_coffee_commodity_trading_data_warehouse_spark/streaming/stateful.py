@@ -327,7 +327,9 @@ def cusum_stream(
             ps = ps + p0
             run_min = _np.minimum(_np.minimum.accumulate(ps), minp0)
         else:
-            run_min = _np.minimum.accumulate(ps)
+            # the prefix min includes the EMPTY prefix (P0 = 0), same
+            # as the batch twin — a first positive deviation surfaces
+            run_min = _np.minimum(_np.minimum.accumulate(ps), 0)
         s = ps - run_min
         state.update((int(ps[-1]), int(run_min[-1])))
         yield _pd.DataFrame(

@@ -460,3 +460,88 @@ def test_active_users_emits_gap_days(spark):
     assert got["2024-01-07"] == (0, 1)   # inside the trailing window
     assert got["2024-01-10"] == (0, 0)   # the gap: present, zeroed
     assert got["2024-01-20"] == (1, 1)
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.integers(-500, 500).map(lambda c: c / 4.0),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cusum_prefix_min_rewrite_equals_recursion(spark, vals):
+    """The distributed rewrite s_t = P_t − min prefix P must equal the
+    textbook recursion s_t = max(0, s_{t−1} + (x_t − μ)) for ANY
+    series. Quarter-valued inputs keep the n-scaled lattice deviations
+    exact, so the equality is bit-level, not approximate."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.windows import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), 1, "t", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_id"]: r["cusum_stat"]
+        for r in cusum_changepoints(ev, h_units=10).collect()
+    }
+    import math
+
+    n = len(vals)
+    lat = 1 << 16
+    # floor toward -inf, like F.floor
+    cents = [math.floor(v * lat) for v in vals]
+    sx = sum(cents)
+    s = 0
+    for i, c in enumerate(cents):
+        s = max(0, s + (n * c - sx))
+        assert got[i] == s / (n * lat), (i, got[i], s / (n * lat))
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_holt_fold_bit_equal_to_python(spark, vals):
+    """The Holt applyInPandas fold must be bit-identical to a plain
+    Python left fold for ARBITRARY doubles — dyadic α/β multiply
+    exactly and additions are single correctly-rounded ops executed in
+    the same order, so no tolerance is needed."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.windows import (
+        holt_smoothing,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), 1, "t", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["seq"]: (r["level"], r["trend"])
+        for r in holt_smoothing(ev).collect()
+    }
+    lvl, tr = vals[0], 0.0
+    for i, y in enumerate(vals):
+        if i > 0:
+            new = 0.5 * y + 0.5 * (lvl + tr)
+            tr = 0.25 * (new - lvl) + 0.75 * tr
+            lvl = new
+        assert got[i + 1] == (lvl, tr), (i, got[i + 1], (lvl, tr))
