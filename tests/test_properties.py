@@ -545,3 +545,62 @@ def test_holt_fold_bit_equal_to_python(spark, vals):
             tr = 0.25 * (new - lvl) + 0.75 * tr
             lvl = new
         assert got[i + 1] == (lvl, tr), (i, got[i + 1], (lvl, tr))
+
+
+@_settings
+@given(
+    toks=st.lists(st.integers(1, 9), min_size=1, max_size=15),
+    budget=st.integers(2, 12),
+)
+def test_shard_plan_is_exact_prefix_packing(spark, toks, budget):
+    """shard_plan's distributed prefix sum must equal the sequential
+    greedy packing for any token-length sequence and budget: exact
+    cumulative sums in id order, shard = floor(prefix/budget), shards
+    monotone."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.curate import (
+        shard_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (t - 1) + "w") for i, t in enumerate(toks)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        shard_plan(docs, tokens_per_shard=budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    shards = []
+    for r, t in zip(out, toks):
+        assert r["n_tokens"] == t
+        assert r["shard"] == cum // budget
+        cum += t
+        assert r["cum_tokens"] == cum
+        shards.append(r["shard"])
+    assert shards == sorted(shards)
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=30),
+        min_size=2,
+        max_size=10,
+    ),
+    n_batches=st.integers(1, 5),
+)
+def test_minhash_rollup_merge_theorem(spark, texts, n_batches):
+    """sig(A∪B) = elementwise min(sig A, sig B) must hold for ANY
+    corpus and batch count — merge_ok is a theorem, not a tolerance."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        minhash_rollup_certify,
+    )
+
+    # pad so every doc has >= 2 tokens (a shingle-less corpus rightly
+    # yields an empty signature table)
+    docs = spark.createDataFrame(
+        [(i, f"{t} pad tok", "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    out = minhash_rollup_certify(docs, k=4, n=2, n_batches=n_batches).collect()
+    assert out and all(r["merge_ok"] == 1 for r in out)
