@@ -8430,6 +8430,49 @@ def _q_stochastic(spark, sf_dir):
     return windows.stochastic_oscillator(_t(spark, sf_dir, "lineitem"), 14)
 
 
+@_register(
+    "q_rfm_segments",
+    """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+              (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS INT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary_d
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT o_custkey, recency_days, frequency, monetary_d,
+         CAST(NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+              AS INT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+              AS INT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY monetary_d DESC, o_custkey ASC)
+              AS INT) AS m_score
+  FROM m
+)
+SELECT o_custkey, recency_days, frequency,
+       CAST(CAST(monetary_d AS VARCHAR) AS DOUBLE) AS monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+FROM s
+""",
+)
+def _q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (``analytics.rfm_segments``): exact NTILE-5
+    recency/frequency/monetary quintiles per customer, computed as
+    three bucketed distributed ranks + an all-integer tile formula —
+    never a global-sort NTILE window. DECIMAL monetary routed
+    DOUBLE-ward via VARCHAR on the oracle side (the >2^53 cast
+    hazard w_anchored_vwap documented)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+
+    return analytics.rfm_segments(_t(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -8587,6 +8630,7 @@ _VERIFY_FIRST = [
     "c_quota_sample",
     "q_cohort_ltv",
     "w_stochastic",
+    "q_rfm_segments",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

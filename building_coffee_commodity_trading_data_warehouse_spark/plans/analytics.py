@@ -1584,3 +1584,134 @@ def cohort_ltv(orders: DataFrame) -> DataFrame:
             ).alias("cum_rev_per_customer"),
         )
     )
+
+
+def _global_ntile_rank(
+    df: DataFrame,
+    metric_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    ascending: bool,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based row rank under (metric, tiebreak) total order —
+    the distributed pareto/global_row_numbers shape (NEVER an
+    empty-``partitionBy()`` window): rows bucket by deterministic
+    value ranges of the metric (width_bucket over broadcast min/max —
+    a pure function of the value, so equal metrics always share a
+    bucket and ties never straddle a boundary), each bucket ranks
+    under its own window (ONE corpus exchange), and cross-bucket
+    offsets come from the tiny per-bucket counts broadcast back."""
+    m_dbl = F.col(metric_col).cast("double")
+    stats = df.agg(F.min(m_dbl).alias("__lo"), F.max(m_dbl).alias("__hi"))
+    bucket = F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+        F.least(
+            F.lit(n_buckets),
+            F.width_bucket(m_dbl, F.col("__lo"), F.col("__hi"), F.lit(n_buckets)),
+        )
+    )
+    bucketed = scoped_persist(
+        df.crossJoin(F.broadcast(stats)).withColumn("__b", bucket)
+    )
+    metric_order = (
+        F.asc(metric_col) if ascending else F.desc(metric_col)
+    )
+    w_in = Window.partitionBy("__b").orderBy(metric_order, F.asc(tiebreak_col))
+    # offsets: count of rows in buckets that sort BEFORE this one under
+    # the requested direction (bucket ids rise with the metric value)
+    w_off = Window.orderBy(
+        F.asc("__b") if ascending else F.desc("__b")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        bucketed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+        )
+        .select("__b", "__off")
+    )
+    return bucketed.join(F.broadcast(offs), "__b").select(
+        *df.columns,
+        (F.col("__off") + F.row_number().over(w_in)).alias(out_col),
+    )
+
+
+def _ntile_from_rank(rank_col: str, n_col: str, k: int):
+    """Exact NTILE(k) tile from a 1-based global rank and total count
+    — SQL-standard fill (the first ``n mod k`` tiles get the extra
+    row), all-integer arithmetic so both engines agree bit-for-bit."""
+    r = F.col(rank_col)
+    n = F.col(n_col)
+    q = F.floor(n / k)  # base tile size
+    rem = n - q * k  # tiles 1..rem carry q+1 rows
+    big_span = (q + 1) * rem
+    in_big = F.floor((r - 1) / (q + 1)) + 1
+    in_small = rem + F.floor((r - 1 - big_span) / F.greatest(q, F.lit(1))) + 1
+    return F.when(r <= big_span, in_big).otherwise(in_small)
+
+
+def rfm_segments(orders: DataFrame, k: int = 5) -> DataFrame:
+    """RFM customer segmentation — the classic CRM cut (recency of
+    last order, order frequency, monetary value) scored into exact
+    NTILE-``k`` quintiles; the reference's customer dimension
+    (ODS.py:19-56) exists to serve exactly this class of rollup.
+
+    Semantics: recency is whole days between the customer's last
+    order and the corpus-wide anchor (max order date — derived, not
+    wall-clock, so reruns are reproducible); frequency is the order
+    count; monetary accumulates DECIMAL(38,6) (order-independent).
+    Scores are SQL-standard NTILE over deterministic total orders
+    (metric, then custkey) — r ascending (1 = most recent), f and m
+    descending (1 = heaviest) — computed WITHOUT the global-sort
+    NTILE window: three bucketed distributed ranks (pareto prefix-sum
+    shape, one customer-cardinality exchange each) feed an
+    all-integer tile formula, so the plan never funnels the customer
+    universe through one task.
+
+    Output: (o_custkey, recency_days, frequency, monetary, r_score,
+    f_score, m_score, rfm_cell) with rfm_cell = r·100 + f·10 + m."""
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("__anchor")
+    )
+    per_cust = scoped_persist(
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "__monetary_d"
+            ),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("__anchor", "__last").cast("int").alias("recency_days"),
+            "frequency",
+            "__monetary_d",
+        )
+    )
+    n_total = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = _global_ntile_rank(
+        per_cust, "recency_days", "o_custkey", "__rr", ascending=True
+    )
+    ranked = _global_ntile_rank(
+        ranked, "frequency", "o_custkey", "__rf", ascending=False
+    )
+    ranked = _global_ntile_rank(
+        ranked, "__monetary_d", "o_custkey", "__rm", ascending=False
+    )
+    scored = ranked.crossJoin(F.broadcast(n_total)).select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("__monetary_d").cast("double").alias("monetary"),
+        _ntile_from_rank("__rr", "__n", k).cast("int").alias("r_score"),
+        _ntile_from_rank("__rf", "__n", k).cast("int").alias("f_score"),
+        _ntile_from_rank("__rm", "__n", k).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )

@@ -489,3 +489,44 @@ def test_gini_equal_and_concentrated(spark):
     num = 2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sum(xs)
     assert r2["gini"] == num / (n * sum(xs))
     assert r2["gini"] > 0.74
+
+
+def test_rfm_segments_known_tiles(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import (
+        analytics,
+    )
+    import datetime as dt
+
+    # customer i: i orders, all on Jan i -> recency 10-i days, freq i,
+    # monetary 100*i. All three metrics strictly ordered, n=10, k=5 ->
+    # every tile holds exactly 2 customers and cust10 is best on all
+    # three axes (cell 111) while cust1 is worst (cell 555).
+    rows = [
+        (i, dt.datetime(2024, 1, i), 100.0)
+        for i in range(1, 11)
+        for _ in range(i)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r["o_custkey"]: r for r in analytics.rfm_segments(orders).collect()}
+    assert len(out) == 10
+    for i in range(1, 11):
+        r = out[i]
+        assert r["recency_days"] == 10 - i
+        assert r["frequency"] == i
+        assert r["monetary"] == 100.0 * i
+        tile = (10 - i) // 2 + 1  # 10,9 -> 1 ... 2,1 -> 5
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (tile,) * 3
+        assert r["rfm_cell"] == tile * 111
+
+    # n < k: NTILE(5) over 3 rows = tiles 1..3, one row each
+    small = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, i), 100.0 * i) for i in (1, 2, 3)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    tiles = {
+        r["o_custkey"]: r["m_score"]
+        for r in analytics.rfm_segments(small).collect()
+    }
+    assert tiles == {3: 1, 2: 2, 1: 3}
