@@ -8431,6 +8431,45 @@ def _q_stochastic(spark, sf_dir):
 
 
 @_register(
+    "w_pivot_points",
+    """
+WITH bars AS (
+  SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         MAX(value) AS high, MIN(value) AS low,
+         arg_max(value, printf('%020d%012d', epoch_us(ts), event_id))
+           AS close
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, day, high, low, close,
+         LAG(high) OVER w AS ph, LAG(low) OVER w AS pl,
+         LAG(close) OVER w AS pc
+  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY day)
+),
+pv AS (
+  SELECT user_id, day, high, low, close, ph, pl,
+         (ph + pl + pc) / 3.0 AS pv_level
+  FROM p
+)
+SELECT user_id, day, high, low, close, pv_level AS "pivot",
+       2.0 * pv_level - pl AS r1,
+       2.0 * pv_level - ph AS s1,
+       pv_level + (ph - pl) AS r2,
+       pv_level - (ph - pl) AS s2
+FROM pv
+""",
+)
+def _q_pivot_points(spark, sf_dir):
+    """Floor-trader daily pivot/support/resistance levels off the
+    prior day's tick-derived bar (``bi.pivot_points_daily``): single
+    arithmetic expressions over identical doubles, NULL rails on each
+    user's first day, one user-keyed exchange."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+
+    return bi.pivot_points_daily(_t(spark, sf_dir, "events"))
+
+
+@_register(
     "q_rfm_segments",
     """
 WITH m AS (
@@ -8631,6 +8670,7 @@ _VERIFY_FIRST = [
     "q_cohort_ltv",
     "w_stochastic",
     "q_rfm_segments",
+    "w_pivot_points",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

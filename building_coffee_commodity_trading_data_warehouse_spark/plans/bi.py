@@ -223,3 +223,55 @@ def atr_from_bars(bars: DataFrame, periods: int = 14) -> DataFrame:
             / (F.count("__trq").over(frame) * lat)
         ).alias("atr"),
     )
+
+
+def pivot_points_daily(events: DataFrame) -> DataFrame:
+    """Floor-trader pivot points per (user, day): pivot = (H+L+C)/3 of
+    the PREVIOUS day's bar, with the classic support/resistance rails
+    r1 = 2·pivot − prev_low, s1 = 2·pivot − prev_high, r2/s2 = pivot ±
+    prev-day range — the levels a trading desk marks before the open
+    (the reference charts daily OHLC for exactly this read; derived
+    here from raw ticks like ``ohlcv_bars``).
+
+    Determinism: the daily bar collapses ticks with one combinable
+    aggregate (max/min + ``max_by`` on the zero-padded epoch||id tick
+    key — the total order both engines agree on), and every level is
+    a single arithmetic expression over identical doubles written the
+    same way on both engines — no accumulation, so no lattice needed.
+    First day per user has no prior bar: levels stay NULL. One
+    user-keyed exchange shared by the bar groupBy and the lag window.
+    """
+    tick_key = F.format_string(
+        "%020d%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    bars = events.groupBy(
+        "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", tick_key).alias("close"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    ph = F.lag("high").over(w)
+    pl = F.lag("low").over(w)
+    pc = F.lag("close").over(w)
+    with_prev = bars.select(
+        "user_id", "day", "high", "low", "close",
+        ph.alias("__ph"), pl.alias("__pl"), pc.alias("__pc"),
+    )
+    pivot = (F.col("__ph") + F.col("__pl") + F.col("__pc")) / F.lit(3.0)
+    with_pivot = with_prev.withColumn("pivot", pivot)
+    return with_pivot.select(
+        "user_id",
+        "day",
+        "high",
+        "low",
+        "close",
+        "pivot",
+        (F.lit(2.0) * F.col("pivot") - F.col("__pl")).alias("r1"),
+        (F.lit(2.0) * F.col("pivot") - F.col("__ph")).alias("s1"),
+        (F.col("pivot") + (F.col("__ph") - F.col("__pl"))).alias("r2"),
+        (F.col("pivot") - (F.col("__ph") - F.col("__pl"))).alias("s2"),
+    )

@@ -654,3 +654,29 @@ def test_stochastic_known_frames(spark):
     assert out[3]["pct_k"] == 0.5            # mid of {10,20,15}
     assert out[4]["pct_k"] == 0.0            # at the low of {20,15,10}
     assert out[4]["low_n"] == 10.0 and out[4]["high_n"] == 20.0
+
+
+def test_pivot_points_known_levels(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import bi
+    import datetime as dt
+
+    # day 1: H=110 L=90 C=100 -> day 2 pivot=100, r1=110, s1=90,
+    # r2=120, s2=80; day 1 itself has no prior bar -> NULL rails
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "tick", 90.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10), 1, "tick", 110.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 11), 1, "tick", 100.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 9), 1, "tick", 105.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"]: r for r in bi.pivot_points_daily(ev).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1["pivot"] is None and d1["r1"] is None
+    assert (d1["high"], d1["low"], d1["close"]) == (110.0, 90.0, 100.0)
+    assert d2["pivot"] == 100.0
+    assert (d2["r1"], d2["s1"]) == (110.0, 90.0)
+    assert (d2["r2"], d2["s2"]) == (120.0, 80.0)
