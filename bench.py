@@ -72,6 +72,8 @@ HEADLINE = [
     "c_negative_pairs",
     "w_rolling_quartiles",
     "w_holt_smoothing",
+    "q_rfm_segments",
+    "w_pivot_points",
 ]
 
 
