@@ -8431,6 +8431,35 @@ def _q_stochastic(spark, sf_dir):
 
 
 @_register(
+    "t_hapax_spectrum",
+    """
+WITH tok AS (
+  SELECT source, t.tok
+  FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS t(tok)
+  WHERE t.tok != ''
+),
+c AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS hapax_share
+FROM c GROUP BY source
+""",
+)
+def _q_hapax_spectrum(spark, sf_dir):
+    """Per-source hapax/dis-legomena spectrum
+    (``textstats.hapax_spectrum``): exact integer frequency-of-
+    frequency counts, two combinable shuffles (corpus tokens →
+    per-source vocab), one int division for the share."""
+    return textstats.hapax_spectrum(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "w_pivot_points",
     """
 WITH bars AS (
@@ -8671,6 +8700,7 @@ _VERIFY_FIRST = [
     "w_stochastic",
     "q_rfm_segments",
     "w_pivot_points",
+    "t_hapax_spectrum",
     # tier 4 — newest row is r3; round-robin refresh continues.
     "flagship_windows",
     "j_star_join",

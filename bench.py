@@ -74,6 +74,7 @@ HEADLINE = [
     "w_holt_smoothing",
     "q_rfm_segments",
     "w_pivot_points",
+    "t_hapax_spectrum",
 ]
 
 

@@ -728,3 +728,38 @@ def token_burstiness(documents: DataFrame, topn: int = 25, min_df: int = 5) -> D
         .filter(F.col("rk") <= topn)
         .select("tok", "sc", "df", "vmr", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def hapax_spectrum(documents: DataFrame) -> DataFrame:
+    """Per-source vocabulary frequency spectrum: token count, vocab
+    size, hapax / dis legomena counts (words seen exactly once /
+    twice in that source's subcorpus) and the hapax share — the
+    Zipf-tail health check a curation pass reads per source (a high
+    hapax share flags noisy or OCR-damaged feeds; a collapsed one
+    flags templated/boilerplate text). Complements ``vocab_growth``
+    (which tracks NEW types over time) with the steady-state shape.
+
+    Scale: one token explode → (source, token) count → source rollup.
+    Both shuffles are map-side combinable and the second is bounded by
+    per-source vocabulary, not corpus size; nothing driver-side. All
+    counts are exact integers; the single share division runs on
+    identical ints in both engines."""
+    tok = documents.select(
+        "source", F.explode(_tokens()).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    one = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    two = F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            one.alias("n_hapax"),
+            two.alias("n_dis"),
+        )
+        .withColumn(
+            "hapax_share",
+            F.col("n_hapax").cast("double") / F.col("vocab_size"),
+        )
+    )

@@ -845,3 +845,26 @@ def test_quota_sample_exact_k_and_growth_stable(spark):
         if r["source"] == "a"
     }
     assert chosen_a == again
+
+
+def test_hapax_spectrum_known_counts(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c c c", "s1"),
+            (2, "d d", "s1"),
+            (3, "x y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in textstats.hapax_spectrum(docs).collect()}
+    s1 = out["s1"]
+    # s1 corpus: a×1 b×2 c×3 d×2 -> vocab 4, hapax {a}, dis {b, d}
+    assert s1["n_tokens"] == 8 and s1["vocab_size"] == 4
+    assert s1["n_hapax"] == 1 and s1["n_dis"] == 2
+    assert s1["hapax_share"] == 0.25
+    s2 = out["s2"]
+    assert (s2["vocab_size"], s2["n_hapax"], s2["hapax_share"]) == (2, 2, 1.0)
