@@ -778,3 +778,23 @@ def test_cusum_windows_share_one_user_exchange(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rfm_no_unbounded_single_partition(spark, sf_dir):
+    """rfm_segments' three NTILE ranks must stay bucketed: the
+    customer-cardinality windows all partition by the value bucket
+    __b, and every empty-partitionBy window spec is a bucket-offset
+    frame over ≤ n_buckets rows. A global NTILE/row_number window over
+    the customer frame is the funnel regression this blocks."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_rfm_segments"](spark, sf_dir)
+    plan = explain.plan_string(df)
+    assert re.search(r"Window .*windowspecdefinition\(__b", plan), plan
+    first_args = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    empty_partition = [a for a in first_args if " DESC" in a or " ASC" in a]
+    assert empty_partition, plan  # the three bucket-offset windows
+    for a in empty_partition:
+        assert a.startswith("__b#"), (a, plan)
+    # no NTILE physical node anywhere — tiles are arithmetic
+    assert "ntile" not in plan.lower(), plan
