@@ -8558,7 +8558,8 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ---- round-6 priority order (driver samples ~50 of 179 gates) ----
+    # ---- round-6 priority order (driver samples ~50; registry has
+    # grown to 246 gates — 179 carried into r6 + the r6 additions) ----
     # tier 1 — never-green or code changed THIS round (commit 083d5ec:
     # PNG certificate column added to the m_decode_resize gate;
     # snapshot_diff rewritten to per-key multiset fingerprints;

@@ -530,3 +530,39 @@ def test_rfm_segments_known_tiles(spark):
         for r in analytics.rfm_segments(small).collect()
     }
     assert tiles == {3: 1, 2: 2, 1: 3}
+
+
+def test_ntile_formula_matches_sql_standard(spark):
+    """_ntile_from_rank must reproduce SQL NTILE for EVERY (n, k, rank)
+    combination in a dense sweep — the first n mod k tiles carry the
+    extra row. One Spark job; the reference tiling is computed in
+    plain Python from the standard's definition."""
+    from building_coffee_commodity_trading_data_warehouse_spark.plans.analytics import (
+        _ntile_from_rank,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (n, k, r)
+        for n in (1, 2, 3, 4, 5, 7, 10, 11, 50, 53)
+        for k in (1, 2, 3, 5, 7)
+        for r in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "n long, k long, r long")
+    got = {}
+    for k in (1, 2, 3, 5, 7):
+        part = df.filter(F.col("k") == k).withColumn(
+            "tile", _ntile_from_rank("r", "n", k).cast("int")
+        )
+        for row in part.collect():
+            got[(row["n"], k, row["r"])] = row["tile"]
+    for n, k, r in rows:
+        q, rem = divmod(n, k)
+        # tiles 1..rem have q+1 rows, the rest have q
+        expected, acc = None, 0
+        for t in range(1, k + 1):
+            acc += q + 1 if t <= rem else q
+            if r <= acc:
+                expected = t
+                break
+        assert got[(n, k, r)] == expected, (n, k, r, got[(n, k, r)], expected)
