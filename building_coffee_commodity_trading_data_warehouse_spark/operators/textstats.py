@@ -364,20 +364,79 @@ def bpe_pair_counts(documents: DataFrame, topn: int | None = None) -> DataFrame:
     return pairs
 
 
-def train_bpe(documents: DataFrame, n_merges: int = 10) -> list[tuple[str, str]]:
-    """Greedy BPE merge-table training: ``n_merges`` rounds of
-    (count adjacent symbol pairs over the vocabulary) → (merge the
-    argmax pair leftmost-first in every word). Returns the ordered
-    merge list — the artifact a tokenizer ships.
+def _safe_merge_batch(
+    rows: list, cap: int, remaining: int
+) -> list[tuple[str, str, int]]:
+    """From pair counts sorted (count desc, l asc, r asc), pick the
+    longest CONTIGUOUS prefix that one driver round can merge while
+    staying bit-identical to one-merge-at-a-time greedy BPE.
+
+    A prefix pair is admissible while it is independent of every pair
+    already in the batch: none of its symbols, and not its merged
+    token, may equal a batch pair's symbol or merged token. The walk
+    STOPS at the first inadmissible pair (contiguity is what the
+    equivalence proof needs), then trims trailing pairs whose count
+    ties the first excluded pair.
+
+    Why this reproduces greedy exactly: merging batch pair p_i cannot
+    change the count of batch pair p_j (their symbols are disjoint and
+    p_i's merged token is not a p_j symbol), and every pair it CAN
+    touch — old pairs sharing a symbol with p_i, or new pairs built
+    from p_i's merged token, whose count is bounded by some old
+    sharing pair's count — sits at or below the stop pair's count,
+    which after the trim is STRICTLY below every batch count. So at
+    each sequential greedy step the next batch pair is still the
+    unique (count, l, r)-argmax. batch[0] alone is always safe: it is
+    plain greedy's own argmax, ties and all."""
+    batch: list[tuple[str, str, int]] = []
+    taken: set[str] = set()  # batch symbols ∪ batch merged tokens
+    stop_count: int | None = None
+    for i, row in enumerate(rows):
+        left, right, count = row["p"]["l"], row["p"]["r"], row["c"]
+        if i >= cap or (
+            batch and (left in taken or right in taken or (left + right) in taken)
+        ):
+            stop_count = count
+            break
+        batch.append((left, right, count))
+        taken.update((left, right, left + right))
+    if stop_count is not None:
+        while len(batch) > 1 and batch[-1][2] <= stop_count:
+            batch.pop()
+    return batch[:remaining]
+
+
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int = 10,
+    batch_cap: int = 32,
+    stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge-table training: repeatedly (count adjacent
+    symbol pairs over the vocabulary) → (merge the argmax pair
+    leftmost-first in every word), for ``n_merges`` merges total.
+    Returns the ordered merge list — the artifact a tokenizer ships.
+    Bit-identical to the one-merge-per-job trainer (pinned to an
+    independent Python reference in tests), but each driver round
+    harvests a BATCH of provably-independent merges
+    (``_safe_merge_batch``), so a 32k-merge production vocabulary
+    costs ~n_merges/batch rounds instead of n_merges sequential jobs
+    wherever the corpus offers disjoint merges (natural corpora do;
+    a pure single-chain corpus like 'aaaa…' degrades gracefully to
+    one merge per round).
 
     Distributed shape: word symbol sequences live as vocab-sized
-    ``array<string>`` rows; each round is ONE aggregate for the
-    argmax (a single-row driver fetch — bounded) and ONE in-row
-    ``aggregate()`` fold to apply the merge (greedy leftmost-first:
-    the fold merges the accumulator tail exactly when it equals the
-    pair, so 'aaa' + (a,a) → [aa, a], the reference semantics).
-    ``localCheckpoint`` per round keeps the iterative lineage
-    constant-size (the PageRank lesson, graph.py:25)."""
+    ``array<string>`` rows; each round is ONE aggregate with a
+    bounded ``limit(batch_cap + 1)`` driver fetch and ONE in-row
+    ``aggregate()`` fold applying every batch merge (greedy
+    leftmost-first: the fold merges the accumulator tail exactly when
+    (tail, x) equals a batch pair, so 'aaa' + (a,a) → [aa, a], the
+    reference semantics; batch independence guarantees (tail, x)
+    matches at most one pair and never a token another batch merge
+    creates). ``localCheckpoint`` per round keeps the iterative
+    lineage constant-size (the PageRank lesson, graph.py:25).
+    ``stats['rounds']``, if a dict is passed, records the number of
+    driver rounds actually used."""
     words = (
         documents.select(F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
@@ -393,7 +452,8 @@ def train_bpe(documents: DataFrame, n_merges: int = 10) -> list[tuple[str, str]]
         .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         top = (
             words.filter(F.size("syms") >= 2)
             .select(
@@ -409,24 +469,30 @@ def train_bpe(documents: DataFrame, n_merges: int = 10) -> list[tuple[str, str]]
             .groupBy("p")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.col("c").desc(), F.col("p.l"), F.col("p.r"))
-            .limit(1)
+            .limit(batch_cap + 1)
             .collect()
         )
-        if not top:
+        rounds += 1
+        batch = _safe_merge_batch(top, batch_cap, n_merges - len(merges))
+        if not batch:
             break
-        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
-        merges.append((left, right))
-        merged = left + right
+        merges.extend((left, right) for left, right, _ in batch)
+        whens = " ".join(
+            f"WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_str(left)} "
+            f"AND x = {_sql_str(right)} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array({_sql_str(left + right)}))"
+            for left, right, _ in batch
+        )
         words = words.select(
             F.expr(
                 "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {_sql_str(left)} "
-                f"AND x = {_sql_str(right)} "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array({_sql_str(merged)})) "
-                "ELSE concat(acc, array(x)) END)"
+                f"CASE {whens} ELSE concat(acc, array(x)) END)"
             ).alias("syms"),
             "freq",
         ).localCheckpoint()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -488,6 +488,52 @@ def test_train_bpe_quote_safe(spark):
     assert textstats.train_bpe(docs, n_merges=2) == _ref_bpe(corpus, 2)
 
 
+def test_train_bpe_batched_rounds(spark):
+    """A corpus whose top merges are mutually independent (disjoint
+    letter ranges, strictly decreasing frequencies so the tie trim
+    never bites) must harvest them in ONE driver round — the r6
+    verdict's ≥5× job-reduction bar — while the merge table stays
+    bit-identical to the sequential reference."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st"]
+    corpus = [" ".join([w] * (100 - i)) for i, w in enumerate(words)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    stats: dict = {}
+    merges = textstats.train_bpe(docs, n_merges=10, stats=stats)
+    assert merges == _ref_bpe(corpus, 10) == [tuple(w) for w in words]
+    assert stats["rounds"] == 1  # 10 merges / 1 round: 10x fewer jobs
+
+
+def test_train_bpe_random_small_alphabet(spark):
+    """Adversarial identity sweep: tiny alphabets maximize chained
+    merges ('aa'+'a'), count ties, and merged-token/symbol collisions
+    ('ab' the merge vs 'ab' the pair) — exactly the cases the batch
+    safety rule (contiguous prefix, independence, strict-count trim)
+    must handle by shrinking the batch, never by reordering merges."""
+    import random
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    rng = random.Random(20260814)
+    for trial in range(4):
+        corpus = [
+            " ".join(
+                "".join(rng.choice("ab c") for _ in range(rng.randint(1, 8))).strip()
+                or "a"
+                for _ in range(30)
+            )
+            for _ in range(3)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        got = textstats.train_bpe(docs, n_merges=8, batch_cap=4)
+        assert got == _ref_bpe(corpus, 8), (trial, corpus)
+
+
 def test_linear_score_planted_model(spark):
     """Hand-checkable model apply: every token of doc 1 carries weight
     +scale (score exactly +1 per token before sign), doc 2's tokens
