@@ -1367,32 +1367,41 @@ def duplicate_payments(
     double-pays rarely match to the cent once fees differ, so the
     screen bands the amount).
 
-    Equality-keyed self-join on custkey with band predicates on exact
-    DECIMAL-cents amount and date — the pair stream is Σ(orders per
-    customer)², bounded because per-customer order counts are (orders
-    follow customers, not corpus size); a pathological mega-customer
-    would call for amount-bucket banding on top, the same pigeonhole
-    trick as the Hamming joins. Deduped by id order; dates surface as
-    strings.
+    Equality-keyed self-join on (custkey, amount band) — the same
+    pigeonhole trick as the Hamming joins (dedup.py simhash_pairs):
+    band = floor(cents / tol), so any in-tolerance pair lands in
+    adjacent bands; the probe side explodes to {band-1, band, band+1}
+    and the equi-join on the band makes each candidate pair meet in
+    EXACTLY one band-pair (the build row's own band), so exactness and
+    pair uniqueness are free — the ±tol filter stays as a post-join
+    predicate. Without the band, a power-law mega-customer is Σn²
+    inside one task; with it, that customer's pair stream splits
+    across its occupied amount bands. Deduped by id order; dates
+    surface as strings.
     """
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     side = orders.select(
         "o_orderkey", "o_custkey", cents.alias("__c"), "o_orderdate"
     )
+    band = F.floor(F.col("__c") / F.lit(amount_tol_cents))
     a = side.select(
         F.col("o_orderkey").alias("order_a"),
         "o_custkey",
         F.col("__c").alias("c_a"),
         F.col("o_orderdate").alias("date_a"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("band"),
     )
     b = side.select(
         F.col("o_orderkey").alias("order_b"),
         "o_custkey",
         F.col("__c").alias("c_b"),
         F.col("o_orderdate").alias("date_b"),
+        band.alias("band"),
     )
     return (
-        a.join(b, "o_custkey")
+        a.join(b, ["o_custkey", "band"])
         .filter(
             (F.col("order_a") < F.col("order_b"))
             & (F.abs(F.col("c_a") - F.col("c_b")) <= amount_tol_cents)

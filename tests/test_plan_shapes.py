@@ -798,3 +798,57 @@ def test_rfm_no_unbounded_single_partition(spark, sf_dir):
         assert a.startswith("__b#"), (a, plan)
     # no NTILE physical node anywhere — tiles are arithmetic
     assert "ntile" not in plan.lower(), plan
+
+
+def test_duplicate_payments_banded_join_and_planted_skew(spark):
+    """The double-pay screen's self-join key must include the amount
+    band (pigeonhole: probe side explodes to band±1), so a power-law
+    mega-customer splits across its occupied amount bands instead of
+    funnelling Σn² through one task — and banding must not change a
+    single pair. Planted data: one whale customer with orders spread
+    across many amount bands plus in-band duplicate clusters; the
+    result is checked pair-for-pair against an in-Python brute force."""
+    import datetime as dt
+    import itertools
+
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import analytics
+
+    base = dt.date(1995, 1, 1)
+    rows = []
+    # whale: 120 orders, amounts marching 400 apart (~2.5 per $1000
+    # band), every 3rd day; plus a tight duplicate cluster
+    for i in range(120):
+        rows.append((1000 + i, 7, 900.0 + 400.0 * i, base + dt.timedelta(days=3 * i)))
+    for i in range(6):
+        rows.append((2000 + i, 7, 5000.25, base + dt.timedelta(days=i)))
+    # normal customers
+    for c in (8, 9):
+        for i in range(4):
+            rows.append((3000 + 10 * c + i, c, 100.0 * c + i, base + dt.timedelta(days=40 * i)))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate date"
+    )
+    df = analytics.duplicate_payments(
+        orders.withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(15,2)"))
+    )
+    # plan pin: the equi-join keys include the band, and the probe
+    # side explodes (Generate) — the shape that splits the whale
+    plan = explain.plan_string(df)
+    join_keys = re.search(r"(?:SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]", plan)
+    assert join_keys and "band" in join_keys.group(1), plan
+    assert "Generate explode" in plan, plan
+    got = {
+        (r["order_a"], r["order_b"], r["amount_diff"], r["days_apart"])
+        for r in df.collect()
+    }
+    cents = {k: round(p * 100) for k, _, p, _ in rows}
+    byc = {k: (c, d) for k, c, _, d in rows}
+    want = set()
+    for x, y in itertools.combinations(sorted(cents), 2):
+        if byc[x][0] != byc[y][0]:
+            continue
+        dc = abs(cents[x] - cents[y])
+        dd = abs((byc[x][1] - byc[y][1]).days)
+        if dc <= 100_000 and dd <= 30:
+            want.add((x, y, dc / 100.0, dd))
+    assert got == want and len(want) > 100, (len(got), len(want))
