@@ -7993,8 +7993,9 @@ WHERE a.o_orderkey < b.o_orderkey
 def _q_duplicate_payments(spark, sf_dir):
     """Near-duplicate payment screen (``analytics.duplicate_payments``):
     same customer, amounts within $1000 on the exact cents lattice,
-    dates within 30 days — customer-keyed self-join whose pair stream
-    is bounded by per-customer order counts."""
+    dates within 30 days — (custkey, amount-band) pigeonhole
+    equi-join, so a mega-customer's pair stream splits across its
+    occupied amount bands (plan-pinned in test_plan_shapes.py)."""
     from building_coffee_commodity_trading_data_warehouse_spark.plans import (
         analytics,
     )
@@ -8558,151 +8559,95 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ---- round-6 priority order (driver samples ~50; registry has
-    # grown to 246 gates — 179 carried into r6 + the r6 additions) ----
-    # tier 1 — never-green or code changed THIS round (commit 083d5ec:
-    # PNG certificate column added to the m_decode_resize gate;
-    # snapshot_diff rewritten to per-key multiset fingerprints;
-    # q_important_stock oracle DECIMAL->DOUBLE routed via VARCHAR; the
-    # stateful trackers' HALF_UP now re-decided exactly near
-    # half-ticks).
-    "m_decode_resize",  # the only gate with zero green driver rows ever
-    "e_snapshot_diff",
-    "q_important_stock",
-    "st_stateful_totals",
-    "st_zscore_outliers",  # never sampled + stateful.py changed
-    # tier 1 — gates whose code commit 5cd7787 (late r5) changed after
-    # their r5 rows may have been recorded; changed code needs a fresh
-    # row (VERDICT r5 item 2).
-    "e_pdf_report",
-    "st_variant_totals",
-    "c_dsir_weights",
-    "m_audio_wav",
-    "a_active_users",  # never sampled; 5cd7787 calendar-gap semantics
-    "w_zscore_outliers",  # never sampled + touched
-    "m_validate_rules",  # never sampled + touched
-    # tier 2 — the 31 remaining never-driver-sampled gates (VERDICT r5
-    # item 3): after this round every registered gate has a driver row.
-    "e_time_travel",  # also reads plans/snapshots.py (changed this round)
-    "a_correlation",
-    "a_histogram",
-    "a_mad_robust",
-    "a_set_ops",
-    "a_unpivot_totals",
-    "c_boilerplate_scrub",
-    "c_clean_text",
-    "c_group_sample",
-    "c_winsorize",
-    "e_jsonl_roundtrip",
-    "e_orc_roundtrip",
-    "e_udtf_chunks",
-    "f_bitwise_battery",
-    "f_higher_order",
-    "f_null_battery",
-    "m_analyze_stats",
-    "m_image_phash",
-    "m_skew_report",
-    "q_basket_pairs",
-    "q_market_concentration",
-    "q_order_distribution",
-    "q_order_lifecycle",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_shipmode_priority",
-    "s_embedding_dimstats",
-    "st_histogram",
-    "st_leaderboard",
-    "st_left_join",
-    "w_resample_ffill",
-    # tier 3 — newest row is r1: five rounds of driver/testdata drift
-    # with no hard signal (VERDICT r5 item 4); overflow rolls to r7.
-    "p_filter_pushdown",
-    "q_sql_surface",
-    "s_cosine_topk",
-    "s_global_sort",
-    "s_lsh_buckets",
-    "s_topk_per_group",
-    "t_fingerprints",
+    # ==== round-7 order. STANDING POLICY (r6 verdict item 6): any
+    # round that edits a shared-helper module (operators/windows.py,
+    # functions/exact.py, or any file 3+ gates import) re-queues EVERY
+    # gate importing it into tier 1, ahead of the stale rotation. ====
+    # tier 1 — code changed in r7: train_bpe de-serialized (batched
+    # non-adjacent merges) and duplicate_payments amount-band join.
+    "t_bpe_pairs",
+    "t_bpe_encode",
+    "q_duplicate_payments",
+    # tier 2a — never-driver-sampled: recurrence/stateful family
+    # (r6 verdict item 1a).
+    "w_cusum",
+    "st_cusum",
+    "st_countmin",
+    "st_dedup_jitter",
+    "st_full_join",
+    "w_holt_smoothing",
+    "w_forecast_intervals",
+    # tier 2b — never-sampled: r6 analytics (verdict item 1b).
+    "q_rfm_segments",
+    "q_cohort_ltv",
+    "q_association_rules",
+    "q_customer_migration",
+    "a_gini",
+    "a_cramers_v",
+    "a_ks_drift",
+    "a_mann_kendall",
+    # tier 2c — never-sampled: r6 text/multimodal (verdict item 1c).
+    "t_langid_ngram",
+    "m_audio_vad",
+    "m_image_patches",
+    "m_video_pairs",
+    # tier 3 — the 5 r1-stale greens (verdict item 2): five rounds of
+    # driver drift; placed INSIDE the 50-slot window this round.
     "t_quality_language",
     "t_token_stats",
     "w_rank_battery",
     "m_multimodal_features",
     "m_frame_counts",
-    # tier 3b — NEW gates this round (pytest + local-oracle green, and
-    # every one ALSO verified repr-exact vs DuckDB at sf0.01 in-session;
-    # first driver row lands r7, the same pattern as every round's
-    # newly added gates). Positioned after the verdict's items 1-4 so
-    # they don't displace the never-sampled burn-down. The r6 build
-    # sessions appended ~48 gates here — r7 should rotate them into
-    # the sampled range after the r6 carry-over tiers clear.
+    # tier 2d — never-sampled remainder that fits the 50-slot window.
     "d_simhash_pairs",
-    "t_bpe_pairs",
     "e_schema_evolution",
-    "w_global_rownum",
-    "st_full_join",
-    "j_asof_forward",
-    "t_feature_hashing",
     "e_cdc_apply",
-    "w_bollinger",
     "e_date_dim",
-    "c_model_score",
-    "t_bpe_encode",
-    "a_sketch_rollup",
+    "w_global_rownum",
+    "j_asof_forward",
     "j_edit_distance",
-    "st_dedup_jitter",
+    "t_feature_hashing",
+    "w_bollinger",
+    "c_model_score",
+    "a_sketch_rollup",
     "d_cluster_canonical",
     "s_sparse_cosine",
+    "s_mips_topk",
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
     "w_rolling_quartiles",
-    "w_holt_smoothing",
     "a_seasonal_anomaly",
     "a_path_trigrams",
     "d_minhash_rollup",
-    "st_countmin",
-    "w_cusum",
-    "m_image_patches",
-    "s_mips_topk",
     "w_interpolate",
     "a_benford",
-    "a_markov_transitions",
-    "c_shard_plan",
-    "q_receivables_aging",
-    "d_dup_stats",
-    "w_forecast_intervals",
-    "c_dataset_card",
-    "m_video_pairs",
-    "q_seasonal_index",
-    "a_sign_runs",
+    # ---- position 51+: the 22 never-sampled gates that do not fit
+    # r7's 50 slots — queued at the top for r8 (verdict item 1). ----
     "a_aqp_revenue",
-    "a_ks_drift",
-    "q_association_rules",
-    "w_obv",
-    "t_tvd_sources",
-    "q_customer_migration",
-    "d_bloom_prefilter",
+    "a_markov_transitions",
+    "a_sign_runs",
+    "c_dataset_card",
     "c_epoch_plan",
-    "t_langid_ngram",
-    "a_cramers_v",
-    "q_duplicate_payments",
-    "q_supplier_scorecard",
-    "t_vocab_growth",
-    "st_cusum",
-    "m_audio_vad",
-    "a_mann_kendall",
-    "q_order_backlog",
-    "t_burstiness",
-    "w_atr",
-    "a_gini",
-    "c_split_leakage",
     "c_quota_sample",
-    "q_cohort_ltv",
-    "w_stochastic",
-    "q_rfm_segments",
-    "w_pivot_points",
+    "c_shard_plan",
+    "c_split_leakage",
+    "d_bloom_prefilter",
+    "d_dup_stats",
+    "q_order_backlog",
+    "q_receivables_aging",
+    "q_seasonal_index",
+    "q_supplier_scorecard",
+    "t_burstiness",
     "t_hapax_spectrum",
-    # tier 4 — newest row is r3; round-robin refresh continues.
+    "t_tvd_sources",
+    "t_vocab_growth",
+    "w_atr",
+    "w_obv",
+    "w_pivot_points",
+    "w_stochastic",
+    # tier 4 — stale-green rotation, oldest driver row first
+    # (r3, then r4, r5, r6).
     "flagship_windows",
     "j_star_join",
     "j_merge_upsert",
@@ -8738,7 +8683,147 @@ _VERIFY_FIRST = [
     "w_frame_values",
     "w_gap_islands",
     "w_percentile_ranks",
+    "w_sessionize",
+    "a_minmax_spread",
+    "a_union_aggregate",
+    "a_rollup",
+    "a_distinct_counts",
+    "a_global_counts",
+    "f_scalar_battery",
+    "f_date_functions",
+    "f_json_extract",
+    "d_exact_dedup",
+    "d_simhash",
+    "d_neardup_clusters",
+    "c_hash_split",
+    "c_hash_sample",
+    "c_chunk_documents",
+    "c_quality_filter",
+    "s_embedding_neardup",
+    "s_embedding_clusters",
+    "a_cube",
+    "e_normalize_battery",
+    "e_sentinel_nulls",
+    "e_audit_counts",
+    "st_ohlcv_bars",
+    "st_tumbling_counts",
+    "st_sliding_counts",
+    "st_session_windows",
+    "st_merge_stream",
+    "j_salted_skew",
+    "st_dedup_stream",
+    "s_ivf_probeall",
+    "m_compact_table",
+    "st_stream_join",
+    "j_asof_quote",
+    "w_time_range_mean",
+    "s_knn_join",
+    "j_asof_tolerance",
+    "st_static_enrich",
+    "q_top_suppliers",
+    "q_order_cadence",
+    "j_bucketed_join",
+    "w_ohlcv_bars",
+    "w_rolling_volatility",
+    "w_drawdown",
+    "w_ewma",
+    "c_temperature_mix",
+    "d_ngram_jaccard",
+    "d_incremental_dedup",
+    "d_minhash_certify",
+    "d_minhash_lsh",
+    "d_decontaminate",
+    "s_ivf_topk",
+    "a_percentiles_approx",
+    "q_yoy_growth",
+    "q_filtered_revenue",
+    "q_nation_trade",
+    "q_small_qty_revenue",
+    "q_large_orders",
+    "q_bracket_revenue",
+    "q_dormant_customers",
+    "d_semantic_decontaminate",
+    "t_bigram_counts",
+    "a_approx_distinct",
+    "f_pandas_udf_sql",
+    "d_containment",
+    "q_pareto_customers",
+    "c_pii_scrub",
+    "t_oov_rate",
+    "e_csv_roundtrip",
+    "q_waiting_suppliers",
+    "q_min_cost_supplier",
+    "q_supplier_diversity",
+    "q_promotion_suppliers",
+    "e_jdbc_roundtrip",
+    "e_rest_dimension",
+    "j_hinted_join",
+    "s_pq_certified",
+    "w_anchored_vwap",
+    "w_rolling_corr",
+    "w_rsi",
+    "q_lateral_topk",
+    "q_recursive_streaks",
+    "f_variant_json",
+    "q_sql_function",
+    "g_pagerank_trade",
+    "a_heavy_hitters",
+    "m_zorder_layout",
+    "e_xml_roundtrip",
+    "d_repeated_spans",
+    "t_token_diversity",
+    "m_decode_resize",
+    "e_snapshot_diff",
+    "q_important_stock",
+    "st_stateful_totals",
+    "st_zscore_outliers",
+    "e_pdf_report",
+    "st_variant_totals",
+    "c_dsir_weights",
+    "m_audio_wav",
+    "a_active_users",
+    "w_zscore_outliers",
+    "m_validate_rules",
+    "e_time_travel",
+    "a_correlation",
+    "a_histogram",
+    "a_mad_robust",
+    "a_set_ops",
+    "a_unpivot_totals",
+    "c_boilerplate_scrub",
+    "c_clean_text",
+    "c_group_sample",
+    "c_winsorize",
+    "e_jsonl_roundtrip",
+    "e_orc_roundtrip",
+    "e_udtf_chunks",
+    "f_bitwise_battery",
+    "f_higher_order",
+    "f_null_battery",
+    "m_analyze_stats",
+    "m_image_phash",
+    "m_skew_report",
+    "q_basket_pairs",
+    "q_market_concentration",
+    "q_order_distribution",
+    "q_order_lifecycle",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_shipmode_priority",
+    "s_embedding_dimstats",
+    "st_histogram",
+    "st_leaderboard",
+    "st_left_join",
+    "w_resample_ffill",
+    "p_filter_pushdown",
+    "q_sql_surface",
+    "s_cosine_topk",
+    "s_global_sort",
+    "s_lsh_buckets",
+    "s_topk_per_group",
+    "t_fingerprints",
 ]
+
 
 
 def _ordered(mapping: dict) -> dict:
