@@ -65,8 +65,8 @@ HEADLINE = [
     "d_repeated_spans",
     "c_dsir_weights",
     "m_zorder_layout",
-    # round-6 additions (no BENCH_BASELINE entry yet — frozen at r5;
-    # their first quiet-machine medians become the baseline next round)
+    # round-6 additions (frozen into BENCH_BASELINE in rounds 6-7;
+    # the baseline now covers the full 38-query headline set)
     "s_sparse_cosine",
     "a_countmin_freq",
     "c_negative_pairs",
