@@ -29,6 +29,30 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "doc_id long, n_bytes long, payload_md5 string, feature_dim long"
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Widen a narrow input to core count before a CPU-bound Python
+    stage. A media scan's parallelism is set by file/row-group layout
+    (bytes), but the cost downstream is per-row Python — a single-
+    row-group parquet file would otherwise run the whole decode on one
+    task (measured: the sf0.1 documents scan is 1 partition). No-op
+    whenever the input is already at least core-wide, which is every
+    real-cluster scan, so no shuffle is added at scale; locally the
+    round-robin exchange of a few MB buys a 32-way Python stage. The
+    sibling knob for post-shuffle Python stages is the AQE
+    minPartitionSize floor in session.py.
+
+    Measured (documents, ×10 replica, single row-group file):
+    image_phash 4.59 s single-task → 1.23 s widened; the md5-stub
+    extract_features is the counterexample (0.48 → 0.89 s — the
+    shuffle costs more than the Python it spreads), so only the
+    per-pixel/per-sample stages widen."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def to_media_table(documents: DataFrame) -> DataFrame:
     """Wrap a text corpus as a media table: payload = utf-8 bytes,
     metadata columns alongside. With real media the payload would come
@@ -88,6 +112,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
+    # NOT widened: the stub features are a vectorized md5/len pass,
+    # cheaper than the repartition it would take to spread them
+    # (measured at sf0.1 AND ×10 — see _widen docstring; the heavy
+    # per-pixel/per-sample stages below are where _widen pays).
     return media.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
@@ -142,7 +170,7 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
                     }
                 )
 
-        return media.mapInPandas(_codec_batches, schema=DECODED_SCHEMA)
+        return _widen(media).mapInPandas(_codec_batches, schema=DECODED_SCHEMA)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -169,7 +197,7 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_batches, schema=DECODED_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=DECODED_SCHEMA)
 
 
 def nn_resize(px: bytes, w: int, h: int, c: int, out_w: int, out_h: int) -> bytes:
@@ -213,7 +241,7 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 }
             )
 
-    return decoded.mapInPandas(_batches, schema=RESIZED_SCHEMA)
+    return _widen(decoded).mapInPandas(_batches, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
@@ -239,7 +267,7 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> 
                 {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame}
             )
 
-    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=FRAME_SCHEMA)
 
 
 def audio_stats(media: DataFrame) -> DataFrame:
@@ -268,7 +296,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_batches, schema=AUDIO_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=AUDIO_SCHEMA)
 
 
 # ------------------------------------------------------------ BMP codec
@@ -563,7 +591,7 @@ def certify_image_pipeline(
                 }
             )
 
-    return media.mapInPandas(_batches, schema=CERTIFIED_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=CERTIFIED_SCHEMA)
 
 
 # ------------------------------------------------------------ WAV codec
@@ -654,7 +682,7 @@ def certify_audio_pipeline(media: DataFrame, sample_rate: int = 8000) -> DataFra
                 }
             )
 
-    return media.mapInPandas(_batches, schema=AUDIO_CERTIFIED_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=AUDIO_CERTIFIED_SCHEMA)
 
 
 PHASH_SCHEMA = "doc_id long, phash string, hash_hi long, hash_lo long, stable_ok boolean"
@@ -726,7 +754,7 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_batches, schema=PHASH_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=PHASH_SCHEMA)
 
 
 def phash_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
@@ -881,7 +909,7 @@ def image_patches(media: DataFrame, grid: int = 2) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(_batches, schema=PATCH_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=PATCH_SCHEMA)
 
 
 def video_frame_pairs(
@@ -994,4 +1022,4 @@ def audio_activity_segments(
                 ],
             )
 
-    return media.mapInPandas(_batches, schema=VAD_SCHEMA)
+    return _widen(media).mapInPandas(_batches, schema=VAD_SCHEMA)
