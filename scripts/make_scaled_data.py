@@ -107,7 +107,17 @@ def main() -> None:
                 ),
             ).withColumn("n_chars", F.length("text"))
         out = wide.drop("_rep")
-        out.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+        # Write a core-wide file layout: the sf0.1 source is a single
+        # row group, and crossJoin preserves its partitioning, so
+        # without this the replica lands as ONE file / few row groups
+        # and every scan of it is 1-5 tasks — unlike any real table at
+        # this volume (measured: TPC-H Q1 on the ×10 replica ran 16 s
+        # on one task vs 23 s for 10× MORE data once ×100 happened to
+        # split). 32 output files ≈ the layout a real pipeline's
+        # parallel writer produces.
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{tbl}.parquet"
+        )
         n = spark.read.parquet(f"{out_dir}/{tbl}.parquet").count()
         print(f"{tbl}: {n} rows ({n_copies}x)")
 
