@@ -90,39 +90,74 @@ def _vectorized_topk_partials(
     each batch's local top-``limit`` per query. Top-k is distributive,
     so the union of batch-local top-k supersets the global top-k.
     The candidate scan stays partition-parallel; only ~Q·limit rows per
-    batch leave the executors."""
+    batch leave the executors.
+
+    The per-batch ranking is ONE argpartition over the whole score
+    block (chunked in query blocks of ``_Q_BLOCK`` columns so the score
+    matrix stays ~rows × 2k doubles regardless of query-batch size) —
+    an earlier per-query Python loop (one argpartition + list appends
+    per column) was measured at 287 s vs 10 s for the identical matmul
+    work on a 200k-corpus / 8k-query replica: the FLOPs were vectorized
+    but the ranking was interpreted."""
     import numpy as np
     import pandas as pd
 
     q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded: query batch
-    q_ids = q_pd["vec_id"].to_numpy()
+    q_ids = q_pd["vec_id"].to_numpy().astype("int64")
     q_mat = np.stack(q_pd["embedding"].to_numpy()).astype("float64")
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
-    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_mat = q_mat / np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    _Q_BLOCK = 2048
 
     def gen(batches):
-        ids, Q, qn = bc.value
+        ids, Qn = bc.value
+        q_order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[q_order]
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            c_ids = pdf["vec_id"].to_numpy()
-            cn = np.sqrt((C * C).sum(axis=1))
+            c_ids = pdf["vec_id"].to_numpy().astype("int64")
+            # normalize BOTH sides up front: the matmul then emits the
+            # cosine directly — no second rows×Q elementwise divide
+            # pass over the score matrix (the prescore only selects the
+            # candidate superset; exact values come from the decimal
+            # rerank, so the ~1-ulp difference vs dividing after the
+            # dot is absorbed by ``margin`` like all double jitter).
+            # Zero-norm rows go 0/0→nan→whole score row nan→dropped by
+            # the isfinite keep, same as the divide-after formulation.
             with np.errstate(divide="ignore", invalid="ignore"):
-                S = (C @ Q.T) / (cn[:, None] * qn[None, :])
-            out_q, out_c, out_s = [], [], []
-            for j in range(len(ids)):
-                col = S[:, j].copy()
-                col[c_ids == ids[j]] = -np.inf  # exclude self-match
-                m = min(limit, len(col))
-                top = np.argpartition(-col, m - 1)[:m] if m < len(col) else np.arange(len(col))
-                top = top[np.isfinite(col[top])]
-                out_q.extend([ids[j]] * len(top))
-                out_c.extend(c_ids[top])
-                out_s.extend(col[top])
-            yield pd.DataFrame({"q_id": np.asarray(out_q, dtype="int64"),
-                                "c_id": np.asarray(out_c, dtype="int64"),
-                                "cos_d": np.asarray(out_s, dtype="float64")})
+                C = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+            # self-match lookup: which batch rows carry a query id, and
+            # which query column that is (searchsorted, no rows×Q mask)
+            pos = np.searchsorted(ids_sorted, c_ids)
+            pos_c = np.minimum(pos, len(ids_sorted) - 1)
+            self_rows = np.where(ids_sorted[pos_c] == c_ids)[0]
+            self_cols = q_order[pos_c[self_rows]]
+            frames = []
+            CT = np.ascontiguousarray(C.T)
+            for lo in range(0, len(ids), _Q_BLOCK):
+                hi = min(lo + _Q_BLOCK, len(ids))
+                # query-major orientation: each query's scores are one
+                # CONTIGUOUS row, so the per-query argpartition streams
+                # cache lines instead of striding across columns
+                S = Qn[lo:hi] @ CT
+                in_blk = (self_cols >= lo) & (self_cols < hi)
+                S[self_cols[in_blk] - lo, self_rows[in_blk]] = -np.inf
+                m = min(limit, S.shape[1])
+                top = np.argpartition(-S, m - 1, axis=1)[:, :m]
+                scv = np.take_along_axis(S, top, axis=1)
+                qrow = np.broadcast_to(
+                    np.arange(lo, hi)[:, None], (hi - lo, m)
+                )
+                keep = np.isfinite(scv)
+                frames.append(pd.DataFrame({
+                    "q_id": ids[qrow[keep]],
+                    "c_id": c_ids[top[keep]],
+                    "cos_d": scv[keep],
+                }))
+            yield pd.concat(frames, ignore_index=True)
 
     # a small parquet table arrives as ONE split — spread the scan so
     # the numpy batches use every core (cheap: rows are narrow)
@@ -419,69 +454,120 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: a coarse quantizer (spherical k-means)
     partitions the corpus into cells; each query probes only its
-    ``nprobe`` closest cells, so the scan fraction is ~nprobe/n_centroids.
-    Candidates are scored vectorized and decimal-reranked like
-    brute_force_topk — the ANN error is ONLY cell-miss, never scoring.
+    ``nprobe`` closest cells, so the scored fraction is
+    ~nprobe/n_centroids. Candidates are scored vectorized and
+    decimal-reranked like brute_force_topk — the ANN error is ONLY
+    cell-miss, never scoring.
 
-    Scale: centroids are a broadcast literal; cell assignment is one
-    vectorized pass; the candidate join is an equi-join on cell id.
+    Scale shape: the query batch + its probe lists are a driver-side
+    broadcast (the same bounded-query-batch contract as
+    brute_force_topk, similarity.py:97); the corpus streams through ONE
+    mapInPandas pass that assigns each batch row to its cell and runs a
+    per-cell GEMM against only the queries probing that cell, emitting
+    batch-local top-(k+margin) per query. Nothing pair-shaped ever
+    materializes: an earlier formulation that equi-joined a
+    (q_id, cell) probe table against a (c_id, cell) assignment table
+    shuffled Q·N·nprobe/n_centroids candidate rows plus their arrays —
+    measured 775 s vs 16 s brute force at a 200k-vector/8k-query
+    replica, i.e. the "scale path" lost to the baseline it prunes.
+    Per-cell scoring does the same candidate set at IVF FLOP cost with
+    only Q·(k+margin) rows per batch leaving the executors. At corpus
+    scale callers raise ``n_centroids`` ~√N so cells stay bounded.
     """
     import numpy as np
     import pandas as pd
 
+    spark = embeddings.sparkSession
     C = _train_centroids(embeddings, n_centroids, iters)
-    bc = embeddings.sparkSession.sparkContext.broadcast(C)
 
-    def assign_gen(batches):
-        CC = bc.value
+    q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded: query batch
+    if not len(q_pd):
+        empty = spark.createDataFrame([], "q_id long, c_id long, cos_d double")
+        return _exact_topk_rerank(
+            _prune_by_double(empty, k + margin), embeddings, queries, k
+        )
+    q_ids = q_pd["vec_id"].to_numpy().astype("int64")
+    Q = np.stack(q_pd["embedding"].to_numpy()).astype("float64")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    m_probe = min(nprobe, n_centroids)
+    probe_scores = Qn @ C.T
+    top_cells = np.argpartition(-probe_scores, m_probe - 1, axis=1)[:, :m_probe]
+    # invert: cell -> positions of the queries probing it
+    cell_to_q = [
+        np.where((top_cells == c).any(axis=1))[0] for c in range(n_centroids)
+    ]
+    limit = k + margin
+    # scoring side: true normalization (0/0→nan), so zero-norm queries
+    # produce nan scores and fall out of the isfinite keep — same
+    # contract as _vectorized_topk_partials
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qs = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+    bc = spark.sparkContext.broadcast((q_ids, Qs, cell_to_q, C))
+
+    def gen(batches):
+        ids, QQ, c2q, CC = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cell": np.argmax(X @ CC.T, axis=1).astype("int64"),
-                }
-            )
-
-    def probe_gen(batches):
-        CC = bc.value
-        for pdf in batches:
-            if not len(pdf):
+            c_ids = pdf["vec_id"].to_numpy().astype("int64")
+            cn = np.sqrt((X * X).sum(axis=1))
+            Xn = X / np.maximum(cn[:, None], 1e-12)
+            cells = np.argmax(Xn @ CC.T, axis=1)
+            # scoring copy: 0/0→nan (zero-norm candidates drop out)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xs = X / cn[:, None]
+            qpos_c, cid_c, sc_c = [], [], []
+            for cell in np.unique(cells):
+                qidx = c2q[cell]
+                if not len(qidx):
+                    continue
+                rows = np.where(cells == cell)[0]
+                # query-major, both sides pre-normalized: the matmul IS
+                # the cosine and the per-query argpartition walks one
+                # contiguous row (see _vectorized_topk_partials)
+                S = QQ[qidx] @ Xs[rows].T
+                S[ids[qidx][:, None] == c_ids[rows][None, :]] = -np.inf  # self
+                mm = min(limit, S.shape[1])
+                top = np.argpartition(-S, mm - 1, axis=1)[:, :mm]
+                qpos_c.append(np.repeat(qidx, mm))
+                cid_c.append(c_ids[rows][top].reshape(-1))
+                sc_c.append(np.take_along_axis(S, top, axis=1).reshape(-1))
+            if not qpos_c:
                 continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            S = X @ CC.T
-            m = min(nprobe, S.shape[1])
-            top = np.argpartition(-S, m - 1, axis=1)[:, :m]
+            qpos = np.concatenate(qpos_c)
+            cid = np.concatenate(cid_c)
+            scv = np.concatenate(sc_c)
+            keep = np.isfinite(scv)
+            qpos, cid, scv = qpos[keep], cid[keep], scv[keep]
+            if not len(qpos):
+                continue
+            # combine per-cell partials to batch-local top-limit per
+            # query (same (score desc, c_id asc) order _prune_by_double
+            # uses) — bounds emitted rows at Q·limit per batch instead
+            # of Q·nprobe·limit.
+            order = np.lexsort((cid, -scv, qpos))
+            qs = qpos[order]
+            starts = np.where(
+                np.r_[True, qs[1:] != qs[:-1]], np.arange(len(qs)), 0
+            )
+            rank = np.arange(len(qs)) - np.maximum.accumulate(starts)
+            sel = order[rank < limit]
             yield pd.DataFrame(
                 {
-                    "q_id": np.repeat(pdf["vec_id"].to_numpy(), m),
-                    "cell": top.reshape(-1).astype("int64"),
+                    "q_id": ids[qpos[sel]],
+                    "c_id": cid[sel],
+                    "cos_d": scv[sel],
                 }
             )
 
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    cells = (
+    par = spark.sparkContext.defaultParallelism
+    partials = (
         embeddings.select("vec_id", "embedding")
         .repartition(par)
-        .mapInPandas(assign_gen, "vec_id long, cell long")
-        .select(F.col("vec_id").alias("c_id"), "cell")
+        .mapInPandas(gen, "q_id long, c_id long, cos_d double")
     )
-    probes = queries.select("vec_id", "embedding").mapInPandas(
-        probe_gen, "q_id long, cell long"
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(cells, "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    scored = _np_pair_scores(cand, embeddings, queries)
-    pruned = _prune_by_double(scored, k + margin)
+    pruned = _prune_by_double(partials, limit)
     return _exact_topk_rerank(pruned, embeddings, queries, k)
 
 
