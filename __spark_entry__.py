@@ -8564,7 +8564,16 @@ _VERIFY_FIRST = [
     # functions/exact.py, or any file 3+ gates import) re-queues EVERY
     # gate importing it into tier 1, ahead of the stale rotation. ====
     # tier 1 — code changed in r7: train_bpe de-serialized (batched
-    # non-adjacent merges) and duplicate_payments amount-band join.
+    # non-adjacent merges), duplicate_payments amount-band join, and
+    # the similarity kernel rewrite (ivf_topk scores per cell inside
+    # the corpus scan; brute-force partials vectorized query-major) —
+    # every gate routing through brute_force_topk/ivf_topk re-queued;
+    # all 12 similarity-family gates were re-verified repr-exact vs
+    # DuckDB through the driver contract in-session before commit.
+    "s_ivf_topk",
+    "s_ivf_probeall",
+    "s_cosine_topk",
+    "s_pq_certified",
     "t_bpe_pairs",
     "t_bpe_encode",
     "q_duplicate_payments",
@@ -8712,7 +8721,6 @@ _VERIFY_FIRST = [
     "st_merge_stream",
     "j_salted_skew",
     "st_dedup_stream",
-    "s_ivf_probeall",
     "m_compact_table",
     "st_stream_join",
     "j_asof_quote",
@@ -8733,7 +8741,6 @@ _VERIFY_FIRST = [
     "d_minhash_certify",
     "d_minhash_lsh",
     "d_decontaminate",
-    "s_ivf_topk",
     "a_percentiles_approx",
     "q_yoy_growth",
     "q_filtered_revenue",
@@ -8758,7 +8765,6 @@ _VERIFY_FIRST = [
     "e_jdbc_roundtrip",
     "e_rest_dimension",
     "j_hinted_join",
-    "s_pq_certified",
     "w_anchored_vwap",
     "w_rolling_corr",
     "w_rsi",
@@ -8817,7 +8823,6 @@ _VERIFY_FIRST = [
     "w_resample_ffill",
     "p_filter_pushdown",
     "q_sql_surface",
-    "s_cosine_topk",
     "s_global_sort",
     "s_lsh_buckets",
     "s_topk_per_group",
