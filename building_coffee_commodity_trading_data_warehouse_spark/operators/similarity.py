@@ -83,14 +83,16 @@ def cosine_pairs(embeddings: DataFrame, queries: DataFrame) -> DataFrame:
 
 
 def _vectorized_topk_partials(
-    embeddings: DataFrame, queries: DataFrame, limit: int
+    embeddings: DataFrame, queries: DataFrame, limit: int,
+    normalize: bool = True,
 ) -> DataFrame:
     """Phase 1 of the vectorized top-k: one Arrow-batched numpy matmul
     per candidate batch against the BROADCAST query matrix, emitting
     each batch's local top-``limit`` per query. Top-k is distributive,
     so the union of batch-local top-k supersets the global top-k.
     The candidate scan stays partition-parallel; only ~Q·limit rows per
-    batch leave the executors.
+    batch leave the executors. ``normalize=False`` ranks by the raw
+    inner product (the MIPS objective) instead of cosine.
 
     The per-batch ranking is ONE argpartition over the whole score
     block (chunked in query blocks of ``_Q_BLOCK`` columns so the score
@@ -105,8 +107,9 @@ def _vectorized_topk_partials(
     q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded: query batch
     q_ids = q_pd["vec_id"].to_numpy().astype("int64")
     q_mat = np.stack(q_pd["embedding"].to_numpy()).astype("float64")
-    with np.errstate(divide="ignore", invalid="ignore"):
-        q_mat = q_mat / np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+    if normalize:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q_mat = q_mat / np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
     bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, q_mat))
     _Q_BLOCK = 2048
 
@@ -127,8 +130,9 @@ def _vectorized_topk_partials(
             # dot is absorbed by ``margin`` like all double jitter).
             # Zero-norm rows go 0/0→nan→whole score row nan→dropped by
             # the isfinite keep, same as the divide-after formulation.
-            with np.errstate(divide="ignore", invalid="ignore"):
-                C = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+            if normalize:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
             # self-match lookup: which batch rows carry a query id, and
             # which query column that is (searchsorted, no rows×Q mask)
             pos = np.searchsorted(ids_sorted, c_ids)
@@ -377,38 +381,128 @@ def lsh_topk(
     planes: int = 4,
     tables: int = 4,
     dim: int | None = None,
+    margin: int = 8,
 ) -> DataFrame:
     """Approximate top-k: a vector is a candidate iff it co-buckets
     with the query in ANY of ``tables`` independent hash tables; exact
     cosine + rank over candidates only. Tune planes (bucket size) and
-    tables (recall) to corpus density."""
+    tables (recall) to corpus density.
+
+    Scale shape: bucket(vector) is a pure function of the embedding
+    (md5-derived planes), so the query batch buckets driver-side and
+    broadcasts a (table, bucket) → query-positions index (at most
+    tables·2^planes entries); the corpus streams through ONE
+    mapInPandas pass that buckets each batch row and scores it against
+    only the queries sharing a bucket, emitting batch-local
+    top-(k+margin) per query. An earlier formulation equi-joined a
+    (q_id, table, bucket) probe table against the corpus bucket table:
+    Q·tables·(N/2^planes) candidate pair rows plus a distinct and an
+    array join-back — at a 200k-corpus/8k-query replica that is ~400M
+    pair rows and was the session's OOM driver. Per-cell scoring does
+    the same candidate set at co-bucket FLOP cost with only Q·limit
+    rows per batch leaving the executors; cross-table duplicate pairs
+    dedup batch-locally (identical scores, one survivor). Exactness
+    contract unchanged: the double prescore only picks the candidate
+    superset (margin absorbs rank jitter), the decimal rerank pins
+    oracle-exact values and tie order."""
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         dim = _embedding_dim(embeddings)
-    # bucket(vector) is a pure function of the embedding, so the query
-    # side buckets its own (small) frame directly — the corpus-wide
-    # bucket pass runs exactly ONCE (the former formulation filtered
-    # the corpus frame for queries, making Spark evaluate the
-    # mapInPandas bucketing twice).
-    qb = multi_table_buckets(queries, planes, tables, dim).select(
-        F.col("vec_id").alias("q_id"), "table_id", "bucket"
+    spark = embeddings.sparkSession
+    signs = np.array(
+        [
+            [_plane_signs(p, dim, t) for p in range(planes)]
+            for t in range(tables)
+        ],
+        dtype="float64",
+    ).reshape(tables * planes, dim)
+    weights = np.array([1 << p for p in range(planes)], dtype="int64")
+    limit = k + margin
+
+    q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded batch
+    if not len(q_pd):
+        empty = spark.createDataFrame([], "q_id long, c_id long, cos_d double")
+        return _exact_topk_rerank(
+            _prune_by_double(empty, limit), embeddings, queries, k
+        )
+    q_ids = q_pd["vec_id"].to_numpy().astype("int64")
+    Q = np.stack(q_pd["embedding"].to_numpy()).astype("float64")
+    qbits = (Q @ signs.T > 0).reshape(len(Q), tables, planes)
+    qbucket = (qbits * weights[None, None, :]).sum(axis=2)  # Q × tables
+    bucket_to_q = {
+        (t, int(b)): np.where(qbucket[:, t] == b)[0]
+        for t in range(tables)
+        for b in np.unique(qbucket[:, t])
+    }
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qs = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+    bc = spark.sparkContext.broadcast((q_ids, Qs, bucket_to_q, signs, weights))
+
+    def gen(batches):
+        ids, QQ, b2q, S, W = bc.value
+        n_t = len(S) // len(W)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            c_ids = pdf["vec_id"].to_numpy().astype("int64")
+            cbits = (X @ S.T > 0).reshape(len(X), n_t, len(W))
+            cbucket = (cbits * W[None, None, :]).sum(axis=2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xs = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            qpos_c, cid_c, sc_c = [], [], []
+            for t in range(n_t):
+                col = cbucket[:, t]
+                for b in np.unique(col):
+                    qidx = b2q.get((t, int(b)))
+                    if qidx is None:
+                        continue
+                    rows = np.where(col == b)[0]
+                    Sc = QQ[qidx] @ Xs[rows].T
+                    Sc[ids[qidx][:, None] == c_ids[rows][None, :]] = -np.inf
+                    mm = min(limit, Sc.shape[1])
+                    top = np.argpartition(-Sc, mm - 1, axis=1)[:, :mm]
+                    qpos_c.append(np.repeat(qidx, mm))
+                    cid_c.append(c_ids[rows][top].reshape(-1))
+                    sc_c.append(np.take_along_axis(Sc, top, axis=1).reshape(-1))
+            if not qpos_c:
+                continue
+            qpos = np.concatenate(qpos_c)
+            cid = np.concatenate(cid_c)
+            scv = np.concatenate(sc_c)
+            keep = np.isfinite(scv)
+            qpos, cid, scv = qpos[keep], cid[keep], scv[keep]
+            if not len(qpos):
+                continue
+            # sort (q, score desc, c_id) once; drop cross-table dup
+            # pairs (bit-identical scores → adjacent), then keep the
+            # batch-local top-limit per query
+            order = np.lexsort((cid, -scv, qpos))
+            qpos, cid, scv = qpos[order], cid[order], scv[order]
+            fresh = np.r_[
+                True, (qpos[1:] != qpos[:-1]) | (cid[1:] != cid[:-1])
+            ]
+            qpos, cid, scv = qpos[fresh], cid[fresh], scv[fresh]
+            starts = np.where(
+                np.r_[True, qpos[1:] != qpos[:-1]], np.arange(len(qpos)), 0
+            )
+            rank = np.arange(len(qpos)) - np.maximum.accumulate(starts)
+            sel = rank < limit
+            yield pd.DataFrame(
+                {"q_id": ids[qpos[sel]], "c_id": cid[sel], "cos_d": scv[sel]}
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    partials = (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(gen, "q_id long, c_id long, cos_d double")
     )
-    cb = multi_table_buckets(embeddings, planes, tables, dim).select(
-        F.col("vec_id").alias("c_id"), "table_id", "bucket"
+    return _exact_topk_rerank(
+        _prune_by_double(partials, limit), embeddings, queries, k
     )
-    cand = (
-        F.broadcast(qb)
-        .join(cb, ["table_id", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    # candidates can be 100× k per query: score them vectorized in
-    # double, prune to k+margin, decimal-rerank the survivors (same
-    # exactness argument as brute_force_topk)
-    margin = 8
-    scored = _np_pair_scores(cand, embeddings, queries)
-    pruned = _prune_by_double(scored, k + margin)
-    return _exact_topk_rerank(pruned, embeddings, queries, k)
 
 
 def _train_centroids(
@@ -1090,15 +1184,16 @@ def pq_topk(
     Q = np.stack(qp["embedding"].to_numpy()).astype("float64")
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = qp["vec_id"].to_numpy()
-    lut = np.einsum("qms,mks->qmk", Q.reshape(len(Q), m, sub), books)
-    bc = embeddings.sparkSession.sparkContext.broadcast((books, lut, qids))
+    bc = embeddings.sparkSession.sparkContext.broadcast((books, Q, qids))
 
     def gen(batches):
-        B, LUT, qid_arr = bc.value
+        B, Qn, qid_arr = bc.value
+        q_order = np.argsort(qid_arr, kind="stable")
+        qid_sorted = qid_arr[q_order]
         for pdf_b in batches:
             if not len(pdf_b):
                 continue
-            ids = pdf_b["vec_id"].to_numpy()
+            ids = pdf_b["vec_id"].to_numpy().astype("int64")
             Xb = np.stack(pdf_b["embedding"].to_numpy()).astype("float64")
             Xb = Xb / np.maximum(np.linalg.norm(Xb, axis=1, keepdims=True), 1e-12)
             Xs = Xb.reshape(len(Xb), m, sub)
@@ -1106,18 +1201,51 @@ def pq_topk(
             for j in range(m):
                 d2 = ((Xs[:, j, None, :] - B[j][None, :, :]) ** 2).sum(-1)
                 codes[:, j] = d2.argmin(1)
-            scores = np.zeros((len(qid_arr), len(Xb)))
+            # ADC via reconstruction: Σ_j q_sub[j]·B[j, code_j] is
+            # EXACTLY q · decoded(codes), so decode the codes into a
+            # (rows × D) centroid matrix (3 MB) and run ONE BLAS GEMM —
+            # the per-subspace LUT gather formulation materialized m
+            # full (Q × rows) float arrays per batch (~6 GB of memory
+            # traffic at a 200k/8k replica; measured 304 s vs 61 s for
+            # this pass as a GEMM)
+            dec = np.empty((len(Xb), m * sub))
             for j in range(m):
-                scores += LUT[:, j, codes[:, j]]
+                dec[:, j * sub : (j + 1) * sub] = B[j][codes[:, j]]
+            decT = np.ascontiguousarray(dec.T)
+            # self-match mask via searchsorted + ONE argpartition per
+            # query block (a per-query Python loop that also yielded
+            # one tiny DataFrame per query was the measured bottleneck
+            # in the cosine twin — see _vectorized_topk_partials).
+            # Query-block chunking keeps the score matrix ~rows × 2k
+            # doubles: with an unchunked Q × rows block, 32 concurrent
+            # workers each fault ~1 GB of fresh pages and the first
+            # pass crawls (measured 354 s vs 18 s re-run at a
+            # 200k/8k replica).
+            pos = np.searchsorted(qid_sorted, ids)
+            pos_c = np.minimum(pos, len(qid_sorted) - 1)
+            self_rows = np.where(qid_sorted[pos_c] == ids)[0]
+            self_qrow = q_order[pos_c[self_rows]]
             top_c = min(candidates, len(Xb))
-            for qi, qid in enumerate(qid_arr):
-                s = scores[qi].copy()
-                s[ids == qid] = -np.inf
-                top = np.argpartition(-s, top_c - 1)[:top_c]
-                keep = top[np.isfinite(s[top])]
-                yield pd.DataFrame(
-                    {"q_id": qid, "c_id": ids[keep], "adc": s[keep]}
+            frames = []
+            for lo in range(0, len(qid_arr), 2048):
+                hi = min(lo + 2048, len(qid_arr))
+                scores = Qn[lo:hi] @ decT
+                in_blk = (self_qrow >= lo) & (self_qrow < hi)
+                scores[self_qrow[in_blk] - lo, self_rows[in_blk]] = -np.inf
+                top = np.argpartition(-scores, top_c - 1, axis=1)[:, :top_c]
+                adc = np.take_along_axis(scores, top, axis=1)
+                qrow = np.broadcast_to(
+                    np.arange(lo, hi)[:, None], (hi - lo, top_c)
                 )
+                keep = np.isfinite(adc)
+                frames.append(pd.DataFrame(
+                    {
+                        "q_id": qid_arr[qrow[keep]],
+                        "c_id": ids[top[keep]],
+                        "adc": adc[keep],
+                    }
+                ))
+            yield pd.concat(frames, ignore_index=True)
 
     partials = embeddings.mapInPandas(gen, "q_id long, c_id long, adc double")
     w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), "c_id")
@@ -1231,22 +1359,35 @@ def sparse_cosine_pairs(
     )
 
 
-def mips_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def mips_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, margin: int = 8
+) -> DataFrame:
     """Exact MAX-INNER-PRODUCT top-k per query (MIPS) — the retrieval
     objective recommender and reranker embeddings actually optimize
     (unnormalized dot, so a vector's magnitude is part of its score —
     cosine deliberately erases exactly that signal).
 
-    Plan: the query matrix broadcasts (queries are few by contract),
-    the corpus scans once, each pair scores with the fixed-order
-    double ``dot_fold`` (bit-identical to the DuckDB ordered-list
-    fold), and the per-query top-k terminates in one q_id-partitioned
-    row_number — the same shape as the cosine baseline. Scale path:
+    Two-phase plan, same shape as brute_force_topk: a vectorized numpy
+    scan ranks the raw inner products in double and keeps batch-local
+    top-(k+margin) per query (an earlier single-phase formulation
+    scored every (q,c) pair with the interpreted ``dot_fold``
+    expression inside a crossJoin — N·Q·D interpreted multiply-adds,
+    quadratically dominated at corpus scale); the Q·(k+margin)
+    survivors are re-scored with the fixed-order double ``dot_fold``
+    (bit-identical to the DuckDB ordered-list fold) and re-ranked, so
+    the OUTPUT is identical to the pure fold formulation — ``margin``
+    absorbs numpy-vs-fold double jitter (~1 ulp relative). Scale path:
     MIPS reduces to cosine ANN by the norm-augmentation transform
     (Shrivastava & Li 2014) — append sqrt(M²−‖x‖²) to candidates and 0
     to queries, then every LSH/IVF/PQ strategy above applies; this
     exact scan is the oracle those would be certified against.
     """
+    from pyspark.sql import Window
+
+    partials = _vectorized_topk_partials(
+        embeddings, queries, k + margin, normalize=False
+    )
+    cand = _prune_by_double(partials, k + margin)
     q = queries.select(
         F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("__q")
     )
@@ -1254,16 +1395,14 @@ def mips_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFram
         F.col("vec_id").alias("c_id"), as_double(F.col("embedding")).alias("__c")
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("q_id") != F.col("c_id"))
+        cand.join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
         .select(
             "q_id",
             "c_id",
             dot_fold(F.col("__q"), F.col("__c")).alias("dot"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
