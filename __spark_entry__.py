@@ -2407,8 +2407,8 @@ def _q_ivf_probeall(spark, sf_dir):
     set is the full corpus, so the result is PROVABLY the exact
     brute-force top-k (pytest test_ivf_probe_all_cells_is_exact) — a
     hash-checked oracle row for the IVF machinery itself (cell
-    assignment, candidate equi-join, decimal rerank), complementing the
-    rows-only s_ivf_topk approximate gate."""
+    assignment, per-cell GEMM scoring, decimal rerank), complementing
+    the rows-only s_ivf_topk approximate gate."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 25 == 0)
     return similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=16)
