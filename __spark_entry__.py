@@ -8574,6 +8574,8 @@ _VERIFY_FIRST = [
     "s_ivf_probeall",
     "s_cosine_topk",
     "s_pq_certified",
+    "s_lsh_topk",
+    "s_mips_topk",
     "t_bpe_pairs",
     "t_bpe_encode",
     "q_duplicate_payments",
@@ -8621,7 +8623,6 @@ _VERIFY_FIRST = [
     "a_sketch_rollup",
     "d_cluster_canonical",
     "s_sparse_cosine",
-    "s_mips_topk",
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
@@ -8666,7 +8667,6 @@ _VERIFY_FIRST = [
     "j_scd2_dim",
     "j_full_outer_reconcile",
     "a_pricing_summary",
-    "s_lsh_topk",
     "d_chunk_dedup",
     "c_stratified_sample",
     "c_pack_chunks",
