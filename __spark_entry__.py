@@ -2381,6 +2381,52 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 @_register(
+    "s_ivf_index",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+),
+topk AS (
+  SELECT q_id FROM (
+    SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+    FROM s
+  ) WHERE rk <= 5
+)
+SELECT q_id, COUNT(*) AS k_exact, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM topk GROUP BY q_id
+""",
+)
+def _q_ivf_index(spark, sf_dir):
+    """PERSISTENT IVF index, certified end-to-end: build writes the
+    corpus cell-partitioned (hive ``cell=`` dirs) with a centroid
+    sidecar, search reads ONLY the probed cell partitions
+    (PartitionFilters pinned in tests/test_plan_shapes.py) — the
+    production layout where a search's I/O is the nprobe/n_centroids
+    fraction of the corpus, not just its FLOPs. The deterministic
+    trainer gives the search ivf_topk's quantizer, so the search
+    output is row-identical to s_ivf_topk's ANN side (pytest) and the
+    same certificate floors apply; the oracle is the same exact SQL +
+    TRUE literals."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_ivf_index/{tag}"
+    return similarity.ivf_index_certified(
+        emb, qs, path, k=5, n_centroids=16, nprobe=8
+    )
+
+
+@_register(
     "s_ivf_probeall",
     f"""
 WITH ex AS ({_SQL_EX}),
@@ -8572,6 +8618,7 @@ _VERIFY_FIRST = [
     # DuckDB through the driver contract in-session before commit.
     "s_ivf_topk",
     "s_ivf_probeall",
+    "s_ivf_index",
     "s_cosine_topk",
     "s_pq_certified",
     "s_lsh_topk",

@@ -665,6 +665,202 @@ def ivf_topk(
     return _exact_topk_rerank(pruned, embeddings, queries, k)
 
 
+def ivf_index_build(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+) -> str:
+    """Build a PERSISTENT IVF index: coarse-quantize the corpus once
+    and write it to ``path`` partitioned by cell (hive layout:
+    ``vectors/cell=<i>/``) plus a tiny ``centroids`` sidecar table.
+
+    This is the production layout `ivf_topk`'s docstring promises: at
+    100 TB the index is built once, searches open ONLY the nprobe
+    probed cell directories (Spark partition pruning — the scan never
+    lists, reads or deserializes the other n_centroids−nprobe
+    fractions of the corpus), and the quantizer rides along as data
+    instead of being retrained per query batch. Cell assignment is one
+    vectorized mapInPandas pass; embedding bytes are written through
+    unchanged (no arithmetic), so a search's decimal rerank over the
+    index is bit-identical to one over the source table."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    C = _train_centroids(embeddings, n_centroids, iters)
+    bc = spark.sparkContext.broadcast(C)
+    emb_type = dict(embeddings.dtypes)["embedding"]
+
+    def assign(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"].to_numpy(),
+                    "cell": np.argmax(Xn @ CC.T, axis=1).astype("int64"),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(assign, f"vec_id long, embedding {emb_type}, cell long")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame(
+        [(i, [float(v) for v in C[i]]) for i in range(len(C))],
+        "cell long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return path
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    margin: int = 8,
+) -> DataFrame:
+    """Search a persistent IVF index built by ``ivf_index_build``:
+    probe cells come from the stored centroids, and the scan reads
+    ONLY those cell partitions — ``PartitionFilters`` on the hive
+    ``cell=`` directories, pinned by tests/test_plan_shapes.py — so
+    the I/O (not just the FLOPs) is the nprobe/n_centroids fraction.
+    Scoring is the same per-cell GEMM as ``ivf_topk``; with the same
+    corpus/quantizer parameters the output is row-identical to
+    ``ivf_topk`` (deterministic trainer, same candidate sets, same
+    decimal rerank)."""
+    import numpy as np
+    import pandas as pd
+
+    cpdf = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
+    )
+    C = np.stack(cpdf["centroid"].to_numpy()).astype("float64")
+    n_centroids = len(C)
+    limit = k + margin
+    vectors = spark.read.parquet(f"{path}/vectors")
+
+    q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded batch
+    if not len(q_pd):
+        empty = spark.createDataFrame([], "q_id long, c_id long, cos_d double")
+        return _exact_topk_rerank(
+            _prune_by_double(empty, limit),
+            vectors.select("vec_id", "embedding"),
+            queries,
+            k,
+        )
+    q_ids = q_pd["vec_id"].to_numpy().astype("int64")
+    Q = np.stack(q_pd["embedding"].to_numpy()).astype("float64")
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    m_probe = min(nprobe, n_centroids)
+    top_cells = np.argpartition(-(Qn @ C.T), m_probe - 1, axis=1)[:, :m_probe]
+    cell_to_q = {
+        int(c): np.where((top_cells == c).any(axis=1))[0]
+        for c in np.unique(top_cells)
+    }
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Qs = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+    bc = spark.sparkContext.broadcast((q_ids, Qs, cell_to_q))
+
+    def gen(batches):
+        ids, QQ, c2q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            c_ids = pdf["vec_id"].to_numpy().astype("int64")
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Xs = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+            cells = pdf["cell"].to_numpy()
+            qpos_c, cid_c, sc_c = [], [], []
+            for cell in np.unique(cells):
+                qidx = c2q.get(int(cell))
+                if qidx is None or not len(qidx):
+                    continue
+                rows = np.where(cells == cell)[0]
+                S = QQ[qidx] @ Xs[rows].T
+                S[ids[qidx][:, None] == c_ids[rows][None, :]] = -np.inf
+                mm = min(limit, S.shape[1])
+                top = np.argpartition(-S, mm - 1, axis=1)[:, :mm]
+                qpos_c.append(np.repeat(qidx, mm))
+                cid_c.append(c_ids[rows][top].reshape(-1))
+                sc_c.append(np.take_along_axis(S, top, axis=1).reshape(-1))
+            if not qpos_c:
+                continue
+            qpos = np.concatenate(qpos_c)
+            cid = np.concatenate(cid_c)
+            scv = np.concatenate(sc_c)
+            keep = np.isfinite(scv)
+            qpos, cid, scv = qpos[keep], cid[keep], scv[keep]
+            if not len(qpos):
+                continue
+            order = np.lexsort((cid, -scv, qpos))
+            qs = qpos[order]
+            starts = np.where(
+                np.r_[True, qs[1:] != qs[:-1]], np.arange(len(qs)), 0
+            )
+            rank = np.arange(len(qs)) - np.maximum.accumulate(starts)
+            sel = order[rank < limit]
+            yield pd.DataFrame(
+                {
+                    "q_id": ids[qpos[sel]],
+                    "c_id": cid[sel],
+                    "cos_d": scv[sel],
+                }
+            )
+
+    probed = vectors.filter(
+        F.col("cell").isin([int(c) for c in cell_to_q])
+    )
+    partials = probed.select("vec_id", "embedding", "cell").mapInPandas(
+        gen, "q_id long, c_id long, cos_d double"
+    )
+    pruned = _prune_by_double(partials, limit)
+    # rerank joins arrays from the PRUNED index scan (the survivors'
+    # cells are by construction among the probed partitions)
+    return _exact_topk_rerank(
+        pruned, probed.select("vec_id", "embedding"), queries, k
+    )
+
+
+def ivf_index_certified(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    min_recall: float = 0.2,
+    min_mean_recall: float = 0.65,
+) -> DataFrame:
+    """Build the persistent index, search it, and certify the result
+    against exact brute force — same certificate contract as
+    ivf_topk_certified (per-query exact-top-k cardinality +
+    hash-covered recall-floor booleans). The deterministic trainer
+    gives the search the same quantizer as ivf_topk, so the floors are
+    the measured ivf_topk distribution, not new ones."""
+    spark = embeddings.sparkSession
+    ivf_index_build(embeddings, path, n_centroids)
+    exact = brute_force_topk(embeddings, queries, k).select("q_id", "c_id")
+    ann = ivf_index_search(spark, path, queries, k, nprobe).select(
+        "q_id", "c_id"
+    )
+    return _recall_certificate(exact, ann, min_recall, min_mean_recall)
+
+
 def _verify_pairs_exact(
     cand: DataFrame, embeddings: DataFrame, threshold: float
 ) -> DataFrame:

@@ -178,3 +178,43 @@ def test_mips_topk_prefers_magnitude(spark):
     order = [r["c_id"] for r in sorted(out, key=lambda r: r["rk"])]
     assert order == [1, 2, 3]
     assert sorted(out, key=lambda r: r["rk"])[0]["dot"] == 10.0
+
+
+# ------------------------------------------------- persistent IVF index
+
+
+def test_ivf_index_search_equals_ivf_topk(spark, sf_dir, tmp_path):
+    """Build + search must be ROW-IDENTICAL to the in-session ivf_topk
+    at the same parameters: the deterministic trainer yields the same
+    quantizer, the index stores embedding bytes unchanged, and the
+    decimal rerank is shared — so persisting the index cannot move a
+    single neighbor."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_build(emb, path, n_centroids=16)
+    got = sorted(
+        map(tuple, similarity.ivf_index_search(spark, path, qs, k=5, nprobe=8).collect())
+    )
+    ref = sorted(
+        map(tuple, similarity.ivf_topk(emb, qs, k=5, n_centroids=16, nprobe=8).collect())
+    )
+    assert got == ref
+
+
+def test_ivf_index_search_prunes_partitions(spark, sf_dir, tmp_path):
+    """The scan must read ONLY the probed cell partitions: hive-style
+    PartitionFilters (cell INSET ...) with a pruned ReadSchema — the
+    I/O, not just the FLOPs, is the nprobe/n_centroids fraction."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 125 == 0)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_build(emb, path, n_centroids=16)
+    res = similarity.ivf_index_search(spark, path, qs, k=5, nprobe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "INSET" in line and "cell" in line
+    ]
+    assert pf, plan
