@@ -710,10 +710,21 @@ def ivf_index_build(
             )
 
     par = spark.sparkContext.defaultParallelism
+    # compact before the partitioned write: without this every writer
+    # task emits a sliver into every cell dir (tasks × cells files),
+    # and the search's Arrow batches shrink to file size — per-batch
+    # fixed cost dominated the scan (measured 55 s vs 21 s at a
+    # 200k-vector replica). (cell, shard) repartitioning gives each
+    # cell ⌈par/n_centroids⌉ full-size files — the same layout a real
+    # parallel writer produces per partition at cluster scale.
+    shards = max(1, par // n_centroids)
     (
         embeddings.select("vec_id", "embedding")
         .repartition(par)
         .mapInPandas(assign, f"vec_id long, embedding {emb_type}, cell long")
+        .repartition(
+            par, F.col("cell"), F.pmod(F.xxhash64("vec_id"), F.lit(shards))
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -787,17 +798,26 @@ def ivf_index_search(
             cells = pdf["cell"].to_numpy()
             qpos_c, cid_c, sc_c = [], [], []
             for cell in np.unique(cells):
-                qidx = c2q.get(int(cell))
-                if qidx is None or not len(qidx):
+                qidx_all = c2q.get(int(cell))
+                if qidx_all is None or not len(qidx_all):
                     continue
                 rows = np.where(cells == cell)[0]
-                S = QQ[qidx] @ Xs[rows].T
-                S[ids[qidx][:, None] == c_ids[rows][None, :]] = -np.inf
-                mm = min(limit, S.shape[1])
-                top = np.argpartition(-S, mm - 1, axis=1)[:, :mm]
-                qpos_c.append(np.repeat(qidx, mm))
-                cid_c.append(c_ids[rows][top].reshape(-1))
-                sc_c.append(np.take_along_axis(S, top, axis=1).reshape(-1))
+                XsT = np.ascontiguousarray(Xs[rows].T)
+                crow = c_ids[rows]
+                # compacted index files make each batch ONE full-size
+                # cell shard, so qidx × rows is the big block here —
+                # chunk queries like _vectorized_topk_partials or 32
+                # workers fault ~200 MB score buffers each (measured
+                # 132 s vs 21 s unchunked at a 200k replica)
+                for qlo in range(0, len(qidx_all), 2048):
+                    qidx = qidx_all[qlo : qlo + 2048]
+                    S = QQ[qidx] @ XsT
+                    S[ids[qidx][:, None] == crow[None, :]] = -np.inf
+                    mm = min(limit, S.shape[1])
+                    top = np.argpartition(-S, mm - 1, axis=1)[:, :mm]
+                    qpos_c.append(np.repeat(qidx, mm))
+                    cid_c.append(crow[top].reshape(-1))
+                    sc_c.append(np.take_along_axis(S, top, axis=1).reshape(-1))
             if not qpos_c:
                 continue
             qpos = np.concatenate(qpos_c)
@@ -825,7 +845,16 @@ def ivf_index_search(
     probed = vectors.filter(
         F.col("cell").isin([int(c) for c in cell_to_q])
     )
-    partials = probed.select("vec_id", "embedding", "cell").mapInPandas(
+    src = probed.select("vec_id", "embedding", "cell")
+    # byte-based split packing reads the probed cells as a couple of
+    # tasks locally (32 small files fit one maxPartitionBytes split)
+    # while the stage cost is per-row Python — widen to core count,
+    # same rationale as multimodal._widen; no-op on any real cluster
+    # scan where the probed fraction spans thousands of row groups
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    partials = src.mapInPandas(
         gen, "q_id long, c_id long, cos_d double"
     )
     pruned = _prune_by_double(partials, limit)

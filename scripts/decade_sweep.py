@@ -70,7 +70,18 @@ def main() -> None:
             if line.startswith("RESULT "):
                 row = json.loads(line[len("RESULT "):])
         if row is None:
-            tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+            # progress bars (\r frames) drown the traceback — keep only
+            # diagnostic lines when picking the error tail
+            raw = (proc.stderr or "") + "\n" + (proc.stdout or "")
+            diag = [
+                ln.strip()
+                for chunk in raw.splitlines()
+                for ln in chunk.split("\r")
+                if ln.strip()
+                and not ln.lstrip().startswith("[Stage")
+                and ("Error" in ln or "error" in ln or "Exception" in ln)
+            ]
+            tail = diag[-3:] if diag else ["no diagnostic output"]
             row = {"error": " | ".join(tail)[:500]}
         print(json.dumps({name: row}), flush=True)
 
