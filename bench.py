@@ -75,6 +75,9 @@ HEADLINE = [
     "q_rfm_segments",
     "w_pivot_points",
     "t_hapax_spectrum",
+    # round-7 addition (freeze into BENCH_BASELINE once its driver row
+    # lands, same flow as the round-6 batch)
+    "s_ivf_index",
 ]
 
 
