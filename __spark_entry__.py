@@ -2417,10 +2417,28 @@ def _q_ivf_index(spark, sf_dir):
     output is row-identical to s_ivf_topk's ANN side (pytest) and the
     same certificate floors apply; the oracle is the same exact SQL +
     TRUE literals."""
+    import os as _os
+
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 25 == 0)
+    # PID-keyed path: two concurrent sessions on the same dataset
+    # (driver verify + bench) must not race an overwrite-during-search
+    # on a shared index dir; the tag stays for human readability.
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_ivf_index/{tag}"
+    root = "/tmp/spark_graft_ivf_index"
+    path = f"{root}/{tag}_{_os.getpid()}"
+    # prune stale indexes left by dead runs (mtime > 2h; a live
+    # concurrent session's dir is always younger than that)
+    try:
+        import shutil as _shutil
+        import time as _time
+
+        for d in _os.listdir(root):
+            full = _os.path.join(root, d)
+            if full != path and _time.time() - _os.path.getmtime(full) > 7200:
+                _shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass
     return similarity.ivf_index_certified(
         emb, qs, path, k=5, n_centroids=16, nprobe=8
     )

@@ -476,15 +476,20 @@ def lsh_topk(
             qpos, cid, scv = qpos[keep], cid[keep], scv[keep]
             if not len(qpos):
                 continue
-            # sort (q, score desc, c_id) once; drop cross-table dup
-            # pairs (bit-identical scores → adjacent), then keep the
-            # batch-local top-limit per query
-            order = np.lexsort((cid, -scv, qpos))
+            # dedup cross-table duplicate pairs on the (q, c) KEY
+            # itself — the same pair can be scored by differently
+            # shaped per-bucket GEMMs, so its two scores may differ
+            # by an ulp and score-adjacency is not a reliable dedup
+            # key. Sort (q, c, score desc), keep the first (best)
+            # copy per pair, then re-sort for the per-query ranking.
+            order = np.lexsort((-scv, cid, qpos))
             qpos, cid, scv = qpos[order], cid[order], scv[order]
             fresh = np.r_[
                 True, (qpos[1:] != qpos[:-1]) | (cid[1:] != cid[:-1])
             ]
             qpos, cid, scv = qpos[fresh], cid[fresh], scv[fresh]
+            order = np.lexsort((cid, -scv, qpos))
+            qpos, cid, scv = qpos[order], cid[order], scv[order]
             starts = np.where(
                 np.r_[True, qpos[1:] != qpos[:-1]], np.arange(len(qpos)), 0
             )

@@ -387,7 +387,18 @@ def _safe_merge_batch(
     which after the trim is STRICTLY below every batch count. So at
     each sequential greedy step the next batch pair is still the
     unique (count, l, r)-argmax. batch[0] alone is always safe: it is
-    plain greedy's own argmax, ties and all."""
+    plain greedy's own argmax, ties and all.
+
+    SELF-PAIRS close the batch. Merging (a, a) mints the CHAINED
+    pairs (aa, a) / (a, aa) / (aa, aa) whose counts are bounded only
+    by ~count(a, a)/2 — a bound set by the batch pair ITSELF, not by
+    the stop pair — so a chained pair can outrank any later batch
+    member (counterexample pinned in tests: vocab {'aaa': 100,
+    'bc': 90} — greedy merges (a,a) then (aa,a), never (b,c)). A
+    self-pair is therefore admitted at any position but always as the
+    LAST batch member, with the next fetched row (if any) becoming
+    the stop pair for the tie-trim. This also covers the
+    rows-exhausted path, which previously skipped the trim."""
     batch: list[tuple[str, str, int]] = []
     taken: set[str] = set()  # batch symbols ∪ batch merged tokens
     stop_count: int | None = None
@@ -400,6 +411,10 @@ def _safe_merge_batch(
             break
         batch.append((left, right, count))
         taken.update((left, right, left + right))
+        if left == right:
+            if i + 1 < len(rows):
+                stop_count = rows[i + 1]["c"]
+            break
     if stop_count is not None:
         while len(batch) > 1 and batch[-1][2] <= stop_count:
             batch.pop()

@@ -794,13 +794,19 @@ def rolling_quartiles(lineitem: DataFrame, window_rows: int = 20) -> DataFrame:
     )
     lat = F.lit(float(1 << 16))
     q = F.floor(F.col("l_quantity") * lat).cast("long")
+    # Exact per-row rank stats are CPU-heavy relative to their byte
+    # size, so AQE's byte-based coalescing under-parallelizes the
+    # window stage; an explicit repartition by the window key is
+    # exempt from coalescing, satisfies the window's clustering
+    # requirement (no second exchange), and pins the parallelism.
+    par = lineitem.sparkSession.sparkContext.defaultParallelism
     qdf = lineitem.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
         q.alias("__q"),
-    )
+    ).repartition(par, "l_partkey")
 
     def _p(frac: float) -> Column:
         return F.expr(f"percentile(__q, {frac})").over(w) / lat
@@ -869,8 +875,16 @@ def holt_smoothing(events: DataFrame) -> DataFrame:
     out_schema = (
         "user_id long, event_id long, seq long, level double, trend double"
     )
+    # The fold is Python-CPU-bound but its shuffle is only a few MB,
+    # so AQE's byte-based coalescing would collapse it to ~3 tasks
+    # (measured 3.6x wall at sf0.1). An explicit repartition by the
+    # group key is exempt from AQE coalescing, satisfies the
+    # applyInPandas clustering requirement (no second exchange), and
+    # states the intended parallelism explicitly for cluster runs.
+    par = events.sparkSession.sparkContext.defaultParallelism
     folded = (
         events.select("user_id", "event_id", "ts", "value")
+        .repartition(par, "user_id")
         .groupBy("user_id")
         .applyInPandas(fold, out_schema)
     )

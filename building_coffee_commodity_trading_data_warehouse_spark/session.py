@@ -24,15 +24,16 @@ def get_spark(app_name: str = "coffee_dw_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalesces by BYTES, which serializes Python-CPU-bound
-        # stages (applyInPandas folds) whose shuffle is only a few MB:
-        # with the default 1 MB floor, a 3 MB / 100k-group stage
-        # collapses to ~3 tasks (measured 3.6x wall on Holt smoothing
-        # at sf0.1). Lowering the floor lets parallelismFirst's
-        # totalSize/parallelism target win, spreading small-but-
-        # expensive shuffles across cores; at cluster scale partitions
-        # are far above either floor, so plans are unchanged.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+        # Keep the AQE coalesce floor at its 1 MB default. A session-
+        # wide 64KB floor (tried in an earlier round for Python-bound
+        # folds) converts every small shuffle into ~cores tiny tasks
+        # whose scheduling overhead multiplies under co-tenant load
+        # (paired A/B: 11x on exact-dedup). The two CPU-bound fold
+        # paths that genuinely need more tasks than their byte size
+        # suggests (windows.holt_smoothing / rolling_quartiles) pin
+        # their own parallelism with an explicit repartition-by-key,
+        # which AQE never coalesces and which self-documents at
+        # cluster scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,9 +49,12 @@ def tune(spark: SparkSession) -> SparkSession:
     (the driver hands us one) without rebuilding it."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # see get_spark: keep Python-bound small shuffles parallel
+    # see get_spark: the AQE coalesce floor stays at the 1 MB default;
+    # if a prior session (or an old checkpointed conf) lowered it,
+    # restore it — the 64KB floor amplifies tiny-task scheduling
+    # overhead under co-tenant load.
     spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB"
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1MB"
     )
     # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in the catalog (catalog.table).

@@ -59,12 +59,17 @@ def main() -> None:
 
     for name in names:
         script = _CHILD % {"repo": REPO, "name": name, "scales": pairs}
-        proc = subprocess.run(
-            [sys.executable, "-c", script],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung query must report, not kill the whole sweep
+            print(json.dumps({name: {"error": "timeout after 3600s"}}), flush=True)
+            continue
         row = None
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT "):

@@ -507,6 +507,57 @@ def test_train_bpe_batched_rounds(spark):
     assert stats["rounds"] == 1  # 10 merges / 1 round: 10x fewer jobs
 
 
+def test_train_bpe_self_pair_closes_batch(spark):
+    """Self-pair counterexample (advice r7): vocab {'aaa': 100,
+    'bc': 90}. Greedy merges (a,a) first; that merge MINTS (aa,a)
+    with count 100 > count(b,c) = 90, so greedy's second merge is
+    (aa,a), never (b,c). A batch that admitted (b,c) after the
+    self-pair (its symbols are disjoint, so the independence check
+    alone passes it) would emit the wrong merge ORDER and the wrong
+    merge SET — the chained pair's count is bounded by the batch
+    pair itself, not the stop pair. The fix: a self-pair always
+    closes its batch."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = [" ".join(["aaa"] * 100 + ["bc"] * 90)]
+    docs = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
+    got = textstats.train_bpe(docs, n_merges=2, batch_cap=32)
+    assert got == _ref_bpe(corpus, 2) == [("a", "a"), ("aa", "a")]
+
+
+def test_safe_merge_batch_self_pair_unit():
+    """Direct unit pins for the self-pair batch-terminator rule,
+    including the rows-exhausted path (stop_count previously stayed
+    None there, skipping the tie trim entirely)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        _safe_merge_batch,
+    )
+
+    def row(l, r, c):
+        return {"p": {"l": l, "r": r}, "c": c}
+
+    # rows exhausted after a self-pair: (b,c) must NOT ride along
+    assert _safe_merge_batch(
+        [row("a", "a", 200), row("b", "c", 90)], cap=32, remaining=10
+    ) == [("a", "a", 200)]
+    # self-pair mid-batch: admitted, but closes the batch there
+    assert _safe_merge_batch(
+        [row("x", "y", 300), row("a", "a", 200), row("b", "c", 90)],
+        cap=32,
+        remaining=10,
+    ) == [("x", "y", 300), ("a", "a", 200)]
+    # self-pair tying the next row gets tie-trimmed (conservative)
+    assert _safe_merge_batch(
+        [row("x", "y", 300), row("a", "a", 90), row("b", "c", 90)],
+        cap=32,
+        remaining=10,
+    ) == [("x", "y", 300)]
+    # self-pair as batch[0] is always safe, ties and all
+    assert _safe_merge_batch(
+        [row("a", "a", 90), row("b", "c", 90)], cap=32, remaining=10
+    ) == [("a", "a", 90)]
+
+
 def test_train_bpe_random_small_alphabet(spark):
     """Adversarial identity sweep: tiny alphabets maximize chained
     merges ('aa'+'a'), count ties, and merged-token/symbol collisions
