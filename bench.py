@@ -75,10 +75,83 @@ HEADLINE = [
     "q_rfm_segments",
     "w_pivot_points",
     "t_hapax_spectrum",
-    # round-7 addition (freeze into BENCH_BASELINE once its driver row
-    # lands, same flow as the round-6 batch)
-    "s_ivf_index",
+    # round-8: the s_ivf_index gate entry (build + exact reference +
+    # search + certificate in one 12 s number) is replaced by its two
+    # production phases timed separately — the amortized BUILD and the
+    # partition-pruned SEARCH (the number that matters at 100x).
+    "s_ivf_index_build",
+    "s_ivf_index_search",
 ]
+
+_IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
+
+
+def _bench_ivf_build(spark, sf_dir):
+    """Phase 1: train the quantizer + write the cell-partitioned index
+    (eager — the write IS the work; returns None so the bench loop
+    skips the noop sink)."""
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    similarity.ivf_index_build(emb, _IVF_BENCH_PATH, n_centroids=16)
+    return None
+
+
+def _bench_ivf_search(spark, sf_dir):
+    """Phase 2: partition-pruned search of the index phase 1 built
+    (same query set and knobs as the s_ivf_index driver gate)."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_index_search(spark, _IVF_BENCH_PATH, qs, k=5, nprobe=8)
+
+
+EXTRA = {
+    "s_ivf_index_build": _bench_ivf_build,
+    "s_ivf_index_search": _bench_ivf_search,
+}
+
+
+def _calibration_cpu_sec() -> float:
+    """Fixed single-threaded probe: a 1M-link sha256 chain over a
+    constant 64-byte buffer — constant work by construction, so its
+    wall time is a pure measure of machine speed + co-tenant
+    contention. Ratio against the frozen baseline's probe normalizes
+    cross-round sandbox drift (BASELINE.md, calibration protocol)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"\x00" * 64
+    for _ in range(1_000_000):
+        h = hashlib.sha256(h).digest()
+    return time.perf_counter() - t0
+
+
+def _calibration_spark_sec(spark) -> float:
+    """Fixed Spark probe: one 32-task shuffle over a constant 2M-row
+    range — measures scheduler + shuffle overhead under the current
+    machine load (the component the pure-CPU probe cannot see, and
+    the one tiny-task regressions amplify)."""
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 2_000_000, 1, 32)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k")
+        .sum("v")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -90,15 +163,21 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3") or 3))
     queries = entry_mod.queries()
+    cal_cpu = [_calibration_cpu_sec()]
+    cal_spark = [_calibration_spark_sec(spark)]
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
+        fn = EXTRA.get(name) or queries[name]
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            res = fn(spark, sf_dir)
+            if res is not None:
+                res.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+    cal_cpu.append(_calibration_cpu_sec())
+    cal_spark.append(_calibration_spark_sec(spark))
 
     out = {
         "metric": "headline_queries_wall_sec",
@@ -110,6 +189,14 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "agg": "median_per_query",
+        # machine-drift probes (BASELINE.md calibration protocol):
+        # constant work, so these move ONLY with machine speed/load.
+        # Taken before and after the query loop; min = quietest moment
+        # seen, mean = average load during the run.
+        "calibration_cpu_sec": round(min(cal_cpu), 3),
+        "calibration_spark_sec": round(min(cal_spark), 3),
+        "calibration_cpu_mean_sec": round(sum(cal_cpu) / len(cal_cpu), 3),
+        "calibration_spark_mean_sec": round(sum(cal_spark) / len(cal_spark), 3),
     }
     # Per-query ratios vs the frozen round-5 baseline (cross-round
     # TOTALS stopped being comparable when the headline set grew;
@@ -133,6 +220,20 @@ def main() -> None:
             out["current_total_common"] = round(
                 sum(timings[n] for n in common), 3
             )
+            # normalize machine drift: >1 means this machine/run is
+            # slower than the baseline freeze by that factor on
+            # constant work, so per-query ratios should be read
+            # against it (BASELINE.md calibration protocol)
+            if base.get("calibration_cpu_sec"):
+                out["calibration_ratio"] = round(
+                    out["calibration_cpu_sec"] / base["calibration_cpu_sec"], 3
+                )
+                out["vs_baseline_calibrated_total"] = round(
+                    out["current_total_common"]
+                    / out["baseline_total_common"]
+                    / out["calibration_ratio"],
+                    3,
+                )
     print(json.dumps(out))
 
 

@@ -7,6 +7,8 @@ import hashlib
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal as mm
 
 
@@ -504,3 +506,211 @@ def test_audio_vad_planted_segments(spark):
     r = out[1]
     assert (r["n_frames"], r["n_active"]) == (5, 3)
     assert (r["n_segments"], r["longest_run"]) == (2, 2)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Roundtrip across content types and configs; bounds are the
+    certification budgets (2x+ above measured worst case on noise)."""
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(20260815)
+
+    def err(img, w, h, channels=3, **kw):
+        data = encode_jpeg(w, h, img.tobytes(), channels=channels, **kw)
+        w2, h2, c2, px = decode_jpeg(data)
+        assert (w2, h2, c2) == (w, h, channels)
+        return np.abs(
+            np.frombuffer(px, dtype=np.uint8).astype(int)
+            - img.reshape(-1).astype(int)
+        ).max()
+
+    # constant color is DC-only: exact
+    assert err(np.full((16, 16, 3), 113, np.uint8), 16, 16, quality=90) == 0
+    assert err(np.full((2, 2, 3), 7, np.uint8), 2, 2, quality=90) == 0
+    # smooth gradient, odd width (pad path): tight
+    gy, gx = np.mgrid[0:24, 0:31]
+    grad = np.stack(
+        [(gx * 8) % 256, (gy * 8) % 256, ((gx + gy) * 4) % 256], axis=-1
+    ).astype(np.uint8)
+    assert err(grad, 31, 24, quality=90) <= 8
+    # worst case (noise) stays inside the certification budget
+    noise = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    assert err(noise, 13, 17, quality=95) <= 48
+    # restart markers resync without changing the result
+    assert err(grad, 31, 24, quality=90, restart_interval=2) <= 8
+    # grayscale single-component path
+    g = rng.randint(0, 256, (9, 9)).astype(np.uint8)
+    assert err(g, 9, 9, channels=1, quality=95) <= 32
+
+
+def test_jpeg_420_luma_survives_chroma_decimation():
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    rng = np.random.RandomState(8)
+    for w, h in [(13, 17), (16, 16), (31, 9), (2, 3)]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        for rst in (0, 1):
+            data = encode_jpeg(
+                w, h, img.tobytes(), quality=95, subsampling="420",
+                restart_interval=rst,
+            )
+            w2, h2, c2, px = decode_jpeg(data)
+            assert (w2, h2, c2) == (w, h, 3)
+            out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            assert (
+                np.abs(
+                    luma(out.astype(float)) - luma(img.astype(float))
+                ).max()
+                <= 32.0
+            )
+
+
+def test_jpeg_bitstream_structure_and_errors():
+    """Structural pins: marker framing, stuffing, self-describing
+    tables, and loud rejection of what the decoder does not speak."""
+    import numpy as np
+    import pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8, 3), 200, np.uint8)
+    data = encode_jpeg(8, 8, img.tobytes(), quality=75)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    # DQT (xFFDB) twice, DHT (xFFC4) four times, SOF0, SOS
+    assert data.count(b"\xff\xdb") >= 2 and data.count(b"\xff\xc4") >= 4
+    assert b"\xff\xc0" in data and b"\xff\xda" in data
+    # decoding re-parses every table from the file itself
+    w, h, c, px = decode_jpeg(data)
+    assert (w, h, c) == (8, 8, 3)
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02")
+    # progressive (SOF2) is a different entropy layout: loud reject
+    prog = bytearray(data)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_quality_knob_monotone():
+    """Higher quality -> larger file and lower error (sanity that the
+    IJG scaling actually reaches the quantizer)."""
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    sizes, errs = [], []
+    for q in (10, 50, 95):
+        data = encode_jpeg(16, 16, img.tobytes(), quality=q)
+        _, _, _, px = decode_jpeg(data)
+        sizes.append(len(data))
+        errs.append(
+            np.abs(
+                np.frombuffer(px, dtype=np.uint8).astype(int)
+                - img.reshape(-1).astype(int)
+            ).mean()
+        )
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_jpeg_huffman_tables_are_valid_prefix_codes():
+    """Kraft check on the Annex-K tables + canonical code construction
+    produces codes that fit their bit length."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import jpeg
+
+    for bits, vals in [
+        (jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS),
+        (jpeg._DC_CHROM_BITS, jpeg._DC_CHROM_VALS),
+        (jpeg._AC_LUM_BITS, jpeg._AC_LUM_VALS),
+        (jpeg._AC_CHROM_BITS, jpeg._AC_CHROM_VALS),
+    ]:
+        assert sum(bits) == len(vals)
+        codes = jpeg._canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        for sym, (code, length) in codes.items():
+            assert 0 <= code < (1 << length)
+        # prefix-free: kraft sum <= 1
+        assert sum(2 ** -length for _, length in codes.values()) <= 1.0
+
+
+def test_decode_image_auto_dispatches_jpeg(spark):
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        encode_jpeg,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    img = np.full((4, 6, 3), 90, np.uint8)
+    payload = encode_jpeg(6, 4, img.tobytes(), quality=95)
+    bmp = multimodal.encode_bmp(2, 2, b"\x01\x02\x03" * 4)
+    docs = spark.createDataFrame(
+        [(1, payload), (2, bmp)], "doc_id long, payload binary"
+    ).select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        "payload",
+        F.lit("t").alias("meta_source"),
+        F.octet_length("payload").cast("long").alias("meta_n_bytes"),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_image(docs, codec="auto").collect()
+    }
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (6, 4, 3)
+    px = np.frombuffer(rows[1]["pixels"], dtype=np.uint8)
+    assert np.abs(px.astype(int) - 90).max() <= 1  # constant: DC-exact
+    assert (rows[2]["width"], rows[2]["height"]) == (2, 2)
+
+
+def test_certify_jpeg_pipeline_all_green(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    texts = ["", "a", "hello world", "x" * 37, chr(255) * 11]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = multimodal.certify_jpeg_pipeline(media).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["jpeg_ok"] and r["jpeg420_ok"] and r["gray_ok"], r
