@@ -8659,37 +8659,92 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ==== round-7 order. STANDING POLICY (r6 verdict item 6): any
+    # ==== round-8 order. STANDING POLICY (r6 verdict item 6): any
     # round that edits a shared-helper module (operators/windows.py,
-    # functions/exact.py, or any file 3+ gates import) re-queues EVERY
-    # gate importing it into tier 1, ahead of the stale rotation. ====
-    # tier 1 — code changed in r7: train_bpe de-serialized (batched
-    # non-adjacent merges), duplicate_payments amount-band join, and
-    # the similarity kernel rewrite (ivf_topk scores per cell inside
-    # the corpus scan; brute-force partials vectorized query-major) —
-    # every gate routing through brute_force_topk/ivf_topk re-queued;
-    # all 12 similarity-family gates were re-verified repr-exact vs
-    # DuckDB through the driver contract in-session before commit.
-    "s_ivf_topk",
-    "s_ivf_probeall",
-    "s_ivf_index",
-    "s_cosine_topk",
-    "s_pq_certified",
+    # functions/exact.py, or any file 3+ gates import) re-queues the
+    # gates importing it ahead of the stale rotation. ====
+    # tier 1 — code changed in r8: the lsh_topk pair-key dedup fix,
+    # the PID-keyed ivf_index gate path, the BPE self-pair
+    # batch-terminator fix (advice r7, counterexample pinned), and
+    # the holt/quartiles explicit repartition that replaced the
+    # session-wide 64KB AQE floor (windows.py edit -> its two touched
+    # functions + the forecast-intervals gate that folds through
+    # holt). All re-verified repr-exact vs DuckDB through the driver
+    # contract in-session before commit.
     "s_lsh_topk",
-    "s_mips_topk",
+    "s_ivf_index",
     "t_bpe_pairs",
     "t_bpe_encode",
+    "w_holt_smoothing",
+    "w_rolling_quartiles",
+    "w_forecast_intervals",
+    # tier 2a — NEW this round: the baseline JPEG codec gate
+    # (r7 verdict item 5).
+    "m_decode_jpeg",
+    # tier 2b — the 27 remaining never-driver-sampled gates (r7
+    # verdict item 2; w_rolling_quartiles moved to tier 1 because its
+    # code changed). After this round every registered gate has >=1
+    # green driver row.
+    "a_aqp_revenue",
+    "a_benford",
+    "a_markov_transitions",
+    "a_path_trigrams",
+    "a_seasonal_anomaly",
+    "a_sign_runs",
+    "c_dataset_card",
+    "c_epoch_plan",
+    "c_quota_sample",
+    "c_shard_plan",
+    "c_split_leakage",
+    "d_bloom_prefilter",
+    "d_dup_stats",
+    "d_minhash_rollup",
+    "q_order_backlog",
+    "q_receivables_aging",
+    "q_seasonal_index",
+    "q_supplier_scorecard",
+    "t_burstiness",
+    "t_hapax_spectrum",
+    "t_tvd_sources",
+    "t_vocab_growth",
+    "w_atr",
+    "w_interpolate",
+    "w_obv",
+    "w_pivot_points",
+    "w_stochastic",
+    # tier 3 — stale-green rotation in the remaining slots: the r3
+    # block the verdict named, then the longest-stale windows-family
+    # gates (operators/windows.py importers, per the standing
+    # shared-helper policy — the r8 edit is function-scoped to
+    # holt/quartiles, but the module importers rotate first anyway).
+    "flagship_windows",
+    "j_star_join",
+    "j_roleplay_nation",
+    "j_merge_upsert",
+    "s_topk_per_group",
+    "w_sessionize",
+    "w_gap_islands",
+    "w_percentile_ranks",
+    "w_cumulative_distinct",
+    "w_forward_fill",
+    "w_frame_values",
+    "w_ewma",
+    "w_drawdown",
+    "w_ohlcv_bars",
+    "w_rolling_volatility",
+    # ---- position 51+: everything else, prior relative order
+    # preserved (registration/staleness order from earlier rounds).
+    "s_ivf_topk",
+    "s_ivf_probeall",
+    "s_cosine_topk",
+    "s_pq_certified",
+    "s_mips_topk",
     "q_duplicate_payments",
-    # tier 2a — never-driver-sampled: recurrence/stateful family
-    # (r6 verdict item 1a).
     "w_cusum",
     "st_cusum",
     "st_countmin",
     "st_dedup_jitter",
     "st_full_join",
-    "w_holt_smoothing",
-    "w_forecast_intervals",
-    # tier 2b — never-sampled: r6 analytics (verdict item 1b).
     "q_rfm_segments",
     "q_cohort_ltv",
     "q_association_rules",
@@ -8698,19 +8753,15 @@ _VERIFY_FIRST = [
     "a_cramers_v",
     "a_ks_drift",
     "a_mann_kendall",
-    # tier 2c — never-sampled: r6 text/multimodal (verdict item 1c).
     "t_langid_ngram",
     "m_audio_vad",
     "m_image_patches",
     "m_video_pairs",
-    # tier 3 — the 5 r1-stale greens (verdict item 2): five rounds of
-    # driver drift; placed INSIDE the 50-slot window this round.
     "t_quality_language",
     "t_token_stats",
     "w_rank_battery",
     "m_multimodal_features",
     "m_frame_counts",
-    # tier 2d — never-sampled remainder that fits the 50-slot window.
     "d_simhash_pairs",
     "e_schema_evolution",
     "e_cdc_apply",
@@ -8727,43 +8778,7 @@ _VERIFY_FIRST = [
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
-    "w_rolling_quartiles",
-    "a_seasonal_anomaly",
-    "a_path_trigrams",
-    "d_minhash_rollup",
-    "w_interpolate",
-    "a_benford",
-    # ---- position 51+: the 22 never-sampled gates that do not fit
-    # r7's 50 slots — queued at the top for r8 (verdict item 1). ----
-    "a_aqp_revenue",
-    "a_markov_transitions",
-    "a_sign_runs",
-    "c_dataset_card",
-    "c_epoch_plan",
-    "c_quota_sample",
-    "c_shard_plan",
-    "c_split_leakage",
-    "d_bloom_prefilter",
-    "d_dup_stats",
-    "q_order_backlog",
-    "q_receivables_aging",
-    "q_seasonal_index",
-    "q_supplier_scorecard",
-    "t_burstiness",
-    "t_hapax_spectrum",
-    "t_tvd_sources",
-    "t_vocab_growth",
-    "w_atr",
-    "w_obv",
-    "w_pivot_points",
-    "w_stochastic",
-    # tier 4 — stale-green rotation, oldest driver row first
-    # (r3, then r4, r5, r6).
-    "flagship_windows",
-    "j_star_join",
-    "j_merge_upsert",
     "j_semi_anti",
-    "j_roleplay_nation",
     "j_range_join",
     "j_scd2_dim",
     "j_full_outer_reconcile",
@@ -8788,12 +8803,6 @@ _VERIFY_FIRST = [
     "q_shipping_priority",
     "t_repetition_stats",
     "t_tfidf_topterms",
-    "w_cumulative_distinct",
-    "w_forward_fill",
-    "w_frame_values",
-    "w_gap_islands",
-    "w_percentile_ranks",
-    "w_sessionize",
     "a_minmax_spread",
     "a_union_aggregate",
     "a_rollup",
@@ -8832,10 +8841,6 @@ _VERIFY_FIRST = [
     "q_top_suppliers",
     "q_order_cadence",
     "j_bucketed_join",
-    "w_ohlcv_bars",
-    "w_rolling_volatility",
-    "w_drawdown",
-    "w_ewma",
     "c_temperature_mix",
     "d_ngram_jaccard",
     "d_incremental_dedup",
@@ -8926,7 +8931,6 @@ _VERIFY_FIRST = [
     "q_sql_surface",
     "s_global_sort",
     "s_lsh_buckets",
-    "s_topk_per_group",
     "t_fingerprints",
 ]
 
