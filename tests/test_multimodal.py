@@ -714,3 +714,93 @@ def test_certify_jpeg_pipeline_all_green(spark):
     assert len(rows) == len(texts)
     for r in rows:
         assert r["jpeg_ok"] and r["jpeg420_ok"] and r["gray_ok"], r
+
+
+# ---------------------------------------------------------- MJPEG/AVI
+
+
+def test_avi_mux_demux_preserves_frames_and_header():
+    import numpy as np
+    import pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.video import (
+        encode_avi_mjpeg,
+        parse_avi_frames,
+    )
+
+    rng = np.random.RandomState(1)
+    w, h, n = 13, 6, 4
+    srcs = [rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+    avi = encode_avi_mjpeg(
+        w, h, [encode_jpeg(w, h, s.tobytes(), quality=95) for s in srcs]
+    )
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    pw, ph, declared, frames = parse_avi_frames(avi)
+    assert (pw, ph, declared, len(frames)) == (w, h, n, n)
+    # frame ORDER survives the mux (each decodes to its own source)
+    for s, jpg in zip(srcs, frames):
+        w2, h2, c2, px = decode_jpeg(jpg)
+        assert (w2, h2, c2) == (w, h, 3)
+        err = np.abs(
+            np.frombuffer(px, dtype=np.uint8).astype(int)
+            - s.reshape(-1).astype(int)
+        ).max()
+        assert err <= 48
+    # odd-size chunk bodies get an even-pad byte; payload unharmed
+    assert parse_avi_frames(encode_avi_mjpeg(2, 2, [b"123"]))[3] == [b"123"]
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi_frames(b"XXXXYYYYZZZZ")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi_frames(avi[: len(avi) - 6])
+
+
+def test_decode_video_frames_udtf_shape(spark):
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import video
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
+        encode_jpeg,
+    )
+
+    ship_package(spark)
+    img = np.full((4, 6, 3), 77, np.uint8)
+    avi = video.encode_avi_mjpeg(
+        6, 4, [encode_jpeg(6, 4, img.tobytes(), quality=95)] * 3
+    )
+    media = _media(spark, [avi])
+    rows = video.decode_video_frames(media).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    for r in rows:
+        assert (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+        px = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+        assert np.abs(px.astype(int) - 77).max() <= 1
+
+
+def test_certify_mjpeg_pipeline_all_green(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+        video,
+    )
+
+    ship_package(spark)
+    texts = ["", "a", "hello world", "x" * 37]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = video.certify_mjpeg_pipeline(media).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["container_ok"] and r["frames_ok"], r
+        assert r["n_frames"] == len(texts[r["doc_id"]]) % 3 + 2
