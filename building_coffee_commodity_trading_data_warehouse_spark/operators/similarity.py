@@ -258,17 +258,24 @@ def _np_pair_scores(
 
 
 def _exact_topk_rerank(
-    cand: DataFrame, embeddings: DataFrame, queries: DataFrame, k: int
+    cand: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Decimal-exact cosine + final rank over a pruned candidate list —
-    the tiny tail that pins oracle-exact values and tie order."""
+    the tiny tail that pins oracle-exact values and tie order.
+    ``broadcast_queries=False`` is for the two-sided paths whose query
+    set is NOT bounded by contract: the join shuffles on q_id instead
+    (AQE still broadcasts small sides at runtime)."""
     from pyspark.sql import Window
 
     c = with_norm(embeddings, "c_id", "c_")
     q = with_norm(queries, "q_id", "q_")
     pairs = (
         cand.join(c, "c_id")
-        .join(F.broadcast(q), "q_id")
+        .join(F.broadcast(q) if broadcast_queries else q, "q_id")
         .select(
             "q_id",
             "c_id",
@@ -867,6 +874,143 @@ def ivf_index_search(
     # cells are by construction among the probed partitions)
     return _exact_topk_rerank(
         pruned, probed.select("vec_id", "embedding"), queries, k
+    )
+
+
+def ivf_index_search_distributed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    margin: int = 8,
+    query_shards: int | None = None,
+) -> DataFrame:
+    """TWO-SIDED search of a persistent IVF index: the query set stays
+    a DataFrame end-to-end — nothing query-sized ever reaches the
+    driver — so a 10⁸-row query batch works where
+    ``ivf_index_search``'s (documented, bounded-by-contract)
+    ``toPandas()`` of the batch would not.
+
+    Shape: (1) probe-cell assignment runs as one vectorized
+    mapInPandas over the QUERIES (the only driver-resident object is
+    the n_centroids×D centroid matrix, tiny by construction), each
+    query exploding to its nprobe (cell) rows; (2) the distinct
+    probed-cell list — ≤ n_centroids values, bounded by contract —
+    drives hive partition pruning of the index exactly like the
+    one-sided path; (3) queries replicate to ``query_shards``
+    corpus-salt shards (in-row ``explode(sequence(...))``, codegen)
+    and meet the salted index cells in a cogroup on (cell, shard):
+    ONE shuffle of the probed corpus fraction per search batch and
+    nprobe·S small query rows — no all-pairs join ever materializes,
+    and the salt bounds every task's GEMM tile regardless of cell
+    skew; (4) the usual double-score prune + decimal rerank, with the
+    rerank joining queries by shuffle instead of broadcast.
+
+    Same quantizer math as ``ivf_index_search`` ⇒ identical candidate
+    sets ⇒ row-identical output (pinned by pytest). Cost trade vs the
+    one-sided path at small query counts: one extra pass over the
+    queries (the distinct-cells aggregate) and a corpus shuffle — the
+    price of unbounded query scale."""
+    import numpy as np
+    import pandas as pd
+
+    cpdf = spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
+    C = np.stack(cpdf["centroid"].to_numpy()).astype("float64")
+    bc = spark.sparkContext.broadcast(C)
+    limit = k + margin
+    par = spark.sparkContext.defaultParallelism
+    S = int(query_shards or max(1, par // len(C)))
+    emb_type = dict(queries.dtypes)["embedding"]
+
+    def assign_q(batches):
+        CC = bc.value
+        m = min(nprobe, len(CC))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Qn = Q / np.maximum(
+                np.linalg.norm(Q, axis=1, keepdims=True), 1e-12
+            )
+            top = np.argpartition(-(Qn @ CC.T), m - 1, axis=1)[:, :m]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(
+                        pdf["vec_id"].to_numpy().astype("int64"), m
+                    ),
+                    "embedding": pdf["embedding"].to_numpy().repeat(m),
+                    "cell": top.reshape(-1).astype("int64"),
+                }
+            )
+
+    qcells = (
+        queries.select("vec_id", "embedding")
+        .mapInPandas(assign_q, f"q_id long, embedding {emb_type}, cell long")
+    )
+    # ≤ n_centroids values by construction — the one bounded driver
+    # fetch, and the handle that turns the index scan into hive
+    # partition pruning (recomputes assign_q once; cheap relative to
+    # the search, and caching an unbounded query set would not be)
+    probed_cells = [int(r["cell"]) for r in qcells.select("cell").distinct().collect()]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    probed = vectors.filter(F.col("cell").isin(probed_cells))
+
+    qrep = qcells.withColumn(
+        "shard", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    vshard = probed.select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.pmod(F.xxhash64("vec_id"), F.lit(S)).alias("shard"),
+    )
+
+    def score(qpdf: pd.DataFrame, cpdf_: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf_):
+            return pd.DataFrame({"q_id": [], "c_id": [], "cos_d": []})
+        q_ids = qpdf["q_id"].to_numpy().astype("int64")
+        Q = np.stack(qpdf["embedding"].to_numpy()).astype("float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Qs = Q / np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+        X = np.stack(cpdf_["embedding"].to_numpy()).astype("float64")
+        c_ids = cpdf_["vec_id"].to_numpy().astype("int64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Xs = X / np.sqrt((X * X).sum(axis=1, keepdims=True))
+        XsT = np.ascontiguousarray(Xs.T)
+        outs = []
+        for qlo in range(0, len(Qs), 2048):
+            Sc = Qs[qlo : qlo + 2048] @ XsT
+            Sc[q_ids[qlo : qlo + 2048, None] == c_ids[None, :]] = -np.inf
+            mm = min(limit, Sc.shape[1])
+            top = np.argpartition(-Sc, mm - 1, axis=1)[:, :mm]
+            scv = np.take_along_axis(Sc, top, axis=1).reshape(-1)
+            keep = np.isfinite(scv)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.repeat(q_ids[qlo : qlo + 2048], mm)[keep],
+                        "c_id": c_ids[top].reshape(-1)[keep],
+                        "cos_d": scv[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = (
+        qrep.groupBy("cell", "shard")
+        .cogroup(vshard.groupBy("cell", "shard"))
+        .applyInPandas(
+            lambda ql, cr: score(ql, cr), "q_id long, c_id long, cos_d double"
+        )
+    )
+    pruned = _prune_by_double(partials, limit)
+    return _exact_topk_rerank(
+        pruned,
+        probed.select("vec_id", "embedding"),
+        queries,
+        k,
+        broadcast_queries=False,
     )
 
 

@@ -218,3 +218,42 @@ def test_ivf_index_search_prunes_partitions(spark, sf_dir, tmp_path):
         if "PartitionFilters" in line and "INSET" in line and "cell" in line
     ]
     assert pf, plan
+
+
+def test_ivf_index_search_distributed_row_identical(spark, sf_dir, tmp_path):
+    """The two-sided search (queries stay a DataFrame end-to-end, for
+    query batches the one-sided path's bounded toPandas cannot hold)
+    must be ROW-IDENTICAL to ivf_index_search: same quantizer math ->
+    same candidate sets -> same decimal rerank."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_build(emb, path, n_centroids=16)
+    one = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_search(spark, path, qs, k=5, nprobe=8).collect(),
+        )
+    )
+    two = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_search_distributed(
+                spark, path, qs, k=5, nprobe=8
+            ).collect(),
+        )
+    )
+    assert one == two
+    # partition pruning survives the two-sided rewrite
+    plan = (
+        similarity.ivf_index_search_distributed(spark, path, qs, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "INSET" in line and "cell" in line
+    ]
+    assert pf, plan
