@@ -1551,6 +1551,39 @@ def _q_video_mjpeg(spark, sf_dir):
 
 
 @_register(
+    "m_decode_gif",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 16 + 2 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 8 + 2 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 3 + 2 AS INTEGER) AS n_frames,
+       TRUE AS gif_ok,
+       TRUE AS interlace_ok,
+       TRUE AS anim_ok
+FROM documents
+""",
+)
+def _q_decode_gif(spark, sf_dir):
+    """GIF87a/89a certified (sources/gif.py — the LZW compression
+    family, completing the real-codec set alongside DEFLATE-PNG and
+    DCT-JPEG): per payload, the deterministic GRAY image roundtrips
+    byte-IDENTICALLY (GIF is lossless at ≤256 colors) through three
+    paths — plain, 4-pass interlaced, and an n=len%3+2-frame
+    GIF89a animation with loop + Graphic Control blocks, where every
+    frame must return byte-identical IN ORDER. decode_image
+    (codec='auto') sniffs GIF8 and serves the first frame through
+    the palette."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import gif
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return gif.certify_gif_pipeline(media)
+
+
+@_register(
     "m_image_phash",
     r"""
 WITH t AS (
@@ -8767,6 +8800,7 @@ _VERIFY_FIRST = [
     "m_decode_jpeg",
     "m_video_mjpeg",
     "s_ivf_distributed",
+    "m_decode_gif",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

@@ -141,21 +141,26 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     gray/RGB/RGBA, all five scanline filters, see decode_png);
     ``codec='jpeg'`` is a REAL baseline-sequential JPEG decoder
     (sources/jpeg.py — Huffman entropy decode, dequant + IDCT,
-    4:4:4/4:2:0 upsampling, restart markers); ``codec='auto'`` sniffs
-    the magic bytes and dispatches per row. ``codec='pil'`` is the
-    slot for formats beyond BMP/PNG/JPEG (WebP, AV1, video stills) —
-    unavailable in this container."""
+    4:4:4/4:2:0 upsampling, restart markers); ``codec='gif'`` is a
+    REAL GIF87a/89a decoder (sources/gif.py — variable-width LZW,
+    interlace, animation frames; first frame through the palette);
+    ``codec='auto'`` sniffs the magic bytes and dispatches per row.
+    ``codec='pil'`` is the slot for formats beyond BMP/PNG/JPEG/GIF
+    (WebP, AV1, video stills) — unavailable in this container."""
     if codec == "pil":  # pragma: no cover
         raise NotImplementedError(
             "no general image codec in this environment; BMP, PNG and "
             "baseline JPEG are decoded natively (decode_bmp/decode_png/"
             "jpeg.decode_jpeg), other formats need PIL/libav"
         )
-    if codec in ("bmp", "png", "jpeg", "auto"):
+    if codec in ("bmp", "png", "jpeg", "gif", "auto"):
 
         def _codec_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pandas as _pd
 
+            from building_coffee_commodity_trading_data_warehouse_spark.sources.gif import (
+                decode_gif_rgb,
+            )
             from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
                 decode_jpeg,
             )
@@ -171,6 +176,10 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
                     codec == "auto" and b[:3] == b"\xff\xd8\xff"
                 ):
                     return decode_jpeg(b)
+                if codec == "gif" or (
+                    codec == "auto" and b[:4] == b"GIF8"
+                ):
+                    return decode_gif_rgb(b)
                 raise ValueError("unrecognized image magic bytes")
 
             for pdf in it:

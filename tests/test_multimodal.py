@@ -804,3 +804,109 @@ def test_certify_mjpeg_pipeline_all_green(spark):
     for r in rows:
         assert r["container_ok"] and r["frames_ok"], r
         assert r["n_frames"] == len(texts[r["doc_id"]]) % 3 + 2
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def test_gif_lzw_roundtrip_stress():
+    """Variable-width LZW incl. the KwKwK case, table refill at 12
+    bits, and tiny alphabets (min code size floor)."""
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.gif import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial, n_sym in enumerate([4, 16, 256, 4, 16, 256]):
+        n = rng.randint(1, 5000)
+        data = bytes(rng.randint(0, n_sym, n).astype(np.uint8))
+        mcs = max(2, (n_sym - 1).bit_length())
+        assert lzw_decode(lzw_encode(data, mcs), mcs, len(data)) == data
+    # the classic KwKwK stream: a run of one symbol
+    assert lzw_decode(lzw_encode(b"\x01" * 1000, 2), 2, 1000) == b"\x01" * 1000
+    # long low-entropy stream forces the 12-bit table refill path
+    data = bytes((i * 7) % 11 for i in range(60000))
+    assert lzw_decode(lzw_encode(data, 4), 4, len(data)) == data
+
+
+def test_gif_roundtrips_byte_identical():
+    import numpy as np
+    import pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.gif import (
+        GRAY_PALETTE,
+        decode_gif,
+        decode_gif_rgb,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(6)
+    w, h = 23, 11
+    img = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
+    # plain, interlaced, animated: all byte-identical (GIF is lossless)
+    assert decode_gif(encode_gif(w, h, [img]))[3] == [img]
+    assert decode_gif(encode_gif(w, h, [img], interlace=True))[3] == [img]
+    frames = [bytes(rng.randint(0, 256, w * h).astype(np.uint8)) for _ in range(4)]
+    w3, h3, pal, fr3 = decode_gif(encode_gif(w, h, frames, delay_cs=5))
+    assert (w3, h3, pal) == (w, h, GRAY_PALETTE) and fr3 == frames
+    # small palette: color mapping through decode_gif_rgb
+    pal4 = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    img4 = bytes([0, 1, 2, 3])
+    w4, h4, c4, rgb = decode_gif_rgb(encode_gif(2, 2, [img4], palette=pal4))
+    assert (w4, h4, c4) == (2, 2, 3)
+    assert rgb == bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    with pytest.raises(ValueError, match="GIF87a/89a"):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(2, 2, [img4], palette=b"\x00" * 9)
+
+
+def test_decode_image_auto_dispatches_gif(spark):
+    import numpy as np
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.gif import (
+        encode_gif,
+    )
+
+    ship_package(spark)
+    img = bytes(np.arange(24, dtype=np.uint8))  # 6x4 gray ramp
+    payload = encode_gif(6, 4, [img])
+    media = _media(spark, [payload])
+    rows = multimodal.decode_image(media, codec="auto").collect()
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["channels"]) == (6, 4, 3)
+    px = np.frombuffer(bytes(rows[0]["pixels"]), dtype=np.uint8).reshape(4, 6, 3)
+    assert (px[..., 0] == px[..., 1]).all() and (
+        px[..., 0].reshape(-1) == np.arange(24)
+    ).all()
+
+
+def test_certify_gif_pipeline_all_green(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        gif,
+        multimodal,
+    )
+
+    ship_package(spark)
+    texts = ["", "a", "hello world", "x" * 37]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    rows = gif.certify_gif_pipeline(media).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["gif_ok"] and r["interlace_ok"] and r["anim_ok"], r
+        assert r["n_frames"] == len(texts[r["doc_id"]]) % 3 + 2
