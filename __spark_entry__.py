@@ -1584,6 +1584,49 @@ def _q_decode_gif(spark, sf_dir):
 
 
 @_register(
+    "m_decode_webp",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 16 + 2 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 8 + 2 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 15 + 2 AS INTEGER) AS n_colors,
+       TRUE AS literal_ok,
+       TRUE AS subgreen_ok,
+       TRUE AS predictor_ok,
+       TRUE AS color_ok,
+       TRUE AS palette_ok,
+       TRUE AS lz77_cache_ok
+FROM documents
+""",
+)
+def _q_decode_webp(spark, sf_dir):
+    """WebP lossless certified (sources/webp.py — the full VP8L
+    bitstream: simple/normal prefix codes, meta prefix partitioning,
+    color cache, LZ77 with the 120-entry 2D distance map, and all
+    four transforms incl. the 14 spatial predictors). Per payload the
+    deterministic RGB image roundtrips byte-IDENTICALLY (VP8L is
+    lossless) through six encoder paths: plain literals,
+    subtract-green, predictor len%14, a fixed color-transform
+    element, a len%15+2-color palette (pixel bundling: 1/2/4-bit
+    packed indices), and greedy LZ77 + 8-bit color cache.
+    tests/test_webp.py additionally certifies both directions against
+    the system libwebp: our streams under the reference decoder, and
+    reference-encoder streams (full transform arsenal) under ours —
+    bit-exact, with the distance map re-derived by probing.
+    decode_image(codec='auto') sniffs RIFF/WEBP and serves the
+    pixels. The reference repo has no media handling (north-star
+    scope, not parity)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import webp
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return webp.certify_webp_pipeline(media)
+
+
+@_register(
     "m_image_phash",
     r"""
 WITH t AS (
@@ -8801,6 +8844,7 @@ _VERIFY_FIRST = [
     "m_video_mjpeg",
     "s_ivf_distributed",
     "m_decode_gif",
+    "m_decode_webp",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

@@ -144,16 +144,22 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     4:4:4/4:2:0 upsampling, restart markers); ``codec='gif'`` is a
     REAL GIF87a/89a decoder (sources/gif.py — variable-width LZW,
     interlace, animation frames; first frame through the palette);
+    ``codec='webp'`` is a REAL WebP lossless decoder (sources/webp.py
+    — the full VP8L bitstream: meta prefix codes, color cache, LZ77
+    distance mapping, all four transforms; certified bit-exact against
+    the reference libwebp decoder in tests/test_webp.py);
     ``codec='auto'`` sniffs the magic bytes and dispatches per row.
-    ``codec='pil'`` is the slot for formats beyond BMP/PNG/JPEG/GIF
-    (WebP, AV1, video stills) — unavailable in this container."""
+    ``codec='pil'`` is the slot for formats beyond BMP/PNG/JPEG/GIF/
+    WebP-lossless (lossy WebP, AV1, video stills) — unavailable in
+    this container."""
     if codec == "pil":  # pragma: no cover
         raise NotImplementedError(
-            "no general image codec in this environment; BMP, PNG and "
-            "baseline JPEG are decoded natively (decode_bmp/decode_png/"
-            "jpeg.decode_jpeg), other formats need PIL/libav"
+            "no general image codec in this environment; BMP, PNG, "
+            "baseline JPEG, GIF and lossless WebP are decoded natively "
+            "(decode_bmp/decode_png/jpeg.decode_jpeg/gif.decode_gif_rgb/"
+            "webp.decode_webp), other formats need PIL/libav"
         )
-    if codec in ("bmp", "png", "jpeg", "gif", "auto"):
+    if codec in ("bmp", "png", "jpeg", "gif", "webp", "auto"):
 
         def _codec_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pandas as _pd
@@ -163,6 +169,9 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
             )
             from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
                 decode_jpeg,
+            )
+            from building_coffee_commodity_trading_data_warehouse_spark.sources.webp import (
+                decode_webp,
             )
 
             def _decode(b: bytes):
@@ -180,6 +189,12 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
                     codec == "auto" and b[:4] == b"GIF8"
                 ):
                     return decode_gif_rgb(b)
+                if codec == "webp" or (
+                    codec == "auto"
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WEBP"
+                ):
+                    return decode_webp(b)
                 raise ValueError("unrecognized image magic bytes")
 
             for pdf in it:
