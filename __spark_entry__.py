@@ -1718,6 +1718,50 @@ def _q_audio_wav(spark, sf_dir):
 
 
 @_register(
+    "m_audio_flac",
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(list_max(list_transform(range(1, length(text) + 1),
+              i -> abs(ascii(substr(text, CAST(i AS INTEGER), 1)) - 128))) * 256
+            AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+              i -> (ascii(substr(text, CAST(i AS INTEGER), 1)) - 128)
+                 * (ascii(substr(text, CAST(i AS INTEGER), 1)) - 128)))
+            AS BIGINT) AS sum_sq,
+       TRUE AS fixed_ok,
+       TRUE AS stereo_ok,
+       TRUE AS lpc_ok,
+       TRUE AS escape_ok
+FROM documents
+""",
+)
+def _q_audio_flac(spark, sf_dir):
+    """FLAC certified (sources/flac.py — RFC 9639: Rice-coded
+    residuals over FIXED/LPC predictors, all four stereo
+    decorrelation modes, frame CRC-8/CRC-16 + STREAMINFO MD5
+    verified on decode). The real lossless-audio format of media
+    corpora, extending the WAV gate's signal contract: each payload
+    byte becomes a centered 16-bit sample and the stream roundtrips
+    byte-IDENTICALLY through four encoder paths (FIXED best-order,
+    mid/side stereo, LPC subframes, Rice-escape partitions); the
+    stats replayed by the oracle are the same exact integers as
+    m_audio_wav. The reference repo has no media handling
+    (north-star scope, not parity)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        flac as flac_mod,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return flac_mod.certify_flac_pipeline(media)
+
+
+@_register(
     "m_skew_report",
     """
 WITH counts AS (
@@ -8845,6 +8889,7 @@ _VERIFY_FIRST = [
     "s_ivf_distributed",
     "m_decode_gif",
     "m_decode_webp",
+    "m_audio_flac",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1
