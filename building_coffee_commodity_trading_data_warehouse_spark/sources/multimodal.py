@@ -9,9 +9,13 @@ streams its batches — nothing accumulates on the driver.
 The container has no image/audio libraries, so the codecs are
 implemented here from the public format specs: uncompressed BMP,
 compressed PNG (DEFLATE + all five scanline filters), RIFF/WAVE
-16-bit PCM, and baseline-sequential JPEG (sources/jpeg.py — Huffman +
-DCT, 4:4:4/4:2:0, restart markers). WebP/AV1/video decode remains a
-documented NotImplementedError slot (``codec='pil'``). The Spark-side
+16-bit PCM, baseline-sequential JPEG (sources/jpeg.py — Huffman +
+DCT, 4:4:4/4:2:0, restart markers), GIF (sources/gif.py — LZW,
+interlace, animations), lossless WebP (sources/webp.py — the full
+VP8L bitstream, certified two-sided against libwebp), and FLAC
+(sources/flac.py — Rice + fixed/LPC predictors). Lossy WebP / AV1 /
+inter-predicted video decode remains a documented
+NotImplementedError slot (``codec='pil'``). The Spark-side
 plumbing — schema, batch iteration, partitioning — is oracle-tested
 (byte length + md5 + codec roundtrip booleans are verifiable in SQL).
 """
