@@ -1627,6 +1627,46 @@ def _q_decode_webp(spark, sf_dir):
 
 
 @_register(
+    "m_decode_tiff",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 16 + 2 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 8 + 2 AS INTEGER) AS height,
+       CAST((octet_length(encode(text)) % 8 + 4) // 3 AS INTEGER) AS n_strips,
+       TRUE AS none_ok,
+       TRUE AS packbits_ok,
+       TRUE AS lzw_ok,
+       TRUE AS predictor_ok,
+       TRUE AS gray_ok
+FROM documents
+""",
+)
+def _q_decode_tiff(spark, sf_dir):
+    """TIFF certified (sources/tiff.py — the scanned-document format:
+    IFD walk in both byte orders, multi-strip layouts, PackBits,
+    TIFF-variant LZW with the early-change code widths, horizontal-
+    differencing predictor, gray + RGB). Per payload the
+    deterministic RGB image roundtrips byte-IDENTICALLY through five
+    encoder paths across a forced multi-strip layout
+    (rows_per_strip=3). tests/test_reference_codecs.py additionally
+    certifies both directions against the JVM's javax.imageio TIFF
+    plugin — including the LZW width-transition streams where an
+    early-change disagreement desyncs a reference decoder.
+    decode_image(codec='auto') sniffs II*/MM*. The reference repo has
+    no media handling (north-star scope, not parity)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        tiff as tiff_mod,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return tiff_mod.certify_tiff_pipeline(media)
+
+
+@_register(
     "m_image_phash",
     r"""
 WITH t AS (
@@ -8890,6 +8930,7 @@ _VERIFY_FIRST = [
     "m_decode_gif",
     "m_decode_webp",
     "m_audio_flac",
+    "m_decode_tiff",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

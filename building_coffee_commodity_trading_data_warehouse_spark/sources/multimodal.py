@@ -163,7 +163,7 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
             "(decode_bmp/decode_png/jpeg.decode_jpeg/gif.decode_gif_rgb/"
             "webp.decode_webp), other formats need PIL/libav"
         )
-    if codec in ("bmp", "png", "jpeg", "gif", "webp", "auto"):
+    if codec in ("bmp", "png", "jpeg", "gif", "webp", "tiff", "auto"):
 
         def _codec_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pandas as _pd
@@ -173,6 +173,9 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
             )
             from building_coffee_commodity_trading_data_warehouse_spark.sources.jpeg import (
                 decode_jpeg,
+            )
+            from building_coffee_commodity_trading_data_warehouse_spark.sources.tiff import (
+                decode_tiff,
             )
             from building_coffee_commodity_trading_data_warehouse_spark.sources.webp import (
                 decode_webp,
@@ -199,6 +202,10 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
                     and b[8:12] == b"WEBP"
                 ):
                     return decode_webp(b)
+                if codec == "tiff" or (
+                    codec == "auto" and b[:4] in (b"II*\x00", b"MM\x00*")
+                ):
+                    return decode_tiff(b)
                 raise ValueError("unrecognized image magic bytes")
 
             for pdf in it:

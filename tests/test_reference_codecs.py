@@ -207,6 +207,75 @@ def test_gif_reference_under_ours(spark):
     assert out == rgb
 
 
+# ----------------------------------------------------------------- TIFF
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(compression="none"),
+        dict(compression="packbits"),
+        dict(compression="lzw"),
+        dict(compression="lzw", predictor=True),
+    ],
+    ids=lambda kw: "-".join(f"{k}={v}" for k, v in kw.items()),
+)
+def test_tiff_ours_under_reference(spark, kw):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.tiff import (
+        encode_tiff,
+    )
+
+    rgb = _rgb(14)
+    w, h, px = _imageio_decode(spark, encode_tiff(W, H, rgb, 3, rows_per_strip=4, **kw))
+    assert (w, h) == (W, H)
+    assert px == _expect_rgb(rgb)
+
+
+def test_tiff_ours_width_transition_under_reference(spark):
+    """An 80×60 random image crosses the LZW 9→10→11 bit width
+    transitions — the exact spot where an early-change disagreement
+    desyncs the reference decoder."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.tiff import (
+        encode_tiff,
+    )
+
+    rgb = _rgb(15, 80, 60)
+    data = encode_tiff(80, 60, rgb, 3, compression="lzw", rows_per_strip=60)
+    w, h, px = _imageio_decode(spark, data)
+    assert (w, h) == (80, 60)
+    assert px == _expect_rgb(rgb)
+
+
+@pytest.mark.parametrize("ctype", [None, "PackBits", "LZW"])
+def test_tiff_reference_under_ours(spark, ctype):
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.tiff import (
+        decode_tiff,
+    )
+
+    jvm = _jvm(spark)
+    rgb = _rgb(16, 40, 30)
+    img = jvm.java.awt.image.BufferedImage(40, 30, 1)
+    for i in range(40 * 30):
+        img.setRGB(
+            i % 40,
+            i // 40,
+            (rgb[3 * i] << 16) | (rgb[3 * i + 1] << 8) | rgb[3 * i + 2],
+        )
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    params = writer.getDefaultWriteParam()
+    if ctype:
+        params.setCompressionMode(2)
+        params.setCompressionType(ctype)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), params)
+    ios.flush()
+    w, h, c, out = decode_tiff(bytes(baos.toByteArray()))
+    assert (w, h, c) == (40, 30, 3)
+    assert out == rgb
+
+
 # ----------------------------------------------------------------- JPEG
 
 
