@@ -1627,6 +1627,105 @@ def _q_decode_webp(spark, sf_dir):
 
 
 @_register(
+    "m_augment_battery",
+    r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
+  FROM documents
+),
+l AS (
+  SELECT doc_id, n, w, h,
+         list_transform(range(1, GREATEST(n, 1) + 1),
+           i -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS L
+  FROM t
+),
+px AS (
+  SELECT doc_id, w, h, k % w AS x, k // w AS y,
+         ( L[(k * 3 + 0) % GREATEST(n, 1) + 1]
+         + L[(k * 3 + 1) % GREATEST(n, 1) + 1]
+         + L[(k * 3 + 2) % GREATEST(n, 1) + 1]) // 3 AS gray,
+         LEAST(L[(k * 3 + 0) % GREATEST(n, 1) + 1] + 17, 255)
+       + LEAST(L[(k * 3 + 1) % GREATEST(n, 1) + 1] + 17, 255)
+       + LEAST(L[(k * 3 + 2) % GREATEST(n, 1) + 1] + 17, 255) AS bright3
+  FROM l, UNNEST(range(0, w * h)) u(k)
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(gray * (w - x)) AS BIGINT) AS flip_wsum,
+       CAST(SUM(gray * (h - y)) AS BIGINT) AS rot_wsum,
+       CAST(SUM(CASE WHEN y >= h // 4 AND y < h // 4 + h // 2
+                      AND x >= w // 4 AND x < w // 4 + w // 2
+                     THEN gray ELSE 0 END) AS BIGINT) AS crop_sum,
+       CAST(SUM(bright3) AS BIGINT) AS bright_sum,
+       TRUE AS stable_ok
+FROM px
+GROUP BY doc_id
+""",
+)
+def _q_augment_battery(spark, sf_dir):
+    """Image augmentation battery (multimodal.augment_images): hflip /
+    rot90-clockwise / center-crop / clamped-brightness, each emitting
+    an exact integer certificate the oracle replays from payload
+    bytes — position-weighted gray sums for the two spatial ops (a
+    plain sum would pass for the identity), index-filtered sum for
+    the crop, saturating sum for brightness. stable_ok pins flip →
+    real BMP roundtrip → flip == identity."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.augment_images(media)
+
+
+@_register(
+    "m_audio_resample",
+    """
+WITH l AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, CAST(i AS INTEGER), 1)) - 128) AS S
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + 1) // 2 AS BIGINT) AS n_down,
+       CAST(list_max(list_transform(range(1, n + 1, 2),
+              i -> abs(S[CAST(i AS INTEGER)]))) AS BIGINT) AS down_peak,
+       CAST(list_sum(list_transform(range(1, n + 1, 2),
+              i -> S[CAST(i AS INTEGER)] * S[CAST(i AS INTEGER)]))
+            AS BIGINT) AS down_sum_sq,
+       CAST(2 * n - 1 AS BIGINT) AS n_up,
+       CAST(list_sum(S)
+          + COALESCE(list_sum(list_transform(range(1, n),
+              i -> CAST(floor((S[CAST(i AS INTEGER)]
+                             + S[CAST(i AS INTEGER) + 1]) / 2.0) AS BIGINT))),
+              0) AS BIGINT) AS up_sum,
+       TRUE AS roundtrip_ok
+FROM l
+""",
+)
+def _q_audio_resample(spark, sf_dir):
+    """Integer-exact 2x audio resampling (multimodal.resample_audio):
+    decimate-by-2 stats (peak/energy over the kept samples) and
+    linear-midpoint upsample sum, all exact integers the oracle
+    replays from character codes (floor() both sides for the negative
+    midpoints). roundtrip_ok certifies decimate(upsample(s)) == s —
+    the even taps of the interpolator are the identity."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.resample_audio(media)
+
+
+@_register(
     "m_decode_tiff",
     """
 SELECT doc_id,
@@ -8931,6 +9030,8 @@ _VERIFY_FIRST = [
     "m_decode_webp",
     "m_audio_flac",
     "m_decode_tiff",
+    "m_augment_battery",
+    "m_audio_resample",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

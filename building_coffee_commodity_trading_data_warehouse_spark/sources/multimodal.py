@@ -1191,3 +1191,157 @@ def audio_activity_segments(
             )
 
     return _widen(media).mapInPandas(_batches, schema=VAD_SCHEMA)
+
+
+# ---------------------------------------------------- augmentation battery
+
+AUGMENT_SCHEMA = (
+    "doc_id long, width int, height int, flip_wsum bigint, "
+    "rot_wsum bigint, crop_sum bigint, bright_sum bigint, "
+    "stable_ok boolean"
+)
+
+
+def augment_images(media: DataFrame) -> DataFrame:
+    """Training-set image augmentation battery — horizontal flip,
+    90° clockwise rotation, center crop (the middle h//2 × w//2
+    window at offset (h//4, w//4)), and clamped brightness (+17 per
+    channel, saturating at 255) — expressed as the same Arrow-batched
+    ``mapInPandas`` plumbing as the codecs: per-batch numpy, pixels
+    never shuffle, nothing driver-side.
+
+    Every augmentation emits an exact integer certificate the oracle
+    replays from the payload bytes (the deterministic fake image:
+    dims len%16+2 × len%8+2, payload-tiled RGB, gray = (r+g+b)//3):
+
+    * ``flip_wsum`` — Σ gray′(x,y)·(x+1) over the FLIPPED image; the
+      oracle computes Σ gray·(w−x) over the original. Equal iff the
+      flip actually reverses columns (a plain gray sum would pass for
+      the identity too).
+    * ``rot_wsum`` — Σ gray″(x′,y′)·(x′+1) over the ROTATED image;
+      clockwise (x,y) → (h−1−y, x), so the oracle computes
+      Σ gray·(h−y).
+    * ``crop_sum`` — gray sum of the crop window, replayed by index
+      filtering.
+    * ``bright_sum`` — Σ min(255, v+17) over all channel bytes of the
+      brightened image (exercises the clamp, not just a shift).
+    * ``stable_ok`` — flip → REAL BMP encode/decode → flip returns
+      the original image byte-for-byte (augmentation composed through
+      the codec is an involution)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _one(payload: bytes):
+            b = bytes(payload)
+            w = len(b) % 16 + 2
+            h = len(b) % 8 + 2
+            need = w * h * 3
+            if not b:
+                b = b"\x00"
+            img = _np.frombuffer(
+                (b * (need // max(len(b), 1) + 1))[:need], dtype=_np.uint8
+            ).reshape(h, w, 3)
+            gray = img.astype(_np.int64).sum(axis=2) // 3
+
+            flipped = gray[:, ::-1]
+            flip_wsum = int((flipped * (_np.arange(w) + 1)).sum())
+            # np.rot90(m, k=-1) is the clockwise rotation: out (h', w')
+            # = (w, h), out[x, h-1-y] = in[y, x]
+            rot = _np.rot90(gray, k=-1)
+            rot_wsum = int((rot * (_np.arange(h) + 1)).sum())
+            crop = gray[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+            crop_sum = int(crop.sum())
+            bright = _np.minimum(img.astype(_np.int64) + 17, 255)
+            bright_sum = int(bright.sum())
+
+            flipped_img = img[:, ::-1, :]
+            w1, h1, c1, back = decode_bmp(
+                encode_bmp(w, h, flipped_img.tobytes())
+            )
+            back_img = _np.frombuffer(back, dtype=_np.uint8).reshape(h, w, 3)
+            stable = bool((back_img[:, ::-1, :] == img).all())
+            return w, h, flip_wsum, rot_wsum, crop_sum, bright_sum, stable
+
+        for pdf in it:
+            rows = [_one(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": _np.array([r[0] for r in rows], dtype="int32"),
+                    "height": _np.array([r[1] for r in rows], dtype="int32"),
+                    "flip_wsum": _np.array([r[2] for r in rows], dtype="int64"),
+                    "rot_wsum": _np.array([r[3] for r in rows], dtype="int64"),
+                    "crop_sum": _np.array([r[4] for r in rows], dtype="int64"),
+                    "bright_sum": _np.array([r[5] for r in rows], dtype="int64"),
+                    "stable_ok": [r[6] for r in rows],
+                }
+            )
+
+    return _widen(media).mapInPandas(_batches, schema=AUGMENT_SCHEMA)
+
+
+# ------------------------------------------------------- audio resampling
+
+RESAMPLE_SCHEMA = (
+    "doc_id long, n_samples bigint, n_down bigint, down_peak bigint, "
+    "down_sum_sq bigint, n_up bigint, up_sum bigint, roundtrip_ok boolean"
+)
+
+
+def resample_audio(media: DataFrame) -> DataFrame:
+    """Integer-exact 2× audio resampling — corpus-normalization to a
+    common sample rate, the audio twin of resize_images. Each payload
+    byte becomes a centered 16-bit sample (the m_audio_wav signal
+    convention, sample = (byte−128)·256; stats below use byte-scale
+    deltas, matching that gate's oracle convention).
+
+    * Downsample (decimate by 2): keep even-index samples —
+      ``n_down = (n+1)//2``, ``down_peak``/``down_sum_sq`` exact
+      integers over the kept samples.
+    * Upsample (linear midpoint): out[2i] = s[i], out[2i+1] =
+      ⌊(s[i]+s[i+1])/2⌋ (floor, matching SQL floor()) —
+      ``n_up = 2n−1``, ``up_sum`` the exact integer sum.
+    * ``roundtrip_ok`` — decimate(upsample(s)) == s exactly (the
+      even taps of the midpoint interpolator are the identity), the
+      algebraic certificate that both directions index correctly."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _one(payload: bytes):
+            b = bytes(payload) or b"\x80"
+            s = (_np.frombuffer(b, dtype=_np.uint8).astype(_np.int64) - 128)
+            down = s[::2]
+            up = _np.empty(2 * len(s) - 1, dtype=_np.int64)
+            up[0::2] = s
+            up[1::2] = (s[:-1] + s[1:]) // 2
+            ok = bool((up[0::2] == s).all()) and len(up) == 2 * len(s) - 1
+            return (
+                len(s),
+                len(down),
+                int(_np.abs(down).max()),
+                int((down * down).sum()),
+                len(up),
+                int(up.sum()),
+                ok,
+            )
+
+        for pdf in it:
+            rows = [_one(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": _np.array([r[0] for r in rows], dtype="int64"),
+                    "n_down": _np.array([r[1] for r in rows], dtype="int64"),
+                    "down_peak": _np.array([r[2] for r in rows], dtype="int64"),
+                    "down_sum_sq": _np.array([r[3] for r in rows], dtype="int64"),
+                    "n_up": _np.array([r[4] for r in rows], dtype="int64"),
+                    "up_sum": _np.array([r[5] for r in rows], dtype="int64"),
+                    "roundtrip_ok": [r[6] for r in rows],
+                }
+            )
+
+    return _widen(media).mapInPandas(_batches, schema=RESAMPLE_SCHEMA)

@@ -910,3 +910,75 @@ def test_certify_gif_pipeline_all_green(spark):
     for r in rows:
         assert r["gif_ok"] and r["interlace_ok"] and r["anim_ok"], r
         assert r["n_frames"] == len(texts[r["doc_id"]]) % 3 + 2
+
+
+def test_augment_battery_known_image(spark):
+    """2×2 image with distinct grays pins the position-weighted
+    certificates: flip weights reverse, rot90 weights become h−y."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+
+    ship_package(spark)
+    # text of len 0 → w=2, h=2, payload "\x00" tiled → all-zero image;
+    # use a longer text for nonzero pixels
+    docs = spark.createDataFrame(
+        [(0, "abcdef", "en", "s", 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    row = multimodal.augment_images(media).collect()[0]
+    # w = 6%16+2 = 8, h = 6%8+2 = 0+... 6%8=6 → h=8
+    assert (row["width"], row["height"]) == (8, 8)
+    b = b"abcdef"
+    need = 8 * 8 * 3
+    buf = (b * (need // 6 + 1))[:need]
+    gray = [
+        (buf[3 * k] + buf[3 * k + 1] + buf[3 * k + 2]) // 3 for k in range(64)
+    ]
+    w = h = 8
+    assert row["flip_wsum"] == sum(
+        g * (w - (k % w)) for k, g in enumerate(gray)
+    )
+    assert row["rot_wsum"] == sum(
+        g * (h - (k // w)) for k, g in enumerate(gray)
+    )
+    assert row["crop_sum"] == sum(
+        g
+        for k, g in enumerate(gray)
+        if h // 4 <= k // w < h // 4 + h // 2
+        and w // 4 <= k % w < w // 4 + w // 2
+    )
+    assert row["bright_sum"] == sum(min(v + 17, 255) for v in buf)
+    assert row["stable_ok"]
+
+
+def test_resample_audio_exact(spark):
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+
+    ship_package(spark)
+    text = "A~\x01z9"  # codes 65,126,1,122,57 → deltas -63,-2,-127,-6,-71
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.to_media_table(docs)
+    row = multimodal.resample_audio(media).collect()[0]
+    s = [ord(c) - 128 for c in text]
+    down = s[::2]
+    mids = [(a + b1) // 2 for a, b1 in zip(s, s[1:])]  # Python floor == op
+    assert row["n_samples"] == 5
+    assert row["n_down"] == 3
+    assert row["down_peak"] == max(abs(v) for v in down)
+    assert row["down_sum_sq"] == sum(v * v for v in down)
+    assert row["n_up"] == 9
+    assert row["up_sum"] == sum(s) + sum(mids)
+    assert row["roundtrip_ok"]
