@@ -608,9 +608,15 @@ def _decode_scan(
                 preds = [0] * nc
                 n_in_interval = 0
             for ci, (cid, hi, vi, tq) in enumerate(comps):
-                td, ta = scan_tabs[cid]
-                dct, act = dc_tabs[td], ac_tabs[ta]
-                qt = qts[tq]
+                try:
+                    td, ta = scan_tabs[cid]
+                    dct, act = dc_tabs[td], ac_tabs[ta]
+                    qt = qts[tq]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"JPEG references undefined table {exc} (corrupt "
+                        "or non-baseline stream)"
+                    ) from exc
                 for by in range(vi):
                     for bx in range(hi):
                         zz = np.zeros(64, dtype=np.int64)

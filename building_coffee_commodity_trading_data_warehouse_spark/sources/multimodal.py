@@ -530,7 +530,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             f"interlace={interlace}"
         )
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {exc}") from exc
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -807,9 +810,13 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(f"unsupported WAV variant: fmt={audio_fmt} bits={bits}")
         elif cid == b"data":
             pcm = data[pos : pos + clen]
+            if len(pcm) < clen:
+                raise ValueError("WAV data chunk truncated")
         pos += clen + (clen & 1)
     if sr is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
+    if ch and len(pcm) % (2 * ch):
+        raise ValueError("WAV data length is not a whole number of frames")
     return sr, ch, pcm
 
 
