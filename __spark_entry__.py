@@ -1627,6 +1627,43 @@ def _q_decode_webp(spark, sf_dir):
 
 
 @_register(
+    "m_exif_metadata",
+    """
+SELECT doc_id,
+       'maker' || CAST(length(text) % 5 AS VARCHAR) AS make,
+       'model' || CAST(length(text) % 7 AS VARCHAR) AS model,
+       CAST(length(text) % 8 + 1 AS INT) AS orientation,
+       CAST(100 + (length(text) % 10) * 25 AS INT) AS iso,
+       CAST(length(text) % 16 + 2 AS INT) AS pixel_x,
+       CAST(length(text) % 8 + 2 AS INT) AS pixel_y,
+       '2019:12:' || lpad(CAST(length(text) % 28 + 1 AS VARCHAR), 2, '0')
+                  || ' 12:00:00' AS taken_at,
+       TRUE AS decode_ok
+FROM documents
+""",
+)
+def _q_exif_metadata(spark, sf_dir):
+    """EXIF metadata certified (sources/exif.py — TIFF-IFD structures
+    inside JPEG APP1, the grammar real image crawls filter on):
+    deterministic camera fields are encoded as a real Exif APP1 blob,
+    spliced into a REAL encoded JPEG right after SOI, parsed back
+    from the spliced bytes (IFD0 + Exif sub-IFD, both byte orders
+    supported), and replayed by the oracle from payload lengths.
+    decode_ok pins that the spliced JPEG decodes to the same pixels
+    as the unspliced one — APP1 is transparent to the image path."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        exif as exif_mod,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return exif_mod.image_metadata(media)
+
+
+@_register(
     "m_augment_battery",
     r"""
 WITH t AS (
@@ -9032,6 +9069,7 @@ _VERIFY_FIRST = [
     "m_decode_tiff",
     "m_augment_battery",
     "m_audio_resample",
+    "m_exif_metadata",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1
