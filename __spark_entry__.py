@@ -1627,6 +1627,50 @@ def _q_decode_webp(spark, sf_dir):
 
 
 @_register(
+    "m_video_scenes",
+    r"""
+WITH l AS (
+  SELECT doc_id, length(text) // 16 AS nf,
+         list_transform(range(1, length(text) + 1),
+           i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS L
+  FROM documents
+),
+d AS (
+  SELECT doc_id, nf,
+         list_transform(range(0, GREATEST(nf - 1, 0)),
+           i -> list_sum(list_transform(range(1, 17),
+                  j -> abs(L[CAST(i * 16 + j AS INTEGER)]
+                         - L[CAST((i + 1) * 16 + j AS INTEGER)])))) AS diffs
+  FROM l
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(CASE WHEN nf = 0 THEN 0
+                 ELSE 1 + COALESCE(list_sum(list_transform(diffs,
+                        x -> CASE WHEN x > 128 THEN 1 ELSE 0 END)), 0)
+            END AS BIGINT) AS n_scenes,
+       CAST(COALESCE(list_max(diffs), 0) AS BIGINT) AS max_diff,
+       CAST(COALESCE(list_sum(diffs), 0) AS BIGINT) AS sum_diff
+FROM d
+""",
+)
+def _q_video_scenes(spark, sf_dir):
+    """Video scene-change detection (multimodal.detect_scenes): exact
+    integer L1 inter-frame energy over the deterministic 16-byte
+    frame slices, boundary where energy > 128; n_scenes / max_diff /
+    sum_diff all replayed by the oracle from character codes. With a
+    real container the frames come from the MJPEG demuxer
+    (sources/video.py) — the detection math is identical."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.detect_scenes(media)
+
+
+@_register(
     "m_exif_metadata",
     """
 SELECT doc_id,
@@ -9070,6 +9114,7 @@ _VERIFY_FIRST = [
     "m_augment_battery",
     "m_audio_resample",
     "m_exif_metadata",
+    "m_video_scenes",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

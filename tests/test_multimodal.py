@@ -982,3 +982,35 @@ def test_resample_audio_exact(spark):
     assert row["n_up"] == 9
     assert row["up_sum"] == sum(s) + sum(mids)
     assert row["roundtrip_ok"]
+
+
+def test_detect_scenes_planted_boundary(spark):
+    """Three 16-byte frames: two identical, then a hard cut — exactly
+    one boundary, known diffs."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        multimodal,
+    )
+
+    ship_package(spark)
+    text = "a" * 32 + "z" * 16  # frames: aa.., aa.., zz..
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text)), (1, "short", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.detect_scenes(
+            multimodal.to_media_table(docs)
+        ).collect()
+    }
+    r0 = rows[0]
+    assert r0["n_frames"] == 3
+    per_frame_diff = 16 * abs(ord("z") - ord("a"))
+    assert r0["max_diff"] == per_frame_diff
+    assert r0["sum_diff"] == per_frame_diff
+    assert r0["n_scenes"] == 2  # one planted cut
+    r1 = rows[1]  # 5 bytes < one frame
+    assert (r1["n_frames"], r1["n_scenes"]) == (0, 0)
