@@ -1627,6 +1627,41 @@ def _q_decode_webp(spark, sf_dir):
 
 
 @_register(
+    "m_id3_tags",
+    """
+SELECT doc_id,
+       'track' || CAST(length(text) % 9 AS VARCHAR) AS title,
+       'artist' || CAST(length(text) % 5 AS VARCHAR) AS artist,
+       'album' || CAST(length(text) % 7 AS VARCHAR) AS album,
+       CAST(1990 + length(text) % 30 AS VARCHAR) AS year,
+       'genre' || CAST(length(text) % 4 AS VARCHAR) AS genre,
+       CAST(length(text) // 8 AS BIGINT) AS duration_ms,
+       TRUE AS audio_ok
+FROM documents
+""",
+)
+def _q_id3_tags(spark, sf_dir):
+    """ID3v2.3 tags certified (sources/id3.py — the audio twin of the
+    EXIF gate): deterministic title/artist/album/year/genre + a TXXX
+    free-form frame are encoded with sync-safe sizes, prepended to a
+    REAL FLAC stream of the payload's samples, parsed back from the
+    tagged bytes, and replayed by the oracle from payload lengths.
+    audio_ok pins strip_id3 recovering the FLAC byte-identically and
+    the FLAC decoding back to the exact samples. duration_ms is the
+    derived field curation filters on (n_samples·1000 // 8000)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        id3 as id3_mod,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return id3_mod.audio_metadata(media)
+
+
+@_register(
     "m_video_scenes",
     r"""
 WITH l AS (
@@ -9115,6 +9150,7 @@ _VERIFY_FIRST = [
     "m_audio_resample",
     "m_exif_metadata",
     "m_video_scenes",
+    "m_id3_tags",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1
