@@ -1627,6 +1627,44 @@ def _q_decode_webp(spark, sf_dir):
 
 
 @_register(
+    "m_subtitle_cues",
+    """
+WITH t AS (
+  SELECT doc_id, length(text) AS n, length(text) % 6 + 1 AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS n_cues,
+       CAST(500 * k + list_sum(list_transform(range(0, k),
+              i -> (n + i) % 1500)) AS BIGINT) AS total_ms,
+       CAST(n % 997 AS BIGINT) AS first_start_ms,
+       CAST((k - 1) * 2000 + n % 997 + 500 + (n + k - 1) % 1500
+            AS BIGINT) AS last_end_ms,
+       TRUE AS vtt_ok
+FROM t
+""",
+)
+def _q_subtitle_cues(spark, sf_dir):
+    """SRT/WebVTT subtitle parsing certified (sources/subtitles.py —
+    the video-text alignment surface): deterministic cue lists are
+    rendered as real SRT, parsed back to exact integer milliseconds
+    (cue joins must be exact — no float timestamps), and the same
+    cues roundtrip through WebVTT (the ,/. separator + header
+    grammar). The oracle replays cue count, summed duration, first
+    start and last end from payload lengths."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import (
+        subtitles,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return subtitles.subtitle_stats(media)
+
+
+@_register(
     "m_id3_tags",
     """
 SELECT doc_id,
@@ -9151,6 +9189,7 @@ _VERIFY_FIRST = [
     "m_exif_metadata",
     "m_video_scenes",
     "m_id3_tags",
+    "m_subtitle_cues",
     # tier 2b — the 27 remaining never-driver-sampled gates (r7
     # verdict item 2; w_rolling_quartiles moved to tier 1 because its
     # code changed). After this round every registered gate has >=1

@@ -1,0 +1,59 @@
+"""SRT/WebVTT codec tests (sources/subtitles.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from building_coffee_commodity_trading_data_warehouse_spark.sources import subtitles
+
+_CUES = [
+    (1, 0, 1500, "hello world"),
+    (2, 2000, 3750, "line one\nline two"),
+    (3, 3_600_000 + 61_000 + 500, 3_600_000 + 65_000, "over an hour"),
+]
+
+
+def test_srt_roundtrip():
+    assert subtitles.parse_subtitles(subtitles.encode_srt(_CUES)) == _CUES
+
+
+def test_vtt_roundtrip():
+    assert subtitles.parse_subtitles(subtitles.encode_vtt(_CUES)) == _CUES
+
+
+def test_srt_format_pinned():
+    doc = subtitles.encode_srt([(1, 3_723_456, 3_723_999, "x")])
+    assert "01:02:03,456 --> 01:02:03,999" in doc
+
+
+def test_vtt_format_pinned():
+    doc = subtitles.encode_vtt([(1, 0, 1000, "x")])
+    assert doc.startswith("WEBVTT\n")
+    assert "00:00:00.000 --> 00:00:01.000" in doc
+
+
+def test_crlf_and_non_integer_identifiers():
+    doc = "WEBVTT\r\n\r\nintro-cue\r\n00:00:00.000 --> 00:00:01.000\r\nhi\r\n"
+    cues = subtitles.parse_subtitles(doc)
+    assert cues == [(1, 0, 1000, "hi")]
+
+
+def test_malformed_timecode_raises():
+    with pytest.raises(ValueError):
+        subtitles.parse_subtitles("1\n00:00:00,000 -> 00:00:01,000\nhi\n")
+    with pytest.raises(ValueError):
+        subtitles.parse_subtitles("1\nno timecode here\nhi\n")
+
+
+def test_reversed_range_raises():
+    with pytest.raises(ValueError):
+        subtitles.parse_subtitles(
+            "1\n00:00:05,000 --> 00:00:01,000\nbackwards\n"
+        )
+
+
+def test_multiline_text_and_blank_separation():
+    doc = "1\n00:00:00,000 --> 00:00:01,000\na\nb\nc\n\n\n2\n00:00:02,000 --> 00:00:03,000\nd\n"
+    cues = subtitles.parse_subtitles(doc)
+    assert cues[0][3] == "a\nb\nc"
+    assert cues[1][0] == 2
