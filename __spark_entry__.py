@@ -2055,6 +2055,40 @@ def _q_audio_flac(spark, sf_dir):
 
 
 @_register(
+    "m_decode_audio",
+    """
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(256 * (COALESCE(list_sum(list_transform(
+              range(1, length(text) + 1),
+              i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0)
+            - 128 * length(text)) AS BIGINT) AS sum_samples,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac+id3' END AS container
+FROM documents
+""",
+)
+def _q_decode_audio(spark, sf_dir):
+    """decode_audio certified end-to-end (multimodal.decode_audio —
+    NEW r9, decode_image's audio twin with the soundfile accelerated
+    slot): per document a REAL container is synthesized (even doc_id →
+    WAV, odd → ID3v2-tagged FLAC) and decoded back through the
+    production operator's auto-sniff path — RIFF/fLaC magic dispatch
+    after ID3 strip (including the v2.4 footer fix from r8 ADVICE) —
+    with the decoded PCM reduced to exact integers the oracle replays
+    from character codes. The swap-slot contract (codec='soundfile')
+    is pinned by tests/test_multimodal.py::test_soundfile_swap_slot."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_audio_roundtrip(media)
+
+
+@_register(
     "m_skew_report",
     """
 WITH counts AS (
@@ -9156,44 +9190,94 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ==== round-8 order. STANDING POLICY (r6 verdict item 6): any
-    # round that edits a shared-helper module (operators/windows.py,
-    # functions/exact.py, or any file 3+ gates import) re-queues the
-    # gates importing it ahead of the stale rotation. ====
-    # tier 1 — code changed in r8: the lsh_topk pair-key dedup fix,
-    # the PID-keyed ivf_index gate path, the BPE self-pair
-    # batch-terminator fix (advice r7, counterexample pinned), and
-    # the holt/quartiles explicit repartition that replaced the
-    # session-wide 64KB AQE floor (windows.py edit -> its two touched
-    # functions + the forecast-intervals gate that folds through
-    # holt). All re-verified repr-exact vs DuckDB through the driver
-    # contract in-session before commit.
-    "s_lsh_topk",
+    # ==== round-9 order. STANDING POLICY (r6 verdict item 6): any
+    # round that edits a shared-helper module re-queues the gates
+    # importing it ahead of the stale rotation. ====
+    # tier 1 — code changed in r9: ivf_index_search auto-routing to
+    # the distributed path (verdict item 4), and the five r8 ADVICE
+    # codec fixes (VP8L decode cap, certify empty-doc stats from true
+    # length, FLAC STREAMINFO min-block-size, ID3v2.4 footer strip,
+    # VTT header/NOTE/STYLE blocks). All re-verified repr-exact vs
+    # DuckDB through the driver contract in-session before commit.
     "s_ivf_index",
+    "s_ivf_distributed",
+    "m_decode_webp",
+    "m_decode_tiff",
+    "m_audio_flac",
+    "m_audio_resample",
+    "m_id3_tags",
+    "m_subtitle_cues",
+    # tier 2 — NEW this round: the decode_audio gate (WAV + ID3-tagged
+    # FLAC containers through the production auto-sniff decode).
+    "m_decode_audio",
+    # tier 3 — the 31 r3-stale gates (r8 verdict item 2), oldest
+    # driver rows in the registry; all green locally every round.
+    "a_funnel_steps",
+    "a_grouping_sets",
+    "a_mv_incremental",
+    "a_percentiles",
+    "a_pivot_event_types",
+    "a_pricing_summary",
+    "a_retention_cohorts",
+    "a_variance_stats",
+    "c_curation_pipeline",
+    "c_pack_chunks",
+    "c_stratified_sample",
+    "d_chunk_dedup",
+    "f_array_battery",
+    "f_string_battery2",
+    "j_full_outer_reconcile",
+    "j_merge_upsert",
+    "j_range_join",
+    "j_scd2_dim",
+    "j_semi_anti",
+    "q_local_supplier_volume",
+    "q_market_share",
+    "q_priority_late_orders",
+    "q_returned_customers",
+    "q_shipping_priority",
+    "t_repetition_stats",
+    "t_tfidf_topterms",
+    "w_cumulative_distinct",
+    "w_forward_fill",
+    "w_frame_values",
+    "w_gap_islands",
+    "w_percentile_ranks",
+    # tier 1b — remaining operators/similarity.py importers (standing
+    # shared-helper policy; the r9 edit is function-scoped to
+    # ivf_index_search, but the module importers rotate first anyway).
+    "s_lsh_topk",
+    "s_ivf_topk",
+    "s_ivf_probeall",
+    "s_cosine_topk",
+    "s_pq_certified",
+    "s_mips_topk",
+    "s_knn_join",
+    "s_sparse_cosine",
+    # tier 4 fill — oldest r4-stale block, registration order.
+    "a_cube",
+    "a_distinct_counts",
+    "a_global_counts",
+    "a_minmax_spread",
+    "a_rollup",
+    "a_union_aggregate",
+    "c_chunk_documents",
+    "c_hash_sample",
+    "c_hash_split",
+    "c_quality_filter",
+    # ---- position 59+: everything else, prior relative order
+    # preserved (registration/staleness order from earlier rounds).
     "t_bpe_pairs",
     "t_bpe_encode",
     "w_holt_smoothing",
     "w_rolling_quartiles",
     "w_forecast_intervals",
-    # tier 2a — NEW this round: the baseline JPEG codec gate
-    # (r7 verdict item 5) and the MJPEG/AVI video path built on it.
     "m_decode_jpeg",
     "m_video_mjpeg",
-    "s_ivf_distributed",
     "m_decode_gif",
-    "m_decode_webp",
-    "m_audio_flac",
-    "m_decode_tiff",
     "m_augment_battery",
-    "m_audio_resample",
     "m_exif_metadata",
     "m_video_scenes",
-    "m_id3_tags",
-    "m_subtitle_cues",
-    # tier 2b — the 27 remaining never-driver-sampled gates (r7
-    # verdict item 2; w_rolling_quartiles moved to tier 1 because its
-    # code changed). After this round every registered gate has >=1
-    # green driver row.
     "a_aqp_revenue",
     "a_benford",
     "a_markov_transitions",
@@ -9221,33 +9305,15 @@ _VERIFY_FIRST = [
     "w_obv",
     "w_pivot_points",
     "w_stochastic",
-    # tier 3 — stale-green rotation in the remaining slots: the r3
-    # block the verdict named, then the longest-stale windows-family
-    # gates (operators/windows.py importers, per the standing
-    # shared-helper policy — the r8 edit is function-scoped to
-    # holt/quartiles, but the module importers rotate first anyway).
     "flagship_windows",
     "j_star_join",
     "j_roleplay_nation",
-    "j_merge_upsert",
     "s_topk_per_group",
     "w_sessionize",
-    "w_gap_islands",
-    "w_percentile_ranks",
-    "w_cumulative_distinct",
-    "w_forward_fill",
-    "w_frame_values",
     "w_ewma",
     "w_drawdown",
     "w_ohlcv_bars",
     "w_rolling_volatility",
-    # ---- position 51+: everything else, prior relative order
-    # preserved (registration/staleness order from earlier rounds).
-    "s_ivf_topk",
-    "s_ivf_probeall",
-    "s_cosine_topk",
-    "s_pq_certified",
-    "s_mips_topk",
     "q_duplicate_payments",
     "w_cusum",
     "st_cusum",
@@ -9283,53 +9349,17 @@ _VERIFY_FIRST = [
     "c_model_score",
     "a_sketch_rollup",
     "d_cluster_canonical",
-    "s_sparse_cosine",
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
-    "j_semi_anti",
-    "j_range_join",
-    "j_scd2_dim",
-    "j_full_outer_reconcile",
-    "a_pricing_summary",
-    "d_chunk_dedup",
-    "c_stratified_sample",
-    "c_pack_chunks",
-    "c_curation_pipeline",
-    "a_funnel_steps",
-    "a_grouping_sets",
-    "a_mv_incremental",
-    "a_percentiles",
-    "a_pivot_event_types",
-    "a_retention_cohorts",
-    "a_variance_stats",
-    "f_array_battery",
-    "f_string_battery2",
-    "q_local_supplier_volume",
-    "q_market_share",
-    "q_priority_late_orders",
-    "q_returned_customers",
-    "q_shipping_priority",
-    "t_repetition_stats",
-    "t_tfidf_topterms",
-    "a_minmax_spread",
-    "a_union_aggregate",
-    "a_rollup",
-    "a_distinct_counts",
-    "a_global_counts",
     "f_scalar_battery",
     "f_date_functions",
     "f_json_extract",
     "d_exact_dedup",
     "d_simhash",
     "d_neardup_clusters",
-    "c_hash_split",
-    "c_hash_sample",
-    "c_chunk_documents",
-    "c_quality_filter",
     "s_embedding_neardup",
     "s_embedding_clusters",
-    "a_cube",
     "e_normalize_battery",
     "e_sentinel_nulls",
     "e_audit_counts",
@@ -9344,7 +9374,6 @@ _VERIFY_FIRST = [
     "st_stream_join",
     "j_asof_quote",
     "w_time_range_mean",
-    "s_knn_join",
     "j_asof_tolerance",
     "st_static_enrich",
     "q_top_suppliers",

@@ -81,6 +81,10 @@ HEADLINE = [
     # partition-pruned SEARCH (the number that matters at 100x).
     "s_ivf_index_build",
     "s_ivf_index_search",
+    # round-9: the two-sided (distributed) search of the SAME index —
+    # the route ivf_index_search auto-selects above max_driver_queries
+    # (r8 verdict item 4); timing both paths keeps the trade visible.
+    "s_ivf_search_dist",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
@@ -115,9 +119,29 @@ def _bench_ivf_search(spark, sf_dir):
     return similarity.ivf_index_search(spark, _IVF_BENCH_PATH, qs, k=5, nprobe=8)
 
 
+def _bench_ivf_search_dist(spark, sf_dir):
+    """Phase 2b: the TWO-SIDED search of the same index (bounded=False
+    forces the route the auto-router picks for over-threshold query
+    batches) — one corpus shuffle + cogroup GEMM instead of a driver
+    query broadcast; row-identical output by construction."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.ivf_index_search(
+        spark, _IVF_BENCH_PATH, qs, k=5, nprobe=8, bounded=False
+    )
+
+
 EXTRA = {
     "s_ivf_index_build": _bench_ivf_build,
     "s_ivf_index_search": _bench_ivf_search,
+    "s_ivf_search_dist": _bench_ivf_search_dist,
 }
 
 

@@ -755,6 +755,8 @@ def ivf_index_search(
     k: int = 5,
     nprobe: int = 8,
     margin: int = 8,
+    bounded: bool | None = None,
+    max_driver_queries: int = 65536,
 ) -> DataFrame:
     """Search a persistent IVF index built by ``ivf_index_build``:
     probe cells come from the stored centroids, and the scan reads
@@ -764,9 +766,29 @@ def ivf_index_search(
     Scoring is the same per-cell GEMM as ``ivf_topk``; with the same
     corpus/quantizer parameters the output is row-identical to
     ``ivf_topk`` (deterministic trainer, same candidate sets, same
-    decimal rerank)."""
+    decimal rerank).
+
+    Routing: the one-sided fast path below broadcasts the query batch
+    from the driver, which is only safe for BOUNDED batches. With
+    ``bounded=None`` (default) the batch is size-probed with a
+    ``limit(max_driver_queries+1).count()`` — bounded work no matter
+    how large the query set is — and anything over the threshold
+    auto-routes to ``ivf_index_search_distributed``, whose output is
+    row-identical (pinned by pytest). ``bounded=True`` skips the probe
+    (caller asserts the contract); ``bounded=False`` always takes the
+    distributed path."""
     import numpy as np
     import pandas as pd
+
+    if bounded is None:
+        bounded = (
+            queries.limit(max_driver_queries + 1).count()
+            <= max_driver_queries
+        )
+    if not bounded:
+        return ivf_index_search_distributed(
+            spark, path, queries, k=k, nprobe=nprobe, margin=margin
+        )
 
     cpdf = (
         spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()

@@ -376,10 +376,14 @@ def encode_flac(
 
     bps = 16
     md5 = hashlib.md5(pcm).digest()
-    last_bs = n_total % block_size or block_size
     out = bytearray(b"fLaC")
     info = _BitWriter()
-    info.write(min(block_size, last_bs) if n_total else block_size, 16)
+    # RFC 9639 §8.2: min/max block size are over all frames EXCEPT the
+    # last (which may be shorter), and the legal range is 16..65535 —
+    # so both fields are simply block_size; folding a short final
+    # partial frame into the minimum would write a spec-invalid header
+    # that strict decoders (libFLAC) reject.
+    info.write(block_size, 16)
     info.write(block_size, 16)
     info.write(0, 24)
     info.write(0, 24)
@@ -720,13 +724,18 @@ def certify_flac_pipeline(media) -> "object":
         import pandas as _pd
 
         def _one(payload: bytes):
-            b = bytes(payload) or b"\x80"
+            # stats derive from the TRUE payload (the oracle's
+            # list_max/list_sum over an empty range are NULL and
+            # n_samples is 0); the fallback byte only feeds the
+            # roundtrip certification stream.
+            raw = bytes(payload)
+            b = raw or b"\x80"
             samples = [(v - 128) * 256 for v in b]
             pcm = struct.pack(f"<{len(samples)}h", *samples)
-            peak = max(abs(s) for s in samples)
+            peak = max(abs(s) for s in samples) if raw else None
             # sum_sq on the byte-scale deltas (the m_audio_wav oracle
             # convention: peak is sample-scale ×256, energy is not)
-            sum_sq = sum((v - 128) * (v - 128) for v in b)
+            sum_sq = sum((v - 128) * (v - 128) for v in b) if raw else None
             rate = 8000
 
             def _rt(data, want_ch, want_pcm):
@@ -759,7 +768,7 @@ def certify_flac_pipeline(media) -> "object":
                 pcm,
             )
             return (
-                len(samples),
+                len(raw),
                 rate,
                 peak,
                 sum_sq,
@@ -776,8 +785,8 @@ def certify_flac_pipeline(media) -> "object":
                     "doc_id": pdf["doc_id"],
                     "n_samples": _np.array([r[0] for r in rows], dtype="int64"),
                     "sample_rate": _np.array([r[1] for r in rows], dtype="int32"),
-                    "peak": _np.array([r[2] for r in rows], dtype="int64"),
-                    "sum_sq": _np.array([r[3] for r in rows], dtype="int64"),
+                    "peak": _pd.array([r[2] for r in rows], dtype="Int64"),
+                    "sum_sq": _pd.array([r[3] for r in rows], dtype="Int64"),
                     "fixed_ok": [r[4] for r in rows],
                     "stereo_ok": [r[5] for r in rows],
                     "lpc_ok": [r[6] for r in rows],

@@ -86,7 +86,13 @@ def strip_id3(data: bytes) -> bytes:
     if data[:3] != b"ID3":
         return data
     size = _unsyncsafe(data[6:10])
-    return data[10 + size :]
+    skip = 10 + size
+    # ID3v2.4 footer flag (header flag 0x10): a 10-byte 3DI footer
+    # follows the tag body and is NOT counted in the syncsafe size —
+    # without this skip the downstream magic sniff (fLaC/RIFF) fails.
+    if data[3] == 4 and data[5] & 0x10:
+        skip += 10
+    return data[skip:]
 
 
 def _decode_text(body: bytes) -> str:
@@ -115,7 +121,8 @@ def parse_id3(data: bytes) -> dict:
     size = _unsyncsafe(data[6:10])
     if 10 + size > len(data):
         raise ValueError("ID3 tag size exceeds payload")
-    out: dict = {"extra": {}, "tag_size": 10 + size}
+    footer = 10 if major == 4 and flags & 0x10 else 0
+    out: dict = {"extra": {}, "tag_size": 10 + size + footer}
     rev_names = {v: k for k, v in _TEXT_FRAMES.items()}
     pos = 10
     end = 10 + size

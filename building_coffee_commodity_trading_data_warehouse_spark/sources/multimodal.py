@@ -153,16 +153,57 @@ def decode_image(media: DataFrame, codec: str = "fake") -> DataFrame:
     distance mapping, all four transforms; certified bit-exact against
     the reference libwebp decoder in tests/test_webp.py);
     ``codec='auto'`` sniffs the magic bytes and dispatches per row.
-    ``codec='pil'`` is the slot for formats beyond BMP/PNG/JPEG/GIF/
-    WebP-lossless (lossy WebP, AV1, video stills) — unavailable in
-    this container."""
-    if codec == "pil":  # pragma: no cover
-        raise NotImplementedError(
-            "no general image codec in this environment; BMP, PNG, "
-            "baseline JPEG, GIF and lossless WebP are decoded natively "
-            "(decode_bmp/decode_png/jpeg.decode_jpeg/gif.decode_gif_rgb/"
-            "webp.decode_webp), other formats need PIL/libav"
-        )
+    ``codec='pil'`` is the ACCELERATED/general slot: when Pillow is
+    importable it decodes every payload through ``PIL.Image`` (native
+    C decoders — the per-document pure-Python constant measured in
+    SCALE.md round-8(4) drops to library speed, and lossy WebP / video
+    stills come into scope); when it is not, the documented
+    NotImplementedError guard below fires driver-side, before any job
+    is launched. tests/test_multimodal.py certifies the PIL path
+    against the pure-Python codecs per row when the library exists and
+    pins the guard when it doesn't — the codec is the swappable part,
+    the Spark plumbing and the oracle contract are not."""
+    if codec == "pil":
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(
+                "no general image codec in this environment; BMP, PNG, "
+                "baseline JPEG, GIF, lossless WebP and TIFF are decoded "
+                "natively (decode_bmp/decode_png/jpeg.decode_jpeg/"
+                "gif.decode_gif_rgb/webp.decode_webp/tiff.decode_tiff); "
+                "install Pillow to activate this accelerated slot for "
+                "those plus lossy WebP and other formats"
+            )
+
+        def _pil_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            import pandas as _pd
+            from PIL import Image  # present: guarded above
+
+            def _decode(b: bytes):
+                img = Image.open(io.BytesIO(bytes(b)))
+                if img.mode not in ("RGB", "RGBA", "L"):
+                    img = img.convert(
+                        "RGBA" if "A" in img.getbands() else "RGB"
+                    )
+                ch = {"L": 1, "RGB": 3, "RGBA": 4}[img.mode]
+                return img.width, img.height, ch, img.tobytes()
+
+            for pdf in it:
+                rows = [_decode(p) for p in pdf["payload"]]
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": [r[0] for r in rows],
+                        "height": [r[1] for r in rows],
+                        "channels": [r[2] for r in rows],
+                        "pixels": [r[3] for r in rows],
+                    }
+                )
+
+        return _widen(media).mapInPandas(_pil_batches, schema=DECODED_SCHEMA)
     if codec in ("bmp", "png", "jpeg", "gif", "webp", "tiff", "auto"):
 
         def _codec_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -347,6 +388,184 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return _widen(media).mapInPandas(_batches, schema=AUDIO_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, pcm binary"
+)
+
+
+def decode_audio(media: DataFrame, codec: str = "auto") -> DataFrame:
+    """Audio decode: payload (a real WAV or FLAC stream, optionally
+    ID3-tagged) → interleaved little-endian int16 PCM + stream params —
+    ``decode_image``'s audio twin, including its accelerated slot.
+
+    ``codec='auto'`` sniffs magic bytes (RIFF/fLaC, after stripping a
+    leading ID3v2 tag) and dispatches to the pure-Python codecs;
+    ``codec='wav'`` / ``codec='flac'`` force one. ``codec='soundfile'``
+    is the ACCELERATED slot: when the soundfile library (libsndfile) is
+    importable every payload decodes through it — bit-identical int16
+    PCM for these lossless formats, certified per-row against the
+    pure-Python codecs in tests/test_multimodal.py when the library
+    exists; when absent the documented guard below fires driver-side."""
+    if codec == "soundfile":
+        import importlib.util
+
+        if importlib.util.find_spec("soundfile") is None:
+            raise NotImplementedError(
+                "no native audio library in this environment; WAV and "
+                "FLAC decode through the pure-Python codecs "
+                "(decode_wav/flac.decode_flac); install soundfile "
+                "(libsndfile) to activate this accelerated slot"
+            )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from building_coffee_commodity_trading_data_warehouse_spark.sources.flac import (
+            decode_flac,
+        )
+        from building_coffee_commodity_trading_data_warehouse_spark.sources.id3 import (
+            strip_id3,
+        )
+
+        if codec == "soundfile":
+            import io
+
+            import soundfile as _sf  # present: guarded above
+
+            def _decode(b: bytes):
+                data, rate = _sf.read(
+                    io.BytesIO(strip_id3(bytes(b))), dtype="int16",
+                    always_2d=True,
+                )
+                # C-order (frames, channels) == interleaved int16 LE
+                return rate, data.shape[1], data.shape[0], data.tobytes()
+
+        else:
+
+            def _decode(b: bytes):
+                b = strip_id3(bytes(b))
+                if codec == "wav" or (codec == "auto" and b[:4] == b"RIFF"):
+                    rate, ch, pcm = decode_wav(b)
+                elif codec == "flac" or (
+                    codec == "auto" and b[:4] == b"fLaC"
+                ):
+                    rate, ch, pcm = decode_flac(b)
+                else:
+                    raise ValueError("unrecognized audio magic bytes")
+                return rate, ch, len(pcm) // (2 * ch), pcm
+
+        for pdf in it:
+            rows = [_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "pcm": [r[3] for r in rows],
+                }
+            )
+
+    return _widen(media).mapInPandas(_batches, schema=DECODED_AUDIO_SCHEMA)
+
+
+DECODE_AUDIO_GATE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples long, "
+    "sum_samples bigint, container string"
+)
+
+
+def decode_audio_roundtrip(media: DataFrame) -> DataFrame:
+    """Gate pipeline for ``decode_audio``: per document, synthesize a
+    REAL audio container from the text bytes (even doc_id → WAV, odd →
+    ID3v2-tagged FLAC; each byte the centered 16-bit sample
+    ``(b−128)·256``, the m_audio_wav convention), push it through
+    ``decode_audio(codec='auto')`` — magic sniff + ID3 strip + the
+    pure-Python WAV/FLAC decoders — and reduce the decoded PCM to
+    exact integers the SQL oracle replays from character codes:
+    ``n_samples = length(text)``, ``sum_samples = 256·Σ(ascii−128)``.
+
+    Two Arrow-batched Python stages (synth, then the production
+    ``decode_audio`` operator verbatim), one tiny stats projection;
+    payload bytes never shuffle more than once and the stats rows are
+    the only thing that reaches the gate compare."""
+    import struct as _struct
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.flac import (
+        encode_flac,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.id3 import (
+        prepend_id3,
+    )
+
+    def _synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def _one(doc_id: int, payload: bytes):
+            b = bytes(payload)
+            pcm = _struct.pack(
+                f"<{len(b)}h", *((v - 128) * 256 for v in b)
+            )
+            if doc_id % 2 == 0:
+                return encode_wav(8000, pcm, 1), "wav"
+            return (
+                prepend_id3(
+                    encode_flac(8000, pcm, 1, block_size=64),
+                    {"title": f"doc{doc_id}"},
+                ),
+                "flac+id3",
+            )
+
+        for pdf in it:
+            rows = [
+                _one(i, p) for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [r[0] for r in rows],
+                    "container": [r[1] for r in rows],
+                }
+            )
+
+    streams = _widen(media).mapInPandas(
+        _synth, "doc_id long, payload binary, container string"
+    )
+    decoded = decode_audio(streams, codec="auto")
+
+    def _stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            sums = [
+                int(
+                    _np.frombuffer(bytes(p), dtype="<i2")
+                    .astype(_np.int64)
+                    .sum()
+                )
+                for p in pdf["pcm"]
+            ]
+            ids = pdf["doc_id"].to_numpy()
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pdf["sample_rate"],
+                    "channels": pdf["channels"],
+                    "n_samples": pdf["n_samples"],
+                    "sum_samples": _np.array(sums, dtype="int64"),
+                    # container is a pure function of doc_id (the synth
+                    # rule above) — re-derive instead of re-running the
+                    # synth stage for a join
+                    "container": _np.where(
+                        ids % 2 == 0, "wav", "flac+id3"
+                    ),
+                }
+            )
+
+    return decoded.mapInPandas(_stats, DECODE_AUDIO_GATE_SCHEMA)
 
 
 # ------------------------------------------------------------ BMP codec
@@ -1319,7 +1538,12 @@ def resample_audio(media: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def _one(payload: bytes):
-            b = bytes(payload) or b"\x80"
+            b = bytes(payload)
+            if not b:
+                # empty doc: oracle yields n_down = (0+1)//2 = 0,
+                # NULL peak/energy (list_max over an empty list),
+                # n_up = 2*0-1 = -1, NULL up_sum, TRUE roundtrip.
+                return (0, 0, None, None, -1, None, True)
             s = (_np.frombuffer(b, dtype=_np.uint8).astype(_np.int64) - 128)
             down = s[::2]
             up = _np.empty(2 * len(s) - 1, dtype=_np.int64)
@@ -1343,10 +1567,10 @@ def resample_audio(media: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "n_samples": _np.array([r[0] for r in rows], dtype="int64"),
                     "n_down": _np.array([r[1] for r in rows], dtype="int64"),
-                    "down_peak": _np.array([r[2] for r in rows], dtype="int64"),
-                    "down_sum_sq": _np.array([r[3] for r in rows], dtype="int64"),
+                    "down_peak": _pd.array([r[2] for r in rows], dtype="Int64"),
+                    "down_sum_sq": _pd.array([r[3] for r in rows], dtype="Int64"),
                     "n_up": _np.array([r[4] for r in rows], dtype="int64"),
-                    "up_sum": _np.array([r[5] for r in rows], dtype="int64"),
+                    "up_sum": _pd.array([r[5] for r in rows], dtype="Int64"),
                     "roundtrip_ok": [r[6] for r in rows],
                 }
             )

@@ -62,12 +62,22 @@ def parse_subtitles(doc: str) -> list[tuple[int, int, int, str]]:
     cue)."""
     body = doc.replace("\r\n", "\n").strip("﻿")
     if body.startswith("WEBVTT"):
-        body = body.split("\n", 1)[1] if "\n" in body else ""
+        # the header BLOCK may carry metadata lines (Kind:, Language:);
+        # drop everything up to the first blank line, not just line 1
+        parts = re.split(r"\n\s*\n", body, maxsplit=1)
+        body = parts[1] if len(parts) > 1 else ""
     out = []
     seq = 0
     for block in re.split(r"\n\s*\n", body.strip()):
         lines = [ln for ln in block.split("\n")]
         if not lines or not any(ln.strip() for ln in lines):
+            continue
+        # WebVTT comment/metadata blocks are not cues; a torn cue
+        # (any other block without a timecode) still raises below
+        head = lines[0].strip().split(None, 1)[0] if lines[0].strip() else ""
+        if head in ("NOTE", "STYLE", "REGION") and not any(
+            "-->" in ln for ln in lines
+        ):
             continue
         seq += 1
         first = lines[0].strip()

@@ -481,9 +481,12 @@ def certify_tiff_pipeline(media) -> "object":
             return (w1, h1, c1) == (w, h, ch) and out == px
 
         def _one(payload: bytes):
+            # dims from the TRUE payload length (oracle: octet_length,
+            # 0 for empty docs); the fallback byte only feeds tiling.
+            n = len(bytes(payload))
             b = bytes(payload) or b"\x00"
-            w = len(b) % 16 + 2
-            h = len(b) % 8 + 2
+            w = n % 16 + 2
+            h = n % 8 + 2
             need = w * h * 3
             rgb = (b * (need // len(b) + 1))[:need]
             gray = (b * (w * h // len(b) + 1))[: w * h]

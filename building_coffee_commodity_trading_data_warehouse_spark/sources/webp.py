@@ -47,6 +47,15 @@ from __future__ import annotations
 
 import struct
 
+# Decode-side DoS guard: the 14-bit dims field can declare up to
+# 16384x16384 (~268M px), and 'const' (single-symbol) prefix codes
+# consume zero bits per pixel — so a ~30-byte hostile stream could
+# otherwise drive a 268M-iteration pure-Python loop and a multi-GB
+# pixel list. 2048x2048 is far above anything this engine encodes
+# (certify images are ≤17x9); callers decoding trusted large images
+# may raise the cap at module level.
+VP8L_MAX_PIXELS = 1 << 22
+
 # ------------------------------------------------------------ bit I/O
 
 
@@ -339,6 +348,11 @@ def _decode_image_stream(
     ``allow_meta`` is True only for the top-level spatially-coded
     image; subresolution images (transform data, entropy image,
     palette) recurse here with it off."""
+    if w * h > VP8L_MAX_PIXELS:
+        raise ValueError(
+            f"VP8L image stream {w}x{h} exceeds VP8L_MAX_PIXELS "
+            f"({VP8L_MAX_PIXELS}); raise webp.VP8L_MAX_PIXELS to decode"
+        )
     cache_bits = r.read(4) if r.read(1) else 0
     if cache_bits and not 1 <= cache_bits <= 11:
         raise ValueError("VP8L color cache bits out of range")
@@ -601,6 +615,15 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, bool, list[int]]:
     r = _Reader(payload, 1)
     w = r.read(14) + 1
     h = r.read(14) + 1
+    # Hostile-input guard: a ~30-byte stream can declare 16384x16384
+    # dims with 0-bit 'const' prefix codes, driving a ~268M-iteration
+    # pure-Python loop and multi-GB output from tiny input. Reject
+    # before any transform parsing or pixel allocation.
+    if w * h > VP8L_MAX_PIXELS:
+        raise ValueError(
+            f"VP8L dims {w}x{h} exceed VP8L_MAX_PIXELS "
+            f"({VP8L_MAX_PIXELS}); raise webp.VP8L_MAX_PIXELS to decode"
+        )
     alpha_hint = bool(r.read(1))
     if r.read(3) != 0:
         raise ValueError("unsupported VP8L version")
@@ -1102,12 +1125,16 @@ def certify_webp_pipeline(media) -> "object":
             return (w1, h1, c1) == (w, h, 3) and out == rgb
 
         def _one(payload: bytes):
+            # dims/stats derive from the TRUE payload length (the SQL
+            # oracle computes them from octet_length, which is 0 for an
+            # empty doc); the 1-byte fallback only feeds the tiling.
+            n = len(bytes(payload))
             b = bytes(payload) or b"\x00"
-            w = len(b) % 16 + 2
-            h = len(b) % 8 + 2
+            w = n % 16 + 2
+            h = n % 8 + 2
             need = w * h * 3
             rgb = (b * (need // len(b) + 1))[:need]
-            n_colors = len(b) % 15 + 2
+            n_colors = n % 15 + 2
             lit = _roundtrip(w, h, rgb, mode="none", use_lz77=False)
             sg = _roundtrip(w, h, rgb, mode="subgreen", use_lz77=False)
             pred = _roundtrip(

@@ -109,7 +109,10 @@ def test_header_bits_pinned():
     assert data[4] == 0x80  # last-metadata flag + type 0 (STREAMINFO)
     assert int.from_bytes(data[5:8], "big") == 34
     si = flac._BitReader(data[8 : 8 + 34])
-    assert si.read(16) == 116  # min block size (last partial frame)
+    # RFC 9639 §8.2: the last (short, 116-sample) frame is EXCLUDED
+    # from the min/max block-size bounds, and 16..65535 is the legal
+    # range — both fields are the nominal block size.
+    assert si.read(16) == 192  # min block size (last frame excluded)
     assert si.read(16) == 192  # max block size
     si.read(24)
     si.read(24)
@@ -163,3 +166,16 @@ def test_non_flac_rejected():
 def test_wrong_channel_pcm_length_rejected():
     with pytest.raises(ValueError):
         flac.encode_flac(8000, b"\x00\x01\x02", 1)  # 3 bytes ≠ whole samples
+
+
+def test_streaminfo_min_block_size_spec_valid_with_short_last_frame():
+    """RFC 9639: min/max block size exclude the last frame and must be
+    16..65535 — a 5-sample stream at block_size=64 must still write
+    64/64, not a spec-invalid 5 (strict decoders reject <16)."""
+    vals = [100, -200, 300, -400, 500]
+    data = flac.encode_flac(8000, _pcm(vals), 1, block_size=64)
+    si = flac._BitReader(data[8 : 8 + 34])
+    assert si.read(16) == 64  # min
+    assert si.read(16) == 64  # max
+    # and the stream still decodes exactly
+    assert flac.decode_flac(data)[2] == _pcm(vals)

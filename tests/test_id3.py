@@ -92,3 +92,22 @@ def test_hostile_inputs():
     tag = b"ID3\x03\x00\x00" + id3._syncsafe(len(f)) + f
     with pytest.raises(ValueError):
         id3.parse_id3(tag)
+
+
+def test_v24_footer_flag_skipped_by_strip():
+    """ID3v2.4 footer (header flag 0x10): 10 extra '3DI' bytes follow
+    the tag body and are NOT counted in the syncsafe size — strip_id3
+    must skip them so the FLAC magic sniff lands on 'fLaC'."""
+    fl, pcm = _flac()
+    body = b"\x00deep"
+    f = b"TIT2" + id3._syncsafe(len(body)) + b"\x00\x00" + body
+    tag = b"ID3\x04\x00\x10" + id3._syncsafe(len(f)) + f
+    footer = b"3DI\x04\x00\x10" + id3._syncsafe(len(f))
+    tagged = tag + footer + fl
+    assert id3.parse_id3(tagged)["title"] == "deep"
+    assert id3.parse_id3(tagged)["tag_size"] == len(tag) + len(footer)
+    assert id3.strip_id3(tagged) == fl
+    assert decode_flac(id3.strip_id3(tagged))[2] == pcm
+    # v2.3 cannot carry the footer flag: bit 0x10 there must not skip
+    tag3 = b"ID3\x03\x00\x00" + id3._syncsafe(len(f) - 0) + f
+    assert id3.strip_id3(tag3 + fl) == fl

@@ -257,3 +257,52 @@ def test_ivf_index_search_distributed_row_identical(spark, sf_dir, tmp_path):
         if "PartitionFilters" in line and "INSET" in line and "cell" in line
     ]
     assert pf, plan
+
+
+def test_ivf_index_search_auto_routes_large_batches(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Routing contract (r8 verdict item 4): above max_driver_queries
+    the one-sided path (driver toPandas of the batch) must hand off to
+    the two-sided distributed search; at or under it, stay one-sided.
+    bounded=True/False force each path. Results are row-identical
+    either way, so routing can never change an answer."""
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    n_q = qs.count()
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_build(emb, path, n_centroids=16)
+
+    calls = []
+    real = similarity.ivf_index_search_distributed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_index_search_distributed", spy)
+
+    # auto + small batch → one-sided (no distributed call)
+    small = similarity.ivf_index_search(
+        spark, path, qs, k=5, nprobe=8, max_driver_queries=n_q
+    )
+    assert not calls
+    # auto + batch over threshold → distributed
+    routed = similarity.ivf_index_search(
+        spark, path, qs, k=5, nprobe=8, max_driver_queries=n_q - 1
+    )
+    assert len(calls) == 1
+    # bounded=False forces distributed without the size probe
+    forced = similarity.ivf_index_search(
+        spark, path, qs, k=5, nprobe=8, bounded=False
+    )
+    assert len(calls) == 2
+    # bounded=True skips the probe and stays one-sided
+    similarity.ivf_index_search(
+        spark, path, qs, k=5, nprobe=8, bounded=True, max_driver_queries=0
+    )
+    assert len(calls) == 2
+
+    a = sorted(map(tuple, small.collect()))
+    assert a == sorted(map(tuple, routed.collect()))
+    assert a == sorted(map(tuple, forced.collect()))

@@ -57,3 +57,22 @@ def test_multiline_text_and_blank_separation():
     cues = subtitles.parse_subtitles(doc)
     assert cues[0][3] == "a\nb\nc"
     assert cues[1][0] == 2
+
+
+def test_vtt_header_metadata_note_style_blocks_skipped():
+    """Real-world VTT: header metadata lines, NOTE and STYLE blocks are
+    not cues and must not raise; torn cues still do."""
+    doc = (
+        "WEBVTT\nKind: captions\nLanguage: en\n\n"
+        "NOTE this file is machine generated\nacross two lines\n\n"
+        "STYLE\n::cue { color: gold }\n\n"
+        "1\n00:00:00.000 --> 00:00:01.000\nhi\n\n"
+        "NOTE trailing comment\n"
+    )
+    assert subtitles.parse_subtitles(doc) == [(1, 0, 1000, "hi")]
+    # a block that starts with NOTE but contains a timecode is a cue
+    doc2 = "NOTE\n00:00:00.000 --> 00:00:01.000\nreal cue\n"
+    assert subtitles.parse_subtitles(doc2) == [(1, 0, 1000, "real cue")]
+    # torn cue (no NOTE/STYLE prefix, no timecode) still raises
+    with pytest.raises(ValueError):
+        subtitles.parse_subtitles("WEBVTT\n\nnot a cue at all\njust text\n")

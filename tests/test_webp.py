@@ -329,3 +329,34 @@ def test_dist_map_matches_reference_probe():
         dy = (d + 8) // w
         dx = d - w * dy
         assert webp._DIST_MAP[code - 1] == (dx, dy), f"plane code {code}"
+
+
+def test_hostile_huge_dims_rejected_fast():
+    """DoS guard: a ~30-byte stream declaring 16384x16384 with 0-bit
+    'const' prefix codes must be rejected by the VP8L_MAX_PIXELS cap
+    BEFORE the ~268M-iteration emit loop, not decoded."""
+    import time
+
+    # 0x2F sig, then 28 bits of 1s → w-1 = h-1 = 16383, alpha=0, ver=0
+    payload = bytes([0x2F, 0xFF, 0xFF, 0xFF, 0x0F]) + b"\x00" * 25
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="VP8L_MAX_PIXELS"):
+        webp.decode_vp8l(payload)
+    assert time.monotonic() - t0 < 1.0
+    # the full RIFF container path hits the same guard
+    riff = (
+        b"RIFF" + (4 + 8 + len(payload)).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    )
+    with pytest.raises(ValueError, match="VP8L_MAX_PIXELS"):
+        webp.decode_webp(riff)
+
+
+def test_max_pixels_cap_is_configurable():
+    """Trusted callers may raise the module-level cap; images at or
+    under the cap decode normally (the certify gates are ≤17x9)."""
+    assert webp.VP8L_MAX_PIXELS >= (1 << 22)
+    w, h = 17, 9
+    rgb = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+    out = webp.decode_webp(webp.encode_webp(w, h, rgb, 3))
+    assert out == (w, h, 3, rgb)
