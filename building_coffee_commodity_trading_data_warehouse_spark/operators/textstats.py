@@ -389,19 +389,28 @@ def _safe_merge_batch(
     unique (count, l, r)-argmax. batch[0] alone is always safe: it is
     plain greedy's own argmax, ties and all.
 
-    SELF-PAIRS close the batch. Merging (a, a) mints the CHAINED
-    pairs (aa, a) / (a, aa) / (aa, aa) whose counts are bounded only
-    by ~count(a, a)/2 — a bound set by the batch pair ITSELF, not by
-    the stop pair — so a chained pair can outrank any later batch
-    member (counterexample pinned in tests: vocab {'aaa': 100,
-    'bc': 90} — greedy merges (a,a) then (aa,a), never (b,c)). A
-    self-pair is therefore admitted at any position but always as the
-    LAST batch member, with the next fetched row (if any) becoming
-    the stop pair for the tie-trim. This also covers the
-    rows-exhausted path, which previously skipped the trim."""
+    SELF-PAIRS raise the trim bar instead of closing the batch
+    (the r8-advice refinement of the r7 fix). Merging (a, a) mints
+    the CHAINED pairs (aa, a) / (aa, aa) whose counts are bounded by
+    floor(count(a, a) / 2) — leftmost-first on a run of k a's with
+    word weight f contributes (k-1)f to (a, a) but at most
+    floor(k/2)f − ... ≤ floor((k-1)f/2) to any chained pair, with
+    equality reachable ('aaa': (aa, a) = count/2 exactly) — a bound
+    set by the batch pair ITSELF, not by the stop pair, so a chained
+    pair can outrank a later batch member (counterexample pinned in
+    tests: vocab {'aaa': 100, 'bc': 90} — greedy merges (a,a) then
+    (aa,a), never (b,c)). The final trim therefore keeps only
+    members STRICTLY above max(stop count, floor(c_self/2) over
+    admitted self-pairs); since counts are descending, the members
+    at or below that bar form a suffix, so the tail-pop removes
+    exactly them. (x, aa) / (aa, y) pairs minted at run boundaries
+    stay covered by the stop-pair argument: they are bounded by an
+    old pair sharing 'a', and the first such sharing pair in sort
+    order IS the stop.)"""
     batch: list[tuple[str, str, int]] = []
     taken: set[str] = set()  # batch symbols ∪ batch merged tokens
-    stop_count: int | None = None
+    stop_count = 0
+    chain_bound = 0  # max floor(c/2) over admitted self-pairs
     for i, row in enumerate(rows):
         left, right, count = row["p"]["l"], row["p"]["r"], row["c"]
         if i >= cap or (
@@ -412,13 +421,63 @@ def _safe_merge_batch(
         batch.append((left, right, count))
         taken.update((left, right, left + right))
         if left == right:
-            if i + 1 < len(rows):
-                stop_count = rows[i + 1]["c"]
-            break
-    if stop_count is not None:
-        while len(batch) > 1 and batch[-1][2] <= stop_count:
-            batch.pop()
+            chain_bound = max(chain_bound, count // 2)
+    bound = max(stop_count, chain_bound)
+    while len(batch) > 1 and batch[-1][2] <= bound:
+        batch.pop()
     return batch[:remaining]
+
+
+def _driver_bpe(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Exact sequential greedy BPE over a collected (word, freq)
+    vocabulary, with incremental pair-count maintenance (only words
+    containing the merged pair are revisited per step). Semantics are
+    bit-identical to the one-merge-at-a-time reference: leftmost-first
+    non-overlapping application, ties broken (count desc, pair asc) —
+    pinned against the independent test reference and the iterative
+    Spark path in tests/test_curation_ops.py."""
+    from collections import Counter, defaultdict
+
+    words: list[tuple[list[str], int]] = [(list(w), f) for w, f in vocab]
+    counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)  # pair -> word indices
+    for wi, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] += f
+            index[p].add(wi)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and counts:
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        left, right = best
+        merged = left + right
+        for wi in list(index.get(best, ())):
+            syms, f = words[wi]
+            old = Counter(zip(syms, syms[1:]))
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new = Counter(zip(res, res[1:]))
+            words[wi] = (res, f)
+            for p in old.keys() | new.keys():
+                delta = (new[p] - old[p]) * f
+                if delta:
+                    counts[p] += delta
+                    if counts[p] <= 0:
+                        del counts[p]
+                if new[p]:
+                    index[p].add(wi)
+                else:
+                    index[p].discard(wi)
+    return merges
 
 
 def train_bpe(
@@ -426,6 +485,7 @@ def train_bpe(
     n_merges: int = 10,
     batch_cap: int = 32,
     stats: dict | None = None,
+    driver_vocab_max: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge-table training: repeatedly (count adjacent
     symbol pairs over the vocabulary) → (merge the argmax pair
@@ -451,12 +511,44 @@ def train_bpe(
     creates). ``localCheckpoint`` per round keeps the iterative
     lineage constant-size (the PageRank lesson, graph.py:25).
     ``stats['rounds']``, if a dict is passed, records the number of
-    driver rounds actually used."""
-    words = (
+    driver rounds actually used; ``stats['path']`` records which
+    execution path ran.
+
+    DRIVER-VOCAB FAST PATH (the production tokenizer-trainer
+    architecture — distributed count, vocab-sized merge loop): when
+    the DISTINCT-WORD count fits ``driver_vocab_max`` (probed with a
+    bounded ``limit(max+1).count()``, never an unbounded collect),
+    the (word, freq) vocabulary — corpus-size-independent — is
+    collected once and the merge loop runs driver-side with
+    incremental pair counts, bit-identical to the iterative path.
+    One Spark job total instead of one per batch round; the r9
+    English-corpus study (SCALE.md round-9) measured the iterative
+    path's batches collapsing to ~1.1 merges/round on natural text
+    (top bigrams share letters: 'th'/'he'/'er'...), so for a
+    32k-merge vocabulary this is the ~batch_cap× to ~1000× path
+    whenever the vocab fits — which it does far beyond 100 TB of
+    corpus (web-scale corpora hold ~10-100M distinct words; raise
+    the cap to taste). ``driver_vocab_max=0`` forces the iterative
+    batched path."""
+    words_vocab = (
         documents.select(F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if driver_vocab_max:
+        probe = words_vocab.limit(driver_vocab_max + 1).count()
+        if probe <= driver_vocab_max:
+            vocab = [(r["word"], r["freq"]) for r in words_vocab.collect()]
+            merges = _driver_bpe(vocab, n_merges)
+            if stats is not None:
+                stats["rounds"] = 1
+                stats["path"] = "driver"
+            return merges
+    if stats is not None:
+        stats["path"] = "iterative"
+    words = (
+        words_vocab
         .select(
             F.expr(
                 "transform(sequence(1, char_length(word)), "

@@ -475,7 +475,14 @@ def test_train_bpe_matches_reference(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
-    assert textstats.train_bpe(docs, n_merges=10) == _ref_bpe(corpus, 10)
+    stats: dict = {}
+    got = textstats.train_bpe(docs, n_merges=10, stats=stats)
+    assert got == _ref_bpe(corpus, 10)
+    assert stats["path"] == "driver"  # tiny vocab -> fast path
+    # the iterative Spark path must be bit-identical to both
+    assert (
+        textstats.train_bpe(docs, n_merges=10, driver_vocab_max=0) == got
+    )
 
 
 def test_train_bpe_quote_safe(spark):
@@ -485,7 +492,11 @@ def test_train_bpe_quote_safe(spark):
 
     corpus = ["a'b a'b a'b c c"]
     docs = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
-    assert textstats.train_bpe(docs, n_merges=2) == _ref_bpe(corpus, 2)
+    assert (
+        textstats.train_bpe(docs, n_merges=2, driver_vocab_max=0)
+        == textstats.train_bpe(docs, n_merges=2)
+        == _ref_bpe(corpus, 2)
+    )
 
 
 def test_train_bpe_batched_rounds(spark):
@@ -502,33 +513,43 @@ def test_train_bpe_batched_rounds(spark):
         [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
     )
     stats: dict = {}
-    merges = textstats.train_bpe(docs, n_merges=10, stats=stats)
+    merges = textstats.train_bpe(
+        docs, n_merges=10, stats=stats, driver_vocab_max=0
+    )
     assert merges == _ref_bpe(corpus, 10) == [tuple(w) for w in words]
     assert stats["rounds"] == 1  # 10 merges / 1 round: 10x fewer jobs
+    assert stats["path"] == "iterative"
 
 
-def test_train_bpe_self_pair_closes_batch(spark):
+def test_train_bpe_self_pair_chain_bound(spark):
     """Self-pair counterexample (advice r7): vocab {'aaa': 100,
     'bc': 90}. Greedy merges (a,a) first; that merge MINTS (aa,a)
     with count 100 > count(b,c) = 90, so greedy's second merge is
     (aa,a), never (b,c). A batch that admitted (b,c) after the
-    self-pair (its symbols are disjoint, so the independence check
-    alone passes it) would emit the wrong merge ORDER and the wrong
-    merge SET — the chained pair's count is bounded by the batch
-    pair itself, not the stop pair. The fix: a self-pair always
-    closes its batch."""
+    self-pair on independence alone would emit the wrong merge ORDER
+    and SET — the chained pair's count is bounded by the batch pair
+    ITSELF (floor(count/2)), not the stop pair. The r8-advice rule:
+    a self-pair raises the trim bar to floor(count/2) instead of
+    closing the batch outright."""
     from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
 
     corpus = [" ".join(["aaa"] * 100 + ["bc"] * 90)]
     docs = spark.createDataFrame([(0, corpus[0])], "doc_id long, text string")
-    got = textstats.train_bpe(docs, n_merges=2, batch_cap=32)
+    got = textstats.train_bpe(docs, n_merges=2, batch_cap=32, driver_vocab_max=0)
     assert got == _ref_bpe(corpus, 2) == [("a", "a"), ("aa", "a")]
+    # chained-pair EQUALITY case: 'aaa' makes count(aa,a) == exactly
+    # floor(count(a,a)/2); a rider tying that bound must be trimmed
+    # (strictness), one strictly above it must ride.
+    corpus2 = [" ".join(["aaa"] * 100 + ["bc"] * 100 + ["de"] * 99)]
+    docs2 = spark.createDataFrame([(0, corpus2[0])], "doc_id long, text string")
+    got2 = textstats.train_bpe(docs2, n_merges=4, batch_cap=32, driver_vocab_max=0)
+    assert got2 == _ref_bpe(corpus2, 4)
 
 
 def test_safe_merge_batch_self_pair_unit():
-    """Direct unit pins for the self-pair batch-terminator rule,
-    including the rows-exhausted path (stop_count previously stayed
-    None there, skipping the tie trim entirely)."""
+    """Direct unit pins for the self-pair chain-bound rule
+    (floor(c/2) trim bar, r8 advice), including the rows-exhausted
+    path where no stop pair exists."""
     from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
         _safe_merge_batch,
     )
@@ -536,26 +557,67 @@ def test_safe_merge_batch_self_pair_unit():
     def row(l, r, c):
         return {"p": {"l": l, "r": r}, "c": c}
 
-    # rows exhausted after a self-pair: (b,c) must NOT ride along
+    # rows exhausted after a self-pair: (b,c) at 90 <= floor(200/2)
+    # could be outranked by the chained (aa,a) — must NOT ride along
     assert _safe_merge_batch(
         [row("a", "a", 200), row("b", "c", 90)], cap=32, remaining=10
     ) == [("a", "a", 200)]
-    # self-pair mid-batch: admitted, but closes the batch there
+    # a rider STRICTLY above the chain bound is safe and now admitted
+    assert _safe_merge_batch(
+        [row("a", "a", 200), row("b", "c", 101)], cap=32, remaining=10
+    ) == [("a", "a", 200), ("b", "c", 101)]
+    # rider exactly AT the bound: chained (aa,a) can tie it and win
+    # the lexicographic tie-break — trimmed (strictness)
+    assert _safe_merge_batch(
+        [row("a", "a", 200), row("b", "c", 100)], cap=32, remaining=10
+    ) == [("a", "a", 200)]
+    # self-pair mid-batch: admitted; low-count tail trimmed by bound
     assert _safe_merge_batch(
         [row("x", "y", 300), row("a", "a", 200), row("b", "c", 90)],
         cap=32,
         remaining=10,
     ) == [("x", "y", 300), ("a", "a", 200)]
-    # self-pair tying the next row gets tie-trimmed (conservative)
+    # self-pair tying a disjoint rider: both safe (greedy's tie-break
+    # picks (a,a) first — batch order; chained pairs <= 45 < 90)
     assert _safe_merge_batch(
         [row("x", "y", 300), row("a", "a", 90), row("b", "c", 90)],
         cap=32,
         remaining=10,
-    ) == [("x", "y", 300)]
+    ) == [("x", "y", 300), ("a", "a", 90), ("b", "c", 90)]
     # self-pair as batch[0] is always safe, ties and all
     assert _safe_merge_batch(
         [row("a", "a", 90), row("b", "c", 90)], cap=32, remaining=10
-    ) == [("a", "a", 90)]
+    ) == [("a", "a", 90), ("b", "c", 90)]
+    # stop pair still dominates the trim when higher than the bound
+    assert _safe_merge_batch(
+        [row("x", "y", 300), row("a", "a", 200), row("b", "b", 150)],
+        cap=1,
+        remaining=10,
+    ) == [("x", "y", 300)]
+
+
+def test_driver_bpe_matches_reference_and_iterative(spark):
+    """The driver-vocab fast path must be bit-identical to both the
+    independent Python reference and the iterative Spark path on
+    run-heavy, tie-heavy corpora (where leftmost-first application
+    and (count desc, pair asc) tie-breaks actually bite)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpora = [
+        ["aaaa aaa aa a baab", "abab bcbc caca"],
+        [" ".join(["aaa"] * 3 + ["bc"] * 3 + ["cb"] * 3)],
+        ["the quick brown fox jumps over the lazy dog the the"],
+    ]
+    for corpus in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        ref = _ref_bpe(corpus, 12)
+        stats: dict = {}
+        fast = textstats.train_bpe(docs, n_merges=12, stats=stats)
+        assert stats["path"] == "driver"
+        slow = textstats.train_bpe(docs, n_merges=12, driver_vocab_max=0)
+        assert fast == slow == ref
 
 
 def test_train_bpe_random_small_alphabet(spark):
