@@ -9201,6 +9201,13 @@ _VERIFY_FIRST = [
     # DuckDB through the driver contract in-session before commit.
     "s_ivf_index",
     "s_ivf_distributed",
+    # tier 1 — code changed in r9 (this session): train_bpe grew the
+    # driver-vocab fast path (now the default execution path for
+    # vocab <= 200k) and _safe_merge_batch's self-pair rule became
+    # the floor(c/2) chain bound; both bit-identity-pinned in pytest
+    # and re-verified repr-exact vs DuckDB in-session.
+    "t_bpe_encode",
+    "t_bpe_pairs",
     "m_decode_webp",
     "m_decode_tiff",
     "m_audio_flac",
