@@ -7213,6 +7213,44 @@ def _q_repeated_spans(spark, sf_dir):
 
 
 @_register(
+    "d_span_removal",
+    f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[i:i+4], ' ') AS span
+  FROM base, UNNEST(range(1, len(tk) - 3)) u(i)
+  WHERE len(tk) >= 5
+), hot AS (
+  SELECT span FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+), cov AS (
+  SELECT DISTINCT o.doc_id, o.pos + u.k AS p
+  FROM occ o JOIN hot h USING (span), UNNEST(range(0, 5)) u(k)
+), covl AS (
+  SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CAST(len(b.tk) AS INT) AS n_tokens,
+  CAST(COALESCE(len(c.ps), 0) AS INT) AS n_cut,
+  COALESCE(array_to_string(
+    [b.tk[i] FOR i IN range(1, len(b.tk) + 1)
+     IF NOT COALESCE(list_contains(c.ps, i), FALSE)], ' '), '') AS text_clean
+FROM base b LEFT JOIN covl c USING (doc_id)
+""",
+)
+def _q_span_removal(spark, sf_dir):
+    """The CUT step after repeated-span detection (Lee et al. 2022
+    ExactSubstr): remove every occurrence of a corpus-repeated
+    5-token span, merged to maximal intervals, and rebuild the clean
+    text. Gap-islands window over cut occurrences only + one in-row
+    index-lambda filter — no UDF, nothing corpus-sized unkeyed."""
+    return dedup.remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+@_register(
     "t_token_diversity",
     f"""
 WITH pdt AS (
@@ -9215,8 +9253,10 @@ _VERIFY_FIRST = [
     "m_id3_tags",
     "m_subtitle_cues",
     # tier 2 — NEW this round: the decode_audio gate (WAV + ID3-tagged
-    # FLAC containers through the production auto-sniff decode).
+    # FLAC containers through the production auto-sniff decode) and
+    # the substring-dedup CUT step (remove_repeated_spans).
     "m_decode_audio",
+    "d_span_removal",
     # tier 3 — the 31 r3-stale gates (r8 verdict item 2), oldest
     # driver rows in the registry; all green locally every round.
     "a_funnel_steps",

@@ -930,6 +930,84 @@ def repeated_spans(
     return occ.join(hot, "span").select("doc_id", "pos", "span", "n_docs")
 
 
+def remove_repeated_spans(
+    documents: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the substring-dedup CUT — the step after
+    ``repeated_spans``'s detection (Lee et al. 2022 ExactSubstr;
+    reference has no counterpart, this is LLM-pipeline surface):
+    every occurrence of an ``n``-token span repeated across
+    ``min_docs``+ distinct documents is removed from EVERY document
+    (the boilerplate-scrub policy, the span-level twin of
+    curate.boilerplate_scrub's line rule), overlapping cut windows
+    merged into maximal per-document intervals, survivors re-joined
+    single-spaced. Returns (doc_id, n_tokens, n_cut, text_clean);
+    documents with nothing repeated pass through with n_cut = 0.
+
+    Plan: detection reuses repeated_spans (span-keyed shuffles only,
+    nothing corpus-sized unkeyed); the interval merge is a
+    gap-islands window per doc_id (one doc-keyed exchange over CUT
+    occurrences only — dictionary-sized, not corpus-sized); the
+    merged intervals fold to one array row per doc and LEFT-join
+    back to the documents on doc_id (small side, AQE broadcasts it
+    at scale). Reconstruction is a single in-row ``filter`` with an
+    index lambda testing merged-interval membership — codegen, no
+    UDF, O(tokens × intervals-per-doc) where intervals-per-doc is
+    the merged boilerplate mass, not the document length."""
+    from pyspark.sql import Window
+
+    occ = repeated_spans(documents, n=n, min_docs=min_docs, text_col=text_col)
+    iv = occ.select("doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end"))
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(0)), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    cuts = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("start", "end"))).alias("cuts"))
+    )
+    base = documents.select(
+        "doc_id", F.split(F.col(text_col), r"\s+").alias("__tk")
+    ).join(cuts, "doc_id", "left")
+    kept = F.filter(
+        F.col("__tk"),
+        lambda x, i: ~F.coalesce(
+            F.exists(
+                F.col("cuts"),
+                lambda c: (i + F.lit(1) >= c["start"])
+                & (i + F.lit(1) <= c["end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    step = base.select(
+        "doc_id", F.size("__tk").alias("n_tokens"), kept.alias("__kept")
+    )
+    return step.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).alias("n_cut"),
+        F.concat_ws(" ", "__kept").alias("text_clean"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,

@@ -125,6 +125,52 @@ def test_repeated_spans_planted_positions(spark):
     assert not [r for r in got if r["span"] == pair]
 
 
+def test_remove_repeated_spans_hand_computed(spark):
+    """The CUT step: a boilerplate 5-gram planted in 3 docs is
+    excised from ALL of them at exact token boundaries; overlapping
+    occurrences merge into one maximal interval; a 2-doc span and a
+    short document pass through untouched."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    boiler = "all rights reserved by the"
+    pair = "only in two documents here"
+    rows = [
+        (1, f"intro words {boiler} publisher tail"),
+        (2, f"{boiler} publisher and more text"),
+        # overlapping occurrences: 'a a a a a a' holds the repeated
+        # span 'a a a a a' at pos 1 AND 2 -> merged cut [1, 6]
+        (3, f"x y z w {boiler} end {pair}"),
+        (4, f"prefix tokens {pair} suffix"),
+        (5, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=5, min_docs=3).collect()}
+    assert got[1]["text_clean"] == "intro words publisher tail"
+    assert (got[1]["n_tokens"], got[1]["n_cut"]) == (9, 5)
+    assert got[2]["text_clean"] == "publisher and more text"
+    assert got[3]["text_clean"] == f"x y z w end {pair}"
+    assert got[4]["text_clean"] == f"prefix tokens {pair} suffix"
+    assert got[4]["n_cut"] == 0
+    assert got[5] ["text_clean"] == "tiny doc" and got[5]["n_cut"] == 0
+
+    # interval-merge case: three docs share 'a a a a a'; doc 10 holds
+    # it at pos 2 and 3 (overlap) -> one merged interval [2, 7]
+    docs2 = spark.createDataFrame(
+        [
+            (10, "z a a a a a a tail"),
+            (11, "a a a a a x"),
+            (12, "y a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: r for r in remove_repeated_spans(docs2, n=5, min_docs=3).collect()}
+    assert got2[10]["text_clean"] == "z tail" and got2[10]["n_cut"] == 6
+    assert got2[11]["text_clean"] == "x"
+    assert got2[12]["text_clean"] == "y"
+
+
 def test_simhash_pairs_planted_neardups(spark):
     """Banded Hamming join recovers exactly the planted
     within-distance pairs: signatures handed in directly so expected
