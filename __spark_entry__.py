@@ -2795,15 +2795,14 @@ def _q_st_dedup(spark, sf_dir):
     """Streaming exact dedup: the landing dir delivers the SAME events
     file twice (at-least-once delivery); dropDuplicates state must
     collapse it back to one copy — aggregate equals the clean batch."""
-    import os
     import tempfile
 
     from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
 
     land = tempfile.mkdtemp(prefix="spark_graft_dup_landing_")
     src = f"{sf_dir}/events.parquet"
-    os.symlink(src, os.path.join(land, "delivery_1.parquet"))
-    os.symlink(src, os.path.join(land, "delivery_2.parquet"))
+    pipeline.stage_delivery(src, land, "delivery_1")
+    pipeline.stage_delivery(src, land, "delivery_2")
     stream = pipeline.stream_events(spark, land)
     deduped = pipeline.dedup_stream(stream, ["event_id"])
     agg = deduped.groupBy("event_type").agg(

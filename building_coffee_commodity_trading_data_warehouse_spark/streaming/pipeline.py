@@ -34,6 +34,28 @@ EVENTS_SCHEMA_NANOS = (
 )
 
 
+def stage_delivery(src: str, land: str, tag: str) -> None:
+    """Symlink one logical delivery of ``src`` into the landing dir
+    ``land`` under ``tag``. A single parquet file links directly; a
+    parquet DIRECTORY (the layout every multi-task writer produces at
+    scale) links each part file individually, because Spark's file
+    stream source lists a landing dir one level deep and does not
+    descend into nested directories — a dir symlinked as one entry
+    would stream ZERO rows (found by the r9 streaming decade sweep
+    against the x10/x100 replicas, whose tables are 32-file dirs)."""
+    import os
+
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, f),
+                    os.path.join(land, f"{tag}_part{i:05d}.parquet"),
+                )
+    else:
+        os.symlink(src, os.path.join(land, f"{tag}.parquet"))
+
+
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events landing path. Spark's file
     stream source requires a DIRECTORY; a single-file path is exposed
