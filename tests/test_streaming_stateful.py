@@ -478,3 +478,33 @@ def test_cusum_stream_bridges_batches_exactly(spark, tmp_path):
         for r in W.cusum_changepoints(static, h_units=5).collect()
     }
     assert got == want
+
+
+def test_stage_delivery_dir_and_file(spark, tmp_path):
+    """Delivery staging must stream the SAME rows whether the source
+    is a single parquet file or a multi-part parquet DIRECTORY (the
+    layout every parallel writer produces at scale). The dir case
+    regressed to ZERO streamed rows before r9: a directory symlinked
+    as one landing entry is silently skipped by the file source."""
+    import os
+
+    src_dir = str(tmp_path / "src_dir")
+    spark.range(100).selectExpr(
+        "id AS event_id", "CAST(id AS long) * 1000000000 AS ts",
+        "id % 7 AS user_id", "'click' AS event_type",
+        "CAST(id AS double) AS value", "'{}' AS props",
+    ).repartition(4).write.parquet(src_dir)
+    import glob
+    one_file = glob.glob(f"{src_dir}/part-*.parquet")[0]
+
+    for tag, src in [("dir", src_dir), ("file", one_file)]:
+        land = str(tmp_path / f"land_{tag}")
+        os.makedirs(land)
+        pipeline.stage_delivery(src, land, "d1")
+        pipeline.stage_delivery(src, land, "d2")
+        stream = pipeline.stream_events(spark, land)
+        got = pipeline.run_available_now(
+            stream.groupBy().count(), f"stage_del_{tag}"
+        ).collect()[0]["count"]
+        want = 2 * spark.read.parquet(src).count()
+        assert got == want, (tag, got, want)
