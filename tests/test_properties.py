@@ -604,3 +604,55 @@ def test_minhash_rollup_merge_theorem(spark, texts, n_batches):
     )
     out = minhash_rollup_certify(docs, k=4, n=2, n_batches=n_batches).collect()
     assert out and all(r["merge_ok"] == 1 for r in out)
+
+
+def _ref_remove_spans(texts, n, min_docs):
+    """Brute-force reference for remove_repeated_spans: enumerate all
+    n-gram occurrences, keep spans in >= min_docs distinct docs, union
+    the covered token positions per doc, rebuild."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    occ = {}
+    for d, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            occ.setdefault(" ".join(tk[p : p + n]), []).append((d, p))
+    hot = {s for s, os_ in occ.items() if len({d for d, _ in os_}) >= min_docs}
+    out = {}
+    for d, tk in toks.items():
+        cov = set()
+        for s in hot:
+            for dd, p in occ.get(s, ()):
+                if dd == d:
+                    cov.update(range(p, p + n))
+        kept = [t for i, t in enumerate(tk) if i not in cov]
+        out[d] = (len(tk), len(cov), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+)
+def test_remove_repeated_spans_matches_reference(spark, docs, n, min_docs):
+    """Random tiny-alphabet corpora maximize overlapping/adjacent
+    repeated spans — the adversarial case for the gap-islands
+    interval merge. Spark must equal the brute-force reference
+    exactly (token counts, cut counts, reconstructed text)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["text_clean"])
+        for r in remove_repeated_spans(sdf, n=n, min_docs=min_docs).collect()
+    }
+    assert got == _ref_remove_spans(docs, n, min_docs)
