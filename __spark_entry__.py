@@ -633,6 +633,51 @@ def _q_bpe_encode(spark, sf_dir):
     )
 
 
+@_register(
+    "t_unigram_segment",
+    f"""
+WITH words AS (
+  SELECT tok AS word, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1
+)
+SELECT word, CAST(freq AS BIGINT) AS freq,
+       TRUE AS cert_roundtrip, TRUE AS cert_known,
+       TRUE AS cert_local_opt, TRUE AS cert_len
+FROM words
+""",
+)
+def _q_unigram_segment(spark, sf_dir):
+    """Unigram-LM tokenizer end-to-end (Kudo 2018, the SentencePiece
+    trainer family BPE doesn't cover): train a 48-piece vocabulary by
+    integer-exact Viterbi-EM (train_unigram — corpus collapses to the
+    word vocab first, EM rounds are vocab-sized Arrow-batched jobs),
+    then segment the vocabulary (unigram_segment). Hash-covered
+    contract: the (word, freq) census is oracle-exact; roundtrip,
+    known-piece, Viterbi local-optimality, and piece-count-bound
+    certificates pin to literal TRUE. Exact piece sequences are
+    pytest-pinned against an independent Fraction-arithmetic
+    reference (test_unigram_matches_reference)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)  # executor closures reference _unigram_viterbi
+    docs = _t(spark, sf_dir, "documents")
+    pieces = textstats.train_unigram(docs, vocab_size=48, n_em=3)
+    seg = textstats.unigram_segment(docs, pieces)
+    return seg.select(
+        "word",
+        "freq",
+        "cert_roundtrip",
+        "cert_known",
+        "cert_local_opt",
+        (
+            (F.col("n_pieces") >= 1) & (F.col("n_pieces") <= F.length("word"))
+        ).alias("cert_len"),
+    )
+
+
 def _model_weights(dim: int = 64, scale: int = 1000) -> list[int]:
     """Deterministic pseudo-trained weight vector for the scorer gate:
     md5-derived integers in [-scale, scale] — stands in for a real
@@ -9253,9 +9298,11 @@ _VERIFY_FIRST = [
     "m_subtitle_cues",
     # tier 2 — NEW this round: the decode_audio gate (WAV + ID3-tagged
     # FLAC containers through the production auto-sniff decode) and
-    # the substring-dedup CUT step (remove_repeated_spans).
+    # the substring-dedup CUT step (remove_repeated_spans) and the
+    # unigram-LM tokenizer (train_unigram + unigram_segment).
     "m_decode_audio",
     "d_span_removal",
+    "t_unigram_segment",
     # tier 3 — the 31 r3-stale gates (r8 verdict item 2), oldest
     # driver rows in the registry; all green locally every round.
     "a_funnel_steps",

@@ -936,3 +936,237 @@ def hapax_spectrum(documents: DataFrame) -> DataFrame:
             F.col("n_hapax").cast("double") / F.col("vocab_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, SentencePiece's second trainer family)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_viterbi(word: str, counts: dict, total: int, max_len: int):
+    """Deterministic integer-exact Viterbi segmentation of one word
+    under a unigram LM with piece probabilities c_p / total.
+
+    The DP maximizes prod(c_p) / total^k without ever leaving integer
+    arithmetic: candidate A beats B iff prodA * total^kB >
+    prodB * total^kA (bigint cross-multiplication — no float, no
+    log, no tie drift). Exact ties break to fewer pieces, then to
+    the lexicographically smaller piece sequence, so two independent
+    implementations of THIS spec agree bit-for-bit (pinned in
+    tests/test_curation_ops.py against a pure-Python reference).
+    Single-character pieces are always in the vocabulary, so every
+    word is segmentable; a zero-count piece contributes a legal
+    zero product."""
+    L = len(word)
+    # best[i] = (prod, k, pieces tuple) for word[:i]
+    best = [None] * (L + 1)
+    best[0] = (1, 0, ())
+    for i in range(1, L + 1):
+        cand = None
+        for j in range(max(0, i - max_len), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            c = counts.get(piece)
+            if c is None:
+                continue
+            pj, kj, seq = best[j]
+            cur = (pj * c, kj + 1, seq + (piece,))
+            if cand is None:
+                cand = cur
+            else:
+                # cur > cand iff cur.prod * total^cand.k > cand.prod * total^cur.k
+                lhs = cur[0] * (total ** cand[1])
+                rhs = cand[0] * (total ** cur[1])
+                if lhs > rhs or (
+                    lhs == rhs
+                    and (cur[1], cur[2]) < (cand[1], cand[2])
+                ):
+                    cand = cur
+        best[i] = cand
+    return best[L][2]
+
+
+def _unigram_seed(words: DataFrame, n_seed: int, max_len: int) -> DataFrame:
+    """Seed piece candidates: every substring of length 1..max_len of
+    every vocabulary word, weighted by word frequency and occurrence
+    count, top ``n_seed`` by (count desc, piece asc) UNION all single
+    characters (which must survive every prune so any word stays
+    segmentable). One in-row transform + one vocab-sized aggregate —
+    corpus-size-independent, all JVM."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.char_length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_len), F.char_length("word") - i + F.lit(1)
+                    ),
+                ),
+                lambda l: F.substring(F.col("word"), i, l),
+            ),
+        )
+    )
+    counted = (
+        words.select("freq", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+    )
+    head = counted.orderBy(F.col("c").desc(), "piece").limit(n_seed)
+    chars = counted.filter(F.char_length("piece") == 1)
+    return head.unionByName(chars).dropDuplicates(["piece"])
+
+
+def train_unigram(
+    documents: DataFrame,
+    vocab_size: int = 64,
+    n_em: int = 3,
+    max_piece_len: int = 8,
+    seed_multiplier: int = 4,
+    stats: dict | None = None,
+) -> list[tuple[str, int]]:
+    """Unigram-LM subword vocabulary training (Kudo 2018 — the
+    SentencePiece trainer family BPE does not cover; reference repo
+    has no counterpart, this is LLM-pipeline surface). Deterministic
+    hard-EM (Viterbi-EM) in exact integer arithmetic:
+
+    1. corpus collapses to the (word, freq) VOCABULARY (the only
+       corpus-sized shuffle — same architecture as train_bpe);
+    2. seed pieces = top substrings by weighted count (in-row
+       transform + vocab-sized aggregate, all JVM);
+    3. each EM round re-segments every word by integer-exact Viterbi
+       (Arrow-batched mapInPandas over the vocab with the piece
+       table broadcast — piece tables are bounded, a few thousand
+       rows, so they travel as a plain dict) and re-estimates piece
+       counts from chosen segmentations (vocab-sized aggregate);
+    4. prune to ``vocab_size`` by (count desc, piece asc), keeping
+       all single characters.
+
+    Returns the final piece list [(piece, count)] sorted
+    (count desc, piece asc) — the model a segmenter ships. Every
+    step is corpus-size-independent after (1); EM rounds are
+    ``n_em`` Spark jobs over the vocabulary. Bit-identical to the
+    pure-Python reference spec (pinned in tests): all score
+    comparisons are bigint cross-multiplications, no floats
+    anywhere."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    words = (
+        documents.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    seed = _unigram_seed(words, vocab_size * seed_multiplier, max_piece_len)
+    pieces = {r["piece"]: int(r["c"]) for r in seed.collect()}
+    rounds = 0
+    for _ in range(n_em):
+        rounds += 1
+        total = sum(pieces.values())
+        cnt, mx = dict(pieces), max_piece_len
+
+        def _estep(batches, _c=cnt, _t=total, _m=mx):
+            import pandas as pd
+
+            for pdf in batches:
+                out = {}
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    for p in _unigram_viterbi(word, _c, _t, _m):
+                        out[p] = out.get(p, 0) + int(freq)
+                yield pd.DataFrame(
+                    {"piece": list(out), "c": list(out.values())}
+                )
+
+        used = (
+            words.mapInPandas(_estep, "piece string, c long")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        new = {r["piece"]: int(r["c"]) for r in used}
+        # single chars survive with zero count so every word stays
+        # segmentable after any prune
+        pieces = {
+            p: new.get(p, 0)
+            for p in pieces
+            if p in new or len(p) == 1
+        }
+    ranked = sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = ranked[:vocab_size] + [
+        (p, c) for p, c in ranked[vocab_size:] if len(p) == 1
+    ]
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_pieces"] = len(kept)
+    return sorted(kept, key=lambda kv: (-kv[1], kv[0]))
+
+
+def unigram_segment(
+    documents: DataFrame,
+    pieces: list[tuple[str, int]],
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Segment the corpus vocabulary with a trained unigram piece
+    table: one row per distinct word with freq, piece count, joined
+    pieces, and three integer-exact CERTIFICATES a SQL oracle can
+    hash-cover (the t_bpe_encode pattern): roundtrip (pieces re-concat
+    to the word), known (every piece is in the table), local_opt (no
+    adjacent chosen pair merges into a vocabulary piece with
+    c_m * total > c_i * c_j — a consequence of Viterbi optimality).
+
+    The corpus collapses to the (word, freq) vocabulary first; the
+    Viterbi UDF is Arrow-batched and vocab-sized, the piece table a
+    broadcast dict — nothing corpus-sized in Python at any scale."""
+    cnt = dict(pieces)
+    total = sum(cnt.values())
+    mx = max_piece_len
+
+    def _seg(batches, _c=cnt, _t=total, _m=mx):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                seq = _unigram_viterbi(word, _c, _t, _m)
+                local_opt = True
+                for a, b in zip(seq, seq[1:]):
+                    m = _c.get(a + b)
+                    if m is not None and m * _t > _c[a] * _c[b]:
+                        local_opt = False
+                rows.append(
+                    (
+                        word,
+                        int(freq),
+                        len(seq),
+                        " ".join(seq),
+                        "".join(seq) == word,
+                        all(p in _c for p in seq),
+                        local_opt,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "word",
+                    "freq",
+                    "n_pieces",
+                    "pieces",
+                    "cert_roundtrip",
+                    "cert_known",
+                    "cert_local_opt",
+                ],
+            )
+
+    words = (
+        documents.select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.mapInPandas(
+        _seg,
+        "word string, freq long, n_pieces int, pieces string, "
+        "cert_roundtrip boolean, cert_known boolean, cert_local_opt boolean",
+    )

@@ -1027,3 +1027,109 @@ def test_hapax_spectrum_known_counts(spark):
     assert s1["hapax_share"] == 0.25
     s2 = out["s2"]
     assert (s2["vocab_size"], s2["n_hapax"], s2["hapax_share"]) == (2, 2, 1.0)
+
+
+def _ref_unigram_viterbi(word, counts, total, max_len):
+    """Independent Viterbi reference: memoized recursion with exact
+    Fraction scores (vs the operator's bigint cross-multiplication) —
+    same spec, different arithmetic path."""
+    from fractions import Fraction
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def best(i):
+        # best segmentation of word[:i] -> (score Fraction, k, seq) or None
+        if i == 0:
+            return (Fraction(1), 0, ())
+        cand = None
+        for j in range(max(0, i - max_len), i):
+            b = best(j)
+            if b is None:
+                continue
+            p = word[j:i]
+            if p not in counts:
+                continue
+            cur = (
+                b[0] * Fraction(counts[p], total),
+                b[1] + 1,
+                b[2] + (p,),
+            )
+            if cand is None or cur[0] > cand[0] or (
+                cur[0] == cand[0] and (cur[1], cur[2]) < (cand[1], cand[2])
+            ):
+                cand = cur
+        return cand
+
+    return best(len(word))[2]
+
+
+def _ref_unigram(corpus, vocab_size, n_em=3, max_len=8, seed_mult=4):
+    """Independent trainer reference: Counter-based seeding + EM with
+    Fraction Viterbi, same spec as textstats.train_unigram."""
+    from collections import Counter
+
+    words = Counter(w for t in corpus for w in t.split() if w)
+    sub = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_len, len(w) - i) + 1):
+                sub[w[i : i + l]] += f
+    head = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[: vocab_size * seed_mult]
+    pieces = dict(head)
+    for p, c in sub.items():
+        if len(p) == 1:
+            pieces.setdefault(p, c)
+    for _ in range(n_em):
+        total = sum(pieces.values())
+        new = Counter()
+        for w, f in words.items():
+            for p in _ref_unigram_viterbi(w, pieces, total, max_len):
+                new[p] += f
+        pieces = {p: new.get(p, 0) for p in pieces if p in new or len(p) == 1}
+    ranked = sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept = ranked[:vocab_size] + [
+        (p, c) for p, c in ranked[vocab_size:] if len(p) == 1
+    ]
+    return sorted(kept, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_unigram_matches_reference(spark):
+    """train_unigram must be bit-identical to the independent
+    Fraction-arithmetic reference — piece set, counts, and order —
+    on corpora with runs, shared substrings, and count ties (where
+    the bigint cross-multiply vs Fraction paths could only agree if
+    both are exact)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpora = [
+        ["low lower lowest low low", "new newer newest"],
+        ["aaaa aaa aa a baab abab", "ab ba ab ba"],
+        ["the cat sat on the mat", "the bat and the rat", "cats eat"],
+    ]
+    for corpus in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        got = textstats.train_unigram(docs, vocab_size=12, n_em=3)
+        assert got == _ref_unigram(corpus, vocab_size=12, n_em=3)
+
+
+def test_unigram_segment_matches_reference_and_certs(spark):
+    """unigram_segment's piece sequences equal the reference Viterbi
+    under the trained table, and every certificate holds."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = ["low lower lowest low", "slow slower lowly", "glow glows"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    pieces = textstats.train_unigram(docs, vocab_size=10, n_em=2)
+    counts = dict(pieces)
+    total = sum(counts.values())
+    rows = textstats.unigram_segment(docs, pieces).collect()
+    assert rows
+    for r in rows:
+        ref = _ref_unigram_viterbi(r["word"], counts, total, 8)
+        assert tuple(r["pieces"].split(" ")) == ref, r["word"]
+        assert r["cert_roundtrip"] and r["cert_known"] and r["cert_local_opt"]
+        assert 1 <= r["n_pieces"] <= len(r["word"])
