@@ -664,8 +664,9 @@ def _q_unigram_segment(spark, sf_dir):
 
     ship_package(spark)  # executor closures reference _unigram_viterbi
     docs = _t(spark, sf_dir, "documents")
-    pieces = textstats.train_unigram(docs, vocab_size=48, n_em=3)
-    seg = textstats.unigram_segment(docs, pieces)
+    words = textstats.word_vocab(docs).localCheckpoint()
+    pieces = textstats.train_unigram(docs, vocab_size=48, n_em=3, words_df=words)
+    seg = textstats.unigram_segment(docs, pieces, words_df=words)
     return seg.select(
         "word",
         "freq",
@@ -9359,9 +9360,8 @@ _VERIFY_FIRST = [
     "c_hash_split",
     "c_quality_filter",
     # ---- position 59+: everything else, prior relative order
-    # preserved (registration/staleness order from earlier rounds).
-    "t_bpe_pairs",
-    "t_bpe_encode",
+    # preserved (registration/staleness order from earlier rounds;
+    # t_bpe_pairs/t_bpe_encode moved to tier 1 this round).
     "w_holt_smoothing",
     "w_rolling_quartiles",
     "w_forecast_intervals",

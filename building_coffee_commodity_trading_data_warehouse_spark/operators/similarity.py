@@ -1055,9 +1055,12 @@ def ivf_index_certified(
     spark = embeddings.sparkSession
     ivf_index_build(embeddings, path, n_centroids)
     exact = brute_force_topk(embeddings, queries, k).select("q_id", "c_id")
-    ann = ivf_index_search(spark, path, queries, k, nprobe).select(
-        "q_id", "c_id"
-    )
+    # bounded=True: certification always runs against a bounded query
+    # sample (brute force on the exact side could not be unbounded
+    # either), so the routing size-probe job is pure overhead here
+    ann = ivf_index_search(
+        spark, path, queries, k, nprobe, bounded=True
+    ).select("q_id", "c_id")
     return _recall_certificate(exact, ann, min_recall, min_mean_recall)
 
 

@@ -530,11 +530,15 @@ def train_bpe(
     corpus (web-scale corpora hold ~10-100M distinct words; raise
     the cap to taste). ``driver_vocab_max=0`` forces the iterative
     batched path."""
+    # checkpoint the vocab BEFORE the size probe: the probe and the
+    # subsequent collect (or the iterative path's syms projection)
+    # would otherwise each re-run the corpus-sized tokenize+shuffle
     words_vocab = (
         documents.select(F.explode(_tokens()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
     )
     if driver_vocab_max:
         probe = words_vocab.limit(driver_vocab_max + 1).count()
@@ -943,6 +947,20 @@ def hapax_spectrum(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def word_vocab(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The (word, freq) corpus vocabulary — the ONE corpus-sized
+    aggregate every tokenizer step (BPE, unigram train, segment)
+    starts from. Callers chaining train → segment should compute it
+    once, localCheckpoint it, and pass it to both via ``words_df``
+    so the corpus is scanned exactly once."""
+    return (
+        documents.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def _unigram_viterbi(word: str, counts: dict, total: int, max_len: int):
     """Deterministic integer-exact Viterbi segmentation of one word
     under a unigram LM with piece probabilities c_p / total.
@@ -1025,6 +1043,7 @@ def train_unigram(
     max_piece_len: int = 8,
     seed_multiplier: int = 4,
     stats: dict | None = None,
+    words_df: DataFrame | None = None,
 ) -> list[tuple[str, int]]:
     """Unigram-LM subword vocabulary training (Kudo 2018 — the
     SentencePiece trainer family BPE does not cover; reference repo
@@ -1053,11 +1072,9 @@ def train_unigram(
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     words = (
-        documents.select(F.explode(_tokens()).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint()
+        word_vocab(documents).localCheckpoint()
+        if words_df is None
+        else words_df
     )
     seed = _unigram_seed(words, vocab_size * seed_multiplier, max_piece_len)
     pieces = {r["piece"]: int(r["c"]) for r in seed.collect()}
@@ -1107,6 +1124,7 @@ def unigram_segment(
     documents: DataFrame,
     pieces: list[tuple[str, int]],
     max_piece_len: int = 8,
+    words_df: DataFrame | None = None,
 ) -> DataFrame:
     """Segment the corpus vocabulary with a trained unigram piece
     table: one row per distinct word with freq, piece count, joined
@@ -1159,12 +1177,7 @@ def unigram_segment(
                 ],
             )
 
-    words = (
-        documents.select(F.explode(_tokens()).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    words = word_vocab(documents) if words_df is None else words_df
     return words.mapInPandas(
         _seg,
         "word string, freq long, n_pieces int, pieces string, "

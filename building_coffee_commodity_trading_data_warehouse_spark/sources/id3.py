@@ -119,9 +119,12 @@ def parse_id3(data: bytes) -> dict:
     if flags & 0x80:
         raise ValueError("ID3 unsynchronisation not supported")
     size = _unsyncsafe(data[6:10])
-    if 10 + size > len(data):
-        raise ValueError("ID3 tag size exceeds payload")
     footer = 10 if major == 4 and flags & 0x10 else 0
+    # the footer is NOT counted in the syncsafe size, so the
+    # truncation check must include it — otherwise tag_size can
+    # extend past the payload and data[tag_size:] silently reads b''
+    if 10 + size + footer > len(data):
+        raise ValueError("ID3 tag size exceeds payload")
     out: dict = {"extra": {}, "tag_size": 10 + size + footer}
     rev_names = {v: k for k, v in _TEXT_FRAMES.items()}
     pos = 10

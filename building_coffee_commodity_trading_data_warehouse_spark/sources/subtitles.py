@@ -63,9 +63,16 @@ def parse_subtitles(doc: str) -> list[tuple[int, int, int, str]]:
     body = doc.replace("\r\n", "\n").strip("﻿")
     if body.startswith("WEBVTT"):
         # the header BLOCK may carry metadata lines (Kind:, Language:);
-        # drop everything up to the first blank line, not just line 1
+        # drop everything up to the first blank line — UNLESS a cue is
+        # glued straight onto the header with no blank line (tolerated
+        # by real players): then drop only the header line itself so
+        # the glued cue still parses instead of vanishing.
         parts = re.split(r"\n\s*\n", body, maxsplit=1)
-        body = parts[1] if len(parts) > 1 else ""
+        header_block = parts[0]
+        if any("-->" in ln for ln in header_block.split("\n")[1:]):
+            body = body.split("\n", 1)[1] if "\n" in body else ""
+        else:
+            body = parts[1] if len(parts) > 1 else ""
     out = []
     seq = 0
     for block in re.split(r"\n\s*\n", body.strip()):

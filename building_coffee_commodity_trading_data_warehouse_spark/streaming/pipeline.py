@@ -46,12 +46,31 @@ def stage_delivery(src: str, land: str, tag: str) -> None:
     import os
 
     if os.path.isdir(src):
-        for i, f in enumerate(sorted(os.listdir(src))):
-            if f.endswith(".parquet"):
-                os.symlink(
-                    os.path.join(src, f),
-                    os.path.join(land, f"{tag}_part{i:05d}.parquet"),
-                )
+        flat = [
+            f for f in sorted(os.listdir(src)) if f.endswith(".parquet")
+        ]
+        if not flat:
+            # NEVER stage zero files silently (the bug this function
+            # exists to prevent). A partitionBy() layout nests parts
+            # under key=value dirs whose NAMES carry the partition
+            # column — flat symlinks would silently drop that column,
+            # so that layout must be staged via a batch rewrite.
+            nested = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(src)
+                for f in fs
+            )
+            raise ValueError(
+                f"partitioned parquet layout under {src!r}: stage via a "
+                "batch rewrite (partition values live in directory names)"
+                if nested
+                else f"no parquet part files under {src!r}"
+            )
+        for i, f in enumerate(flat):
+            os.symlink(
+                os.path.join(src, f),
+                os.path.join(land, f"{tag}_part{i:05d}.parquet"),
+            )
     else:
         os.symlink(src, os.path.join(land, f"{tag}.parquet"))
 

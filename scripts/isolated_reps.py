@@ -43,6 +43,12 @@ spark = get_spark("coffee_dw_iso", cpus=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 fn = EXTRA.get(name) or entry_mod.queries()[name]
 
+# the IVF SEARCH entries read the index that s_ivf_index_build wrote
+# under a PID-keyed path — a fresh subprocess has no index yet, so
+# build it first (untimed; mirrors the bench's phase ordering)
+if name in ("s_ivf_index_search", "s_ivf_search_dist"):
+    EXTRA["s_ivf_index_build"](spark, sf_dir)
+
 def run_once():
     t0 = time.perf_counter()
     res = fn(spark, sf_dir)

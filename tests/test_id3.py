@@ -111,3 +111,22 @@ def test_v24_footer_flag_skipped_by_strip():
     # v2.3 cannot carry the footer flag: bit 0x10 there must not skip
     tag3 = b"ID3\x03\x00\x00" + id3._syncsafe(len(f) - 0) + f
     assert id3.strip_id3(tag3 + fl) == fl
+
+
+def test_v24_footer_counted_in_truncation_check():
+    """A v2.4 tag with the footer flag whose payload ends before the
+    10-byte footer must raise, not report a tag_size past the data
+    (r9 review: data[tag_size:] silently read b'')."""
+    import pytest
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.id3 import encode_id3, parse_id3
+
+    tag = bytearray(encode_id3({"title": "t"}))
+    tag[3] = 4           # v2.4
+    tag[5] |= 0x10       # footer flag, but NO footer bytes appended
+    with pytest.raises(ValueError, match="exceeds payload"):
+        parse_id3(bytes(tag))
+    # with the footer actually present it parses and sizes past it
+    full = bytes(tag) + b"3DI" + bytes(tag[3:10])
+    info = parse_id3(full)
+    assert info["tag_size"] == len(full)

@@ -76,3 +76,21 @@ def test_vtt_header_metadata_note_style_blocks_skipped():
     # torn cue (no NOTE/STYLE prefix, no timecode) still raises
     with pytest.raises(ValueError):
         subtitles.parse_subtitles("WEBVTT\n\nnot a cue at all\njust text\n")
+
+
+def test_vtt_cue_glued_to_header_still_parses():
+    """Real-world VTT files sometimes glue the first cue straight
+    onto the WEBVTT line with no blank separator; the header skip
+    must drop only the header LINE then, not the whole block (which
+    silently returned zero cues, r9 review)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.subtitles import parse_subtitles
+
+    doc = "WEBVTT\n00:00:00.000 --> 00:00:01.000\nhi\n\n00:00:02.000 --> 00:00:03.000\nbye\n"
+    got = parse_subtitles(doc)
+    assert [(s, e, t) for _, s, e, t in got] == [
+        (0, 1000, "hi"),
+        (2000, 3000, "bye"),
+    ]
+    # a PROPER header block (metadata, blank line) still skips whole
+    doc2 = "WEBVTT\nKind: captions\n\n00:00:00.000 --> 00:00:01.000\nhi\n"
+    assert len(parse_subtitles(doc2)) == 1
