@@ -1413,6 +1413,68 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 @_register(
+    "d_semdedup",
+    """
+SELECT vec_id, TRUE AS cert_one_keeper, TRUE AS cert_keepers_far,
+       TRUE AS cert_dropped_paired
+FROM embeddings
+""",
+)
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell-restricted semantic
+    dedup, ONE keeper (the least-centroid-similar member) per
+    transitive near-dup cluster. The vec census is oracle-exact;
+    three end-to-end certificates pin to literal TRUE Spark-side:
+    exactly one keeper per cluster; surviving keepers have NO
+    within-cell pair at/above the threshold (re-verified decimal-
+    exact); every dropped vector belongs to a multi-member cluster.
+    Keeper election semantics are pytest-pinned on planted clusters
+    (test_semantic_dedup_planted_clusters)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
+        _verify_pairs_exact,
+        semantic_dedup,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)  # Arrow closures reference module helpers
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.95, n_centroids=8).localCheckpoint()
+    stats = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keeper").cast("int")).alias("__nk"),
+        F.count(F.lit(1)).alias("__cs"),
+    )
+    keepers = out.filter(F.col("is_keeper")).select("vec_id", "cell")
+    ka = keepers.selectExpr("vec_id AS vec_a", "cell")
+    kb = keepers.selectExpr("vec_id AS vec_b", "cell")
+    cand = ka.join(kb, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    bad = (
+        _verify_pairs_exact(cand, emb, 0.95)
+        .select(F.col("vec_a").alias("vec_id"))
+        .unionByName(
+            _verify_pairs_exact(cand, emb, 0.95).select(
+                F.col("vec_b").alias("vec_id")
+            )
+        )
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    return (
+        out.join(stats, "cluster_id")
+        .join(bad, "vec_id", "left")
+        .select(
+            "vec_id",
+            (F.col("__nk") == 1).alias("cert_one_keeper"),
+            F.coalesce(~F.col("__bad"), F.lit(True)).alias("cert_keepers_far"),
+            (F.col("is_keeper") | (F.col("__cs") >= 2)).alias(
+                "cert_dropped_paired"
+            ),
+        )
+    )
+
+
+@_register(
     "s_embedding_clusters",
     f"""
 WITH RECURSIVE
@@ -9304,6 +9366,7 @@ _VERIFY_FIRST = [
     "m_decode_audio",
     "d_span_removal",
     "t_unigram_segment",
+    "d_semdedup",
     # tier 3 — the 31 r3-stale gates (r8 verdict item 2), oldest
     # driver rows in the registry; all green locally every round.
     "a_funnel_steps",

@@ -1808,3 +1808,124 @@ def mips_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "dot", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    k-means cell restriction — the method LLM curation pipelines run
+    on embedding spaces where MinHash/SimHash (surface-form) dedup
+    misses paraphrases. Within each coarse cell, vectors with cosine
+    ≥ ``threshold`` cluster (transitive closure), and ONE keeper
+    survives per cluster: the member LEAST similar to its cell
+    centroid (the paper's rule — keep the most atypical example),
+    ties to the smallest vec_id. Pairs across cells are deliberately
+    never examined — that is the method's approximation, which makes
+    its cost per-cell-quadratic instead of corpus-quadratic.
+
+    Returns (vec_id, cell, cluster_id, is_keeper, centroid_sim):
+    cluster_id is the min vec_id of the near-dup cluster (equal to
+    vec_id itself for singletons, which are always keepers).
+
+    Plan shape at 100 TB: the quantizer trains on a bounded
+    deterministic sample driver-side (the only data that leaves the
+    executors); assignment is one Arrow-batched map; candidate pairs
+    come from a per-cell GEMM inside ``applyInPandas`` (state =
+    cell_size × D per task — raise ``n_centroids`` ~ √N to bound
+    cells, exactly the paper's memory shape) with a loose float
+    prefilter funneling into the repo's standard decimal-exact
+    verify; clustering is the min-label-propagation connected
+    components; keeper election is one max_by aggregate. Nothing
+    corpus-quadratic, nothing corpus-sized on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import connected_components
+
+    spark = embeddings.sparkSession
+    C = _train_centroids(embeddings, n_centroids)
+    bc = spark.sparkContext.broadcast(C)
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Xn = X / _np.maximum(
+                _np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            sims = Xn @ CC.T
+            cell = _np.argmax(sims, axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"].to_numpy(),
+                    "cell": cell.astype("int64"),
+                    "centroid_sim": sims[
+                        _np.arange(len(cell)), cell
+                    ].astype("float64"),
+                }
+            )
+
+    emb_type = dict(embeddings.dtypes)["embedding"]
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign,
+        f"vec_id long, embedding {emb_type}, cell long, centroid_sim double",
+    ).localCheckpoint()
+
+    thr = threshold
+
+    def _cell_pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        X = _np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        Xn = X / _np.maximum(_np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        ids = pdf["vec_id"].to_numpy()
+        S = Xn @ Xn.T
+        iu, ju = _np.triu_indices(len(ids), 1)
+        # loose float prefilter; the decimal verify applies the true
+        # threshold so float slop can only ADD candidates, never drop
+        keep = S[iu, ju] >= thr - 1e-6
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = _np.minimum(a, b), _np.maximum(a, b)
+        return _pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, "vec_a long, vec_b long"
+    )
+    pairs = _verify_pairs_exact(cand, embeddings, threshold).select(
+        "vec_a", "vec_b"
+    )
+    comps = connected_components(pairs, src="vec_a", dst="vec_b")
+    labeled = assigned.drop("embedding").join(
+        comps.select(
+            F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+        ),
+        "vec_id",
+        "left",
+    ).withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
+    keepers = labeled.groupBy("cluster_id").agg(
+        F.min_by(
+            "vec_id", F.struct(F.col("centroid_sim"), F.col("vec_id"))
+        ).alias("__keeper")
+    )
+    return (
+        labeled.join(keepers, "cluster_id")
+        .select(
+            "vec_id",
+            "cell",
+            "cluster_id",
+            (F.col("vec_id") == F.col("__keeper")).alias("is_keeper"),
+            "centroid_sim",
+        )
+    )

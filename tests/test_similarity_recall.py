@@ -306,3 +306,39 @@ def test_ivf_index_search_auto_routes_large_batches(
     a = sorted(map(tuple, small.collect()))
     assert a == sorted(map(tuple, routed.collect()))
     assert a == sorted(map(tuple, forced.collect()))
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup semantics on planted clusters: identical vectors
+    collapse to one keeper per cluster (tie on centroid_sim -> min
+    vec_id), singletons survive, and with n_centroids > 1 orthogonal
+    blobs land in different cells yet dedupe identically."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for nc in (1, 2):
+        out = {r["vec_id"]: r for r in semantic_dedup(emb, 0.95, nc).collect()}
+        assert {v for v, r in out.items() if r["is_keeper"]} == {1, 10, 20}
+        assert out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+        assert out[11]["cluster_id"] == 10
+        assert out[20]["cluster_id"] == 20 and out[20]["is_keeper"]
+    # keeper rule: the member LEAST similar to its cell centroid wins
+    rows2 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.02, 0.0, 0.0]),   # slightly atypical -> keeper
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = {r["vec_id"]: r for r in semantic_dedup(emb2, 0.95, 1).collect()}
+    assert {v for v, r in out2.items() if r["is_keeper"]} == {2}
+    assert out2[2]["centroid_sim"] < out2[1]["centroid_sim"]
