@@ -1813,7 +1813,7 @@ def mips_topk(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     k-means cell restriction — the method LLM curation pipelines run
@@ -1839,13 +1839,22 @@ def semantic_dedup(
     prefilter funneling into the repo's standard decimal-exact
     verify; clustering is the min-label-propagation connected
     components; keeper election is one max_by aggregate. Nothing
-    corpus-quadratic, nothing corpus-sized on the driver."""
+    corpus-quadratic, nothing corpus-sized on the driver.
+
+    ``n_centroids=None`` (default) self-scales to ~√N (one count
+    aggregate, capped at 4096): the r9 x100 study (SCALE.md
+    round-9(7)) measured a FIXED cell count going per-cell-quadratic
+    two decades up (892 s vs 156 s at √N, identical keeper sets)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from .dedup import connected_components
 
     spark = embeddings.sparkSession
+    if n_centroids is None:
+        n_centroids = max(1, min(4096, int(math.isqrt(embeddings.count()))))
     C = _train_centroids(embeddings, n_centroids)
     bc = spark.sparkContext.broadcast(C)
 

@@ -326,7 +326,8 @@ def test_semantic_dedup_planted_clusters(spark):
         (20, [0.0, 0.0, 1.0, 0.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    for nc in (1, 2):
+    # n_centroids=None self-scales to ~sqrt(N) (here isqrt(6)=2)
+    for nc in (1, 2, None):
         out = {r["vec_id"]: r for r in semantic_dedup(emb, 0.95, nc).collect()}
         assert {v for v, r in out.items() if r["is_keeper"]} == {1, 10, 20}
         assert out[2]["cluster_id"] == out[3]["cluster_id"] == 1
