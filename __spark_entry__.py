@@ -9367,6 +9367,11 @@ _VERIFY_FIRST = [
     "d_span_removal",
     "t_unigram_segment",
     "d_semdedup",
+    # tier 1c — r9 session code changes in shared streaming staging
+    # (pipeline.stage_delivery: dir-aware delivery links + partition
+    # guard) — the two gates that stage deliveries re-verify first.
+    "st_dedup_stream",
+    "st_dedup_jitter",
     # tier 3 — the 31 r3-stale gates (r8 verdict item 2), oldest
     # driver rows in the registry; all green locally every round.
     "a_funnel_steps",
