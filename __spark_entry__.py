@@ -1449,14 +1449,12 @@ def _q_semdedup(spark, sf_dir):
     ka = keepers.selectExpr("vec_id AS vec_a", "cell")
     kb = keepers.selectExpr("vec_id AS vec_b", "cell")
     cand = ka.join(kb, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    # checkpoint: the keeper self-join + decimal verify is the gate's
+    # dominant cost; materialize once before fanning into both sides
+    viol = _verify_pairs_exact(cand, emb, 0.95).localCheckpoint()
     bad = (
-        _verify_pairs_exact(cand, emb, 0.95)
-        .select(F.col("vec_a").alias("vec_id"))
-        .unionByName(
-            _verify_pairs_exact(cand, emb, 0.95).select(
-                F.col("vec_b").alias("vec_id")
-            )
-        )
+        viol.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(viol.select(F.col("vec_b").alias("vec_id")))
         .distinct()
         .withColumn("__bad", F.lit(True))
     )
@@ -9479,7 +9477,6 @@ _VERIFY_FIRST = [
     "w_cusum",
     "st_cusum",
     "st_countmin",
-    "st_dedup_jitter",
     "st_full_join",
     "q_rfm_segments",
     "q_cohort_ltv",
@@ -9530,7 +9527,6 @@ _VERIFY_FIRST = [
     "st_session_windows",
     "st_merge_stream",
     "j_salted_skew",
-    "st_dedup_stream",
     "m_compact_table",
     "st_stream_join",
     "j_asof_quote",

@@ -1853,6 +1853,12 @@ def semantic_dedup(
     from .dedup import connected_components
 
     spark = embeddings.sparkSession
+    if embeddings.isEmpty():
+        return spark.createDataFrame(
+            [],
+            "vec_id long, cell long, cluster_id long, "
+            "is_keeper boolean, centroid_sim double",
+        )
     if n_centroids is None:
         n_centroids = max(1, min(4096, int(math.isqrt(embeddings.count()))))
     C = _train_centroids(embeddings, n_centroids)
@@ -1872,21 +1878,28 @@ def semantic_dedup(
             )
             sims = Xn @ CC.T
             cell = _np.argmax(sims, axis=1)
+            best = sims[_np.arange(len(cell)), cell]
             yield _pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "embedding": pdf["embedding"].to_numpy(),
                     "cell": cell.astype("int64"),
-                    "centroid_sim": sims[
-                        _np.arange(len(cell)), cell
-                    ].astype("float64"),
+                    "centroid_sim": best.astype("float64"),
+                    # election key: floor-quantize onto the repo's
+                    # standard 2^-20 lattice so BLAS blocking noise
+                    # (batch-composition-dependent last bits) cannot
+                    # flip keeper order between runs/partitionings
+                    "centroid_sim_q": _np.floor(best * (1 << 20)).astype(
+                        "int64"
+                    ),
                 }
             )
 
     emb_type = dict(embeddings.dtypes)["embedding"]
     assigned = embeddings.select("vec_id", "embedding").mapInPandas(
         _assign,
-        f"vec_id long, embedding {emb_type}, cell long, centroid_sim double",
+        f"vec_id long, embedding {emb_type}, cell long, "
+        "centroid_sim double, centroid_sim_q long",
     ).localCheckpoint()
 
     thr = threshold
@@ -1925,7 +1938,7 @@ def semantic_dedup(
     ).withColumn("cluster_id", F.coalesce("cluster_id", "vec_id"))
     keepers = labeled.groupBy("cluster_id").agg(
         F.min_by(
-            "vec_id", F.struct(F.col("centroid_sim"), F.col("vec_id"))
+            "vec_id", F.struct(F.col("centroid_sim_q"), F.col("vec_id"))
         ).alias("__keeper")
     )
     return (

@@ -311,8 +311,10 @@ def test_ivf_index_search_auto_routes_large_batches(
 def test_semantic_dedup_planted_clusters(spark):
     """SemDeDup semantics on planted clusters: identical vectors
     collapse to one keeper per cluster (tie on centroid_sim -> min
-    vec_id), singletons survive, and with n_centroids > 1 orthogonal
-    blobs land in different cells yet dedupe identically."""
+    vec_id) and singletons survive, at 1/2/auto cell counts. (With
+    nc=2 on THIS data k-means converges to cells {e1,e2 blobs} and
+    {e3 singleton} — the two-multi-member-blobs-in-two-cells case is
+    exercised separately below.)"""
     from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
         semantic_dedup,
     )
@@ -343,3 +345,31 @@ def test_semantic_dedup_planted_clusters(spark):
     out2 = {r["vec_id"]: r for r in semantic_dedup(emb2, 0.95, 1).collect()}
     assert {v for v, r in out2.items() if r["is_keeper"]} == {2}
     assert out2[2]["centroid_sim"] < out2[1]["centroid_sim"]
+    # two multi-member blobs, two cells: deterministic linspace init
+    # (sorted by vec_id) seeds one centroid in each blob, so each
+    # cluster dedupes INSIDE its own cell
+    rows3 = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),
+        (12, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb3 = spark.createDataFrame(rows3, "vec_id long, embedding array<double>")
+    out3 = {r["vec_id"]: r for r in semantic_dedup(emb3, 0.95, 2).collect()}
+    assert {v for v, r in out3.items() if r["is_keeper"]} == {1, 10}
+    assert len({out3[v]["cell"] for v in (1, 2, 3)}) == 1
+    assert len({out3[v]["cell"] for v in (10, 11, 12)}) == 1
+    assert out3[1]["cell"] != out3[10]["cell"]
+
+
+def test_semantic_dedup_empty_input(spark):
+    """An empty corpus passes through as an empty result (auto cell
+    count must not crash the quantizer)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(emb).count() == 0
