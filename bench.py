@@ -85,6 +85,12 @@ HEADLINE = [
     # the route ivf_index_search auto-selects above max_driver_queries
     # (r8 verdict item 4); timing both paths keeps the trade visible.
     "s_ivf_search_dist",
+    # round-9 session additions (no frozen comparator yet; recorded so
+    # the r10 freeze can adopt them): substring-dedup CUT, unigram-LM
+    # tokenizer train+segment, SemDeDup at the gate's fixed 8 cells.
+    "d_span_removal",
+    "t_unigram_segment",
+    "d_semdedup",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
