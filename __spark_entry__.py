@@ -1473,6 +1473,155 @@ def _q_semdedup(spark, sf_dir):
 
 
 @_register(
+    "d_semdedup_scaled",
+    """
+WITH corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL SELECT vec_id + 20000 FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT vec_id, vec_id % 10000 AS cluster_id,
+       vec_id < 10000 AS is_keeper
+FROM corpus
+""",
+)
+def _q_semdedup_scaled(spark, sf_dir):
+    """SemDeDup at the PRODUCTION configuration — ``n_centroids=None``
+    self-scales to ~√N cells (the knob the r9 x100 study proved is
+    the difference between per-cell-quadratic 892 s and 156 s; the
+    d_semdedup gate keeps its fixed-8-cell config for continuity).
+    The corpus is the identical-copies construction whose answer is
+    provably CELL-COUNT-INVARIANT, so the oracle replays it exactly:
+    every fifth vector gets one identical copy (+10000) and every
+    tenth a second (+20000). Identical vectors always share a cell
+    (cell election is a lattice-quantized argmax, ties to the lower
+    index), their pairwise cosine is ≥ threshold by construction,
+    and no cross-group pair can reach 0.95 (max base-pair cosine
+    measured ≤ 0.61 at every test SF) — so clusters are exactly the
+    copy groups, cluster_id = min member = the base vec_id, and the
+    keeper election (least centroid_sim, ties to smallest vec_id)
+    always elects the base copy because all members tie."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    ).unionByName(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+        )
+    )
+    out = semantic_dedup(corpus, threshold=0.95)  # n_centroids=None
+    return out.select("vec_id", "cluster_id", "is_keeper")
+
+
+@_register(
+    "d_semdedup_certify",
+    f"""
+WITH base AS ({_SQL_EX}),
+ex AS (
+  SELECT vec_id, pos, val FROM base
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, pos,
+         CASE WHEN pos = 1 THEN val * 0.875 ELSE val END AS val
+  FROM base WHERE vec_id % 5 = 0
+),
+n AS (
+  SELECT vec_id, sqrt(CAST(SUM(CAST(val * val AS DECIMAL(38,12))) AS DOUBLE))
+         AS nrm
+  FROM ex GROUP BY vec_id
+),
+d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(a.val * b.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex a JOIN ex b USING (pos)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, dot / (x.nrm * y.nrm) AS cosine,
+       TRUE AS cert_recall_ok
+FROM d JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+WHERE dot / (x.nrm * y.nrm) >= 0.95
+""",
+)
+def _q_semdedup_certify(spark, sf_dir):
+    """SemDeDup cross-cell RECALL certificate (the d_minhash_certify
+    pattern): the method's approximation is that pairs in DIFFERENT
+    k-means cells are never examined, and this gate quantifies it.
+    The corpus plants one near-duplicate per fifth vector (coordinate
+    1 scaled by 0.875 — exact in both engines: a 24-bit float mantissa
+    times 2^-3·7 stays ≤ 53 bits, so Spark's float→double·0.875 and
+    DuckDB's DOUBLE val·0.875 agree bitwise; planted cosines measured
+    ≥ 0.9989 at every SF while max non-planted cosine ≤ 0.61). TRUE
+    pairs come from the exact blocked all-pairs path (gate-scale
+    ground truth, decimal-verified); recall = fraction of true pairs
+    whose members share a cell under the PRODUCTION self-scaled cell
+    count, pinned ≥ 0.9 as a hash-covered verdict column the oracle
+    fixes at TRUE. The exact-cosine census is fully oracle-replayed.
+    Threshold-vs-cell-count tradeoff: SCALE.md round-10."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", dbl.alias("embedding"))
+    pert = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * 0.875).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert).localCheckpoint()
+    true_pairs = embedding_neardup_pairs(
+        corpus, threshold=0.95, strategy="blocked"
+    )
+    cells = semantic_dedup(corpus, threshold=0.95).select("vec_id", "cell")
+    j = (
+        true_pairs.join(
+            cells.select(
+                F.col("vec_id").alias("vec_a"), F.col("cell").alias("__ca")
+            ),
+            "vec_a",
+        )
+        .join(
+            cells.select(
+                F.col("vec_id").alias("vec_b"), F.col("cell").alias("__cb")
+            ),
+            "vec_b",
+        )
+        .localCheckpoint()
+    )
+    rec = j.agg(
+        F.avg((F.col("__ca") == F.col("__cb")).cast("double")).alias(
+            "__recall"
+        )
+    )
+    return j.crossJoin(F.broadcast(rec)).select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        (F.col("__recall") >= 0.9).alias("cert_recall_ok"),
+    )
+
+
+@_register(
     "s_embedding_clusters",
     f"""
 WITH RECURSIVE

@@ -1877,7 +1877,17 @@ def semantic_dedup(
                 _np.linalg.norm(X, axis=1, keepdims=True), 1e-12
             )
             sims = Xn @ CC.T
-            cell = _np.argmax(sims, axis=1)
+            # cell election runs on the SAME 2^-20 lattice as keeper
+            # election: a raw-float argmax would let BLAS
+            # batch-composition noise flip a near-equidistant vector
+            # between two cells across runs/partitionings (changing
+            # candidate pairs, hence clusters and keepers — exactly
+            # the noise class the lattice exists to defeat). Floor-
+            # quantize, then argmax with ties to the LOWER cell index
+            # (numpy argmax returns the first maximal index).
+            cell = _np.argmax(
+                _np.floor(sims * (1 << 20)).astype("int64"), axis=1
+            )
             best = sims[_np.arange(len(cell)), cell]
             yield _pd.DataFrame(
                 {

@@ -70,7 +70,20 @@ def parse_subtitles(doc: str) -> list[tuple[int, int, int, str]]:
         parts = re.split(r"\n\s*\n", body, maxsplit=1)
         header_block = parts[0]
         if any("-->" in ln for ln in header_block.split("\n")[1:]):
-            body = body.split("\n", 1)[1] if "\n" in body else ""
+            # glued cue: the header block itself contains a timecode.
+            # The header may ALSO carry metadata lines (Kind:,
+            # Language:) before the cue — drop everything up to the
+            # first timecode line, keeping at most ONE preceding
+            # non-metadata line as the cue identifier (metadata lines
+            # are "Key: value"-shaped; a real identifier is not).
+            hlines = body.split("\n")
+            ti = next(i for i, ln in enumerate(hlines) if "-->" in ln)
+            start = ti
+            if ti >= 2:
+                prev = hlines[ti - 1].strip()
+                if prev and not re.match(r"^[\w-]+:\s", prev):
+                    start = ti - 1
+            body = "\n".join(hlines[start:])
         else:
             body = parts[1] if len(parts) > 1 else ""
     out = []

@@ -49,23 +49,26 @@ def stage_delivery(src: str, land: str, tag: str) -> None:
         flat = [
             f for f in sorted(os.listdir(src)) if f.endswith(".parquet")
         ]
-        if not flat:
-            # NEVER stage zero files silently (the bug this function
-            # exists to prevent). A partitionBy() layout nests parts
-            # under key=value dirs whose NAMES carry the partition
-            # column — flat symlinks would silently drop that column,
-            # so that layout must be staged via a batch rewrite.
-            nested = any(
-                f.endswith(".parquet")
-                for _, _, fs in os.walk(src)
-                for f in fs
-            )
+        # NEVER drop rows silently (the bug this function exists to
+        # prevent). A partitionBy() layout nests parts under key=value
+        # dirs whose NAMES carry the partition column — flat symlinks
+        # would silently drop that column (and, in a MIXED layout,
+        # every nested partition's rows), so any nested part file
+        # forces the batch-rewrite path, whether or not flat part
+        # files also exist at the top level.
+        nested = any(
+            f.endswith(".parquet")
+            for root, _, fs in os.walk(src)
+            for f in fs
+            if os.path.abspath(root) != os.path.abspath(src)
+        )
+        if nested:
             raise ValueError(
                 f"partitioned parquet layout under {src!r}: stage via a "
                 "batch rewrite (partition values live in directory names)"
-                if nested
-                else f"no parquet part files under {src!r}"
             )
+        if not flat:
+            raise ValueError(f"no parquet part files under {src!r}")
         for i, f in enumerate(flat):
             os.symlink(
                 os.path.join(src, f),

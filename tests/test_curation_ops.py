@@ -625,7 +625,12 @@ def test_train_bpe_random_small_alphabet(spark):
     merges ('aa'+'a'), count ties, and merged-token/symbol collisions
     ('ab' the merge vs 'ab' the pair) — exactly the cases the batch
     safety rule (contiguous prefix, independence, strict-count trim)
-    must handle by shrinking the batch, never by reordering merges."""
+    must handle by shrinking the batch, never by reordering merges.
+    BOTH execution paths run per trial: the driver-vocab fast path
+    (the default at this vocab size) AND, with ``driver_vocab_max=0``,
+    the iterative Spark path whose ``_safe_merge_batch`` chain bound
+    is the rule under test — the fast path alone would leave the
+    batching rule with only hand-picked coverage."""
     import random
 
     from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
@@ -643,8 +648,13 @@ def test_train_bpe_random_small_alphabet(spark):
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
         )
+        ref = _ref_bpe(corpus, 8)
         got = textstats.train_bpe(docs, n_merges=8, batch_cap=4)
-        assert got == _ref_bpe(corpus, 8), (trial, corpus)
+        assert got == ref, (trial, corpus)
+        iterative = textstats.train_bpe(
+            docs, n_merges=8, batch_cap=4, driver_vocab_max=0
+        )
+        assert iterative == ref, (trial, corpus)
 
 
 def test_linear_score_planted_model(spark):

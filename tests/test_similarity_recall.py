@@ -373,3 +373,29 @@ def test_semantic_dedup_empty_input(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semantic_dedup(emb).count() == 0
+
+
+def test_semantic_dedup_partition_invariant_cells(spark, sf_dir):
+    """Cell election must be invariant to input partitioning: the
+    argmax now runs over 2^-20 lattice-quantized centroid sims (ties
+    to the lower cell index), so BLAS batch-composition noise — which
+    DOES vary with partitioning — cannot flip a near-equidistant
+    vector between cells (r10 review; keeper election already ran on
+    the lattice). Full (vec_id → cell, cluster, keeper) must match
+    across a 1-partition and a 13-partition run."""
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = catalog.table(spark, sf_dir, "embeddings")
+    runs = []
+    for nparts in (1, 13):
+        out = semantic_dedup(emb.repartition(nparts), 0.9, n_centroids=6)
+        runs.append(
+            {
+                r["vec_id"]: (r["cell"], r["cluster_id"], r["is_keeper"])
+                for r in out.collect()
+            }
+        )
+    assert runs[0] == runs[1]

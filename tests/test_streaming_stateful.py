@@ -4,6 +4,7 @@ must accumulate across micro-batches when files arrive incrementally."""
 
 from __future__ import annotations
 
+import pytest
 import shutil
 
 from pyspark.sql import functions as F
@@ -508,3 +509,38 @@ def test_stage_delivery_dir_and_file(spark, tmp_path):
         ).collect()[0]["count"]
         want = 2 * spark.read.parquet(src).count()
         assert got == want, (tag, got, want)
+
+
+def test_stage_delivery_mixed_layout_raises(spark, tmp_path):
+    """A MIXED source layout (flat part files at top level PLUS
+    nested key=value partition dirs) must refuse to stage, not stage
+    the flat files and silently drop the nested partitions' rows —
+    the same silent-row-loss class the function exists to prevent
+    (r10 review). Pure nested and pure flat keep their behavior."""
+    import os
+
+    src = str(tmp_path / "mixed")
+    # nested partitioned layout ...
+    spark.range(10).selectExpr("id", "id % 2 AS k").write.partitionBy(
+        "k"
+    ).parquet(src)
+    # ... plus a flat part file glued on top
+    flat_src = str(tmp_path / "flat_only")
+    spark.range(5).write.parquet(flat_src)
+    import glob
+
+    one = glob.glob(f"{flat_src}/part-*.parquet")[0]
+    import shutil
+
+    shutil.copy(one, os.path.join(src, "part-extra.parquet"))
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    with pytest.raises(ValueError, match="partitioned parquet layout"):
+        pipeline.stage_delivery(src, land, "d1")
+    assert os.listdir(land) == []  # nothing staged on refusal
+    # pure flat still stages
+    pipeline.stage_delivery(flat_src, land, "d2")
+    assert len(os.listdir(land)) == len(
+        glob.glob(f"{flat_src}/part-*.parquet")
+    )

@@ -94,3 +94,39 @@ def test_vtt_cue_glued_to_header_still_parses():
     # a PROPER header block (metadata, blank line) still skips whole
     doc2 = "WEBVTT\nKind: captions\n\n00:00:00.000 --> 00:00:01.000\nhi\n"
     assert len(parse_subtitles(doc2)) == 1
+
+
+def test_vtt_glued_cue_after_header_metadata():
+    """Glued cue preceded by header METADATA lines (no blank line
+    anywhere in the header): the metadata must be dropped, not
+    consumed as a cue identifier — and two metadata lines must not
+    turn the block into a torn-cue ValueError (r10 review)."""
+    # one metadata line: before the fix it became the cue identifier
+    doc = (
+        "WEBVTT\nKind: captions\n"
+        "00:00:00.000 --> 00:00:01.000\nhi\n\n"
+        "00:00:02.000 --> 00:00:03.000\nbye\n"
+    )
+    got = subtitles.parse_subtitles(doc)
+    assert [(s, e, t) for _, s, e, t in got] == [
+        (0, 1000, "hi"),
+        (2000, 3000, "bye"),
+    ]
+    # two metadata lines: before the fix lines[1] was 'Language: en'
+    # (not a timecode) and parsing raised on a file real players play
+    doc2 = (
+        "WEBVTT\nKind: captions\nLanguage: en\n"
+        "00:00:00.000 --> 00:00:01.000\nhi\n"
+    )
+    assert [(s, e, t) for _, s, e, t in subtitles.parse_subtitles(doc2)] == [
+        (0, 1000, "hi")
+    ]
+    # a real cue IDENTIFIER between metadata and timecode is kept
+    doc3 = (
+        "WEBVTT\nKind: captions\nintro-cue\n"
+        "00:00:00.000 --> 00:00:01.000\nhi\n"
+    )
+    assert subtitles.parse_subtitles(doc3) == [(1, 0, 1000, "hi")]
+    # integer identifier straight after WEBVTT (no metadata) is kept
+    doc4 = "WEBVTT\n7\n00:00:00.000 --> 00:00:01.000\nhi\n"
+    assert subtitles.parse_subtitles(doc4) == [(7, 0, 1000, "hi")]
