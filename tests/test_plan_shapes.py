@@ -852,3 +852,21 @@ def test_duplicate_payments_banded_join_and_planted_skew(spark):
         if dc <= 100_000 and dd <= 30:
             want.add((x, y, dc / 100.0, dd))
     assert got == want and len(want) > 100, (len(got), len(want))
+
+
+def test_chunk_documents_single_split(spark, sf_dir):
+    """chunk_documents must tokenize each document exactly ONCE:
+    aliasing the split in the same select as the explode left
+    Catalyst evaluating split(text) both inside the Generate's
+    sequence bound and in the downstream project (2 splits/row — no
+    CSE across the Generate boundary; measured 2.1x the operator's
+    wall at sf0.1, fixed r10 by projecting the token array first)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        curate,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    df = curate.chunk_documents(docs, chunk=64, stride=48)
+    plan = explain.plan_string(df)
+    assert plan.count("split(text") == 1, plan
+    assert "Generate explode" in plan, plan
