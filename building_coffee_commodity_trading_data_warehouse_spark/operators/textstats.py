@@ -1068,7 +1068,21 @@ def train_unigram(
     ``n_em`` Spark jobs over the vocabulary. Bit-identical to the
     pure-Python reference spec (pinned in tests): all score
     comparisons are bigint cross-multiplications, no floats
-    anywhere."""
+    anywhere.
+
+    Driver-memory contract (why there is no ``driver_vocab_max``
+    escape hatch like ``train_bpe``'s): BPE's driver fast path
+    collects the full (word, freq) CORPUS vocabulary — unbounded in
+    corpus size, hence the gated fallback. This trainer NEVER
+    collects the word vocabulary; the only driver materializations
+    are PIECE tables: the seed (``limit(n_seed)`` + one row per
+    distinct character) and each E-step's piece counts (keyed by the
+    current piece set, so ≤ the seed size by construction). Both are
+    ≤ ``vocab_size·seed_multiplier + |alphabet|`` rows — a few
+    thousand — at ANY corpus size; growing the corpus only grows the
+    distributed (word, freq) side. ``stats['driver_rows']`` reports
+    the largest collect actually taken (bound pinned in
+    tests/test_curation_ops.py::test_train_unigram_driver_rows_bounded)."""
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     words = (
@@ -1078,6 +1092,7 @@ def train_unigram(
     )
     seed = _unigram_seed(words, vocab_size * seed_multiplier, max_piece_len)
     pieces = {r["piece"]: int(r["c"]) for r in seed.collect()}
+    driver_rows = len(pieces)
     rounds = 0
     for _ in range(n_em):
         rounds += 1
@@ -1102,6 +1117,7 @@ def train_unigram(
             .agg(F.sum("c").alias("c"))
             .collect()
         )
+        driver_rows = max(driver_rows, len(used))
         new = {r["piece"]: int(r["c"]) for r in used}
         # single chars survive with zero count so every word stays
         # segmentable after any prune
@@ -1117,6 +1133,7 @@ def train_unigram(
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_pieces"] = len(kept)
+        stats["driver_rows"] = driver_rows
     return sorted(kept, key=lambda kv: (-kv[1], kv[0]))
 
 
