@@ -9482,22 +9482,93 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ==== round-9 order. STANDING POLICY (r6 verdict item 6): any
+    # ==== round-10 order. STANDING POLICY (r6 verdict item 6): any
     # round that edits a shared-helper module re-queues the gates
     # importing it ahead of the stale rotation. ====
-    # tier 1 — code changed in r9: ivf_index_search auto-routing to
-    # the distributed path (verdict item 4), and the five r8 ADVICE
-    # codec fixes (VP8L decode cap, certify empty-doc stats from true
-    # length, FLAC STREAMINFO min-block-size, ID3v2.4 footer strip,
-    # VTT header/NOTE/STYLE blocks). All re-verified repr-exact vs
-    # DuckDB through the driver contract in-session before commit.
+    # tier 1 — code changed in r10: semantic_dedup cell election
+    # moved onto the 2^-20 lattice (quantized argmax, ties low);
+    # chunk_documents single-split restructure (c_chunk_documents,
+    # c_pack_chunks, d_chunk_dedup consume it); subtitles glued-cue
+    # header-metadata fix; stage_delivery mixed-layout guard (the
+    # one gate that stages deliveries). All re-verified repr-exact
+    # vs DuckDB through the driver contract in-session.
+    "d_semdedup",
+    "c_chunk_documents",
+    "c_pack_chunks",
+    "d_chunk_dedup",
+    "m_subtitle_cues",
+    "st_dedup_stream",
+    # tier 2 — NEW this round: SemDeDup production-path gate
+    # (self-scaling √N cells on the cell-count-invariant
+    # identical-copies corpus) and the cross-cell recall
+    # certificate (d_minhash_certify pattern).
+    "d_semdedup_scaled",
+    "d_semdedup_certify",
+    # tier 3 — the 42 remaining r4-stale gates (r9 verdict item 4),
+    # oldest driver rows in the registry; all green locally every
+    # round (test_oracle_parity). With tiers 1-2 this fills the
+    # ~50-gate driver sample exactly; worst staleness becomes r5.
+    "a_cube",
+    "a_distinct_counts",
+    "a_global_counts",
+    "a_minmax_spread",
+    "a_rollup",
+    "a_union_aggregate",
+    "c_hash_sample",
+    "c_hash_split",
+    "c_quality_filter",
+    "c_temperature_mix",
+    "d_exact_dedup",
+    "d_neardup_clusters",
+    "d_simhash",
+    "e_audit_counts",
+    "e_normalize_battery",
+    "e_sentinel_nulls",
+    "f_date_functions",
+    "f_json_extract",
+    "f_scalar_battery",
+    "j_asof_quote",
+    "j_asof_tolerance",
+    "j_bucketed_join",
+    "j_salted_skew",
+    "m_compact_table",
+    "q_order_cadence",
+    "q_top_suppliers",
+    "s_embedding_clusters",
+    "s_embedding_neardup",
+    "s_knn_join",
+    "st_merge_stream",
+    "st_ohlcv_bars",
+    "st_session_windows",
+    "st_sliding_counts",
+    "st_static_enrich",
+    "st_stream_join",
+    "st_tumbling_counts",
+    "w_drawdown",
+    "w_ewma",
+    "w_ohlcv_bars",
+    "w_rolling_volatility",
+    "w_sessionize",
+    "w_time_range_mean",
+    # position 51+: t_unigram_segment (r10 change is a stats-only
+    # driver_rows counter, bit-identical path, pinned by pytest +
+    # in-session DuckDB verify), then the operators/similarity.py
+    # importers (standing shared-helper policy; the r10 edit is
+    # function-scoped to semantic_dedup._assign).
+    "t_unigram_segment",
+    "s_lsh_topk",
+    "s_ivf_topk",
+    "s_ivf_probeall",
+    "s_cosine_topk",
+    "s_pq_certified",
+    "s_mips_topk",
+    "s_sparse_cosine",
     "s_ivf_index",
     "s_ivf_distributed",
-    # tier 1 — code changed in r9 (this session): train_bpe grew the
-    # driver-vocab fast path (now the default execution path for
-    # vocab <= 200k) and _safe_merge_batch's self-pair rule became
-    # the floor(c/2) chain bound; both bit-identity-pinned in pytest
-    # and re-verified repr-exact vs DuckDB in-session.
+    "d_semantic_decontaminate",
+    "s_embedding_dimstats",
+    # ---- everything else, prior relative order preserved
+    # (registration/staleness order from earlier rounds).
     "t_bpe_encode",
     "t_bpe_pairs",
     "m_decode_webp",
@@ -9505,22 +9576,9 @@ _VERIFY_FIRST = [
     "m_audio_flac",
     "m_audio_resample",
     "m_id3_tags",
-    "m_subtitle_cues",
-    # tier 2 — NEW this round: the decode_audio gate (WAV + ID3-tagged
-    # FLAC containers through the production auto-sniff decode) and
-    # the substring-dedup CUT step (remove_repeated_spans) and the
-    # unigram-LM tokenizer (train_unigram + unigram_segment).
     "m_decode_audio",
     "d_span_removal",
-    "t_unigram_segment",
-    "d_semdedup",
-    # tier 1c — r9 session code changes in shared streaming staging
-    # (pipeline.stage_delivery: dir-aware delivery links + partition
-    # guard) — the two gates that stage deliveries re-verify first.
-    "st_dedup_stream",
     "st_dedup_jitter",
-    # tier 3 — the 31 r3-stale gates (r8 verdict item 2), oldest
-    # driver rows in the registry; all green locally every round.
     "a_funnel_steps",
     "a_grouping_sets",
     "a_mv_incremental",
@@ -9530,9 +9588,7 @@ _VERIFY_FIRST = [
     "a_retention_cohorts",
     "a_variance_stats",
     "c_curation_pipeline",
-    "c_pack_chunks",
     "c_stratified_sample",
-    "d_chunk_dedup",
     "f_array_battery",
     "f_string_battery2",
     "j_full_outer_reconcile",
@@ -9552,31 +9608,6 @@ _VERIFY_FIRST = [
     "w_frame_values",
     "w_gap_islands",
     "w_percentile_ranks",
-    # tier 1b — remaining operators/similarity.py importers (standing
-    # shared-helper policy; the r9 edit is function-scoped to
-    # ivf_index_search, but the module importers rotate first anyway).
-    "s_lsh_topk",
-    "s_ivf_topk",
-    "s_ivf_probeall",
-    "s_cosine_topk",
-    "s_pq_certified",
-    "s_mips_topk",
-    "s_knn_join",
-    "s_sparse_cosine",
-    # tier 4 fill — oldest r4-stale block, registration order.
-    "a_cube",
-    "a_distinct_counts",
-    "a_global_counts",
-    "a_minmax_spread",
-    "a_rollup",
-    "a_union_aggregate",
-    "c_chunk_documents",
-    "c_hash_sample",
-    "c_hash_split",
-    "c_quality_filter",
-    # ---- position 59+: everything else, prior relative order
-    # preserved (registration/staleness order from earlier rounds;
-    # t_bpe_pairs/t_bpe_encode moved to tier 1 this round).
     "w_holt_smoothing",
     "w_rolling_quartiles",
     "w_forecast_intervals",
@@ -9617,11 +9648,6 @@ _VERIFY_FIRST = [
     "j_star_join",
     "j_roleplay_nation",
     "s_topk_per_group",
-    "w_sessionize",
-    "w_ewma",
-    "w_drawdown",
-    "w_ohlcv_bars",
-    "w_rolling_volatility",
     "q_duplicate_payments",
     "w_cusum",
     "st_cusum",
@@ -9659,33 +9685,6 @@ _VERIFY_FIRST = [
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
-    "f_scalar_battery",
-    "f_date_functions",
-    "f_json_extract",
-    "d_exact_dedup",
-    "d_simhash",
-    "d_neardup_clusters",
-    "s_embedding_neardup",
-    "s_embedding_clusters",
-    "e_normalize_battery",
-    "e_sentinel_nulls",
-    "e_audit_counts",
-    "st_ohlcv_bars",
-    "st_tumbling_counts",
-    "st_sliding_counts",
-    "st_session_windows",
-    "st_merge_stream",
-    "j_salted_skew",
-    "m_compact_table",
-    "st_stream_join",
-    "j_asof_quote",
-    "w_time_range_mean",
-    "j_asof_tolerance",
-    "st_static_enrich",
-    "q_top_suppliers",
-    "q_order_cadence",
-    "j_bucketed_join",
-    "c_temperature_mix",
     "d_ngram_jaccard",
     "d_incremental_dedup",
     "d_minhash_certify",
@@ -9699,7 +9698,6 @@ _VERIFY_FIRST = [
     "q_large_orders",
     "q_bracket_revenue",
     "q_dormant_customers",
-    "d_semantic_decontaminate",
     "t_bigram_counts",
     "a_approx_distinct",
     "f_pandas_udf_sql",
@@ -9766,7 +9764,6 @@ _VERIFY_FIRST = [
     "q_product_profit",
     "q_promo_revenue",
     "q_shipmode_priority",
-    "s_embedding_dimstats",
     "st_histogram",
     "st_leaderboard",
     "st_left_join",
