@@ -4500,6 +4500,106 @@ def _q_bpe_pairs(spark, sf_dir):
     return textstats.bpe_pair_counts(_t(spark, sf_dir, "documents"), topn=100)
 
 
+@_register(
+    "t_wordpiece_pairs",
+    f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+sy AS (
+  SELECT freq,
+         CASE WHEN i = 1 THEN substr(word, 1, 1)
+              ELSE '##' || substr(word, CAST(i AS INT), 1) END AS sym
+  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i
+        FROM words)
+),
+sc AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS c FROM sy GROUP BY sym),
+pr AS (
+  SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+              ELSE '##' || substr(word, CAST(i AS INT), 1) END AS l,
+         '##' || substr(word, CAST(i + 1 AS INT), 1) AS r,
+         freq
+  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i FROM words)
+),
+pc AS (
+  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM pr GROUP BY l, r
+),
+s AS (
+  SELECT pc.l, pc.r, pair_count, a.c AS l_count, b.c AS r_count,
+         CAST(pair_count AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS score
+  FROM pc JOIN sc a ON pc.l = a.sym JOIN sc b ON pc.r = b.sym
+)
+SELECT l, r, pair_count, l_count, r_count, score, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, l, r) AS BIGINT)
+            AS rk
+  FROM s
+) WHERE rk <= 100
+""",
+)
+def _q_wordpiece_pairs(spark, sf_dir):
+    """First WordPiece-trainer iteration (Schuster & Nakajima 2012,
+    the BERT tokenizer family): adjacent ##-marked symbol pairs
+    scored by the likelihood ratio count(pair)/(count(l)·count(r)) —
+    the rule separating WordPiece from BPE's raw-count argmax —
+    top-100 by (score desc, l, r). All counts are exact bigints; the
+    score is ONE correctly-rounded division of identical integers on
+    both engines (no ln, the t_tfidf rule), so the ranking is
+    hash-exact. The iterated trainer (textstats.train_wordpiece,
+    exact-Fraction argmax, driver ≡ iterative paths) is pytest-pinned
+    against an independent recompute-from-scratch reference."""
+    return textstats.wordpiece_pair_scores(
+        _t(spark, sf_dir, "documents"), topn=100
+    )
+
+
+@_register(
+    "t_wordpiece_encode",
+    f"""
+WITH words AS (
+  SELECT lang, tok AS word, COUNT(*) AS freq
+  FROM (SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS n_tokens,
+       CAST(SUM(freq * length(word)) AS BIGINT) AS n_chars,
+       TRUE AS cert_roundtrip, TRUE AS cert_known, TRUE AS cert_greedy,
+       TRUE AS cert_no_unk, TRUE AS cert_bounds
+FROM words GROUP BY lang
+""",
+)
+def _q_wordpiece_encode(spark, sf_dir):
+    """End-to-end WordPiece tokenizer: fit 6 likelihood-ratio merges
+    (train_wordpiece) and segment by greedy longest-match-first with
+    ## continuations (wordpiece_encode, Arrow-batched over the
+    vocab). Hash-covered contract (the t_bpe_encode pattern): the
+    per-lang vocabulary census is oracle-exact; roundtrip, known,
+    INDEPENDENTLY-rechecked greedy maximality, no-UNK-on-train-corpus
+    (the alphabet ships with the vocab), and piece-count bounds pin
+    to literal TRUE. Exact segmentations are pytest-pinned against an
+    independent Python encoder."""
+    docs = _t(spark, sf_dir, "documents")
+    pieces = textstats.train_wordpiece(docs, n_merges=6)
+    enc = textstats.wordpiece_encode(docs, pieces, by="lang")
+    n_sub = F.col("n_pieces")
+    n_chr = F.length("word")
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum((F.col("freq") * n_chr).cast("long")).alias("n_chars"),
+        F.bool_and("cert_roundtrip").alias("cert_roundtrip"),
+        F.bool_and("cert_known").alias("cert_known"),
+        F.bool_and("cert_greedy").alias("cert_greedy"),
+        F.bool_and(~F.col("is_unk")).alias("cert_no_unk"),
+        F.bool_and((n_sub >= 1) & (n_sub <= n_chr)).alias("cert_bounds"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -9487,23 +9587,26 @@ _VERIFY_FIRST = [
     # importing it ahead of the stale rotation. ====
     # tier 1 — code changed in r10: semantic_dedup cell election
     # moved onto the 2^-20 lattice (quantized argmax, ties low);
-    # chunk_documents single-split restructure (c_chunk_documents,
-    # c_pack_chunks, d_chunk_dedup consume it); subtitles glued-cue
-    # header-metadata fix; stage_delivery mixed-layout guard (the
-    # one gate that stages deliveries). All re-verified repr-exact
-    # vs DuckDB through the driver contract in-session.
+    # chunk_documents single-split restructure (the directly-changed
+    # operator rotates here; its two consumer gates queue at 51+ —
+    # they are r9-fresh, in-session driver-contract verified, and the
+    # change is plan-shape-only, row-identity pinned); subtitles
+    # glued-cue header-metadata fix; stage_delivery mixed-layout
+    # guard (the one gate that stages deliveries). All re-verified
+    # repr-exact vs DuckDB through the driver contract in-session.
     "d_semdedup",
     "c_chunk_documents",
-    "c_pack_chunks",
-    "d_chunk_dedup",
     "m_subtitle_cues",
     "st_dedup_stream",
     # tier 2 — NEW this round: SemDeDup production-path gate
     # (self-scaling √N cells on the cell-count-invariant
-    # identical-copies corpus) and the cross-cell recall
-    # certificate (d_minhash_certify pattern).
+    # identical-copies corpus), the cross-cell recall certificate
+    # (d_minhash_certify pattern), and the WordPiece tokenizer pair
+    # (likelihood-ratio scored pairs + end-to-end encode census).
     "d_semdedup_scaled",
     "d_semdedup_certify",
+    "t_wordpiece_pairs",
+    "t_wordpiece_encode",
     # tier 3 — the 42 remaining r4-stale gates (r9 verdict item 4),
     # oldest driver rows in the registry; all green locally every
     # round (test_oracle_parity). With tiers 1-2 this fills the
@@ -9550,11 +9653,14 @@ _VERIFY_FIRST = [
     "w_rolling_volatility",
     "w_sessionize",
     "w_time_range_mean",
-    # position 51+: t_unigram_segment (r10 change is a stats-only
+    # position 51+: the chunk_documents consumer gates (see tier-1
+    # note), t_unigram_segment (r10 change is a stats-only
     # driver_rows counter, bit-identical path, pinned by pytest +
     # in-session DuckDB verify), then the operators/similarity.py
     # importers (standing shared-helper policy; the r10 edit is
     # function-scoped to semantic_dedup._assign).
+    "c_pack_chunks",
+    "d_chunk_dedup",
     "t_unigram_segment",
     "s_lsh_topk",
     "s_ivf_topk",

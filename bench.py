@@ -98,6 +98,9 @@ HEADLINE = [
     # that must regress loudly (r9 verdict item 1: the fixed-cell
     # config is the one the x100 study proved per-cell-quadratic).
     "d_semdedup_prod",
+    # round-10: the WordPiece family's hot half (scored pair table —
+    # two vocab-sized aggregates + two joins + one global top-100).
+    "t_wordpiece_pairs",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"

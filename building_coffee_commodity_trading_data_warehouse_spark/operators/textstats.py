@@ -1200,3 +1200,434 @@ def unigram_segment(
         "word string, freq long, n_pieces int, pieces string, "
         "cert_roundtrip boolean, cert_known boolean, cert_local_opt boolean",
     )
+
+
+# ------------------------------------------------------------- wordpiece
+
+_WP_SYMS_EXPR = (
+    "transform(sequence(1, char_length(word)), i -> CASE WHEN i = 1 "
+    "THEN substring(word, 1, 1) "
+    "ELSE concat('##', substring(word, i, 1)) END)"
+)
+
+
+def _wp_merged(left: str, right: str) -> str:
+    """WordPiece merged token: the right symbol's continuation marker
+    folds away (non-initial symbols are ALWAYS ##-prefixed — initial
+    merges mint unmarked tokens, continuation merges keep the left
+    symbol's ## prefix)."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def wordpiece_pair_scores(
+    documents: DataFrame,
+    topn: int | None = None,
+    words_df: DataFrame | None = None,
+) -> DataFrame:
+    """First WordPiece-trainer iteration (Schuster & Nakajima 2012 —
+    the BERT tokenizer family): adjacent-symbol pairs over the
+    ##-marked character sequences, scored by the likelihood ratio
+    count(pair) / (count(left) · count(right)) — the rule that
+    separates WordPiece from BPE's raw-count argmax.
+
+    Same 100 TB shape as ``bpe_pair_counts``: the corpus collapses to
+    the (word, freq) VOCABULARY first (the only corpus-sized
+    shuffle); symbol marking, pair extraction, and both count
+    aggregates are vocab-sized in-row transforms + grouped sums, all
+    JVM. The score divides exact bigint counts as one double — both
+    engines' correctly-rounded division of identical integers, so the
+    ranking is oracle-replayable (no ln anywhere, the t_tfidf rule).
+    """
+    words = word_vocab(documents) if words_df is None else words_df
+    syms = words.select("freq", F.expr(_WP_SYMS_EXPR).alias("syms"))
+    pair_counts = (
+        syms.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS l, "
+                    "element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    sym_counts = (
+        syms.select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("c"))
+    )
+    scored = (
+        pair_counts.join(
+            sym_counts.select(
+                F.col("sym").alias("l"), F.col("c").alias("l_count")
+            ),
+            "l",
+        )
+        .join(
+            sym_counts.select(
+                F.col("sym").alias("r"), F.col("c").alias("r_count")
+            ),
+            "r",
+        )
+        .select(
+            "l",
+            "r",
+            "pair_count",
+            "l_count",
+            "r_count",
+            (
+                F.col("pair_count").cast("double")
+                / (F.col("l_count") * F.col("r_count")).cast("double")
+            ).alias("score"),
+        )
+    )
+    if topn is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("score").desc(), "l", "r")
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= topn)
+        )
+    return scored
+
+
+def _driver_wordpiece(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Exact sequential WordPiece over a collected (word, freq)
+    vocabulary with incremental pair/symbol-count maintenance. Score
+    comparisons are EXACT rationals (Fraction — bigint cross-
+    multiplication under the hood), ties (l, r) ascending; merges
+    apply leftmost-first non-overlapping, the BPE convention."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    def mark(w: str) -> list[str]:
+        return [w[0]] + ["##" + ch for ch in w[1:]]
+
+    words: list[tuple[list[str], int]] = [(mark(w), f) for w, f in vocab]
+    pair_counts: Counter = Counter()
+    sym_counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wi, (syms, f) in enumerate(words):
+        for s in syms:
+            sym_counts[s] += f
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            index[p].add(wi)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and pair_counts:
+        best = min(
+            pair_counts.items(),
+            key=lambda kv: (
+                -Fraction(kv[1], sym_counts[kv[0][0]] * sym_counts[kv[0][1]]),
+                kv[0],
+            ),
+        )[0]
+        merges.append(best)
+        left, right = best
+        merged = _wp_merged(left, right)
+        for wi in list(index.get(best, ())):
+            syms, f = words[wi]
+            old_p = Counter(zip(syms, syms[1:]))
+            old_s = Counter(syms)
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_p = Counter(zip(res, res[1:]))
+            new_s = Counter(res)
+            words[wi] = (res, f)
+            for s in old_s.keys() | new_s.keys():
+                d = (new_s[s] - old_s[s]) * f
+                if d:
+                    sym_counts[s] += d
+                    if sym_counts[s] <= 0:
+                        del sym_counts[s]
+            for p in old_p.keys() | new_p.keys():
+                d = (new_p[p] - old_p[p]) * f
+                if d:
+                    pair_counts[p] += d
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                if new_p[p]:
+                    index[p].add(wi)
+                else:
+                    index[p].discard(wi)
+    return merges
+
+
+def train_wordpiece(
+    documents: DataFrame,
+    n_merges: int = 10,
+    stats: dict | None = None,
+    driver_vocab_max: int = 200_000,
+    rerank_window: int = 64,
+) -> list[str]:
+    """WordPiece vocabulary training — the third production tokenizer
+    family next to ``train_bpe`` (raw-count argmax) and
+    ``train_unigram`` (Viterbi-EM prune): repeatedly merge the
+    adjacent symbol pair maximizing count(pair) /
+    (count(left)·count(right)), leftmost-first in every word.
+    Returns the PIECE list a tokenizer ships: the corpus alphabet
+    (word-initial chars + ## continuations, sorted) followed by the
+    minted merge tokens in merge order.
+
+    ONE merge per round, by design: unlike BPE — where a batch of
+    symbol-disjoint top pairs is provably order-independent
+    (``_safe_merge_batch``) — the WordPiece score couples EVERY pair
+    through its denominator: merging (a, b) lowers count(a) and
+    count(b), which RAISES the score of every other pair touching a
+    or b, so no contiguous-prefix independence argument transfers.
+
+    Distributed shape mirrors ``train_bpe``: the corpus collapses to
+    the (word, freq) vocabulary once; the driver fast path collects
+    it (same bounded ``driver_vocab_max`` probe + contract) and runs
+    the exact incremental trainer; the iterative path keeps symbol
+    sequences as vocab-sized array rows — each round is one pair
+    aggregate + one symbol aggregate, a ``limit(rerank_window)``
+    driver fetch ordered by the double score, an EXACT Fraction
+    re-rank of that window (double ordering alone could misrank
+    scores closer than one ulp; any exact-max pair lies within 1 ulp
+    of the double max, so it is inside the window unless
+    ``rerank_window`` pairs tie there — raise the window for
+    pathological corpora), and one in-row fold applying the merge.
+    """
+    words_vocab = word_vocab(documents).localCheckpoint()
+    if driver_vocab_max:
+        probe = words_vocab.limit(driver_vocab_max + 1).count()
+        if probe <= driver_vocab_max:
+            vocab = [(r["word"], r["freq"]) for r in words_vocab.collect()]
+            merges = _driver_wordpiece(vocab, n_merges)
+            alphabet = sorted(
+                {
+                    s
+                    for w, _ in vocab
+                    for s in ([w[0]] + ["##" + ch for ch in w[1:]])
+                }
+            )
+            if stats is not None:
+                stats["rounds"] = 1
+                stats["path"] = "driver"
+                stats["n_merges"] = len(merges)
+            return alphabet + [_wp_merged(l, r) for l, r in merges]
+    if stats is not None:
+        stats["path"] = "iterative"
+    from fractions import Fraction
+
+    words = words_vocab.select(
+        F.expr(_WP_SYMS_EXPR).alias("syms"), "freq"
+    ).localCheckpoint()
+    alphabet = sorted(
+        r["sym"]
+        for r in words.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .collect()
+    )
+    merges: list[tuple[str, str]] = []
+    rounds = 0
+    while len(merges) < n_merges:
+        pair_counts = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        sym_counts = (
+            words.select("freq", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("sc"))
+        )
+        top = (
+            pair_counts.join(
+                sym_counts.select(
+                    F.col("sym").alias("l"), F.col("sc").alias("lc")
+                ),
+                "l",
+            )
+            .join(
+                sym_counts.select(
+                    F.col("sym").alias("r"), F.col("sc").alias("rc")
+                ),
+                "r",
+            )
+            .orderBy(
+                (
+                    F.col("c").cast("double")
+                    / (F.col("lc") * F.col("rc")).cast("double")
+                ).desc(),
+                "l",
+                "r",
+            )
+            .limit(rerank_window)
+            .collect()
+        )
+        rounds += 1
+        if not top:
+            break
+        best = min(
+            top,
+            key=lambda r: (
+                -Fraction(int(r["c"]), int(r["lc"]) * int(r["rc"])),
+                (r["l"], r["r"]),
+            ),
+        )
+        left, right = best["l"], best["r"]
+        merges.append((left, right))
+        merged = _wp_merged(left, right)
+        words = words.select(
+            F.expr(
+                "aggregate(syms, CAST(array() AS array<string>), (acc, x) "
+                f"-> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = "
+                f"{_sql_str(left)} AND x = {_sql_str(right)} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array({_sql_str(merged)})) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_merges"] = len(merges)
+    return alphabet + [_wp_merged(l, r) for l, r in merges]
+
+
+def wordpiece_encode(
+    documents: DataFrame,
+    pieces: list[str],
+    by: str | None = None,
+    unk_token: str = "[UNK]",
+    words_df: DataFrame | None = None,
+) -> DataFrame:
+    """Segment the corpus vocabulary with a trained WordPiece table:
+    greedy longest-match-first (the BERT tokenizer), non-initial
+    positions matching ## pieces; a word with any unmatchable
+    position collapses to ``unk_token``. One row per distinct word
+    (optionally per string ``by`` stratum) with freq, piece count,
+    joined pieces, and CERTIFICATES in the t_bpe_encode pattern:
+    roundtrip (pieces re-concatenate to the word, ## stripped),
+    known (every piece in the table), greedy (INDEPENDENTLY
+    re-checked: no LONGER table piece matches at any chosen
+    position), is_unk.
+
+    Scale: corpus → (word, freq) vocabulary first; the matcher is an
+    Arrow-batched ``mapInPandas`` over vocab-sized rows with the
+    piece set a broadcast Python set (piece tables are
+    vocab-size-bounded) — nothing corpus-sized in Python."""
+    piece_set = set(pieces)
+    mx = max((len(p) for p in pieces), default=1)
+
+    def _seg(batches, _v=piece_set, _m=mx, _u=unk_token):
+        import pandas as pd
+
+        def match(word):
+            out, i, n = [], 0, len(word)
+            while i < n:
+                hit = None
+                for ln in range(min(_m, n - i), 0, -1):
+                    cand = word[i : i + ln] if i == 0 else "##" + word[i : i + ln]
+                    if cand in _v:
+                        hit = cand
+                        i += ln
+                        break
+                if hit is None:
+                    return None
+                out.append(hit)
+            return out
+
+        for pdf in batches:
+            rows = []
+            keys = [c for c in pdf.columns if c not in ("word", "freq")]
+            for tup in pdf.itertuples(index=False):
+                word, freq = tup.word, tup.freq
+                seq = match(word)
+                if seq is None:
+                    rows.append(
+                        tuple(getattr(tup, k) for k in keys)
+                        + (word, int(freq), 1, _u, True, True, True, True)
+                    )
+                    continue
+                rebuilt = seq[0] + "".join(p[2:] for p in seq[1:])
+                greedy = True
+                pos = 0
+                for p in seq:
+                    plain = p if pos == 0 else p[2:]
+                    for ln in range(
+                        min(_m, len(word) - pos), len(plain), -1
+                    ):
+                        cand = (
+                            word[pos : pos + ln]
+                            if pos == 0
+                            else "##" + word[pos : pos + ln]
+                        )
+                        if cand in _v:
+                            greedy = False
+                    pos += len(plain)
+                rows.append(
+                    tuple(getattr(tup, k) for k in keys)
+                    + (
+                        word,
+                        int(freq),
+                        len(seq),
+                        " ".join(seq),
+                        rebuilt == word,
+                        all(p in _v for p in seq),
+                        greedy,
+                        False,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=keys
+                + [
+                    "word",
+                    "freq",
+                    "n_pieces",
+                    "pieces",
+                    "cert_roundtrip",
+                    "cert_known",
+                    "cert_greedy",
+                    "is_unk",
+                ],
+            )
+
+    keys = [by] if by else []
+    if words_df is not None:
+        words = words_df
+    else:
+        words = (
+            documents.select(*keys, F.explode(_tokens()).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy(*keys, "word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+    key_schema = "".join(f"{k} string, " for k in keys)
+    return words.mapInPandas(
+        _seg,
+        f"{key_schema}word string, freq long, n_pieces int, pieces string, "
+        "cert_roundtrip boolean, cert_known boolean, cert_greedy boolean, "
+        "is_unk boolean",
+    )
