@@ -4600,6 +4600,84 @@ def _q_wordpiece_encode(spark, sf_dir):
     )
 
 
+def _lm_oracle_sql() -> str:
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        duckdb_ilog2_q20,
+    )
+
+    toks = f"list_filter({_SQL_TOKS}, x -> x <> '')"
+    t_c2 = duckdb_ilog2_q20("coalesce(c2, 0) + 1")
+    t_c1 = duckdb_ilog2_q20("coalesce(c1, 0) + V")
+    return f"""
+WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+rtoks AS (
+  SELECT unnest({toks}) AS w FROM ref
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM rtoks GROUP BY w),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM uni),
+rpairs AS (
+  SELECT toks[CAST(i AS INT)] AS prev, toks[CAST(i + 1 AS INT)] AS cur
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM (SELECT {toks} AS toks FROM ref))
+),
+big AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM rpairs GROUP BY 1, 2
+),
+dpairs AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS prev,
+         toks[CAST(i + 1 AS INT)] AS cur
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM (SELECT doc_id, {toks} AS toks FROM documents))
+),
+terms AS (
+  SELECT doc_id, {t_c2} - {t_c1} AS term_q
+  FROM dpairs
+  LEFT JOIN big USING (prev, cur)
+  LEFT JOIN uni ON dpairs.prev = uni.w
+  CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(term_q) AS BIGINT) AS lm_score_q
+  FROM terms GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, lm_score_q,
+         CAST(lm_score_q AS DOUBLE) / n_bigrams AS avg_lm_score
+  FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+),
+rk AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY avg_lm_score DESC, doc_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM scored WHERE n_bigrams > 0
+)
+SELECT s.doc_id, s.n_bigrams, s.lm_score_q, s.avg_lm_score,
+       CAST(coalesce(1 + ((r - 1) * 3) // n, 3) AS INT) AS ppl_bucket,
+       coalesce(1 + ((r - 1) * 3) // n, 3) < 3 AS keep
+FROM scored s LEFT JOIN rk ON s.doc_id = rk.doc_id
+"""
+
+
+@_register("t_lm_quality", _lm_oracle_sql())
+def _q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): a
+    Laplace-smoothed bigram LM trained on the ENGLISH reference
+    slice scores every document (mean per-bigram log-probability),
+    ranks them with the bucketed distributed rank, and cuts
+    head/middle/tail tiers — keep = not the tail, the CCNet rule.
+    The non-English docs exercise the pure-smoothing OOV path.
+    Every log is the integer-exact 2^-20 bit-length lattice
+    (textstats._sql_ilog2_q20 / duckdb_ilog2_q20 — no libm log2
+    whose last-ulp could tie-split a floor), so scores, buckets,
+    and keep flags are hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_lm_scores(
+        docs, reference=docs.filter(F.col("lang") == "en"), buckets=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -9653,12 +9731,17 @@ _VERIFY_FIRST = [
     "w_rolling_volatility",
     "w_sessionize",
     "w_time_range_mean",
-    # position 51+: the chunk_documents consumer gates (see tier-1
+    # position 51+: t_lm_quality (NEWEST gate this round — the 42
+    # r4-stale rotations outrank a fifth first-row slot in the ~50
+    # sample; it is pytest-pinned + in-session DuckDB-verified and
+    # rotates first in r11 if the sample cuts at 50), the
+    # chunk_documents consumer gates (see tier-1
     # note), t_unigram_segment (r10 change is a stats-only
     # driver_rows counter, bit-identical path, pinned by pytest +
     # in-session DuckDB verify), then the operators/similarity.py
     # importers (standing shared-helper policy; the r10 edit is
     # function-scoped to semantic_dedup._assign).
+    "t_lm_quality",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

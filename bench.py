@@ -99,8 +99,11 @@ HEADLINE = [
     # config is the one the x100 study proved per-cell-quadratic).
     "d_semdedup_prod",
     # round-10: the WordPiece family's hot half (scored pair table —
-    # two vocab-sized aggregates + two joins + one global top-100).
+    # two vocab-sized aggregates + two joins + one global top-100)
+    # and the CCNet LM quality cut (corpus bigram explode + two LM
+    # joins + per-doc re-aggregate + distributed rank).
     "t_wordpiece_pairs",
+    "t_lm_quality",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"

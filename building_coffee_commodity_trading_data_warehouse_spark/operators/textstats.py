@@ -1631,3 +1631,161 @@ def wordpiece_encode(
         "cert_roundtrip boolean, cert_known boolean, cert_greedy boolean, "
         "is_unk boolean",
     )
+
+
+# ----------------------------------------------------- bigram LM quality
+
+# integer-exact 2^-20-lattice binary logarithm of a positive BIGINT:
+# floor(log2 k) from the bit length plus linear mantissa interpolation
+# between powers of two — monotone in k, max |err vs log2| ~0.086,
+# PURE integer ops, so both engines replay it bit-for-bit (the
+# log-free idiom of t_tvd/t_tfidf, extended to LM scoring where a
+# libm log2 could tie-split the lattice floor by one ulp).
+def _sql_ilog2_q20(k: str) -> str:
+    """Spark SQL fragment (bin() bit length + shiftleft + DIV)."""
+    e = f"(length(bin({k})) - 1)"
+    p = f"shiftleft(CAST(1 AS BIGINT), {e})"
+    return (
+        f"(CAST({e} AS BIGINT) * 1048576 + "
+        f"(({k}) - {p}) * 1048576 DIV {p})"
+    )
+
+
+def duckdb_ilog2_q20(k: str) -> str:
+    """The same lattice log as a DuckDB fragment (printf('%b') bit
+    length + << + //) — exported so oracle SQL replays the scorer."""
+    e = f"(length(printf('%b', {k})) - 1)"
+    p = f"(CAST(1 AS BIGINT) << {e})"
+    return (
+        f"(CAST({e} AS BIGINT) * 1048576 + "
+        f"(({k}) - {p}) * 1048576 // {p})"
+    )
+
+
+def _adjacent_token_pairs(df: DataFrame, *keys: str) -> DataFrame:
+    """(prev, cur) whitespace-token bigrams per row, empty tokens
+    dropped. The token array is PROJECTED FIRST (the chunk_documents
+    r10 lesson: an alias in the same select as the explode leaves
+    Catalyst re-splitting inside the Generate bound)."""
+    toks = df.select(
+        *keys, F.filter(_tokens(), lambda x: x != F.lit("")).alias("_toks")
+    )
+    return toks.filter(F.size("_toks") >= 2).select(
+        *keys,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(element_at(_toks, i) AS prev, "
+                "element_at(_toks, i + 1) AS cur))"
+            )
+        ).alias("_p"),
+    ).select(*keys, "_p.prev", "_p.cur")
+
+
+def bigram_lm_scores(
+    documents: DataFrame,
+    reference: DataFrame | None = None,
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.
+    2020 — the curation step that buckets a crawl into head/middle/
+    tail by LM fit against a trusted reference corpus): train a
+    Laplace-smoothed bigram LM on ``reference`` (p(cur|prev) =
+    (c2+1)/(c1+V)), score every document by its mean per-bigram
+    log-probability, rank, and cut into ``buckets`` tiers (1 = best
+    fit; ``keep`` = not the worst tier, CCNet's head+middle).
+
+    Determinism contract: every log is the integer-exact lattice
+    ``_sql_ilog2_q20`` (bit-length + linear mantissa, 2^-20 units) —
+    term_q = ilog(c2+1) − ilog(c1+V), all bigint; the only double is
+    the final mean (one correctly-rounded division of identical
+    integers), so a SQL oracle replays scores, buckets, and keep
+    flags bit-for-bit (``duckdb_ilog2_q20`` is the oracle-side twin).
+    OOV tokens and unseen bigrams fall out of the left joins as
+    c=0 — exactly Laplace smoothing, no special cases.
+
+    Scale shape: reference collapses to vocab-sized unigram/bigram
+    count tables (map-side combinable aggregates); scoring is the
+    corpus bigram explode joined against those tables on their keys
+    (shuffle joins — the LM tables are Heaps-bounded but can exceed
+    broadcast size at 100 TB) and ONE per-doc re-aggregate; the
+    global tier cut reuses the bucketed distributed rank
+    (plans/analytics._global_ntile_rank — never an
+    empty-partitionBy window). Docs with <2 tokens score NULL and
+    land in the worst tier, keep=false.
+
+    Returns (doc_id, n_bigrams, lm_score_q, avg_lm_score,
+    ppl_bucket, keep)."""
+    from ..plans.analytics import _global_ntile_rank
+
+    ref = documents if reference is None else reference
+    rt = ref.select(F.explode(_tokens()).alias("w")).filter(
+        F.col("w") != ""
+    )
+    uni = rt.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vrow = uni.agg(F.count(F.lit(1)).alias("__V"))
+    big = (
+        _adjacent_token_pairs(ref)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    terms = (
+        _adjacent_token_pairs(documents, "doc_id")
+        .join(big, ["prev", "cur"], "left")
+        .join(
+            uni.select(F.col("w").alias("prev"), "c1"), "prev", "left"
+        )
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "doc_id",
+            F.expr(
+                f"{_sql_ilog2_q20('coalesce(c2, 0) + 1')} - "
+                f"{_sql_ilog2_q20('coalesce(c1, 0) + __V')}"
+            ).alias("term_q"),
+        )
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("term_q").alias("lm_score_q"),
+    )
+    scored = (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score_q",
+            (
+                F.col("lm_score_q").cast("double") / F.col("n_bigrams")
+            ).alias("avg_lm_score"),
+        )
+    )
+    rankable = scored.filter(F.col("n_bigrams") > 0)
+    n_row = rankable.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        _global_ntile_rank(
+            rankable, "avg_lm_score", "doc_id", "__rk", ascending=False
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            # integer DIV, not double /: the tier formula must be
+            # exact at any rank magnitude (and oracle-replayable)
+            F.expr(
+                f"CAST(1 + ((__rk - 1) * {int(buckets)}) DIV __n AS INT)"
+            ).alias("ppl_bucket"),
+        )
+    )
+    return (
+        scored.join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lm_score_q",
+            "avg_lm_score",
+            F.coalesce("ppl_bucket", F.lit(buckets)).alias("ppl_bucket"),
+            (F.coalesce("ppl_bucket", F.lit(buckets)) < buckets).alias(
+                "keep"
+            ),
+        )
+    )

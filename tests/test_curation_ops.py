@@ -1372,3 +1372,126 @@ def test_wordpiece_greedy_cert_catches_non_greedy_table(spark):
     out = textstats.wordpiece_encode(docs, pieces).collect()[0]
     # greedy longest-match: 'ab' + '##c', never 'a' + '##bc'
     assert out["pieces"] == "ab ##c" and out["cert_greedy"]
+
+
+# ----------------------------------------------------- bigram LM quality
+
+
+def _ref_ilog2_q20(k: int) -> int:
+    e = k.bit_length() - 1
+    return e * (1 << 20) + ((k - (1 << e)) * (1 << 20)) // (1 << e)
+
+
+def _ref_lm_scores(corpus, ref_corpus, buckets=3):
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", t) if w]
+
+    uni, big = Counter(), Counter()
+    for _, t in ref_corpus:
+        ws = toks(t)
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    V = len(uni)
+    out = {}
+    for doc_id, t in corpus:
+        ws = toks(t)
+        pairs = list(zip(ws, ws[1:]))
+        q = sum(
+            _ref_ilog2_q20(big.get(p, 0) + 1)
+            - _ref_ilog2_q20(uni.get(p[0], 0) + V)
+            for p in pairs
+        )
+        out[doc_id] = (len(pairs), q if pairs else None)
+    scored = sorted(
+        ((q / n, d) for d, (n, q) in out.items() if n),
+        key=lambda x: (-x[0], x[1]),
+    )
+    n_s = len(scored)
+    bucket = {
+        d: 1 + ((rk * buckets) // n_s) for rk, (_, d) in enumerate(scored)
+    }
+    return {
+        d: (n, q, bucket.get(d, buckets)) for d, (n, q) in out.items()
+    }
+
+
+def test_ilog2_lattice_matches_python_and_duckdb():
+    """The integer binary-log lattice must agree bit-for-bit across
+    the pure-Python reference, the Spark SQL fragment, and the DuckDB
+    fragment, over boundary-heavy values (powers of two and
+    neighbors) — the whole point is that no libm log is anywhere."""
+    import duckdb
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        duckdb_ilog2_q20,
+    )
+
+    ks = [1, 2, 3, 4, 5, 7, 8, 9, 1023, 1024, 1025, 10**6, 2**40, 2**40 + 1]
+    got = duckdb.sql(
+        "SELECT " + ", ".join(duckdb_ilog2_q20(str(k)) for k in ks)
+    ).fetchall()[0]
+    assert list(got) == [_ref_ilog2_q20(k) for k in ks]
+    # monotone and within 0.09 of the true log2 (linear-interp bound)
+    import math
+
+    for k in ks:
+        assert abs(_ref_ilog2_q20(k) / (1 << 20) - math.log2(k)) < 0.09
+
+
+def test_bigram_lm_scores_planted(spark):
+    """Fluent docs (bigrams frequent in the reference) must out-rank
+    a garbage doc (unseen transitions, heavy OOV smoothing); exact
+    (n_bigrams, lm_score_q, bucket) pinned to the independent
+    Python reference; <2-token docs land in the worst tier with
+    keep=false."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    fluent = "the cat sat on the mat and the cat sat again"
+    corpus = [
+        (1, fluent),
+        (2, "the cat sat on the mat"),
+        (3, "zz qq vv zz qq mat the on"),   # unseen transitions
+        (4, "mat"),                          # no bigrams
+        (5, "the cat and the mat"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    ref = _ref_lm_scores(corpus, corpus)
+    got = {
+        r["doc_id"]: r
+        for r in textstats.bigram_lm_scores(docs, buckets=3).collect()
+    }
+    for d, (n, q, b) in ref.items():
+        assert got[d]["n_bigrams"] == n, d
+        assert got[d]["lm_score_q"] == q, (d, got[d]["lm_score_q"], q)
+        assert got[d]["ppl_bucket"] == b, (d, got[d]["ppl_bucket"], b)
+        assert got[d]["keep"] == (b < 3), d
+    assert got[4]["ppl_bucket"] == 3 and not got[4]["keep"]
+    assert got[3]["ppl_bucket"] == 3  # garbage lands in the tail
+    assert got[1]["ppl_bucket"] == 1  # most fluent leads
+
+
+def test_bigram_lm_external_reference_oov(spark):
+    """Scoring against an EXTERNAL reference: a doc written entirely
+    in tokens the reference never saw exercises the pure-smoothing
+    path (c1=0, c2=0 everywhere) and must score strictly worse than
+    an in-vocabulary doc."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    ref_docs = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "xx yy zz ww")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textstats.bigram_lm_scores(
+            docs, reference=ref_docs, buckets=2
+        ).collect()
+    }
+    assert got[1]["avg_lm_score"] > got[2]["avg_lm_score"]
+    assert got[1]["keep"] and not got[2]["keep"]
