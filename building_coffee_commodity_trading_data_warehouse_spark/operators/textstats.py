@@ -1260,16 +1260,22 @@ def wordpiece_pair_scores(
         .groupBy("sym")
         .agg(F.sum("freq").alias("c"))
     )
+    # symbol counts are ALPHABET-sized (chars + ## forms + merges) at
+    # any corpus scale — declared broadcast, never left to statistics
     scored = (
         pair_counts.join(
-            sym_counts.select(
-                F.col("sym").alias("l"), F.col("c").alias("l_count")
+            F.broadcast(
+                sym_counts.select(
+                    F.col("sym").alias("l"), F.col("c").alias("l_count")
+                )
             ),
             "l",
         )
         .join(
-            sym_counts.select(
-                F.col("sym").alias("r"), F.col("c").alias("r_count")
+            F.broadcast(
+                sym_counts.select(
+                    F.col("sym").alias("r"), F.col("c").alias("r_count")
+                )
             ),
             "r",
         )
@@ -1288,10 +1294,13 @@ def wordpiece_pair_scores(
     if topn is not None:
         from pyspark.sql import Window
 
+        # TakeOrderedAndProject does the global cut; the rank window
+        # then runs over ≤ topn rows (never the full pair table)
         w = Window.orderBy(F.col("score").desc(), "l", "r")
         return (
-            scored.withColumn("rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rk") <= topn)
+            scored.orderBy(F.col("score").desc(), "l", "r")
+            .limit(topn)
+            .withColumn("rk", F.row_number().over(w).cast("long"))
         )
     return scored
 
@@ -1463,14 +1472,18 @@ def train_wordpiece(
         )
         top = (
             pair_counts.join(
-                sym_counts.select(
-                    F.col("sym").alias("l"), F.col("sc").alias("lc")
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("sym").alias("l"), F.col("sc").alias("lc")
+                    )
                 ),
                 "l",
             )
             .join(
-                sym_counts.select(
-                    F.col("sym").alias("r"), F.col("sc").alias("rc")
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("sym").alias("r"), F.col("sc").alias("rc")
+                    )
                 ),
                 "r",
             )

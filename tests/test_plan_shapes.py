@@ -870,3 +870,40 @@ def test_chunk_documents_single_split(spark, sf_dir):
     plan = explain.plan_string(df)
     assert plan.count("split(text") == 1, plan
     assert "Generate explode" in plan, plan
+
+
+def test_wordpiece_pairs_plan_broadcast_and_topk(spark, sf_dir):
+    """The symbol-count side of the WordPiece scorer is ALPHABET-sized
+    at any corpus scale — both score joins must be declared broadcast
+    (never SMJ-by-statistics), the global top-100 must be a
+    TakeOrderedAndProject cut with the rank window running after it
+    (over ≤ topn rows, not the full pair table), and the token split
+    must not be re-evaluated inside a Generate bound."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    df = textstats.wordpiece_pair_scores(docs, topn=100)
+    plan = explain.plan_string(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lm_quality_single_split_per_scan(spark, sf_dir):
+    """bigram_lm_scores builds three token streams (reference
+    unigrams, reference bigrams, document bigrams); each must
+    tokenize its scan exactly once — the pair extractors project the
+    token array before the explode (the chunk_documents r10 CSE
+    lesson)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        textstats,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    df = textstats.bigram_lm_scores(
+        docs, reference=docs.filter(F.col("lang") == "en")
+    )
+    plan = explain.plan_string(df)
+    assert plan.count("split(text") <= 3, plan.count("split(text")
