@@ -1679,20 +1679,29 @@ def _adjacent_token_pairs(df: DataFrame, *keys: str) -> DataFrame:
     """(prev, cur) whitespace-token bigrams per row, empty tokens
     dropped. The token array is PROJECTED FIRST (the chunk_documents
     r10 lesson: an alias in the same select as the explode leaves
-    Catalyst re-splitting inside the Generate bound)."""
+    Catalyst re-splitting inside the Generate bound) and the pairing
+    is a zip_with over two slices rather than a ``size >= 2`` filter
+    + sequence: the filter's predicate gets PUSHED INTO the scan
+    where it re-evaluates the split per row (filter + project = two
+    tokenizations, the same no-CSE class) — the slice form yields an
+    empty pair array for 0/1-token rows with no predicate at all."""
     toks = df.select(
         *keys, F.filter(_tokens(), lambda x: x != F.lit("")).alias("_toks")
     )
-    return toks.filter(F.size("_toks") >= 2).select(
-        *keys,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(_toks) - 1), "
-                "i -> struct(element_at(_toks, i) AS prev, "
-                "element_at(_toks, i + 1) AS cur))"
-            )
-        ).alias("_p"),
-    ).select(*keys, "_p.prev", "_p.cur")
+    n1 = "greatest(size(_toks) - 1, 0)"
+    return (
+        toks.select(
+            *keys,
+            F.explode(
+                F.expr(
+                    f"zip_with(slice(_toks, 1, {n1}), "
+                    f"slice(_toks, 2, {n1}), "
+                    "(a, b) -> struct(a AS prev, b AS cur))"
+                )
+            ).alias("_p"),
+        )
+        .select(*keys, "_p.prev", "_p.cur")
+    )
 
 
 def bigram_lm_scores(
@@ -1761,7 +1770,13 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("term_q").alias("lm_score_q"),
     )
-    scored = (
+    from ..caching import scoped_persist
+
+    # scored feeds BOTH the rank path and the final join — without a
+    # persist the whole score pipeline (bigram explode + two LM
+    # joins + re-aggregate) executes once per consumer (3 document
+    # scans in the physical plan, caught by the r10 plan audit)
+    scored = scoped_persist(
         documents.select("doc_id")
         .join(per_doc, "doc_id", "left")
         .select(

@@ -894,9 +894,15 @@ def test_wordpiece_pairs_plan_broadcast_and_topk(spark, sf_dir):
 def test_lm_quality_single_split_per_scan(spark, sf_dir):
     """bigram_lm_scores builds three token streams (reference
     unigrams, reference bigrams, document bigrams); each must
-    tokenize its scan exactly once — the pair extractors project the
-    token array before the explode (the chunk_documents r10 CSE
-    lesson)."""
+    tokenize its scan exactly once: no split may leak into a Filter
+    or pushed DataFilter (the ``size >= 2`` predicate used to push
+    into the scan and re-tokenize every row — replaced by the
+    zip_with/slice pair form), and the score pipeline must be
+    persisted so the rank path and the final join don't re-execute
+    it (distinct split-bearing Projects ≤ 3: one doc-side, two
+    reference-side aggregates)."""
+    import re
+
     from building_coffee_commodity_trading_data_warehouse_spark.operators import (
         textstats,
     )
@@ -906,4 +912,14 @@ def test_lm_quality_single_split_per_scan(spark, sf_dir):
         docs, reference=docs.filter(F.col("lang") == "en")
     )
     plan = explain.plan_string(df)
-    assert plan.count("split(text") <= 3, plan.count("split(text")
+    lines = plan.split("\n")
+    assert not [
+        ln for ln in lines
+        if "split(text" in ln and ("Filter" in ln or "DataFilters" in ln)
+    ], plan
+    projs = {
+        re.sub(r"^[\s:+\-*]+", "", ln)
+        for ln in lines
+        if "Project" in ln and "split(text" in ln
+    }
+    assert len(projs) <= 3, sorted(projs)
