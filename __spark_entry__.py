@@ -1477,11 +1477,11 @@ def _q_semdedup(spark, sf_dir):
     """
 WITH corpus AS (
   SELECT vec_id FROM embeddings
-  UNION ALL SELECT vec_id + 10000 FROM embeddings WHERE vec_id % 5 = 0
-  UNION ALL SELECT vec_id + 20000 FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL SELECT vec_id + 10000000 FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL SELECT vec_id + 20000000 FROM embeddings WHERE vec_id % 10 = 0
 )
-SELECT vec_id, vec_id % 10000 AS cluster_id,
-       vec_id < 10000 AS is_keeper
+SELECT vec_id, vec_id % 10000000 AS cluster_id,
+       vec_id < 10000000 AS is_keeper
 FROM corpus
 """,
 )
@@ -1510,13 +1510,15 @@ def _q_semdedup_scaled(spark, sf_dir):
 
     ship_package(spark)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # offsets far above any base id (x100 replicas reach ~200k) so a
+    # copy id can NEVER collide with a real vector's id (r10 review)
     corpus = emb.unionByName(
         emb.filter(F.col("vec_id") % 5 == 0).select(
-            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
         )
     ).unionByName(
         emb.filter(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
         )
     )
     out = semantic_dedup(corpus, threshold=0.95)  # n_centroids=None
@@ -1530,7 +1532,7 @@ WITH base AS ({_SQL_EX}),
 ex AS (
   SELECT vec_id, pos, val FROM base
   UNION ALL
-  SELECT vec_id + 10000 AS vec_id, pos,
+  SELECT vec_id + 10000000 AS vec_id, pos,
          CASE WHEN pos = 1 THEN val * 0.875 ELSE val END AS val
   FROM base WHERE vec_id % 5 = 0
 ),
@@ -1580,7 +1582,7 @@ def _q_semdedup_certify(spark, sf_dir):
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", dbl.alias("embedding"))
     pert = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: F.when(i == 0, x.cast("double") * 0.875).otherwise(
@@ -1592,7 +1594,9 @@ def _q_semdedup_certify(spark, sf_dir):
     true_pairs = embedding_neardup_pairs(
         corpus, threshold=0.95, strategy="blocked"
     )
-    cells = semantic_dedup(corpus, threshold=0.95).select("vec_id", "cell")
+    cells = semantic_dedup(corpus, threshold=0.95, cells_only=True).select(
+        "vec_id", "cell"
+    )
     j = (
         true_pairs.join(
             cells.select(
@@ -4530,7 +4534,8 @@ pc AS (
 ),
 s AS (
   SELECT pc.l, pc.r, pair_count, a.c AS l_count, b.c AS r_count,
-         CAST(pair_count AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS score
+         CAST(pair_count AS DOUBLE) /
+         (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score
   FROM pc JOIN sc a ON pc.l = a.sym JOIN sc b ON pc.r = b.sym
 )
 SELECT l, r, pair_count, l_count, r_count, score, rk FROM (

@@ -1814,6 +1814,7 @@ def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_centroids: int | None = None,
+    cells_only: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     k-means cell restriction — the method LLM curation pipelines run
@@ -1856,7 +1857,9 @@ def semantic_dedup(
     if embeddings.isEmpty():
         return spark.createDataFrame(
             [],
-            "vec_id long, cell long, cluster_id long, "
+            "vec_id long, cell long, centroid_sim double"
+            if cells_only
+            else "vec_id long, cell long, cluster_id long, "
             "is_keeper boolean, centroid_sim double",
         )
     if n_centroids is None:
@@ -1911,6 +1914,12 @@ def semantic_dedup(
         f"vec_id long, embedding {emb_type}, cell long, "
         "centroid_sim double, centroid_sim_q long",
     ).localCheckpoint()
+
+    if cells_only:
+        # certify gates / recall studies need only the assignment
+        # stage — skip the per-cell GEMM, decimal verify, connected
+        # components, and keeper election entirely (r10 review)
+        return assigned.select("vec_id", "cell", "centroid_sim")
 
     thr = threshold
 

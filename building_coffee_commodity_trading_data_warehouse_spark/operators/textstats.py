@@ -654,8 +654,13 @@ def bpe_encode(
 
 
 def _sql_str(s: str) -> str:
-    """Single-quoted SQL string literal (quotes doubled)."""
-    return "'" + s.replace("'", "''") + "'"
+    """Single-quoted Spark SQL string literal: backslashes doubled
+    FIRST (Spark parses backslash escapes inside string literals by
+    default — a trailing '\\' would swallow the closing quote and a
+    '\\n' would silently become a newline, desynchronizing the merge
+    fold from the driver path on code/path-like corpora), then
+    quotes doubled."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def feature_hashing(documents: DataFrame, dim: int = 64) -> DataFrame:
@@ -1219,36 +1224,27 @@ def _wp_merged(left: str, right: str) -> str:
     return left + (right[2:] if right.startswith("##") else right)
 
 
-def wordpiece_pair_scores(
-    documents: DataFrame,
-    topn: int | None = None,
-    words_df: DataFrame | None = None,
-) -> DataFrame:
-    """First WordPiece-trainer iteration (Schuster & Nakajima 2012 —
-    the BERT tokenizer family): adjacent-symbol pairs over the
-    ##-marked character sequences, scored by the likelihood ratio
-    count(pair) / (count(left) · count(right)) — the rule that
-    separates WordPiece from BPE's raw-count argmax.
-
-    Same 100 TB shape as ``bpe_pair_counts``: the corpus collapses to
-    the (word, freq) VOCABULARY first (the only corpus-sized
-    shuffle); symbol marking, pair extraction, and both count
-    aggregates are vocab-sized in-row transforms + grouped sums, all
-    JVM. The score divides exact bigint counts as one double — both
-    engines' correctly-rounded division of identical integers, so the
-    ranking is oracle-replayable (no ln anywhere, the t_tfidf rule).
-    """
-    words = word_vocab(documents) if words_df is None else words_df
-    syms = words.select("freq", F.expr(_WP_SYMS_EXPR).alias("syms"))
+def _wp_scored_pairs(syms: DataFrame) -> DataFrame:
+    """Scored adjacent-pair table over a (syms array, freq) frame —
+    the block wordpiece_pair_scores AND every train_wordpiece
+    iterative round share: pair counts + symbol counts (vocab-sized
+    aggregates), two BROADCAST joins (symbol tables are
+    alphabet-sized at any corpus scale — declared, never left to
+    statistics), and the likelihood score. The denominator casts
+    EACH count to double BEFORE multiplying: a bigint l_count ×
+    r_count product overflows silently past ~3e9-count symbols
+    (reachable far below the 100 TB design point), while
+    double·double is one extra correctly-rounded step both engines
+    replay identically. Exact ordering still comes from the
+    Fraction re-rank (trainer) / integer columns (gate oracle)."""
     pair_counts = (
-        syms.filter(F.size("syms") >= 2)
-        .select(
+        syms.select(
             "freq",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> struct(element_at(syms, i) AS l, "
-                    "element_at(syms, i + 1) AS r))"
+                    "zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)), "
+                    "slice(syms, 2, greatest(size(syms) - 1, 0)), "
+                    "(a, b) -> struct(a AS l, b AS r))"
                 )
             ).alias("p"),
         )
@@ -1260,9 +1256,7 @@ def wordpiece_pair_scores(
         .groupBy("sym")
         .agg(F.sum("freq").alias("c"))
     )
-    # symbol counts are ALPHABET-sized (chars + ## forms + merges) at
-    # any corpus scale — declared broadcast, never left to statistics
-    scored = (
+    return (
         pair_counts.join(
             F.broadcast(
                 sym_counts.select(
@@ -1287,10 +1281,37 @@ def wordpiece_pair_scores(
             "r_count",
             (
                 F.col("pair_count").cast("double")
-                / (F.col("l_count") * F.col("r_count")).cast("double")
+                / (
+                    F.col("l_count").cast("double")
+                    * F.col("r_count").cast("double")
+                )
             ).alias("score"),
         )
     )
+
+
+def wordpiece_pair_scores(
+    documents: DataFrame,
+    topn: int | None = None,
+    words_df: DataFrame | None = None,
+) -> DataFrame:
+    """First WordPiece-trainer iteration (Schuster & Nakajima 2012 —
+    the BERT tokenizer family): adjacent-symbol pairs over the
+    ##-marked character sequences, scored by the likelihood ratio
+    count(pair) / (count(left) · count(right)) — the rule that
+    separates WordPiece from BPE's raw-count argmax.
+
+    Same 100 TB shape as ``bpe_pair_counts``: the corpus collapses to
+    the (word, freq) VOCABULARY first (the only corpus-sized
+    shuffle); symbol marking, pair extraction, and both count
+    aggregates are vocab-sized in-row transforms + grouped sums, all
+    JVM. The score divides exact bigint counts as one double — both
+    engines' correctly-rounded division of identical integers, so the
+    ranking is oracle-replayable (no ln anywhere, the t_tfidf rule).
+    """
+    words = word_vocab(documents) if words_df is None else words_df
+    syms = words.select("freq", F.expr(_WP_SYMS_EXPR).alias("syms"))
+    scored = _wp_scored_pairs(syms)
     if topn is not None:
         from pyspark.sql import Window
 
@@ -1450,51 +1471,9 @@ def train_wordpiece(
     merges: list[tuple[str, str]] = []
     rounds = 0
     while len(merges) < n_merges:
-        pair_counts = (
-            words.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(element_at(syms, i) AS l, "
-                        "element_at(syms, i + 1) AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("c"))
-        )
-        sym_counts = (
-            words.select("freq", F.explode("syms").alias("sym"))
-            .groupBy("sym")
-            .agg(F.sum("freq").alias("sc"))
-        )
         top = (
-            pair_counts.join(
-                F.broadcast(
-                    sym_counts.select(
-                        F.col("sym").alias("l"), F.col("sc").alias("lc")
-                    )
-                ),
-                "l",
-            )
-            .join(
-                F.broadcast(
-                    sym_counts.select(
-                        F.col("sym").alias("r"), F.col("sc").alias("rc")
-                    )
-                ),
-                "r",
-            )
-            .orderBy(
-                (
-                    F.col("c").cast("double")
-                    / (F.col("lc") * F.col("rc")).cast("double")
-                ).desc(),
-                "l",
-                "r",
-            )
+            _wp_scored_pairs(words)
+            .orderBy(F.col("score").desc(), "l", "r")
             .limit(rerank_window)
             .collect()
         )
@@ -1504,7 +1483,10 @@ def train_wordpiece(
         best = min(
             top,
             key=lambda r: (
-                -Fraction(int(r["c"]), int(r["lc"]) * int(r["rc"])),
+                -Fraction(
+                    int(r["pair_count"]),
+                    int(r["l_count"]) * int(r["r_count"]),
+                ),
                 (r["l"], r["r"]),
             ),
         )
@@ -1637,7 +1619,10 @@ def wordpiece_encode(
             .groupBy(*keys, "word")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-    key_schema = "".join(f"{k} string, " for k in keys)
+    # derive each by-key's Arrow type from the actual input schema
+    # (a hardcoded 'string' would break integer strata at runtime)
+    word_types = dict(words.dtypes)
+    key_schema = "".join(f"{k} {word_types[k]}, " for k in keys)
     return words.mapInPandas(
         _seg,
         f"{key_schema}word string, freq long, n_pieces int, pieces string, "
@@ -1655,23 +1640,33 @@ def wordpiece_encode(
 # log-free idiom of t_tvd/t_tfidf, extended to LM scoring where a
 # libm log2 could tie-split the lattice floor by one ulp).
 def _sql_ilog2_q20(k: str) -> str:
-    """Spark SQL fragment (bin() bit length + shiftleft + DIV)."""
+    """Spark SQL fragment (bin() bit length + shiftleft + DIV).
+
+    The mantissa splits on e >= 20: (k − 2^e)·2^20 overflows BIGINT
+    once k passes ~2^43 (a few-TB reference corpus — inside the
+    design range), but for e >= 20 the divisor 2^e is an exact
+    multiple of 2^20, so floor((k−2^e)·2^20 / 2^e) =
+    (k−2^e) DIV 2^(e−20) with no wide intermediate; below e = 20 the
+    product is < 2^40 and the direct form is exact."""
     e = f"(length(bin({k})) - 1)"
     p = f"shiftleft(CAST(1 AS BIGINT), {e})"
     return (
         f"(CAST({e} AS BIGINT) * 1048576 + "
-        f"(({k}) - {p}) * 1048576 DIV {p})"
+        f"CASE WHEN {e} >= 20 THEN (({k}) - {p}) DIV ({p} DIV 1048576) "
+        f"ELSE (({k}) - {p}) * 1048576 DIV {p} END)"
     )
 
 
 def duckdb_ilog2_q20(k: str) -> str:
     """The same lattice log as a DuckDB fragment (printf('%b') bit
-    length + << + //) — exported so oracle SQL replays the scorer."""
+    length + << + //) — exported so oracle SQL replays the scorer.
+    Same e >= 20 overflow-free mantissa split as _sql_ilog2_q20."""
     e = f"(length(printf('%b', {k})) - 1)"
     p = f"(CAST(1 AS BIGINT) << {e})"
     return (
         f"(CAST({e} AS BIGINT) * 1048576 + "
-        f"(({k}) - {p}) * 1048576 // {p})"
+        f"CASE WHEN {e} >= 20 THEN (({k}) - {p}) // ({p} // 1048576) "
+        f"ELSE (({k}) - {p}) * 1048576 // {p} END)"
     )
 
 

@@ -60,7 +60,8 @@ def recall_at(spark, corpus, threshold: float, n_centroids):
     if n_true == 0:
         return None, 0
     cells = semantic_dedup(
-        corpus, threshold=threshold, n_centroids=n_centroids
+        corpus, threshold=threshold, n_centroids=n_centroids,
+        cells_only=True,
     ).select("vec_id", "cell")
     j = true_pairs.join(
         cells.select(F.col("vec_id").alias("vec_a"), F.col("cell").alias("ca")),
@@ -79,7 +80,6 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
     emb = catalog.table(spark, sf_dir, "embeddings")
-    n = emb.count()
     rows = []
     for scale, k_coords, thr in (
         (0.875, 1, 0.95),   # the gate's construction: cosine ~0.999
@@ -88,6 +88,9 @@ def main():
         (-1.0, 16, 0.80),   # sign-flip 16 coords, loose threshold
     ):
         corpus = corpus_with_planted(emb, scale, k_coords)
+        # the self-scaling default sizes on the PLANTED corpus (base
+        # + copies), not the base table — label with that count
+        n_corpus = corpus.count()
         for nc in (8, None, 128, 256):
             rec, n_true = recall_at(spark, corpus, thr, nc)
             rows.append(
@@ -95,7 +98,7 @@ def main():
                     "scale": scale,
                     "k_coords": k_coords,
                     "threshold": thr,
-                    "n_centroids": nc if nc else f"sqrtN({int(n**0.5)})",
+                    "n_centroids": nc if nc else f"sqrtN({int(n_corpus**0.5)})",
                     "n_true_pairs": n_true,
                     "recall": rec,
                 }

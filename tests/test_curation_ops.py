@@ -1359,12 +1359,13 @@ def test_wordpiece_encode_matches_reference_and_certs(spark):
     assert not out2["fable"]["is_unk"]
 
 
-def test_wordpiece_greedy_cert_catches_non_greedy_table(spark):
-    """The greedy certificate is an independent check, not a
-    restatement: feed the encoder a word segmented non-greedily by
-    deleting the longest piece mid-run... instead verify directly:
-    a table where greedy MUST pick the longer piece, and a planted
-    segmentation check via the reference."""
+def test_wordpiece_greedy_cert_planted_longest_match(spark):
+    """Planted longest-match preference: with both 'a'+'##bc' and
+    'ab'+'##c' available, greedy longest-match-first MUST emit
+    'ab ##c', and the cert_greedy recheck (an independent
+    longer-candidate scan over the piece set — its False branch only
+    fires if the matcher itself regresses from longest-first)
+    confirms no longer piece matched at either position."""
     from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
 
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
@@ -1495,3 +1496,44 @@ def test_bigram_lm_external_reference_oov(spark):
     }
     assert got[1]["avg_lm_score"] > got[2]["avg_lm_score"]
     assert got[1]["keep"] and not got[2]["keep"]
+
+
+def test_ilog2_lattice_wide_counts_no_overflow():
+    """Counts past 2^43 used to overflow the (k−2^e)·2^20 mantissa
+    intermediate in BIGINT; the e≥20 split divides by 2^(e−20)
+    instead. Python bigints are the exact reference; DuckDB replays
+    the fragment at the widths a 100 TB reference corpus reaches."""
+    import duckdb
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        duckdb_ilog2_q20,
+    )
+
+    ks = [2**43 - 1, 2**43, 2**43 + 12345, 2**50 + 3, 2**60 + 7, 2**62 - 1]
+    got = duckdb.sql(
+        "SELECT " + ", ".join(duckdb_ilog2_q20(str(k)) for k in ks)
+    ).fetchall()[0]
+    assert list(got) == [_ref_ilog2_q20(k) for k in ks]
+
+
+def test_wordpiece_backslash_corpus_both_paths(spark):
+    """Backslash-bearing tokens (code/path corpora) used to produce
+    malformed or silently-wrong Spark SQL literals in the iterative
+    merge fold (_sql_str escaped quotes but not backslashes); both
+    paths must now match the reference on such corpora."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = [r"a\b a\b a\b c\\d c\\d", r"\n \n \t path\to\x"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    want = _wp_pieces_from(corpus, _ref_wordpiece(corpus, 4))
+    assert textstats.train_wordpiece(docs, n_merges=4) == want
+    assert (
+        textstats.train_wordpiece(docs, n_merges=4, driver_vocab_max=0)
+        == want
+    )
+    # the BPE fold shares _sql_str — pin it on the same corpus
+    ref_bpe = _ref_bpe(corpus, 4)
+    assert textstats.train_bpe(docs, n_merges=4, driver_vocab_max=0) == ref_bpe
+    assert textstats.train_bpe(docs, n_merges=4) == ref_bpe
