@@ -4683,6 +4683,82 @@ def _q_lm_quality(spark, sf_dir):
     )
 
 
+@_register(
+    "t_gopher_rules",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+              AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(n_hash AS BIGINT) AS n_hash,
+         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter(lines, l ->
+              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l ->
+              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(CAST(list_contains(toks, 'the') AS INT)
+            + CAST(list_contains(toks, 'be') AS INT)
+            + CAST(list_contains(toks, 'to') AS INT)
+            + CAST(list_contains(toks, 'of') AS INT)
+            + CAST(list_contains(toks, 'and') AS INT)
+            + CAST(list_contains(toks, 'that') AS INT)
+            + CAST(list_contains(toks, 'have') AS INT)
+            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+            AS n_stopwords_hit
+  FROM m
+)
+SELECT *,
+       CASE WHEN n_words > 0
+            THEN CAST(sum_word_len AS DOUBLE) / n_words END
+         AS mean_word_len,
+       CASE WHEN n_words > 0
+            THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_words END
+         AS symbol_word_ratio,
+       n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+       sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+         AS rule_mean_word_len,
+       (n_hash + n_ellipsis) * 10 <= n_words AS rule_symbol_ratio,
+       n_bullet_lines * 10 <= n_lines * 9 AS rule_bullet_lines,
+       n_ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis_lines,
+       n_alpha_words * 10 >= n_words * 8 AS rule_alpha_words,
+       n_stopwords_hit >= 2 AS rule_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+       AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+       AND ((n_hash + n_ellipsis) * 10 <= n_words)
+       AND (n_bullet_lines * 10 <= n_lines * 9)
+       AND (n_ellipsis_lines * 10 <= n_lines * 3)
+       AND (n_alpha_words * 10 >= n_words * 8)
+       AND (n_stopwords_hit >= 2) AS pass_gopher
+FROM c
+""",
+)
+def _q_gopher_rules(spark, sf_dir):
+    """The Gopher quality-rule battery (Rae et al. 2021 App. A1.1) —
+    the named heuristic filter set run before model-based scoring:
+    word-count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop
+    word presence. One projection, no shuffle, no UDF; every flag is
+    an integer cross-multiplication (never a thresholded float), the
+    two ratio columns are single correctly-rounded divisions — the
+    whole row replays bit-for-bit in DuckDB."""
+    return textstats.gopher_quality_rules(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -9747,6 +9823,7 @@ _VERIFY_FIRST = [
     # importers (standing shared-helper policy; the r10 edit is
     # function-scoped to semantic_dedup._assign).
     "t_lm_quality",
+    "t_gopher_rules",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

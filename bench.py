@@ -104,6 +104,9 @@ HEADLINE = [
     # joins + per-doc re-aggregate + distributed rank).
     "t_wordpiece_pairs",
     "t_lm_quality",
+    # round-10: the Gopher rule battery (single-projection scan —
+    # pins the cost of the no-shuffle quality pass).
+    "t_gopher_rules",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"

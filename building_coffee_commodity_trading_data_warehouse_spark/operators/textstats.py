@@ -1812,3 +1812,137 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+# ------------------------------------------------------------ gopher rules
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, App. A1.1 —
+    the named heuristic filter set most pretraining pipelines run
+    before model-based scoring), per document: word-count bounds,
+    mean word length in [3, 10], symbol-to-word ratio (# and
+    ellipsis) ≤ 0.1, ≤ 90% bullet-started lines, ≤ 30%
+    ellipsis-ended lines, ≥ 80% words with an alphabetic character,
+    and ≥ 2 distinct Gopher stop words. Emits the raw counts, the
+    ratio metrics, one boolean per named rule, and the conjunction
+    ``pass_gopher``.
+
+    Determinism + scale: ONE projection, no shuffle, no UDF — token
+    and line arrays are projected first (the r10 single-split
+    idiom), every metric is integer counts with at most one
+    correctly-rounded division, and every rule THRESHOLD compares
+    integers cross-multiplied (bullet·10 ≤ lines·9), so a SQL oracle
+    replays each flag bit-for-bit at any scale."""
+    toks = documents.select(
+        "doc_id",
+        "text",
+        F.filter(_tokens(), lambda x: x != F.lit("")).alias("_toks"),
+        F.split(F.col("text"), "\n").alias("_lines"),
+    )
+    n_words = F.size("_toks").cast("long")
+    n_lines = F.size("_lines").cast("long")
+    sum_word_len = F.aggregate(
+        F.transform("_toks", lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha_words = F.size(
+        F.filter("_toks", lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ).cast("long")
+    n_ellipsis = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("...")))
+        )
+        / 3
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("…")))
+        )
+    ).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(
+            "_lines",
+            lambda ln: F.ltrim(ln).startswith("-")
+            | F.ltrim(ln).startswith("*")
+            | F.ltrim(ln).startswith("•"),
+        )
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(
+            "_lines",
+            lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"),
+        )
+    ).cast("long")
+    n_stop = sum(
+        (
+            F.array_contains("_toks", w).cast("int")
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    ).cast("long")
+    m = toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        sum_word_len.alias("sum_word_len"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+        n_bullet_lines.alias("n_bullet_lines"),
+        n_ellipsis_lines.alias("n_ellipsis_lines"),
+        n_stop.alias("n_stopwords_hit"),
+    )
+    w = F.col("n_words")
+    return m.select(
+        "*",
+        # ratios NULL on empty docs by explicit guard (zero-divisor
+        # double semantics differ between engines)
+        F.when(
+            w > 0, F.col("sum_word_len").cast("double") / w
+        ).alias("mean_word_len"),
+        F.when(
+            w > 0,
+            (F.col("n_hash") + F.col("n_ellipsis")).cast("double") / w,
+        ).alias("symbol_word_ratio"),
+        ((w >= min_words) & (w <= max_words)).alias("rule_word_count"),
+        # 3 ≤ mean ≤ 10 as integer cross-multiplication: exact, no
+        # division anywhere near the flag
+        (
+            (F.col("sum_word_len") >= 3 * w)
+            & (F.col("sum_word_len") <= 10 * w)
+        ).alias("rule_mean_word_len"),
+        (
+            (F.col("n_hash") + F.col("n_ellipsis")) * 10 <= w
+        ).alias("rule_symbol_ratio"),
+        (F.col("n_bullet_lines") * 10 <= F.col("n_lines") * 9).alias(
+            "rule_bullet_lines"
+        ),
+        (F.col("n_ellipsis_lines") * 10 <= F.col("n_lines") * 3).alias(
+            "rule_ellipsis_lines"
+        ),
+        (F.col("n_alpha_words") * 10 >= w * 8).alias("rule_alpha_words"),
+        (F.col("n_stopwords_hit") >= 2).alias("rule_stopwords"),
+    ).select(
+        "*",
+        (
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_bullet_lines")
+            & F.col("rule_ellipsis_lines")
+            & F.col("rule_alpha_words")
+            & F.col("rule_stopwords")
+        ).alias("pass_gopher"),
+    )

@@ -1537,3 +1537,41 @@ def test_wordpiece_backslash_corpus_both_paths(spark):
     ref_bpe = _ref_bpe(corpus, 4)
     assert textstats.train_bpe(docs, n_merges=4, driver_vocab_max=0) == ref_bpe
     assert textstats.train_bpe(docs, n_merges=4) == ref_bpe
+
+
+def test_gopher_rules_planted(spark):
+    """Each named Gopher rule (Rae et al. 2021 A1.1) fires on a doc
+    built to violate exactly it; a long fluent doc passes all."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    fluent = " ".join(
+        ["the cat likes to sit and nap with joy that lasts"] * 6
+    )  # 60 words, mean len ~3.4, stopwords galore
+    corpus = [
+        (1, fluent),
+        (2, "short doc only"),                                # word count
+        (3, " ".join(["a"] * 60)),                            # mean len < 3
+        (4, " ".join(["the"] * 30 + ["##"] * 30)),            # symbols + alpha
+        (5, "- one\n- two\n- three\n- four"),                 # bullets
+        (6, "a...\nb...\nc…\nplain"),                         # ellipsis lines
+        (7, " ".join(["12345"] * 60)),                        # alpha words
+        (8, " ".join(["zebra"] * 60)),                        # stopwords
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_quality_rules(docs).collect()
+    }
+    assert got[1]["pass_gopher"], dict(got[1].asDict())
+    assert not got[2]["rule_word_count"]
+    assert not got[3]["rule_mean_word_len"]
+    assert got[3]["mean_word_len"] == 1.0
+    assert not got[4]["rule_symbol_ratio"]  # 60 hashes / 60 words
+    assert got[4]["n_hash"] == 60
+    assert not got[5]["rule_bullet_lines"]  # 4/4 bullet lines
+    assert got[5]["n_bullet_lines"] == 4
+    assert not got[6]["rule_ellipsis_lines"]  # 3/4 > 30%
+    assert got[6]["n_ellipsis_lines"] == 3
+    assert not got[7]["rule_alpha_words"] and got[7]["n_alpha_words"] == 0
+    assert not got[8]["rule_stopwords"] and got[8]["n_stopwords_hit"] == 0
+    assert got[1]["n_stopwords_hit"] == 5  # the, to, and, that, with
