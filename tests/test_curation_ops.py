@@ -1575,3 +1575,33 @@ def test_gopher_rules_planted(spark):
     assert not got[7]["rule_alpha_words"] and got[7]["n_alpha_words"] == 0
     assert not got[8]["rule_stopwords"] and got[8]["n_stopwords_hit"] == 0
     assert got[1]["n_stopwords_hit"] == 5  # the, to, and, that, with
+
+
+def test_ilog2_lattice_properties_hypothesis():
+    """Property sweep of the lattice log (pure Python + DuckDB, no
+    Spark): monotone nondecreasing, exact at powers of two
+    (ilog(2^e) = e·2^20), within the 0.09 linear-interp bound of true
+    log2, and the DuckDB fragment agrees with Python bigints on
+    random 63-bit values — including across the e=20 branch split."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        duckdb_ilog2_q20,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62 - 1))
+    def check(k):
+        v = _ref_ilog2_q20(k)
+        assert v <= _ref_ilog2_q20(k + 1)  # monotone
+        assert abs(v / (1 << 20) - math.log2(k)) < 0.09
+        got = duckdb.sql(f"SELECT {duckdb_ilog2_q20(str(k))}").fetchone()[0]
+        assert got == v, (k, got, v)
+
+    check()
+    for e in range(0, 62):
+        assert _ref_ilog2_q20(1 << e) == e * (1 << 20)
