@@ -4759,6 +4759,171 @@ def _q_gopher_rules(spark, sf_dir):
     return textstats.gopher_quality_rules(_t(spark, sf_dir, "documents"))
 
 
+# The synthetic corpus is punctuation-free word soup, so the C4 gate
+# derives a punctuated, line-structured corpus from it first — three
+# marker words become sentence/line breaks, a terminal '.' closes the
+# last line, and doc_id residues plant the javascript / lorem-ipsum /
+# curly-brace trip lines (the d_semdedup planted-construction idiom:
+# every rule fires on a measurable, deterministic sub-population).
+# The oracle replays the derivation verbatim, and clean_md5 pins the
+# CLEANED TEXT itself, not just the flags.
+_C4_DERIVE_SQL = (
+    "replace(replace(replace(text, ' sort ', '.' || chr(10) || 'sort '),"
+    " ' join ', '!' || chr(10) || 'join '),"
+    " ' window ', '?' || chr(10) || 'window ') || '.'"
+    " || CASE WHEN doc_id % 11 = 0"
+    "         THEN chr(10) || 'javascript alert line ok.' ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0"
+    "         THEN chr(10) || 'filler lorem ipsum dolor sit.' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0"
+    "         THEN chr(10) || 'brace { marker line here.' ELSE '' END"
+)
+
+
+@_register(
+    "c_c4_rules",
+    f"""
+WITH derived AS (
+  SELECT doc_id, {_C4_DERIVE_SQL} AS text FROM documents
+), lined AS (
+  SELECT doc_id, text AS _text,
+         string_split(text, chr(10)) AS _lines
+  FROM derived
+), k AS (
+  SELECT doc_id, _text,
+         CAST(len(_lines) AS BIGINT) AS n_lines,
+         list_filter(_lines, ln ->
+           regexp_matches(rtrim(ln), '[.!?"]$')
+           AND len(list_filter(string_split_regex(ln, '\\s+'),
+                               w -> w <> '')) >= 3
+           AND NOT regexp_matches(ln, '(?i)javascript')) AS _kept
+  FROM lined
+), m AS (
+  SELECT doc_id, n_lines,
+         CAST(len(_kept) AS BIGINT) AS n_kept_lines,
+         coalesce(array_to_string(_kept, chr(10)), '') AS clean,
+         contains(lower(_text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(_text, '{{') AS has_curly_brace
+  FROM k
+), c AS (
+  SELECT doc_id, n_lines, n_kept_lines,
+         CAST(length(clean) AS BIGINT) AS n_clean_chars,
+         md5(clean) AS clean_md5,
+         CAST((length(clean) - length(replace(clean, '.', '')))
+            + (length(clean) - length(replace(clean, '!', '')))
+            + (length(clean) - length(replace(clean, '?', '')))
+           AS BIGINT) AS n_sentences,
+         has_lorem_ipsum, has_curly_brace
+  FROM m
+)
+SELECT *,
+       n_sentences >= 5 AS rule_min_sentences,
+       NOT has_lorem_ipsum AS rule_no_lorem,
+       NOT has_curly_brace AS rule_no_curly,
+       (n_sentences >= 5) AND NOT has_lorem_ipsum
+         AND NOT has_curly_brace AS pass_c4
+FROM c
+""",
+)
+def _q_c4_rules(spark, sf_dir):
+    """The C4 cleaning-rule battery (Raffel et al. 2020 §2.2 — the
+    line/page heuristics that built C4 from Common Crawl): keep lines
+    ending in terminal punctuation with ≥3 words and no 'javascript';
+    drop pages with <5 sentences, 'lorem ipsum', or a curly bracket.
+    The operator (curate.c4_clean_rules) is one codegen projection —
+    line array projected once, HOF lambdas per line, no shuffle, no
+    UDF — and clean_md5 makes the gate pin the cleaned text
+    bit-for-bit, not just the flags."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" sort "), F.lit(".\nsort ")
+            ),
+            F.lit(" join "),
+            F.lit("!\njoin "),
+        ),
+        F.lit(" window "),
+        F.lit("?\nwindow "),
+    )
+    t = F.concat(t, F.lit("."))
+    for mod, trip in (
+        (11, "\njavascript alert line ok."),
+        (13, "\nfiller lorem ipsum dolor sit."),
+        (17, "\nbrace { marker line here."),
+    ):
+        t = F.when(
+            F.col("doc_id") % mod == 0, F.concat(t, F.lit(trip))
+        ).otherwise(t)
+    derived = docs.select("doc_id", t.alias("text"))
+    return curate.c4_clean_rules(derived)
+
+
+# The GPT-2 pre-tokenizer pattern (lookahead-free RE2/Java-common
+# variant — textstats._GPT2_PRETOKEN_RE) rendered for DuckDB. Both
+# engines use leftmost-FIRST alternation, so tokenization matches
+# byte-for-byte; dollar-quoting sidesteps the embedded single quote.
+_SQL_GPT2_PRE = (
+    "regexp_extract_all(text, "
+    "$$'(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$)"
+)
+
+
+@_register(
+    "t_pretoken_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, text AS _text, {_SQL_GPT2_PRE} AS p FROM documents
+)
+SELECT doc_id,
+  CAST(len(p) AS BIGINT) AS n_pretokens,
+  CAST(len(list_distinct(p)) AS BIGINT) AS n_unique,
+  CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?\\p{{L}}+$')))
+       AS BIGINT) AS n_word_toks,
+  CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?\\p{{N}}+$')))
+       AS BIGINT) AS n_num_toks,
+  CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?[^\\s\\p{{L}}\\p{{N}}]+$')))
+       AS BIGINT) AS n_punct_toks,
+  CAST(len(list_filter(p, x -> regexp_matches(x, '^\\s+$')))
+       AS BIGINT) AS n_space_toks,
+  CAST(len(list_filter(p, x -> regexp_matches(x,
+       $$^'(?:s|t|d|m|ll|ve|re)$$ || '$'))) AS BIGINT) AS n_contractions,
+  coalesce(array_to_string(p, ''), '') = _text AS recon_ok
+FROM t
+""",
+)
+def _q_pretoken_stats(spark, sf_dir):
+    """GPT-2 pre-tokenizer census (Radford et al. 2019's BPE
+    pre-split, lookahead-free RE2-compatible variant): per-doc counts
+    of each pretoken class plus the reconstruction certificate —
+    concatenating the matches must rebuild the document
+    byte-for-byte, so a silently-dropped character fails the gate.
+    One regexp_extract_all projection, HOF class filters, no shuffle,
+    no UDF."""
+    return textstats.pretoken_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "t_pretoken_vocab",
+    f"""
+WITH p AS (
+  SELECT unnest({_SQL_GPT2_PRE}) AS pretoken FROM documents
+)
+SELECT pretoken, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pretoken
+ORDER BY n DESC, pretoken ASC LIMIT 100
+""",
+)
+def _q_pretoken_vocab(spark, sf_dir):
+    """Global GPT-2 pretoken vocabulary, top-100 by (count desc,
+    token asc) — the exact first step of byte-level BPE training
+    (merges never cross pretoken boundaries). Map-side explode,
+    vocabulary-sized shuffle with map-side combine, top-N as
+    TakeOrderedAndProject; the unique-token tiebreak makes the
+    top-100 SET deterministic."""
+    return textstats.pretoken_vocab(_t(spark, sf_dir, "documents"), topn=100)
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------

@@ -850,3 +850,94 @@ def quota_sample(
         .filter(F.col("__rk") <= k)
         .select(id_col, strata_col, F.col("__rk").cast("int").alias("rk"))
     )
+
+
+def c4_clean_rules(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning-rule battery (Raffel et al. 2020, §2.2 — the
+    line/page heuristics that turned Common Crawl into C4), per
+    document: retain only lines that end in a terminal punctuation
+    mark (period, exclamation mark, question mark, or end quotation
+    mark), contain at least ``min_words_per_line`` words, and do not
+    mention the word "javascript"; then drop the whole page if the
+    retained text has fewer than ``min_sentences`` sentences, contains
+    the phrase "lorem ipsum", or contains a curly bracket. (The
+    paper's remaining two steps are separate operators here: the
+    dirty-word page filter is a stop-list scan à la
+    ``boilerplate_scrub``, and the three-sentence-span corpus dedup is
+    ``dedup.chunk_dedup`` / ``dedup.remove_repeated_spans``.)
+
+    Emits per-line counts, the kept-line text's md5 (so the oracle
+    pins the actual cleaned TEXT, not just the flags), one boolean per
+    named rule, and the conjunction ``pass_c4``.
+
+    Determinism + scale: ONE projection — the line array is projected
+    once, every line predicate is a codegen higher-order-function
+    lambda, page flags are integer comparisons and substring scans.
+    No shuffle, no UDF, no Python: the plan is a map-only stage that
+    scans 100 TB embarrassingly parallel. Every regex used parses
+    identically in Java regex and RE2 (no lookaround, no backrefs), so
+    a DuckDB oracle replays each flag and the cleaned-text hash
+    bit-for-bit.
+    """
+    raw = F.col(text_col)
+
+    def _line_kept(ln: Column) -> Column:
+        words = F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != F.lit("")))
+        return (
+            F.rtrim(ln).rlike(r'[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~ln.rlike(r"(?i)javascript")
+        )
+
+    lined = documents.select(
+        "doc_id",
+        raw.alias("_text"),
+        F.split(raw, "\n").alias("_lines"),
+    ).select(
+        "doc_id",
+        "_text",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.filter("_lines", _line_kept).alias("_kept"),
+    )
+    clean = F.array_join("_kept", "\n")
+    # C4 counts sentences in the RETAINED text; sentence ≈ one
+    # terminal punctuation mark (. ! ?) — the paper's own splitter is
+    # this coarse, and the integer count keeps the flag exact. Counted
+    # by length deltas (the Gopher-battery idiom), not a char explode.
+    n_sent = sum(
+        (
+            F.length(clean) - F.length(F.replace(clean, F.lit(mark)))
+            for mark in (".", "!", "?")
+        ),
+        F.lit(0),
+    ).cast("long")
+    m = lined.select(
+        "doc_id",
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        F.length(clean).cast("long").alias("n_clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+        n_sent.alias("n_sentences"),
+        F.contains(F.lower("_text"), F.lit("lorem ipsum")).alias(
+            "has_lorem_ipsum"
+        ),
+        F.contains(F.col("_text"), F.lit("{")).alias("has_curly_brace"),
+    )
+    return m.select(
+        "*",
+        (F.col("n_sentences") >= min_sentences).alias("rule_min_sentences"),
+        (~F.col("has_lorem_ipsum")).alias("rule_no_lorem"),
+        (~F.col("has_curly_brace")).alias("rule_no_curly"),
+    ).select(
+        "*",
+        (
+            F.col("rule_min_sentences")
+            & F.col("rule_no_lorem")
+            & F.col("rule_no_curly")
+        ).alias("pass_c4"),
+    )

@@ -1946,3 +1946,81 @@ def gopher_quality_rules(
             & F.col("rule_stopwords")
         ).alias("pass_gopher"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern (Radford et al. 2019's BPE
+# pre-split), in the LOOKAHEAD-FREE variant: the original's
+# `\s+(?!\S)` tail needs negative lookahead, which RE2 (DuckDB's
+# engine) rejects, so — like every RE2-based reimplementation — the
+# two whitespace alternatives collapse into one `\s+`. Consequence:
+# a space run before a word is ONE whitespace token and the word
+# token carries no leading space (the original splits off all-but-one
+# space); everything else (contraction suffixes, letter runs, digit
+# runs, punctuation runs) matches the original. Alternation is
+# leftmost-FIRST in both Java regex and RE2 (neither is POSIX
+# longest-match), so the two engines tokenize identically.
+_GPT2_PRETOKEN_RE = (
+    r"'(?:s|t|d|m|ll|ve|re)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def pretoken_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document GPT-2 pre-tokenizer census: extract the pretoken
+    stream and count each class (letter words, number runs,
+    punctuation runs, whitespace runs, contraction suffixes), plus a
+    RECONSTRUCTION certificate — the pattern's alternatives cover
+    every character, so concatenating the matches must rebuild the
+    document byte-for-byte (``recon_ok``); any silently-dropped
+    character flips it false.
+
+    One projection: regexp_extract_all once, class counts are codegen
+    HOF filters over the projected array (the r10 single-split
+    idiom), no shuffle, no UDF — map-only at 100 TB."""
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(_GPT2_PRETOKEN_RE), 0)
+    toks = documents.select(
+        "doc_id", F.col(text_col).alias("_text"), arr.alias("_pre")
+    )
+
+    def _cls(pat: str) -> Column:
+        return F.size(
+            F.filter("_pre", lambda t: t.rlike(pat))
+        ).cast("long")
+
+    return toks.select(
+        "doc_id",
+        F.size("_pre").cast("long").alias("n_pretokens"),
+        F.size(F.array_distinct("_pre")).cast("long").alias("n_unique"),
+        _cls(r"^ ?\p{L}+$").alias("n_word_toks"),
+        _cls(r"^ ?\p{N}+$").alias("n_num_toks"),
+        _cls(r"^ ?[^\s\p{L}\p{N}]+$").alias("n_punct_toks"),
+        _cls(r"^\s+$").alias("n_space_toks"),
+        _cls(r"^'(?:s|t|d|m|ll|ve|re)$").alias("n_contractions"),
+        (F.array_join("_pre", "") == F.col("_text")).alias("recon_ok"),
+    )
+
+
+def pretoken_vocab(
+    documents: DataFrame, topn: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Global GPT-2 pretoken vocabulary: explode the pretoken stream,
+    count every distinct pretoken, keep the ``topn`` by (count desc,
+    token asc) — the exact first step of training a byte-level BPE at
+    corpus scale (count pretokens first; merges never cross pretoken
+    boundaries, Radford et al. 2019).
+
+    Scale: the explode is map-side; the groupBy shuffles one narrow
+    (token, partial-count) row per distinct pretoken per partition
+    (map-side combine), so shuffle volume is vocabulary-sized, not
+    corpus-sized; the top-N is a TakeOrderedAndProject."""
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(_GPT2_PRETOKEN_RE), 0)
+    return (
+        documents.select(F.explode(arr).alias("pretoken"))
+        .groupBy("pretoken")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pretoken").asc())
+        .limit(topn)
+    )

@@ -1605,3 +1605,112 @@ def test_ilog2_lattice_properties_hypothesis():
     check()
     for e in range(0, 62):
         assert _ref_ilog2_q20(1 << e) == e * (1 << 20)
+
+
+def test_c4_rules_planted(spark):
+    """Each named C4 rule (Raffel et al. 2020 §2.2) fires on a doc
+    built to trip exactly it; a clean five-sentence page passes all,
+    and the cleaned text (pinned via md5) is exactly the kept lines."""
+    import hashlib
+
+    good = "\n".join(
+        ["this line ends with a period and enough words."] * 5
+    )
+    corpus = [
+        (1, good),
+        # line dropped: no terminal punctuation
+        (2, "no terminal punctuation here\n" + good),
+        # line dropped: two words only (boundary: min is 3)
+        (3, "two words.\n" + good),
+        # line dropped: javascript mention, case-insensitive
+        (4, "please enable JavaScript to continue.\n" + good),
+        # end-quote counts as terminal punctuation; line kept
+        (5, 'he said "this is a quoted full sentence."\n' + good),
+        # page flag: lorem ipsum (case-insensitive phrase)
+        (6, good + "\nfiller Lorem IPSUM dolor sit amet."),
+        # page flag: curly bracket anywhere, even in a dropped line
+        (7, good + "\ncode { sample"),
+        # page dropped: only four sentences survive
+        (8, "\n".join(["a kept line with a period."] * 4)),
+        # empty doc: zero kept lines, md5 of empty string
+        (9, ""),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curate.c4_clean_rules(docs).collect()}
+
+    assert got[1]["pass_c4"] and got[1]["n_kept_lines"] == 5
+    assert got[1]["clean_md5"] == hashlib.md5(good.encode()).hexdigest()
+    assert got[2]["n_kept_lines"] == 5 and got[2]["n_lines"] == 6
+    assert got[3]["n_kept_lines"] == 5
+    assert got[4]["n_kept_lines"] == 5 and got[4]["pass_c4"]
+    assert got[5]["n_kept_lines"] == 6  # quote-terminated line kept
+    assert got[6]["has_lorem_ipsum"] and not got[6]["pass_c4"]
+    assert got[6]["rule_min_sentences"]  # trip line is page-, not line-level
+    assert got[7]["has_curly_brace"] and not got[7]["pass_c4"]
+    assert got[7]["n_kept_lines"] == 5  # the brace line itself is dropped
+    assert not got[8]["rule_min_sentences"] and got[8]["n_sentences"] == 4
+    assert not got[8]["pass_c4"]
+    assert got[9]["n_kept_lines"] == 0 and got[9]["n_clean_chars"] == 0
+    assert got[9]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_c4_rules_word_count_boundary(spark):
+    """min_words_per_line is inclusive and counts whitespace-split
+    non-empty words (tabs/multiple spaces collapse)."""
+    corpus = [
+        (1, "one two three."),        # exactly 3 → kept
+        (2, "one  two\tthree."),      # separators collapse, still 3
+        (3, "only two."),             # 2 → dropped
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curate.c4_clean_rules(docs).collect()}
+    assert got[1]["n_kept_lines"] == 1
+    assert got[2]["n_kept_lines"] == 1
+    assert got[3]["n_kept_lines"] == 0
+
+
+def test_pretoken_stats_classes_partition_stream(spark):
+    """Every pretoken comes from exactly one alternative of the GPT-2
+    pattern, so the five class counts partition n_pretokens; the
+    reconstruction certificate holds on unicode, tabs, contractions,
+    and empty docs."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Mr. O'Neill's dog won't eat 42 biscuits!  True story..."),
+            (2, "tabs\there\nnew 3.14 lines's"),
+            (3, ""),
+            (4, "   "),
+            (5, "café naïve 北京 123abc"),
+            (6, "I'll we've they're you'd she'sx"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textstats.pretoken_stats(docs).collect()}
+    for did, r in rows.items():
+        assert r["recon_ok"], did
+        assert r["n_pretokens"] == (
+            r["n_word_toks"] + r["n_num_toks"] + r["n_punct_toks"]
+            + r["n_space_toks"] + r["n_contractions"]
+        ), (did, r.asDict())
+    assert rows[1]["n_contractions"] == 2  # 's and 't
+    # "she'sx": 'sx is NOT one contraction token — the pattern matches
+    # "'s" then "x" starts a fresh letter run ("'ll 've 're 'd 's" = 5)
+    assert rows[6]["n_contractions"] == 5
+    assert rows[5]["n_word_toks"] == 4  # café, naïve, 北京, abc
+
+
+def test_pretoken_vocab_topn_deterministic(spark):
+    """Top-N is (count desc, token asc) with a unique tiebreak — the
+    returned set is deterministic and boundary ties resolve
+    lexicographically."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc aa bb aa")], "doc_id long, text string"
+    )
+    got = [(r["pretoken"], r["n"]) for r in textstats.pretoken_vocab(docs, topn=3).collect()]
+    # tokens: 'aa', ' bb', ' cc', ' aa'(x2), ' bb'; the n=1 boundary
+    # tie between ' cc' and 'aa' resolves to ' cc' (space sorts first)
+    assert got == [(" aa", 2), (" bb", 2), (" cc", 1)]
