@@ -9989,6 +9989,16 @@ _VERIFY_FIRST = [
     # function-scoped to semantic_dedup._assign).
     "t_lm_quality",
     "t_gopher_rules",
+    # late-r10 additions, same reasoning as t_lm_quality: locally
+    # repr-exact through the driver contract at two SFs this round,
+    # so they yield their first-row slot to the stale rotation and
+    # lead the r11 sample: the C4 cleaning-rule battery (cleaned text
+    # pinned by md5 on a derived punctuated corpus) and the GPT-2
+    # pre-tokenizer pair (byte-exact reconstruction certificate +
+    # global top-100 vocabulary).
+    "c_c4_rules",
+    "t_pretoken_stats",
+    "t_pretoken_vocab",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

@@ -107,6 +107,12 @@ HEADLINE = [
     # round-10: the Gopher rule battery (single-projection scan —
     # pins the cost of the no-shuffle quality pass).
     "t_gopher_rules",
+    # round-10 (late): the C4 cleaning battery (line-level HOF scan +
+    # cleaned-text md5 — the other named quality pass) and the GPT-2
+    # pretoken vocabulary (regex-extract scan + vocabulary-sized
+    # count shuffle — the first step of byte-level BPE training).
+    "c_c4_rules",
+    "t_pretoken_vocab",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"

@@ -904,7 +904,18 @@ def c4_clean_rules(
         F.size("_lines").cast("long").alias("n_lines"),
         F.filter("_lines", _line_kept).alias("_kept"),
     )
-    clean = F.array_join("_kept", "\n")
+    # Project the joined clean text ONCE (it feeds five downstream
+    # expressions; CollapseProject never inlines a non-cheap alias
+    # with multiple uses, so this pins single evaluation without
+    # relying on codegen subexpression elimination).
+    cleaned = lined.select(
+        "doc_id",
+        "_text",
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        F.array_join("_kept", "\n").alias("_clean"),
+    )
+    clean = F.col("_clean")
     # C4 counts sentences in the RETAINED text; sentence ≈ one
     # terminal punctuation mark (. ! ?) — the paper's own splitter is
     # this coarse, and the integer count keeps the flag exact. Counted
@@ -916,10 +927,10 @@ def c4_clean_rules(
         ),
         F.lit(0),
     ).cast("long")
-    m = lined.select(
+    m = cleaned.select(
         "doc_id",
         "n_lines",
-        F.size("_kept").cast("long").alias("n_kept_lines"),
+        "n_kept_lines",
         F.length(clean).cast("long").alias("n_clean_chars"),
         F.md5(clean).alias("clean_md5"),
         n_sent.alias("n_sentences"),
