@@ -4924,6 +4924,165 @@ def _q_pretoken_vocab(spark, sf_dir):
     return textstats.pretoken_vocab(_t(spark, sf_dir, "documents"), topn=100)
 
 
+# Corpus constructor for the end-to-end pipeline gate. On top of the
+# C4 derivation, two more plants make the LATER stages non-degenerate
+# (measured on the raw corpus: zero docs hit >=2 Gopher stop words
+# and all 500 texts are distinct — both downstream stages would be
+# constant-false without them):
+#   * doc_id % 2 == 0 gains one stopword-rich sentence (the/and/to/
+#     with) so the Gopher stop-word rule splits the corpus;
+#   * doc_id % 10 == 0 is REPLACED by one constant five-sentence page
+#     that passes every rule, so exact-dedup keeper election has a
+#     50-copy cluster to resolve (keeper = min doc_id among
+#     survivors).
+_WP_CONST_PAGE = (
+    "the quick brown fox jumps over the lazy dog.\n"
+    "that same fox naps with the calm gray cat.\n"
+    "both of them have keen eyes and soft paws.\n"
+    "the garden path leads to a quiet pond.\n"
+    "birds sing near the water at dawn."
+)
+_WP_STOP_SENTENCE = "\nthe batch and the stream go to the sink with care."
+_WP_CONST_PAGE_SQL = " || chr(10) || ".join(
+    "'" + ln + "'" for ln in _WP_CONST_PAGE.split("\n")
+)
+_WP_STOP_SENTENCE_SQL = "chr(10) || '" + _WP_STOP_SENTENCE[1:] + "'"
+_WP_GOPHER_MIN_WORDS = 10
+
+
+@_register(
+    "c_web_pipeline",
+    f"""
+WITH derived AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 0 THEN {_WP_CONST_PAGE_SQL}
+         ELSE {_C4_DERIVE_SQL}
+              || CASE WHEN doc_id % 2 = 0
+                      THEN {_WP_STOP_SENTENCE_SQL} ELSE '' END
+    END AS text
+  FROM documents
+), lined AS (
+  SELECT doc_id, text AS _text, string_split(text, chr(10)) AS _lines
+  FROM derived
+), k AS (
+  SELECT doc_id, _text,
+         list_filter(_lines, ln ->
+           regexp_matches(rtrim(ln), '[.!?"]$')
+           AND len(list_filter(string_split_regex(ln, '\\s+'),
+                               w -> w <> '')) >= 3
+           AND NOT regexp_matches(ln, '(?i)javascript')) AS _kept
+  FROM lined
+), c4 AS (
+  SELECT doc_id,
+         coalesce(array_to_string(_kept, chr(10)), '') AS clean,
+         md5(coalesce(array_to_string(_kept, chr(10)), '')) AS clean_md5,
+         CAST((length(coalesce(array_to_string(_kept, chr(10)), ''))
+               - length(replace(coalesce(array_to_string(_kept, chr(10)), ''), '.', '')))
+            + (length(coalesce(array_to_string(_kept, chr(10)), ''))
+               - length(replace(coalesce(array_to_string(_kept, chr(10)), ''), '!', '')))
+            + (length(coalesce(array_to_string(_kept, chr(10)), ''))
+               - length(replace(coalesce(array_to_string(_kept, chr(10)), ''), '?', '')))
+           AS BIGINT) AS n_sentences,
+         contains(lower(_text), 'lorem ipsum') AS has_lorem,
+         contains(_text, '{{') AS has_curly
+  FROM k
+), c4v AS (
+  SELECT doc_id, clean, clean_md5, n_sentences,
+         (n_sentences >= 5) AND NOT has_lorem AND NOT has_curly AS pass_c4
+  FROM c4
+), g0 AS (
+  SELECT doc_id, clean_md5, n_sentences, pass_c4,
+         list_filter(string_split_regex(clean, '\\s+'), w -> w <> '') AS toks,
+         string_split(clean, chr(10)) AS lines,
+         length(clean) - length(replace(clean, '#', '')) AS n_hash,
+         (length(clean) - length(replace(clean, '...', ''))) // 3
+         + (length(clean) - length(replace(clean, '…', ''))) AS n_ellipsis
+  FROM c4v
+), g AS (
+  SELECT doc_id, clean_md5, n_sentences, pass_c4,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+              AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(n_hash AS BIGINT) AS n_hash,
+         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter(lines, l ->
+              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l ->
+              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(CAST(list_contains(toks, 'the') AS INT)
+            + CAST(list_contains(toks, 'be') AS INT)
+            + CAST(list_contains(toks, 'to') AS INT)
+            + CAST(list_contains(toks, 'of') AS INT)
+            + CAST(list_contains(toks, 'and') AS INT)
+            + CAST(list_contains(toks, 'that') AS INT)
+            + CAST(list_contains(toks, 'have') AS INT)
+            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+            AS n_stopwords_hit
+  FROM g0
+), v AS (
+  SELECT doc_id, clean_md5, n_words, n_sentences, pass_c4,
+         (n_words >= {_WP_GOPHER_MIN_WORDS} AND n_words <= 100000)
+         AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+         AND ((n_hash + n_ellipsis) * 10 <= n_words)
+         AND (n_bullet_lines * 10 <= n_lines * 9)
+         AND (n_ellipsis_lines * 10 <= n_lines * 3)
+         AND (n_alpha_words * 10 >= n_words * 8)
+         AND (n_stopwords_hit >= 2) AS pass_gopher
+  FROM g
+)
+SELECT doc_id, clean_md5, n_words, n_sentences, pass_c4, pass_gopher,
+       (pass_c4 AND pass_gopher)
+       AND doc_id = MIN(CASE WHEN pass_c4 AND pass_gopher THEN doc_id END)
+                    OVER (PARTITION BY clean_md5) AS keep
+FROM v
+""",
+)
+def _q_web_pipeline(spark, sf_dir):
+    """End-to-end web-corpus curation (curate.web_pipeline — the
+    FineWeb/RefinedWeb composition): C4 line/page rules → Gopher
+    battery over the C4-CLEANED text → exact dedup among full
+    survivors. The two rule batteries FUSE into one map-only
+    projection chain (the Gopher stage carries the C4 flags through
+    instead of re-joining); the only exchange is the keeper-election
+    window over clean_md5 (narrow rows, never the text). The oracle
+    replays every stage, including the 50-copy planted duplicate
+    cluster whose keeper must be the min surviving doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" sort "), F.lit(".\nsort ")
+            ),
+            F.lit(" join "),
+            F.lit("!\njoin "),
+        ),
+        F.lit(" window "),
+        F.lit("?\nwindow "),
+    )
+    t = F.concat(t, F.lit("."))
+    for mod, trip in (
+        (11, "\njavascript alert line ok."),
+        (13, "\nfiller lorem ipsum dolor sit."),
+        (17, "\nbrace { marker line here."),
+    ):
+        t = F.when(
+            F.col("doc_id") % mod == 0, F.concat(t, F.lit(trip))
+        ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(t, F.lit(_WP_STOP_SENTENCE))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 10 == 0, F.lit(_WP_CONST_PAGE)
+    ).otherwise(t)
+    derived = docs.select("doc_id", t.alias("text"))
+    return curate.web_pipeline(derived, min_words=_WP_GOPHER_MIN_WORDS)
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -9999,6 +10158,7 @@ _VERIFY_FIRST = [
     "c_c4_rules",
     "t_pretoken_stats",
     "t_pretoken_vocab",
+    "c_web_pipeline",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

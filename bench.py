@@ -113,6 +113,11 @@ HEADLINE = [
     # count shuffle — the first step of byte-level BPE training).
     "c_c4_rules",
     "t_pretoken_vocab",
+    # round-10 (late): the composed FineWeb-shaped pipeline — two
+    # fused rule batteries + keeper-election window; pins the cost of
+    # "the whole curation pass" as one number (its only exchange is
+    # the narrow clean_md5 window).
+    "c_web_pipeline",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"

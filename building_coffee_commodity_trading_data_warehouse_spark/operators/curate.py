@@ -857,6 +857,7 @@ def c4_clean_rules(
     text_col: str = "text",
     min_words_per_line: int = 3,
     min_sentences: int = 5,
+    keep_text: bool = False,
 ) -> DataFrame:
     """The C4 cleaning-rule battery (Raffel et al. 2020, §2.2 — the
     line/page heuristics that turned Common Crawl into C4), per
@@ -931,6 +932,10 @@ def c4_clean_rules(
         "doc_id",
         "n_lines",
         "n_kept_lines",
+        # keep_text=True additionally carries the cleaned text itself
+        # (for composition — web_pipeline feeds it to the Gopher
+        # battery); the default drops it so gate schemas stay narrow.
+        *([clean.alias("clean_text")] if keep_text else []),
         F.length(clean).cast("long").alias("n_clean_chars"),
         F.md5(clean).alias("clean_md5"),
         n_sent.alias("n_sentences"),
@@ -951,4 +956,60 @@ def c4_clean_rules(
             & F.col("rule_no_lorem")
             & F.col("rule_no_curly")
         ).alias("pass_c4"),
+    )
+
+
+def web_pipeline(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """End-to-end web-corpus curation in the FineWeb / RefinedWeb
+    shape (Penedo et al. 2023/2024): C4 line/page rules → Gopher
+    quality battery over the C4-CLEANED text → exact dedup among full
+    survivors. Per document: both stage verdicts plus ``keep`` — true
+    iff the doc passes C4 and Gopher AND is the first (min doc_id)
+    surviving copy of its cleaned text.
+
+    Composition is the point: the two rule batteries fuse into ONE
+    map-only projection chain — no join anywhere, because the Gopher
+    stage CARRIES the C4 flags through (``carry=``) instead of
+    re-joining on doc_id. The only exchange in the whole plan is the
+    keeper-election window on clean_md5, whose rows are narrow
+    (hash + flags), never the text. Dedup is elected among SURVIVORS
+    (``min(CASE WHEN survives THEN doc_id END) OVER (PARTITION BY
+    clean_md5)``) — dropping a filtered doc must never waste a
+    duplicate slot, the order real pipelines apply.
+    """
+    from pyspark.sql import Window as _W
+
+    from .textstats import gopher_quality_rules
+
+    c4 = c4_clean_rules(
+        documents,
+        text_col=text_col,
+        min_sentences=min_sentences,
+        keep_text=True,
+    )
+    g = gopher_quality_rules(
+        c4.select("doc_id", "clean_text", "clean_md5", "n_sentences", "pass_c4"),
+        min_words=min_words,
+        max_words=max_words,
+        text_col="clean_text",
+        carry=("clean_md5", "n_sentences", "pass_c4"),
+    )
+    survives = F.col("pass_c4") & F.col("pass_gopher")
+    first_survivor = F.min(
+        F.when(survives, F.col("doc_id"))
+    ).over(_W.partitionBy("clean_md5"))
+    return g.select(
+        "doc_id",
+        "clean_md5",
+        "n_words",
+        "n_sentences",
+        "pass_c4",
+        "pass_gopher",
+        (survives & (F.col("doc_id") == first_survivor)).alias("keep"),
     )

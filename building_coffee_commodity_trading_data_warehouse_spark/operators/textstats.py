@@ -1823,6 +1823,8 @@ def gopher_quality_rules(
     documents: DataFrame,
     min_words: int = 50,
     max_words: int = 100_000,
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality-rule battery (Rae et al. 2021, App. A1.1 —
     the named heuristic filter set most pretraining pipelines run
@@ -1840,11 +1842,16 @@ def gopher_quality_rules(
     correctly-rounded division, and every rule THRESHOLD compares
     integers cross-multiplied (bullet·10 ≤ lines·9), so a SQL oracle
     replays each flag bit-for-bit at any scale."""
+    # text_col/carry exist for composition (web_pipeline runs the
+    # battery over the C4-cleaned text while carrying that stage's
+    # flags through); defaults reproduce the original single-table
+    # shape bit-for-bit.
     toks = documents.select(
         "doc_id",
-        "text",
-        F.filter(_tokens(), lambda x: x != F.lit("")).alias("_toks"),
-        F.split(F.col("text"), "\n").alias("_lines"),
+        *carry,
+        F.col(text_col).alias("text"),
+        F.filter(_tokens(text_col), lambda x: x != F.lit("")).alias("_toks"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
     )
     n_words = F.size("_toks").cast("long")
     n_lines = F.size("_lines").cast("long")
@@ -1894,6 +1901,7 @@ def gopher_quality_rules(
     ).cast("long")
     m = toks.select(
         "doc_id",
+        *carry,
         n_words.alias("n_words"),
         n_lines.alias("n_lines"),
         sum_word_len.alias("sum_word_len"),

@@ -1714,3 +1714,75 @@ def test_pretoken_vocab_topn_deterministic(spark):
     # tokens: 'aa', ' bb', ' cc', ' aa'(x2), ' bb'; the n=1 boundary
     # tie between ' cc' and 'aa' resolves to ' cc' (space sorts first)
     assert got == [(" aa", 2), (" bb", 2), (" cc", 1)]
+
+
+def test_web_pipeline_keeper_elected_among_survivors(spark):
+    """The dedup stage elects keepers among docs that passed BOTH rule
+    stages: when the min-doc_id copy of a duplicated text fails a page
+    rule, the next SURVIVING copy keeps the slot (a filtered doc never
+    wastes a duplicate slot)."""
+    page = "\n".join(
+        ["the quick brown fox jumps over the lazy dog with joy."] * 5
+    )
+    corpus = [
+        # doc 1: duplicate text but fails C4 (lorem ipsum on the page)
+        (1, page + "\nextra lorem ipsum trailer line."),
+        (2, page),            # survivor, min surviving id → keeper
+        (3, page),            # surviving duplicate → not keeper
+        (4, "too short."),    # fails gopher word count
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in curate.web_pipeline(docs, min_words=10).collect()
+    }
+    assert not got[1]["pass_c4"] and not got[1]["keep"]
+    assert got[2]["pass_c4"] and got[2]["pass_gopher"] and got[2]["keep"]
+    assert got[3]["pass_gopher"] and not got[3]["keep"]
+    assert not got[4]["pass_gopher"] and not got[4]["keep"]
+    # docs 2 and 3 share the hash with doc 1's DIFFERENT page? No —
+    # doc 1's cleaned text differs (its trailer line is kept: it ends
+    # with '.'), so assert the hash topology explicitly instead:
+    assert got[2]["clean_md5"] == got[3]["clean_md5"]
+
+
+def test_web_pipeline_duplicate_of_failing_head_promotes_next(spark):
+    """Same cleaned text in docs 1 and 2 where doc 1 fails a PAGE rule
+    (curly brace lives on a dropped line, so the cleaned text is
+    identical): the keeper slot must go to doc 2."""
+    page = "\n".join(
+        ["the quick brown fox jumps over the lazy dog with joy."] * 5
+    )
+    corpus = [
+        (1, page + "\ncode { fragment"),  # dropped line, page flag fires
+        (2, page),
+        (3, page),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in curate.web_pipeline(docs, min_words=10).collect()
+    }
+    # all three share one cleaned text
+    assert len({r["clean_md5"] for r in got.values()}) == 1
+    assert not got[1]["pass_c4"] and not got[1]["keep"]
+    assert got[2]["keep"] and not got[3]["keep"]
+
+
+def test_gopher_rules_text_col_and_carry_passthrough(spark):
+    """text_col renames and carry columns ride through unchanged; the
+    default call keeps the original schema (no carry columns)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog sit with that old hat to nap of", "x")],
+        "doc_id long, body string, tag string",
+    )
+    out = textstats.gopher_quality_rules(
+        docs, text_col="body", carry=("tag",)
+    ).collect()[0]
+    assert out["tag"] == "x" and out["n_words"] == 13
+    base = textstats.gopher_quality_rules(
+        docs.select("doc_id", F.col("body").alias("text"))
+    )
+    assert "tag" not in base.columns
