@@ -5083,6 +5083,209 @@ def _q_web_pipeline(spark, sf_dir):
     return curate.web_pipeline(derived, min_words=_WP_GOPHER_MIN_WORDS)
 
 
+_REP_LONG_LINE = (
+    "one two three four five six seven eight nine ten "
+    "one two three four five six seven eight nine ten more."
+)
+
+
+@_register(
+    "t_gopher_repetition",
+    r"""
+WITH derived AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+      t2 || chr(10) ||
+      'one two three four five six seven eight nine ten one two three four five six seven eight nine ten more.'
+    ELSE t2 END AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 = 0
+           THEN t1 || chr(10) || chr(10) || split_part(t1, chr(10) || chr(10), 1)
+           ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN t0 || chr(10) || split_part(t0, chr(10), 1)
+             ELSE t0 END AS t1
+      FROM (
+        SELECT doc_id,
+          replace(replace(replace(text, ' batch ', chr(10) || 'batch '),
+                          ' stream ', chr(10) || 'stream '),
+                  ' scan ', chr(10) || chr(10) || 'scan ') AS t0
+        FROM documents
+      )
+    )
+  )
+), base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
+  FROM derived
+), stats AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_distinct(lines)) AS BIGINT) AS n_dist_lines,
+    CAST(coalesce(list_sum(list_transform(lines, s -> length(s))), 0)
+         AS BIGINT) AS line_chars,
+    CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+         s -> length(s))), 0) AS BIGINT) AS dist_line_chars,
+    CAST(len(paras) AS BIGINT) AS n_paras,
+    CAST(len(list_distinct(paras)) AS BIGINT) AS n_dist_paras,
+    CAST(coalesce(list_sum(list_transform(paras, s -> length(s))), 0)
+         AS BIGINT) AS para_chars,
+    CAST(coalesce(list_sum(list_transform(list_distinct(paras),
+         s -> length(s))), 0) AS BIGINT) AS dist_para_chars,
+    CAST(coalesce(list_sum(list_transform(toks, s -> length(s))), 0)
+         AS BIGINT) AS tok_chars
+  FROM base
+), ngr AS (
+  SELECT doc_id, v.n,
+         unnest(list_transform(
+           generate_series(1, greatest(len(toks) - (v.n - 1), 0)),
+           i -> array_to_string(toks[i:i+v.n-1], ' '))) AS ng,
+         unnest(generate_series(1, greatest(len(toks) - (v.n - 1), 0)))
+           AS pos
+  FROM base, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n)
+), cnt AS (
+  SELECT doc_id, n, ng, pos,
+         count(*) OVER (PARTITION BY doc_id, n, ng) AS c
+  FROM ngr
+), tops AS (
+  SELECT doc_id,
+    MAX(CASE WHEN n = 2 THEN tc END) AS top_2gram_chars,
+    MAX(CASE WHEN n = 3 THEN tc END) AS top_3gram_chars,
+    MAX(CASE WHEN n = 4 THEN tc END) AS top_4gram_chars
+  FROM (
+    SELECT doc_id, n,
+      CAST((max(struct_pack(c := c, ng := ng)).c)
+           * (length(max(struct_pack(c := c, ng := ng)).ng) - (n - 1))
+           AS BIGINT) AS tc
+    FROM cnt WHERE n IN (2, 3, 4) GROUP BY doc_id, n
+  ) GROUP BY doc_id
+), dup_pos AS (
+  SELECT DISTINCT doc_id, n,
+         unnest(generate_series(pos, pos + n - 1)) AS tpos
+  FROM cnt WHERE n >= 5 AND c > 1
+), tok_tbl AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) AS tpos,
+         unnest(list_transform(toks, t -> length(t))) AS tlen
+  FROM base
+), covs AS (
+  SELECT doc_id,
+    MAX(CASE WHEN n = 5 THEN s END) AS dup_5gram_chars,
+    MAX(CASE WHEN n = 6 THEN s END) AS dup_6gram_chars,
+    MAX(CASE WHEN n = 7 THEN s END) AS dup_7gram_chars,
+    MAX(CASE WHEN n = 8 THEN s END) AS dup_8gram_chars,
+    MAX(CASE WHEN n = 9 THEN s END) AS dup_9gram_chars,
+    MAX(CASE WHEN n = 10 THEN s END) AS dup_10gram_chars
+  FROM (
+    SELECT d.doc_id, d.n, CAST(sum(t.tlen) AS BIGINT) AS s
+    FROM dup_pos d JOIN tok_tbl t
+      ON d.doc_id = t.doc_id AND d.tpos = t.tpos
+    GROUP BY d.doc_id, d.n
+  ) GROUP BY doc_id
+), joined AS (
+  SELECT s.*,
+    coalesce(t.top_2gram_chars, 0) AS top_2gram_chars,
+    coalesce(t.top_3gram_chars, 0) AS top_3gram_chars,
+    coalesce(t.top_4gram_chars, 0) AS top_4gram_chars,
+    coalesce(c.dup_5gram_chars, 0) AS dup_5gram_chars,
+    coalesce(c.dup_6gram_chars, 0) AS dup_6gram_chars,
+    coalesce(c.dup_7gram_chars, 0) AS dup_7gram_chars,
+    coalesce(c.dup_8gram_chars, 0) AS dup_8gram_chars,
+    coalesce(c.dup_9gram_chars, 0) AS dup_9gram_chars,
+    coalesce(c.dup_10gram_chars, 0) AS dup_10gram_chars
+  FROM stats s
+  LEFT JOIN tops t USING (doc_id)
+  LEFT JOIN covs c USING (doc_id)
+)
+SELECT *,
+  CASE WHEN n_lines > 0 THEN CAST(n_lines - n_dist_lines AS DOUBLE) / n_lines ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN n_paras > 0 THEN CAST(n_paras - n_dist_paras AS DOUBLE) / n_paras ELSE 0.0 END AS dup_para_frac,
+  CASE WHEN line_chars > 0 THEN CAST(line_chars - dist_line_chars AS DOUBLE) / line_chars ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN para_chars > 0 THEN CAST(para_chars - dist_para_chars AS DOUBLE) / para_chars ELSE 0.0 END AS dup_para_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(top_2gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS top_2gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(top_3gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS top_3gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(top_4gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS top_4gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(dup_5gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS dup_5gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(dup_6gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS dup_6gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(dup_7gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS dup_7gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(dup_8gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS dup_8gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(dup_9gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS dup_9gram_char_frac,
+  CASE WHEN tok_chars > 0 THEN CAST(dup_10gram_chars AS DOUBLE) / tok_chars ELSE 0.0 END AS dup_10gram_char_frac,
+  (n_lines - n_dist_lines) * 100 <= n_lines * 30 AS rule_dup_line,
+  (n_paras - n_dist_paras) * 100 <= n_paras * 30 AS rule_dup_para,
+  (line_chars - dist_line_chars) * 100 <= line_chars * 20 AS rule_dup_line_char,
+  (para_chars - dist_para_chars) * 100 <= para_chars * 20 AS rule_dup_para_char,
+  top_2gram_chars * 100 <= tok_chars * 20 AS rule_top_2gram,
+  top_3gram_chars * 100 <= tok_chars * 18 AS rule_top_3gram,
+  top_4gram_chars * 100 <= tok_chars * 16 AS rule_top_4gram,
+  dup_5gram_chars * 100 <= tok_chars * 15 AS rule_dup_5gram,
+  dup_6gram_chars * 100 <= tok_chars * 14 AS rule_dup_6gram,
+  dup_7gram_chars * 100 <= tok_chars * 13 AS rule_dup_7gram,
+  dup_8gram_chars * 100 <= tok_chars * 12 AS rule_dup_8gram,
+  dup_9gram_chars * 100 <= tok_chars * 11 AS rule_dup_9gram,
+  dup_10gram_chars * 100 <= tok_chars * 10 AS rule_dup_10gram,
+  ((n_lines - n_dist_lines) * 100 <= n_lines * 30)
+  AND ((n_paras - n_dist_paras) * 100 <= n_paras * 30)
+  AND ((line_chars - dist_line_chars) * 100 <= line_chars * 20)
+  AND ((para_chars - dist_para_chars) * 100 <= para_chars * 20)
+  AND (top_2gram_chars * 100 <= tok_chars * 20)
+  AND (top_3gram_chars * 100 <= tok_chars * 18)
+  AND (top_4gram_chars * 100 <= tok_chars * 16)
+  AND (dup_5gram_chars * 100 <= tok_chars * 15)
+  AND (dup_6gram_chars * 100 <= tok_chars * 14)
+  AND (dup_7gram_chars * 100 <= tok_chars * 13)
+  AND (dup_8gram_chars * 100 <= tok_chars * 12)
+  AND (dup_9gram_chars * 100 <= tok_chars * 11)
+  AND (dup_10gram_chars * 100 <= tok_chars * 10) AS pass_repetition
+FROM joined
+""",
+)
+def _q_gopher_repetition(spark, sf_dir):
+    """The Gopher REPETITION battery (Rae et al. 2021 Table A1 —
+    textstats.gopher_repetition_rules): duplicate line/paragraph
+    fractions (+ char-mass twins), top-2/3/4-gram character
+    fractions, and duplicated-5..10-gram character COVERAGE with
+    position-union (never double counted), each flagged at the
+    paper's threshold by integer cross-multiplication. The raw corpus
+    is single-line, so the gate derives line/paragraph structure
+    (three marker words become line/para breaks) and plants
+    deterministic duplications: doc_id%3 duplicates its first line,
+    %4 its first paragraph, %5 appends a line whose 10-gram repeats
+    (tripping every dup-n-gram rule). All 46 columns replay
+    bit-for-bit in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    t0 = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" batch "), F.lit("\nbatch ")
+            ),
+            F.lit(" stream "),
+            F.lit("\nstream "),
+        ),
+        F.lit(" scan "),
+        F.lit("\n\nscan "),
+    )
+    t1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t0, F.lit("\n"), F.substring_index(t0, "\n", 1)),
+    ).otherwise(t0)
+    t2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(t1, F.lit("\n\n"), F.substring_index(t1, "\n\n", 1)),
+    ).otherwise(t1)
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t2, F.lit("\n"), F.lit(_REP_LONG_LINE)),
+    ).otherwise(t2)
+    derived = docs.select("doc_id", t.alias("text"))
+    return textstats.gopher_repetition_rules(derived)
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -10159,6 +10362,7 @@ _VERIFY_FIRST = [
     "t_pretoken_stats",
     "t_pretoken_vocab",
     "c_web_pipeline",
+    "t_gopher_repetition",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

@@ -118,6 +118,11 @@ HEADLINE = [
     # "the whole curation pass" as one number (its only exchange is
     # the narrow clean_md5 window).
     "c_web_pipeline",
+    # round-10 (late): the Gopher repetition battery — nine n-gram
+    # families through one unioned window-count exchange plus the
+    # position-union coverage join; the heaviest pure-text scan in
+    # the headline set.
+    "t_gopher_repetition",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"

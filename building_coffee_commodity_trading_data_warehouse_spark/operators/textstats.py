@@ -2032,3 +2032,285 @@ def pretoken_vocab(
         .orderBy(F.col("n").desc(), F.col("pretoken").asc())
         .limit(topn)
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1): a doc is
+# repetitious when ANY fraction exceeds its bound. Stored as percent
+# so every flag is an integer cross-multiplication.
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 30,
+    "dup_para_frac": 30,
+    "dup_line_char_frac": 20,
+    "dup_para_char_frac": 20,
+    "top_2gram_char_frac": 20,
+    "top_3gram_char_frac": 18,
+    "top_4gram_char_frac": 16,
+    "dup_5gram_char_frac": 15,
+    "dup_6gram_char_frac": 14,
+    "dup_7gram_char_frac": 13,
+    "dup_8gram_char_frac": 12,
+    "dup_9gram_char_frac": 11,
+    "dup_10gram_char_frac": 10,
+}
+
+
+def _ngram_strings(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams of a token array (empty when the
+    doc has fewer than n tokens), built as its OWN array so a
+    downstream explode never drags the token array along rows.
+
+    The generator bound clamps to 1 and the result is re-sliced to
+    the true count: Spark's ``sequence(1, 0)`` DESCENDS to [1, 0]
+    (step defaults to -1 when start > stop), which would feed
+    slice(start=0) and throw on short/empty docs."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    full = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.slice(full, 1, cnt)
+
+
+def gopher_repetition_rules(
+    documents: DataFrame,
+    ngram_top: tuple[int, ...] = (2, 3, 4),
+    ngram_dup: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The Gopher REPETITION battery (Rae et al. 2021, Table A1 — the
+    other half of the heuristic filter, next to
+    ``gopher_quality_rules``), per document:
+
+    * duplicate line / paragraph fraction — occurrences beyond the
+      first over total lines / paragraphs — and their character-mass
+      twins (chars in duplicate occurrences over total chars);
+    * top-n-gram character fraction for n in ``ngram_top``: the most
+      frequent n-gram's count × its TOKEN characters (string length
+      minus the n−1 joining spaces) over total token chars, so the
+      fraction never exceeds 1 and shares the coverage metric's
+      separator-free denominator; a count tie elects the
+      lexicographically GREATEST n-gram (one struct max — both
+      engines order (count, ngram) pairs identically);
+    * duplicate-n-gram character COVERAGE for n in ``ngram_dup``: the
+      fraction of token characters inside ANY occurrence of any
+      duplicated n-gram — positions are UNIONED before weighing, so
+      overlapping occurrences never double count (the standard
+      implementation of the paper's rule).
+
+    Emits the integer numerators/denominators, double fractions, one
+    flag per metric at the paper's threshold (integer
+    cross-multiplied: frac·100 ≤ pct·denominator — never a
+    thresholded float), and the conjunction ``pass_repetition``.
+
+    Scale shape: line/paragraph metrics are ONE codegen projection
+    (array_distinct + length folds, no shuffle). ALL nine n-gram
+    families share one unioned pipeline: per-n n-gram arrays are
+    projected (each string built once), posexploded to narrow
+    (doc_id, n, pos, ngram) rows, counted with ONE window exchange on
+    (doc_id, n, ngram), then split into the top-mass aggregate and
+    the coverage path (dup positions → sequence-explode ≤ n rows each
+    → distinct → token-length weighting against a position table that
+    never shuffles). Shuffle volume everywhere is n-gram-count-sized;
+    document text never crosses an exchange. Everything partitions by
+    doc_id — embarrassingly parallel across documents at 100 TB."""
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+
+    toks_arr = F.filter(_tokens(), lambda x: x != F.lit(""))
+    # Pin the map parallelism explicitly (the holt_smoothing /
+    # rolling_quartiles precedent): nine explode pipelines of
+    # per-doc string building hang off this frame, and a
+    # single-row-group input would otherwise run ALL of it on one
+    # core before the first natural exchange. One narrow text
+    # shuffle up front; AQE never coalesces an explicit repartition.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    proj = scoped_persist(
+        documents.repartition(par, "doc_id").select(
+            "doc_id",
+            toks_arr.alias("_toks"),
+            F.split(F.col("text"), "\n").alias("_lines"),
+            F.split(F.col("text"), "\n\n").alias("_paras"),
+        )
+    )
+
+    def _char_sum(arr) -> Column:
+        return F.aggregate(
+            F.transform(arr, lambda s: F.length(s).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    stats = proj.select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("_lines")).cast("long").alias("n_dist_lines"),
+        _char_sum("_lines").alias("line_chars"),
+        _char_sum(F.array_distinct("_lines")).alias("dist_line_chars"),
+        F.size("_paras").cast("long").alias("n_paras"),
+        F.size(F.array_distinct("_paras")).cast("long").alias("n_dist_paras"),
+        _char_sum("_paras").alias("para_chars"),
+        _char_sum(F.array_distinct("_paras")).alias("dist_para_chars"),
+        _char_sum("_toks").alias("tok_chars"),
+    )
+
+    def _ng_union(ns) -> DataFrame:
+        out = None
+        for n in ns:
+            part = proj.select(
+                "doc_id",
+                F.lit(n).alias("n"),
+                F.posexplode(_ngram_strings(F.col("_toks"), n)).alias(
+                    "pos", "ng"
+                ),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # The top and coverage paths get DISJOINT explode pipelines: a
+    # shared window-counted frame would re-execute the whole union
+    # once per consumer (measured 2 Window nodes = 2x the explode
+    # work), and the top path never needs per-occurrence positions —
+    # a plain two-level aggregate (map-side combine on (doc, n, ng))
+    # replaces the window there outright.
+    tops = (
+        _ng_union(ngram_top)
+        .groupBy("doc_id", "n", "ng")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.struct("c", "ng")).alias("top"))
+        .select(
+            "doc_id",
+            "n",
+            # token characters only — length(ng) minus its n-1 joining
+            # spaces — so the fraction shares the coverage path's
+            # separator-free denominator and never exceeds 1
+            (
+                F.col("top.c") * (F.length("top.ng") - (F.col("n") - 1))
+            ).cast("long").alias("tc"),
+        )
+        .groupBy("doc_id")
+        .pivot("n", list(ngram_top))
+        .agg(F.first("tc"))
+        .select(
+            "doc_id",
+            *[
+                F.col(str(n)).alias(f"top_{n}gram_chars")
+                for n in ngram_top
+            ],
+        )
+    )
+
+    # duplicated-n-gram coverage: union the covered token positions,
+    # then weigh by token length from a never-shuffled position table.
+    # The window count survives HERE only — this path needs every
+    # occurrence's position, so a groupBy can't replace it.
+    w = Window.partitionBy("doc_id", "n", "ng")
+    cnt = _ng_union(ngram_dup).withColumn("c", F.count(F.lit(1)).over(w))
+    dup_pos = (
+        cnt.filter(F.col("c") > 1)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_tbl = proj.select(
+        "doc_id",
+        F.posexplode(
+            F.transform("_toks", lambda t: F.length(t).cast("long"))
+        ).alias("tpos", "tlen"),
+    )
+    covs = (
+        dup_pos.join(tok_tbl, ["doc_id", "tpos"])
+        .groupBy("doc_id")
+        .pivot("n", list(ngram_dup))
+        .sum("tlen")
+        .select(
+            "doc_id",
+            *[
+                F.col(str(n)).alias(f"dup_{n}gram_chars")
+                for n in ngram_dup
+            ],
+        )
+    )
+
+    joined = (
+        stats.join(tops, "doc_id", "left").join(covs, "doc_id", "left")
+    )
+    fill = {f"top_{n}gram_chars": 0 for n in ngram_top}
+    fill.update({f"dup_{n}gram_chars": 0 for n in ngram_dup})
+    joined = joined.fillna(fill)
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den).otherwise(
+            F.lit(0.0)
+        )
+
+    dup_line = F.col("n_lines") - F.col("n_dist_lines")
+    dup_para = F.col("n_paras") - F.col("n_dist_paras")
+    dup_line_ch = F.col("line_chars") - F.col("dist_line_chars")
+    dup_para_ch = F.col("para_chars") - F.col("dist_para_chars")
+    out = joined.select(
+        "*",
+        _frac(dup_line, F.col("n_lines")).alias("dup_line_frac"),
+        _frac(dup_para, F.col("n_paras")).alias("dup_para_frac"),
+        _frac(dup_line_ch, F.col("line_chars")).alias("dup_line_char_frac"),
+        _frac(dup_para_ch, F.col("para_chars")).alias("dup_para_char_frac"),
+        *[
+            _frac(F.col(f"top_{n}gram_chars"), F.col("tok_chars")).alias(
+                f"top_{n}gram_char_frac"
+            )
+            for n in ngram_top
+        ],
+        *[
+            _frac(F.col(f"dup_{n}gram_chars"), F.col("tok_chars")).alias(
+                f"dup_{n}gram_char_frac"
+            )
+            for n in ngram_dup
+        ],
+    )
+    T = GOPHER_REP_THRESHOLDS
+    rules = [
+        (dup_line * 100 <= F.col("n_lines") * T["dup_line_frac"]).alias(
+            "rule_dup_line"
+        ),
+        (dup_para * 100 <= F.col("n_paras") * T["dup_para_frac"]).alias(
+            "rule_dup_para"
+        ),
+        (
+            dup_line_ch * 100
+            <= F.col("line_chars") * T["dup_line_char_frac"]
+        ).alias("rule_dup_line_char"),
+        (
+            dup_para_ch * 100
+            <= F.col("para_chars") * T["dup_para_char_frac"]
+        ).alias("rule_dup_para_char"),
+        *[
+            (
+                F.col(f"top_{n}gram_chars") * 100
+                <= F.col("tok_chars") * T[f"top_{n}gram_char_frac"]
+            ).alias(f"rule_top_{n}gram")
+            for n in ngram_top
+        ],
+        *[
+            (
+                F.col(f"dup_{n}gram_chars") * 100
+                <= F.col("tok_chars") * T[f"dup_{n}gram_char_frac"]
+            ).alias(f"rule_dup_{n}gram")
+            for n in ngram_dup
+        ],
+    ]
+    out = out.select("*", *rules)
+    names = (
+        ["rule_dup_line", "rule_dup_para", "rule_dup_line_char",
+         "rule_dup_para_char"]
+        + [f"rule_top_{n}gram" for n in ngram_top]
+        + [f"rule_dup_{n}gram" for n in ngram_dup]
+    )
+    conj = None
+    for nm in names:
+        conj = F.col(nm) if conj is None else (conj & F.col(nm))
+    return out.select("*", conj.alias("pass_repetition"))

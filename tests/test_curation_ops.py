@@ -1786,3 +1786,116 @@ def test_gopher_rules_text_col_and_carry_passthrough(spark):
         docs.select("doc_id", F.col("body").alias("text"))
     )
     assert "tag" not in base.columns
+
+
+def _ref_repetition(text):
+    """Pure-Python reference for gopher_repetition_rules (same
+    contract: token-boundary chars, position-union coverage)."""
+    import re as _re
+    from collections import Counter
+
+    toks = [w for w in _re.split(r"\s+", text) if w]
+    lines = text.split("\n")
+    paras = text.split("\n\n")
+    out = {
+        "n_lines": len(lines),
+        "n_dist_lines": len(set(lines)),
+        "line_chars": sum(map(len, lines)),
+        "dist_line_chars": sum(map(len, set(lines))),
+        "n_paras": len(paras),
+        "n_dist_paras": len(set(paras)),
+        "para_chars": sum(map(len, paras)),
+        "dist_para_chars": sum(map(len, set(paras))),
+        "tok_chars": sum(map(len, toks)),
+    }
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if grams:
+            c = Counter(grams)
+            top_c, top_ng = max((v, k) for k, v in c.items())
+            out[f"top_{n}gram_chars"] = top_c * (len(top_ng) - (n - 1))
+        else:
+            out[f"top_{n}gram_chars"] = 0
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        out[f"dup_{n}gram_chars"] = sum(len(toks[p]) for p in covered)
+    return out
+
+
+def test_gopher_repetition_planted(spark):
+    """Each repetition metric (Rae et al. 2021 Table A1) fires on a
+    doc built to trip it; coverage must UNION overlapping duplicate
+    occurrences (never double count)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    corpus = [
+        (1, "x y\nx y\nz w q"),                              # dup line
+        (2, "spam ham spam ham spam ham spam ham spam ham"),  # top-2gram
+        (3, "p q r s t u v w x y p q r s t u v w x y zz"),   # dup 10-gram
+        (4, "pp one.\n\npp one.\n\npp two."),                 # dup para
+        (5, ""),                                              # empty
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_repetition_rules(docs).collect()
+    }
+    assert not got[1]["rule_dup_line"] and got[1]["dup_line_frac"] == 1 / 3
+    assert not got[2]["rule_top_2gram"]
+    assert got[2]["top_2gram_char_frac"] == 1.0  # 5x'spam ham' covers all
+    # doc 3: the repeated 10-gram covers positions 0..19 of 21 one-char
+    # tokens plus 'zz' (22 chars): 20/22, counted ONCE despite the two
+    # occurrences overlapping nothing and 5..9-grams overlapping a lot
+    assert got[3]["dup_10gram_char_frac"] == 20 / 22
+    assert got[3]["dup_5gram_char_frac"] == 20 / 22  # union, not sum
+    assert not got[3]["rule_dup_5gram"]
+    assert not got[4]["rule_dup_para"] and got[4]["n_dist_paras"] == 2
+    assert got[5]["pass_repetition"]  # empty doc trips nothing
+    assert got[5]["tok_chars"] == 0
+
+
+def test_gopher_repetition_matches_bruteforce(spark):
+    """Randomized sweep vs the pure-Python reference: small alphabets
+    force heavy n-gram collisions, random newlines exercise the
+    line/paragraph metrics, every integer column must match."""
+    import random
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    rng = random.Random(20260816)
+    corpus = []
+    for did in range(40):
+        n = rng.randint(0, 30)
+        toks = [rng.choice("ab cd e ff g".split()) for _ in range(n)]
+        seps = [
+            rng.choice([" ", " ", " ", "\n", "\n\n"])
+            for _ in range(max(n - 1, 0))
+        ]
+        text = "".join(
+            t + (s if i < len(seps) else "")
+            for i, (t, s) in enumerate(
+                zip(toks, seps + [" "])
+            )
+        ) if toks else ""
+        corpus.append((did, text))
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_repetition_rules(docs).collect()
+    }
+    int_cols = [
+        "n_lines", "n_dist_lines", "line_chars", "dist_line_chars",
+        "n_paras", "n_dist_paras", "para_chars", "dist_para_chars",
+        "tok_chars",
+    ] + [f"top_{n}gram_chars" for n in (2, 3, 4)] + [
+        f"dup_{n}gram_chars" for n in (5, 6, 7, 8, 9, 10)
+    ]
+    for did, text in corpus:
+        ref = _ref_repetition(text)
+        for c in int_cols:
+            assert got[did][c] == ref[c], (did, c, got[did][c], ref[c], text)
