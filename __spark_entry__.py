@@ -5286,6 +5286,133 @@ def _q_gopher_repetition(spark, sf_dir):
     return textstats.gopher_repetition_rules(derived)
 
 
+# URL derivation for the canonicalization gate: four deterministic
+# shapes per doc_id residue — (0,1) pairs differ only in case /
+# default port / tracking params / fragment and MUST canonicalize
+# identically; (2,3) collide across documents via the mod-50 path so
+# keeper election resolves real clusters; ftp-shaped rows keep a
+# non-default port. The oracle rebuilds the same URLs.
+_URL_DERIVE_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'https://WWW.Site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+              || '.Example.COM:443/p/'
+              || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=x&b=2&a=1#f'
+  WHEN 1 THEN 'https://www.site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+              || '.example.com/p/'
+              || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+  WHEN 2 THEN 'http://' || source || '.shop.co.uk:80/q/'
+              || CAST(doc_id % 50 AS VARCHAR)
+  ELSE 'http://' || source || '.shop.co.uk/q/'
+       || CAST(doc_id % 50 AS VARCHAR) || '?gclid='
+       || CAST(doc_id AS VARCHAR)
+END"""
+
+
+@_register(
+    "c_url_dedup",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents
+), p AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '{{URLRE}}', 1) AS scheme,
+    regexp_extract(url, '{{URLRE}}', 2) AS host,
+    regexp_extract(url, '{{URLRE}}', 3) AS port,
+    regexp_extract(url, '{{URLRE}}', 4) AS path,
+    regexp_extract(url, '{{URLRE}}', 5) AS query,
+    regexp_extract(url, '{{URLRE}}', 6) AS fragment
+  FROM d
+), c AS (
+  SELECT *,
+    lower(scheme) AS _s, lower(host) AS _h,
+    CASE WHEN port = '' OR (lower(scheme) = 'http' AND port = '80')
+              OR (lower(scheme) = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END AS _pp,
+    CASE WHEN path = '' THEN '/' ELSE path END AS _pa,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query, '&'),
+      q -> q <> '' AND NOT regexp_matches(q,
+           '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&'), '') AS _kq,
+    string_split(lower(host), '.') AS _labels
+  FROM p
+), n AS (
+  SELECT doc_id, url, scheme, host, port, path, query, fragment,
+    _s || '://' || _h || _pp || _pa
+    || CASE WHEN _kq = '' THEN '' ELSE '?' || _kq END AS canon_url,
+    CASE WHEN len(_labels) >= 3 AND array_to_string(
+              _labels[len(_labels)-1:len(_labels)], '.') IN
+              ('co.uk', 'com.au', 'co.jp', 'co.in', 'com.br')
+         THEN array_to_string(_labels[len(_labels)-2:len(_labels)], '.')
+         WHEN len(_labels) >= 2
+         THEN array_to_string(_labels[len(_labels)-1:len(_labels)], '.')
+         ELSE _h END AS registered_domain
+  FROM c
+)
+SELECT *,
+  doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS is_url_keeper,
+  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+    AS n_canon_copies
+FROM n
+""".replace(
+        "{URLRE}",
+        r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]+))?"
+        r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$",
+    ),
+)
+def _q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (operators/urls.py —
+    the pre-content dedup stage of a Common-Crawl pipeline): RFC-3986
+    parse, lowercase scheme/host, default-port strip, fragment drop,
+    tracking-param removal, query-param sort, registered-domain
+    extraction (ccSLD-aware), keeper = min doc_id per canonical URL.
+    All codegen string/regex work; the only exchange is the keeper
+    window on canon_url. The derived corpus plants case/port/
+    tracking/fragment variants that must collapse, and cross-document
+    path collisions the election must resolve."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did, src_col = F.col("doc_id"), F.col("source")
+    u = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Site"),
+                (F.floor(did / 4) % 7).cast("string"),
+                F.lit(".Example.COM:443/p/"),
+                F.floor(did / 4).cast("string"),
+                F.lit("?utm_source=x&b=2&a=1#f"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("https://www.site"),
+                (F.floor(did / 4) % 7).cast("string"),
+                F.lit(".example.com/p/"),
+                F.floor(did / 4).cast("string"), F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("http://"), src_col, F.lit(".shop.co.uk:80/q/"),
+                (did % 50).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), src_col, F.lit(".shop.co.uk/q/"),
+                (did % 50).cast("string"), F.lit("?gclid="),
+                did.cast("string"),
+            )
+        )
+    )
+    return urls.url_dedup(docs.select("doc_id", u.alias("url")))
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -10363,6 +10490,7 @@ _VERIFY_FIRST = [
     "t_pretoken_vocab",
     "c_web_pipeline",
     "t_gopher_repetition",
+    "c_url_dedup",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

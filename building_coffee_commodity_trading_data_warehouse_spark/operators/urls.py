@@ -1,0 +1,120 @@
+"""URL operators for web-corpus curation: parse, canonicalize, and
+URL-level dedup — the step every Common-Crawl-shaped pipeline runs
+before content dedup (two fetches of one resource under cosmetically
+different URLs are the cheapest duplicates to kill).
+
+Everything is codegen string/regex work — one projection per stage,
+no UDF, no shuffle except the dedup keeper election. The parse regex
+is RFC-3986-shaped but RE2-safe (no lookaround, no backreferences),
+so a DuckDB oracle replays every field bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# scheme://host[:port][path][?query][#fragment] — capture groups:
+# 1 scheme, 2 host, 3 port, 4 path, 5 query, 6 fragment. Userinfo is
+# folded into the host group on purpose (the synthetic pipelines here
+# never emit it; a production parser would split it off the same way).
+URL_RE = (
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]+))?"
+    r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+# tracking parameters every canonicalizer strips (Google/Facebook
+# click ids and the utm_* campaign family)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
+
+# country-code second-level domains where the REGISTERED domain is
+# three labels, not two (a tiny deterministic stand-in for the public
+# suffix list; swap in the full PSL as a broadcast set in production)
+CC_SLDS = ("co.uk", "com.au", "co.jp", "co.in", "com.br")
+
+
+def url_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Split a URL column into scheme/host/port/path/query/fragment
+    (empty string where a component is absent — both engines return
+    '' for an unmatched group, so the oracle needs no NULL fixup).
+    One regexp_extract per field over the same pattern; whole-stage
+    codegen, map-only."""
+    u = F.col(url_col)
+    return df.select(
+        "*",
+        F.regexp_extract(u, URL_RE, 1).alias("scheme"),
+        F.regexp_extract(u, URL_RE, 2).alias("host"),
+        F.regexp_extract(u, URL_RE, 3).alias("port"),
+        F.regexp_extract(u, URL_RE, 4).alias("path"),
+        F.regexp_extract(u, URL_RE, 5).alias("query"),
+        F.regexp_extract(u, URL_RE, 6).alias("fragment"),
+    )
+
+
+def _kept_query(query: Column) -> Column:
+    """Query params minus tracking params, sorted — '' when nothing
+    survives. split('&') of '' yields [''] which the filter drops."""
+    parts = F.split(query, "&")
+    kept = F.filter(
+        parts,
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonical URL: lowercase scheme and host, strip the default
+    port (80 for http, 443 for https), drop the fragment, remove
+    tracking parameters, SORT the surviving query parameters, and
+    normalize an empty path to '/'. Adds ``canon_url`` plus
+    ``registered_domain`` (last two host labels, three under a listed
+    ccSLD — the PSL approximation documented above). Pure projection:
+    map-only at 100 TB."""
+    parsed = url_parse(df, url_col)
+    scheme = F.lower(F.col("scheme"))
+    host = F.lower(F.col("host"))
+    default_port = (
+        ((scheme == "http") & (F.col("port") == "80"))
+        | ((scheme == "https") & (F.col("port") == "443"))
+    )
+    port_part = F.when(
+        (F.col("port") == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), F.col("port")))
+    path_part = F.when(F.col("path") == "", F.lit("/")).otherwise(
+        F.col("path")
+    )
+    kept = _kept_query(F.col("query"))
+    query_part = F.when(kept == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), kept)
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    reg = F.when(
+        (n >= 3) & last2.isin(*CC_SLDS),
+        F.array_join(F.slice(labels, n - 2, 3), "."),
+    ).otherwise(F.when(n >= 2, last2).otherwise(host))
+    return parsed.select(
+        "*",
+        F.concat(
+            scheme, F.lit("://"), host, port_part, path_part, query_part
+        ).alias("canon_url"),
+        reg.alias("registered_domain"),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup on the CANONICAL form: keeper = min id per
+    canon_url. One narrow exchange (canon hash + id), text never
+    shuffles — the same keeper-election window as web_pipeline."""
+    from pyspark.sql import Window
+
+    canon = url_normalize(df, url_col)
+    w = Window.partitionBy("canon_url")
+    return canon.select(
+        "*",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_url_keeper"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_canon_copies"),
+    )

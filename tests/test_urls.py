@@ -1,0 +1,77 @@
+"""URL parse/canonicalize/dedup semantics (operators/urls.py). Oracle
+parity for the c_url_dedup gate is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from building_coffee_commodity_trading_data_warehouse_spark.operators import urls
+
+
+def test_url_parse_fields(spark):
+    rows = [
+        (1, "https://WWW.Example.COM:443/a/b?utm_source=x&z=1&a=2#frag"),
+        (2, "http://host"),                       # bare host, no port/path
+        (3, "ftp://files.example.org:21/data"),   # non-default port kept
+        (4, "https://h/?#"),                      # empty query + fragment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_parse(df).collect()}
+    assert got[1]["scheme"] == "https" and got[1]["port"] == "443"
+    assert got[1]["fragment"] == "frag" and got[1]["path"] == "/a/b"
+    assert got[2]["host"] == "host" and got[2]["port"] == ""
+    assert got[2]["path"] == "" and got[2]["query"] == ""
+    assert got[3]["port"] == "21"
+    assert got[4]["query"] == "" and got[4]["fragment"] == ""
+
+
+def test_url_normalize_canonical_form(spark):
+    rows = [
+        # case, default port, tracking params, param order, fragment —
+        # all four must collapse to ONE canonical URL
+        (1, "https://WWW.Example.COM:443/a/b?utm_source=x&z=1&a=2#frag"),
+        (2, "https://www.example.com/a/b?a=2&z=1"),
+        (3, "https://www.example.com/a/b?z=1&a=2&fbclid=123"),
+        (4, "https://www.example.com:443/a/b?a=2&z=1#other"),
+        # default port only strips for the MATCHING scheme
+        (5, "http://www.example.com:443/a/b"),
+        # tracking-only query drops the '?' entirely
+        (6, "https://x.org/p?utm_campaign=only"),
+        # empty path normalizes to '/'
+        (7, "http://x.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_normalize(df).collect()}
+    canon = "https://www.example.com/a/b?a=2&z=1"
+    for did in (1, 2, 3, 4):
+        assert got[did]["canon_url"] == canon, (did, got[did]["canon_url"])
+    assert got[5]["canon_url"] == "http://www.example.com:443/a/b"
+    assert got[6]["canon_url"] == "https://x.org/p"
+    assert got[7]["canon_url"] == "http://x.org/"
+
+
+def test_url_registered_domain_ccsld(spark):
+    rows = [
+        (1, "http://a.b.shop.co.uk/x"),   # ccSLD: three labels
+        (2, "http://www.example.com/x"),  # generic: two labels
+        (3, "http://localhost/x"),        # single label: itself
+        (4, "http://co.uk/x"),            # exactly the ccSLD: two labels
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_normalize(df).collect()}
+    assert got[1]["registered_domain"] == "shop.co.uk"
+    assert got[2]["registered_domain"] == "example.com"
+    assert got[3]["registered_domain"] == "localhost"
+    assert got[4]["registered_domain"] == "co.uk"
+
+
+def test_url_dedup_keeper_and_copies(spark):
+    rows = [
+        (10, "https://A.com/x?utm_source=1"),
+        (11, "https://a.com/x"),
+        (12, "https://a.com/x#f"),
+        (13, "https://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_dedup(df).collect()}
+    assert got[10]["is_url_keeper"] and got[10]["n_canon_copies"] == 3
+    assert not got[11]["is_url_keeper"] and not got[12]["is_url_keeper"]
+    assert got[13]["is_url_keeper"] and got[13]["n_canon_copies"] == 1
