@@ -1899,3 +1899,42 @@ def test_gopher_repetition_matches_bruteforce(spark):
         ref = _ref_repetition(text)
         for c in int_cols:
             assert got[did][c] == ref[c], (did, c, got[did][c], ref[c], text)
+
+
+def test_pretoken_stats_matches_python_re(spark):
+    """Randomized ASCII sweep vs Python's re module: on [A-Za-z0-9]
+    alphabets the \\p{L}/\\p{N} classes coincide with ASCII classes,
+    so Python re replays the exact lookahead-free pattern (same
+    leftmost-first alternation). Pins counts AND the reconstruction
+    certificate on adversarial apostrophe/punct/whitespace soup."""
+    import random
+    import re as _re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    pat = _re.compile(
+        r"'(?:s|t|d|m|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    )
+    rng = random.Random(8162026)
+    pieces = ["ab", "Cd", "42", "7", "'s", "'t", "'ll", "'x", "...", "!?",
+              " ", "  ", "\t", "\n", "'", "-", "a'b"]
+    corpus = []
+    for did in range(60):
+        text = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 25)))
+        corpus.append((did, text))
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in textstats.pretoken_stats(docs).collect()}
+    for did, text in corpus:
+        toks = pat.findall(text)
+        r = rows[did]
+        assert r["recon_ok"] == ("".join(toks) == text), (did, text)
+        assert r["n_pretokens"] == len(toks), (did, text, toks)
+        assert r["n_word_toks"] == sum(
+            bool(_re.fullmatch(r" ?[A-Za-z]+", t)) for t in toks
+        ), (did, text)
+        assert r["n_space_toks"] == sum(
+            bool(_re.fullmatch(r"\s+", t)) for t in toks
+        )
+        assert r["n_contractions"] == sum(
+            bool(_re.fullmatch(r"'(?:s|t|d|m|ll|ve|re)", t)) for t in toks
+        )
