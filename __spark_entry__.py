@@ -5413,6 +5413,84 @@ def _q_url_dedup(spark, sf_dir):
     return urls.url_dedup(docs.select("doc_id", u.alias("url")))
 
 
+@_register(
+    "st_quality_stream",
+    f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis
+  FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+              AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(n_hash AS BIGINT) AS n_hash,
+         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter(lines, l ->
+              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l ->
+              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(CAST(list_contains(toks, 'the') AS INT)
+            + CAST(list_contains(toks, 'be') AS INT)
+            + CAST(list_contains(toks, 'to') AS INT)
+            + CAST(list_contains(toks, 'of') AS INT)
+            + CAST(list_contains(toks, 'and') AS INT)
+            + CAST(list_contains(toks, 'that') AS INT)
+            + CAST(list_contains(toks, 'have') AS INT)
+            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+            AS n_stopwords_hit
+  FROM m
+), v AS (
+  SELECT lang,
+         (n_words >= 50 AND n_words <= 100000)
+         AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+         AND ((n_hash + n_ellipsis) * 10 <= n_words)
+         AND (n_bullet_lines * 10 <= n_lines * 9)
+         AND (n_ellipsis_lines * 10 <= n_lines * 3)
+         AND (n_alpha_words * 10 >= n_words * 8)
+         AND (n_stopwords_hit >= 2) AS pass_gopher
+  FROM c
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass
+FROM v GROUP BY lang
+""",
+)
+def _q_st_quality_stream(spark, sf_dir):
+    """Streaming quality gate: the Gopher battery applied to a LIVE
+    document stream (file source over a landing dir) — the rule
+    battery is a pure projection, so it composes with Structured
+    Streaming unchanged; ``carry=('lang',)`` rides the grouping key
+    through, and the per-language pass/total aggregate drains to
+    exactly the batch answer. Proves the quality operators are
+    deploy-identical in batch and streaming."""
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    stream = pipeline.stream_documents(spark, f"{sf_dir}/documents.parquet")
+    scored = textstats.gopher_quality_rules(stream, carry=("lang",))
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pass_gopher").cast("int")).cast("long").alias("n_pass"),
+    )
+    return pipeline.run_available_now(
+        agg, f"st_quality_{next(_STREAM_SEQ)}", output_mode="complete"
+    )
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -10491,6 +10569,7 @@ _VERIFY_FIRST = [
     "c_web_pipeline",
     "t_gopher_repetition",
     "c_url_dedup",
+    "st_quality_stream",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

@@ -113,6 +113,24 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a documents landing path — the
+    schema-probed twin of ``stream_events`` without the timestamp
+    normalization (documents carry no event time). A single-file path
+    is exposed through a symlinked landing dir like stream_events; the
+    schema is probed from a batch scan so the stream reader gets the
+    explicit schema the file source requires."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        land = tempfile.mkdtemp(prefix="spark_graft_doc_landing_")
+        os.symlink(path, os.path.join(land, os.path.basename(path)))
+        path = land
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain everything currently available through the streaming
     engine into an in-memory table and return it as a DataFrame —
