@@ -1938,3 +1938,57 @@ def test_pretoken_stats_matches_python_re(spark):
         assert r["n_contractions"] == sum(
             bool(_re.fullmatch(r"'(?:s|t|d|m|ll|ve|re)", t)) for t in toks
         )
+
+
+def test_c4_rules_matches_bruteforce(spark):
+    """Randomized line-soup sweep vs a pure-Python reference of the
+    C4 contract (terminal punct / min words / javascript line rules;
+    sentence count and page flags over the kept text)."""
+    import hashlib
+    import random
+    import re as _re
+
+    rng = random.Random(41620268)
+    line_pool = [
+        "a kept line with a period.",
+        "three word line.",
+        "two words.",
+        "no terminal punct",
+        "ends with bang!",
+        "ends with question?",
+        'quoted ending here."',
+        "please enable JavaScript now.",
+        "lorem ipsum inline here.",
+        "brace { inline here.",
+        "trailing spaces after dot.   ",
+        "",
+    ]
+    corpus = []
+    for did in range(50):
+        n = rng.randint(0, 8)
+        corpus.append((did, "\n".join(rng.choice(line_pool) for _ in range(n))))
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curate.c4_clean_rules(docs).collect()}
+
+    for did, text in corpus:
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if _re.search(r'[.!?"]$', ln.rstrip())
+            and len([w for w in _re.split(r"\s+", ln) if w]) >= 3
+            and not _re.search(r"(?i)javascript", ln)
+        ]
+        clean = "\n".join(kept)
+        n_sent = sum(clean.count(m) for m in ".!?")
+        r = got[did]
+        assert r["n_lines"] == len(lines), (did, text)
+        assert r["n_kept_lines"] == len(kept), (did, text)
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+        assert r["n_sentences"] == n_sent
+        assert r["has_lorem_ipsum"] == ("lorem ipsum" in text.lower())
+        assert r["has_curly_brace"] == ("{" in text)
+        assert r["pass_c4"] == (
+            n_sent >= 5
+            and "lorem ipsum" not in text.lower()
+            and "{" not in text
+        )
