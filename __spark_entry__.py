@@ -1492,8 +1492,8 @@ def _q_semdedup_scaled(spark, sf_dir):
     d_semdedup gate keeps its fixed-8-cell config for continuity).
     The corpus is the identical-copies construction whose answer is
     provably CELL-COUNT-INVARIANT, so the oracle replays it exactly:
-    every fifth vector gets one identical copy (+10000) and every
-    tenth a second (+20000). Identical vectors always share a cell
+    every fifth vector gets one identical copy (+10,000,000) and every
+    tenth a second (+20,000,000). Identical vectors always share a cell
     (cell election is a lattice-quantized argmax, ties to the lower
     index), their pairwise cosine is ≥ threshold by construction,
     and no cross-group pair can reach 0.95 (max base-pair cosine
@@ -4950,6 +4950,40 @@ _WP_STOP_SENTENCE_SQL = "chr(10) || '" + _WP_STOP_SENTENCE[1:] + "'"
 _WP_GOPHER_MIN_WORDS = 10
 
 
+def _web_pipeline_derived(docs) -> DataFrame:
+    """The c_web_pipeline gate's corpus constructor, shared with
+    scripts/pipeline_fusion_study.py so the study provably runs the
+    SAME derived corpus the gate verifies (r10 review: the expression
+    was maintained in two copies)."""
+    t = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" sort "), F.lit(".\nsort ")
+            ),
+            F.lit(" join "),
+            F.lit("!\njoin "),
+        ),
+        F.lit(" window "),
+        F.lit("?\nwindow "),
+    )
+    t = F.concat(t, F.lit("."))
+    for mod, trip in (
+        (11, "\njavascript alert line ok."),
+        (13, "\nfiller lorem ipsum dolor sit."),
+        (17, "\nbrace { marker line here."),
+    ):
+        t = F.when(
+            F.col("doc_id") % mod == 0, F.concat(t, F.lit(trip))
+        ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(t, F.lit(_WP_STOP_SENTENCE))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 10 == 0, F.lit(_WP_CONST_PAGE)
+    ).otherwise(t)
+    return docs.select("doc_id", t.alias("text"))
+
+
 @_register(
     "c_web_pipeline",
     f"""
@@ -5052,35 +5086,10 @@ def _q_web_pipeline(spark, sf_dir):
     window over clean_md5 (narrow rows, never the text). The oracle
     replays every stage, including the 50-copy planted duplicate
     cluster whose keeper must be the min surviving doc_id."""
-    docs = _t(spark, sf_dir, "documents")
-    t = F.replace(
-        F.replace(
-            F.replace(
-                F.col("text"), F.lit(" sort "), F.lit(".\nsort ")
-            ),
-            F.lit(" join "),
-            F.lit("!\njoin "),
-        ),
-        F.lit(" window "),
-        F.lit("?\nwindow "),
+    return curate.web_pipeline(
+        _web_pipeline_derived(_t(spark, sf_dir, "documents")),
+        min_words=_WP_GOPHER_MIN_WORDS,
     )
-    t = F.concat(t, F.lit("."))
-    for mod, trip in (
-        (11, "\njavascript alert line ok."),
-        (13, "\nfiller lorem ipsum dolor sit."),
-        (17, "\nbrace { marker line here."),
-    ):
-        t = F.when(
-            F.col("doc_id") % mod == 0, F.concat(t, F.lit(trip))
-        ).otherwise(t)
-    t = F.when(
-        F.col("doc_id") % 2 == 0, F.concat(t, F.lit(_WP_STOP_SENTENCE))
-    ).otherwise(t)
-    t = F.when(
-        F.col("doc_id") % 10 == 0, F.lit(_WP_CONST_PAGE)
-    ).otherwise(t)
-    derived = docs.select("doc_id", t.alias("text"))
-    return curate.web_pipeline(derived, min_words=_WP_GOPHER_MIN_WORDS)
 
 
 _REP_LONG_LINE = (
@@ -5315,6 +5324,7 @@ WITH d AS (
   SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents
 ), p AS (
   SELECT doc_id, url,
+    regexp_matches(url, '{{URLRE}}') AS url_parsed,
     regexp_extract(url, '{{URLRE}}', 1) AS scheme,
     regexp_extract(url, '{{URLRE}}', 2) AS host,
     regexp_extract(url, '{{URLRE}}', 3) AS port,
@@ -5336,9 +5346,12 @@ WITH d AS (
     string_split(lower(host), '.') AS _labels
   FROM p
 ), n AS (
-  SELECT doc_id, url, scheme, host, port, path, query, fragment,
-    _s || '://' || _h || _pp || _pa
-    || CASE WHEN _kq = '' THEN '' ELSE '?' || _kq END AS canon_url,
+  SELECT doc_id, url, url_parsed, scheme, host, port, path, query,
+    fragment,
+    CASE WHEN NOT url_parsed THEN url
+         ELSE _s || '://' || _h || _pp || _pa
+              || CASE WHEN _kq = '' THEN '' ELSE '?' || _kq END
+    END AS canon_url,
     CASE WHEN len(_labels) >= 3 AND array_to_string(
               _labels[len(_labels)-1:len(_labels)], '.') IN
               ('co.uk', 'com.au', 'co.jp', 'co.in', 'com.br')

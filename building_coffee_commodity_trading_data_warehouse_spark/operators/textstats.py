@@ -1401,6 +1401,21 @@ def _driver_wordpiece(
     return merges
 
 
+def _wp_piece_list(alphabet: list[str], merges) -> list[str]:
+    """Shipped piece list: alphabet then minted merge tokens in merge
+    order, DEDUPLICATED keep-first — two different merge pairs can
+    mint the same token string (e.g. (a,##bc) and (ab,##c) both mint
+    'a##bc'-shaped pieces), and a shipped vocab file must not carry a
+    duplicate entry (r10 review)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for piece in alphabet + [_wp_merged(l, r) for l, r in merges]:
+        if piece not in seen:
+            seen.add(piece)
+            out.append(piece)
+    return out
+
+
 def train_wordpiece(
     documents: DataFrame,
     n_merges: int = 10,
@@ -1454,7 +1469,7 @@ def train_wordpiece(
                 stats["rounds"] = 1
                 stats["path"] = "driver"
                 stats["n_merges"] = len(merges)
-            return alphabet + [_wp_merged(l, r) for l, r in merges]
+            return _wp_piece_list(alphabet, merges)
     if stats is not None:
         stats["path"] = "iterative"
     from fractions import Fraction
@@ -1507,7 +1522,7 @@ def train_wordpiece(
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_merges"] = len(merges)
-    return alphabet + [_wp_merged(l, r) for l, r in merges]
+    return _wp_piece_list(alphabet, merges)
 
 
 def wordpiece_encode(
@@ -1526,7 +1541,11 @@ def wordpiece_encode(
     roundtrip (pieces re-concatenate to the word, ## stripped),
     known (every piece in the table), greedy (INDEPENDENTLY
     re-checked: no LONGER table piece matches at any chosen
-    position), is_unk.
+    position), is_unk. On an UNK row the certificates stay honest:
+    roundtrip is FALSE, known reports the unk token's own table
+    membership, greedy is vacuously true — a caller asserting
+    bool_and(cert_roundtrip) therefore FAILS on a piece table that
+    cannot tokenize its input instead of seeing all-green.
 
     Scale: corpus → (word, freq) vocabulary first; the matcher is an
     Arrow-batched ``mapInPandas`` over vocab-sized rows with the
@@ -1560,9 +1579,16 @@ def wordpiece_encode(
                 word, freq = tup.word, tup.freq
                 seq = match(word)
                 if seq is None:
+                    # honest certificates for the UNK row (r10 review:
+                    # hardcoded Trues made them vacuously green on
+                    # unmatchable words): roundtrip is FALSE (the unk
+                    # token does not rebuild the word), known reports
+                    # whether the unk token itself is in the table,
+                    # greedy is vacuously true (no chosen positions).
                     rows.append(
                         tuple(getattr(tup, k) for k in keys)
-                        + (word, int(freq), 1, _u, True, True, True, True)
+                        + (word, int(freq), 1, _u, False, _u in _v,
+                           True, True)
                     )
                     continue
                 rebuilt = seq[0] + "".join(p[2:] for p in seq[1:])

@@ -33,22 +33,46 @@ TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
 CC_SLDS = ("co.uk", "com.au", "co.jp", "co.in", "com.br")
 
 
+# group separator for the single-pass parse (a C0 control char is
+# illegal in any valid URL; a URL carrying it parses as unmatched)
+_GSEP = "\x01"
+
+
 def url_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Split a URL column into scheme/host/port/path/query/fragment
-    (empty string where a component is absent — both engines return
-    '' for an unmatched group, so the oracle needs no NULL fixup).
-    One regexp_extract per field over the same pattern; whole-stage
-    codegen, map-only."""
+    plus ``url_parsed`` (false when the pattern doesn't match — the
+    fields are then all ''). The regex is evaluated ONCE per row:
+    regexp_replace rewrites the anchored match into a control-char-
+    delimited group string and one split projects the fields (the r10
+    single-evaluation idiom — six regexp_extract calls would match
+    the same pattern six times in a 100 TB scan). A non-matching URL
+    comes back unreplaced, so its split has ≠6 parts — that IS the
+    parse-failure signal, with no extra regex pass."""
     u = F.col(url_col)
-    return df.select(
-        "*",
-        F.regexp_extract(u, URL_RE, 1).alias("scheme"),
-        F.regexp_extract(u, URL_RE, 2).alias("host"),
-        F.regexp_extract(u, URL_RE, 3).alias("port"),
-        F.regexp_extract(u, URL_RE, 4).alias("path"),
-        F.regexp_extract(u, URL_RE, 5).alias("query"),
-        F.regexp_extract(u, URL_RE, 6).alias("fragment"),
+    parts = F.split(
+        F.regexp_replace(
+            u, URL_RE, _GSEP.join(f"${i}" for i in range(1, 7))
+        ),
+        _GSEP,
     )
+    staged = df.select("*", parts.alias("_p")).select(
+        "*", (F.size("_p") == 6).alias("url_parsed")
+    )
+
+    def _f(i: int) -> Column:
+        return F.when(F.col("url_parsed"), F.col("_p")[i]).otherwise(
+            F.lit("")
+        )
+
+    return staged.select(
+        "*",
+        _f(0).alias("scheme"),
+        _f(1).alias("host"),
+        _f(2).alias("port"),
+        _f(3).alias("path"),
+        _f(4).alias("query"),
+        _f(5).alias("fragment"),
+    ).drop("_p")
 
 
 def _kept_query(query: Column) -> Column:
@@ -96,9 +120,17 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     ).otherwise(F.when(n >= 2, last2).otherwise(host))
     return parsed.select(
         "*",
-        F.concat(
-            scheme, F.lit("://"), host, port_part, path_part, query_part
-        ).alias("canon_url"),
+        # an unparseable URL passes through as ITS OWN dedup key —
+        # mapping every non-match to the same assembled stub would
+        # silently merge distinct resources in url_dedup
+        F.when(~F.col("url_parsed"), F.col(url_col))
+        .otherwise(
+            F.concat(
+                scheme, F.lit("://"), host, port_part, path_part,
+                query_part,
+            )
+        )
+        .alias("canon_url"),
         reg.alias("registered_domain"),
     )
 

@@ -77,7 +77,13 @@ def parse_subtitles(doc: str) -> list[tuple[int, int, int, str]]:
             # non-metadata line as the cue identifier (metadata lines
             # are "Key: value"-shaped; a real identifier is not).
             hlines = body.split("\n")
-            ti = next(i for i, ln in enumerate(hlines) if "-->" in ln)
+            # scan from line 1 like the guard above — the WEBVTT
+            # header line itself may contain '-->' (e.g. a note) and
+            # must never be taken for the cue's timecode line
+            ti = next(
+                i for i, ln in enumerate(hlines[1:], start=1)
+                if "-->" in ln
+            )
             start = ti
             if ti >= 2:
                 prev = hlines[ti - 1].strip()

@@ -35,26 +35,11 @@ SCALE_DIRS = {
 
 
 def derived_docs(spark, sf_dir):
-    # the c_web_pipeline gate's corpus constructor, reused verbatim
-    fn = entrymod.queries()["c_web_pipeline"]
-    # rebuild just the derivation: call the gate and strip its tail?
-    # simpler: reconstruct via the module-level constants
-    docs = entrymod._t(spark, sf_dir, "documents")
-    t = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit(" sort "), F.lit(".\nsort ")),
-            F.lit(" join "), F.lit("!\njoin ")),
-        F.lit(" window "), F.lit("?\nwindow "))
-    t = F.concat(t, F.lit("."))
-    for mod, trip in ((11, "\njavascript alert line ok."),
-                      (13, "\nfiller lorem ipsum dolor sit."),
-                      (17, "\nbrace { marker line here.")):
-        t = F.when(F.col("doc_id") % mod == 0, F.concat(t, F.lit(trip))).otherwise(t)
-    t = F.when(F.col("doc_id") % 2 == 0,
-               F.concat(t, F.lit(entrymod._WP_STOP_SENTENCE))).otherwise(t)
-    t = F.when(F.col("doc_id") % 10 == 0,
-               F.lit(entrymod._WP_CONST_PAGE)).otherwise(t)
-    return docs.select("doc_id", t.alias("text"))
+    # the c_web_pipeline gate's corpus constructor, shared so the
+    # study provably measures the corpus the gate verifies
+    return entrymod._web_pipeline_derived(
+        entrymod._t(spark, sf_dir, "documents")
+    )
 
 
 def fused(spark, sf_dir):

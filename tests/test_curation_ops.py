@@ -1992,3 +1992,41 @@ def test_c4_rules_matches_bruteforce(spark):
             and "lorem ipsum" not in text.lower()
             and "{" not in text
         )
+
+
+def test_wordpiece_encode_unk_certificates_honest(spark):
+    """A piece table that cannot tokenize a word must NOT report green
+    certificates on its UNK row (r10 review): roundtrip is false,
+    known reflects the unk token's own membership, is_unk is true."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, "cab zz")], "doc_id long, text string")
+    pieces = ["c", "##a", "##b"]  # no 'z' anywhere
+    got = {r["word"]: r for r in textstats.wordpiece_encode(docs, pieces).collect()}
+    assert got["cab"]["cert_roundtrip"] and not got["cab"]["is_unk"]
+    zz = got["zz"]
+    assert zz["is_unk"] and zz["pieces"] == "[UNK]"
+    assert not zz["cert_roundtrip"]
+    assert not zz["cert_known"]  # '[UNK]' itself is not in the table
+    # with the unk token IN the table, known flips true
+    got2 = {
+        r["word"]: r
+        for r in textstats.wordpiece_encode(docs, pieces + ["[UNK]"]).collect()
+    }
+    assert got2["zz"]["cert_known"] and not got2["zz"]["cert_roundtrip"]
+
+
+def test_wordpiece_piece_list_dedups_minted_tokens():
+    """Two merge pairs can mint the same token string; the shipped
+    piece list keeps the first occurrence only (r10 review)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.textstats import (
+        _wp_merged,
+        _wp_piece_list,
+    )
+
+    merges = [("a", "##b"), ("##b", "##c"), ("a", "##bc"), ("ab", "##c")]
+    minted = [_wp_merged(l, r) for l, r in merges]
+    assert minted[2] == minted[3]  # both mint 'abc'
+    out = _wp_piece_list(["a", "##b", "##c"], merges)
+    assert len(out) == len(set(out))
+    assert out.count(minted[2]) == 1

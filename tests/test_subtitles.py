@@ -130,3 +130,19 @@ def test_vtt_glued_cue_after_header_metadata():
     # integer identifier straight after WEBVTT (no metadata) is kept
     doc4 = "WEBVTT\n7\n00:00:00.000 --> 00:00:01.000\nhi\n"
     assert subtitles.parse_subtitles(doc4) == [(7, 0, 1000, "hi")]
+
+
+def test_vtt_header_line_containing_arrow_with_glued_cue():
+    """The WEBVTT header line itself may contain '-->' (a note); the
+    glued-cue scan must start at line 1 like its triggering guard, or
+    the header is taken for a timecode line and parsing raises."""
+    from building_coffee_commodity_trading_data_warehouse_spark.sources.subtitles import (
+        parse_subtitles,
+    )
+
+    doc = (
+        "WEBVTT - notes --> generated\n"
+        "00:00:00.000 --> 00:00:01.000\nhey\n"
+    )
+    cues = parse_subtitles(doc)
+    assert len(cues) == 1 and cues[0][3] == "hey"

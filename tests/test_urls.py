@@ -75,3 +75,22 @@ def test_url_dedup_keeper_and_copies(spark):
     assert got[10]["is_url_keeper"] and got[10]["n_canon_copies"] == 3
     assert not got[11]["is_url_keeper"] and not got[12]["is_url_keeper"]
     assert got[13]["is_url_keeper"] and got[13]["n_canon_copies"] == 1
+
+
+def test_url_unparseable_passthrough(spark):
+    """URLs the pattern rejects keep THEMSELVES as the dedup key —
+    distinct unparseable resources must never merge into one cluster
+    (review r10: they all canonicalized to ':///')."""
+    rows = [
+        (1, "example.com/a"),        # schemeless
+        (2, "example.org/b"),        # schemeless, different resource
+        (3, "mailto:x@y.z"),         # no ://
+        (4, "https://ok.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_dedup(df).collect()}
+    for did in (1, 2, 3):
+        assert not got[did]["url_parsed"]
+        assert got[did]["canon_url"] == got[did]["url"]
+        assert got[did]["is_url_keeper"] and got[did]["n_canon_copies"] == 1
+    assert got[4]["url_parsed"] and got[4]["canon_url"] == "https://ok.com/x"
