@@ -5504,6 +5504,56 @@ def _q_st_quality_stream(spark, sf_dir):
     )
 
 
+@_register(
+    "s_embedding_quantize",
+    """
+WITH s0 AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         CAST(len(embedding) AS BIGINT) AS n_dims
+  FROM embeddings
+), q AS (
+  SELECT vec_id, n_dims, scale,
+    list_transform(embedding, x ->
+      CAST(CASE WHEN scale = 0.0 THEN 0.0
+           ELSE floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+      END AS INT)) AS qv,
+    list_max(list_transform(embedding, x ->
+      CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+      ELSE CAST(floor(abs(
+             (CASE WHEN scale = 0.0 THEN 0.0
+              ELSE floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) END)
+             * scale / 127.0 - CAST(x AS DOUBLE))
+             * 254.0 / scale * 1048576.0) AS BIGINT) END))
+      AS max_err_scaled_q20
+  FROM s0
+)
+SELECT vec_id, n_dims, scale,
+  md5(array_to_string(qv, ',')) AS q_md5,
+  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS sum_q,
+  list_max(list_transform(qv, v -> abs(v))) AS max_abs_q,
+  max_err_scaled_q20,
+  list_max(list_transform(qv, v -> abs(v))) <= 127 AS cert_int8,
+  max_err_scaled_q20 <= 1048577 AS cert_err
+FROM q
+""",
+)
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization
+    (similarity.quantize_embeddings) — per-vector scale = max|x|,
+    q = floor(x·127/s + 0.5), the full quantized vector pinned by
+    md5 of its comma-joined ints, plus the int8-range and
+    reconstruction-error-bound certificates on the 2^-20 lattice.
+    One codegen projection, no shuffle, no UDF; floats widen exactly
+    so both engines compute identical doubles."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        similarity,
+    )
+
+    return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -10583,6 +10633,7 @@ _VERIFY_FIRST = [
     "t_gopher_repetition",
     "c_url_dedup",
     "st_quality_stream",
+    "s_embedding_quantize",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

@@ -1970,3 +1970,62 @@ def semantic_dedup(
             "centroid_sim",
         )
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column —
+    the 4x compression every vector store applies before ANN: per
+    vector, scale s = max|x_i| and q_i = floor(x_i·127/s + 0.5)
+    (round-half-up, identical in IEEE doubles on both engines; the
+    input floats widen exactly). Emits the quantized vector pinned
+    BY CONTENT (md5 of the comma-joined ints — the full vector, not
+    a summary), the scale, and two certificates:
+
+    * ``cert_int8`` — every q_i fits int8 (|q| ≤ 127, true by
+      construction: x = ±s rounds to ±127);
+    * ``cert_err`` — max reconstruction error ≤ s/254 up to one
+      2^-20 lattice tick (the mathematical bound of round-to-nearest
+      with FP-rounding slack, measured on the lattice so the
+      comparison is integer-deterministic).
+
+    One projection, no shuffle, no UDF: codegen HOF lambdas over the
+    array — map-only at any scale. Zero vectors quantize to all-zero
+    with scale 0 and vacuously true certificates."""
+    e = F.col("embedding")
+    xd = lambda x: x.cast("double")  # noqa: E731 — exact float widening
+    s_col = F.array_max(F.transform(e, lambda x: F.abs(xd(x))))
+    staged = embeddings.select("vec_id", "embedding", s_col.alias("scale"))
+    s = F.col("scale")
+
+    def _q(x: Column) -> Column:
+        return F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.floor(xd(x) * 127.0 / s + 0.5)
+        )
+
+    q_arr = F.transform(e, lambda x: _q(x).cast("int"))
+    err_q20 = F.array_max(
+        F.transform(
+            e,
+            lambda x: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(
+                F.floor(
+                    F.abs(_q(x) * s / 127.0 - xd(x)) * 254.0 / s
+                    * 1048576.0
+                ).cast("long")
+            ),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.size(e).cast("long").alias("n_dims"),
+        "scale",
+        F.md5(F.array_join(q_arr, ",")).alias("q_md5"),
+        F.aggregate(
+            q_arr, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_q"),
+        F.array_max(F.transform(q_arr, F.abs)).alias("max_abs_q"),
+        err_q20.alias("max_err_scaled_q20"),
+        (
+            F.array_max(F.transform(q_arr, F.abs)) <= F.lit(127)
+        ).alias("cert_int8"),
+        (err_q20 <= F.lit(1048577)).alias("cert_err"),
+    )

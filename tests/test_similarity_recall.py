@@ -399,3 +399,31 @@ def test_semantic_dedup_partition_invariant_cells(spark, sf_dir):
             }
         )
     assert runs[0] == runs[1]
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """int8 quantization: q in [-127,127] always, reconstruction
+    error within s/254 (plus one lattice tick), extremes map to
+    exactly ±127, zero vectors stay zero with vacuous certs."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [3.5e-5, -7.0e-5]),   # tiny magnitudes, scale ~7e-5
+        (4, [127.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    import hashlib
+
+    assert got[1]["max_abs_q"] == 127 and got[1]["cert_int8"]
+    # q for [1,-1,.5,0] at s=1: [127,-127,64,0] (63.5+0.5 floors to 64)
+    assert got[1]["q_md5"] == hashlib.md5(b"127,-127,64,0").hexdigest()
+    assert got[1]["sum_q"] == 64
+    assert got[2]["scale"] == 0.0 and got[2]["sum_q"] == 0
+    assert got[2]["cert_err"] and got[2]["max_err_scaled_q20"] == 0
+    assert got[3]["cert_err"] and got[3]["max_abs_q"] == 127
+    assert got[4]["q_md5"] == hashlib.md5(b"127").hexdigest()
+    for r in got.values():
+        assert r["cert_int8"] and r["cert_err"]
