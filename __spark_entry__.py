@@ -5554,6 +5554,50 @@ def _q_embedding_quantize(spark, sf_dir):
     return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "t_entropy_stats",
+    """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+  FROM documents
+), counts AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM ch GROUP BY doc_id, ch
+), per AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_chars,
+    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+    CAST(sum(CASE WHEN regexp_matches(ch, '^[ \t\n\x0B\f\r]$')
+             THEN c ELSE 0 END) AS BIGINT) AS n_ws_chars,
+    CAST(sum(c * (CAST((length(printf('%b', c)) - 1) AS BIGINT) * 1048576 + CASE WHEN (length(printf('%b', c)) - 1) >= 20 THEN ((c) - (CAST(1 AS BIGINT) << (length(printf('%b', c)) - 1))) // ((CAST(1 AS BIGINT) << (length(printf('%b', c)) - 1)) // 1048576) ELSE ((c) - (CAST(1 AS BIGINT) << (length(printf('%b', c)) - 1))) * 1048576 // (CAST(1 AS BIGINT) << (length(printf('%b', c)) - 1)) END)) AS BIGINT) AS sum_c_ilog
+  FROM counts GROUP BY doc_id
+), base AS (
+  SELECT doc_id, n_chars, n_distinct_chars, n_ws_chars,
+    CAST(n_chars * (CAST((length(printf('%b', n_chars)) - 1) AS BIGINT) * 1048576 + CASE WHEN (length(printf('%b', n_chars)) - 1) >= 20 THEN ((n_chars) - (CAST(1 AS BIGINT) << (length(printf('%b', n_chars)) - 1))) // ((CAST(1 AS BIGINT) << (length(printf('%b', n_chars)) - 1)) // 1048576) ELSE ((n_chars) - (CAST(1 AS BIGINT) << (length(printf('%b', n_chars)) - 1))) * 1048576 // (CAST(1 AS BIGINT) << (length(printf('%b', n_chars)) - 1)) END) - sum_c_ilog AS BIGINT) AS h_num_q20
+  FROM per
+)
+SELECT doc_id, n_chars, n_distinct_chars, n_ws_chars, h_num_q20,
+  CAST(h_num_q20 AS DOUBLE) / (CAST(n_chars AS DOUBLE) * 1048576.0)
+    AS entropy_bits
+FROM base
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), 0.0
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM base)
+""",
+)
+def _q_entropy_stats(spark, sf_dir):
+    """Character-entropy quality signal (textstats.entropy_stats —
+    the replayable form of the compression-ratio filter): per-doc
+    entropy of the character distribution on the 2^-20 piecewise-
+    linear log lattice. The integer numerator h_num_q20 hash-pins
+    bit-for-bit where true Shannon entropy is irrational; the double
+    is one division. One char explode + (doc, char) combine +
+    per-doc re-aggregate, all partitioned on doc_id."""
+    return textstats.entropy_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -10634,6 +10678,7 @@ _VERIFY_FIRST = [
     "c_url_dedup",
     "st_quality_stream",
     "s_embedding_quantize",
+    "t_entropy_stats",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

@@ -2340,3 +2340,74 @@ def gopher_repetition_rules(
     for nm in names:
         conj = F.col(nm) if conj is None else (conj & F.col(nm))
     return out.select("*", conj.alias("pass_repetition"))
+
+
+def entropy_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-entropy quality signal (the compression-ratio-style
+    filter of Dolma/RefinedWeb pipelines, in its exactly-replayable
+    form): per document, the entropy of the character distribution —
+    low marks repetitive boilerplate, high marks random/binary junk.
+    The log is the repo's 2^-20 LATTICE log (``_sql_ilog2_q20`` — the
+    piecewise-LINEAR log2 surrogate the CCNet scorer uses): exact at
+    powers of two, within 0.0861 bits of log2 elsewhere, and — the
+    point — pure INTEGER arithmetic, so where true Shannon entropy is
+    irrational and engine-dependent, ``h_num_q20 = N·ilog2(N) −
+    Σ cᵢ·ilog2(cᵢ)`` hash-pins bit-for-bit. Also emits the
+    one-division double ``entropy_bits`` (same surrogate), the
+    distinct-character count, and the whitespace char count.
+
+    Plan: one char explode per doc (rows = characters — narrow), a
+    (doc, char) count aggregate with map-side combine, a per-doc
+    re-aggregate. Everything partitions on doc_id; the lattice log is
+    the same ``_sql_ilog2_q20`` integer fragment the CCNet LM scorer
+    uses, exact to 2^62 counts."""
+    chars = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), ""), lambda c: c != F.lit("")
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ilog_c = F.expr(_sql_ilog2_q20("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("c") * ilog_c).cast("long").alias("sum_c_ilog"),
+        # explicit class: Java's \s covers \x0B, RE2's does not — the
+        # spelled-out set parses identically in both engines
+        F.sum(
+            F.when(
+                F.col("ch").rlike("^[ \t\n\x0b\f\r]$"), F.col("c")
+            ).otherwise(0)
+        ).cast("long").alias("n_ws_chars"),
+    )
+    n = F.col("n_chars")
+    ilog_n = F.expr(_sql_ilog2_q20("n_chars"))
+    h_num = (n * ilog_n - F.col("sum_c_ilog")).cast("long")
+    out = per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "n_ws_chars",
+        h_num.alias("h_num_q20"),
+        (h_num.cast("double") / (n.cast("double") * 1048576.0)).alias(
+            "entropy_bits"
+        ),
+    )
+    # empty docs never reach the explode — re-attach them with zeros
+    # so the operator is total over its input
+    empties = documents.select("doc_id").join(
+        per_doc.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_chars"),
+        F.lit(0).cast("long").alias("n_distinct_chars"),
+        F.lit(0).cast("long").alias("n_ws_chars"),
+        F.lit(0).cast("long").alias("h_num_q20"),
+        F.lit(0.0).alias("entropy_bits"),
+    )
+    return out.unionByName(empties)

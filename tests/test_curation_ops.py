@@ -2030,3 +2030,26 @@ def test_wordpiece_piece_list_dedups_minted_tokens():
     out = _wp_piece_list(["a", "##b", "##c"], merges)
     assert len(out) == len(set(out))
     assert out.count(minted[2]) == 1
+
+
+def test_entropy_stats_lattice_values(spark):
+    """Power-of-two distributions are EXACT on the lattice (uniform-4
+    = 2 bits, alternating = 1 bit, constant = 0); non-powers use the
+    piecewise-linear log2 surrogate (log2(3) -> 1.5 on the lattice);
+    empty docs come back as zero rows, whitespace counted from the
+    explicit cross-engine class."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "a b\tc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.entropy_stats(docs).collect()}
+    assert got[1]["entropy_bits"] == 0.0 and got[1]["h_num_q20"] == 0
+    assert got[2]["entropy_bits"] == 1.0
+    assert got[3]["entropy_bits"] == 2.0 and got[3]["h_num_q20"] == 8 << 20
+    assert got[4]["n_chars"] == 0 and got[4]["entropy_bits"] == 0.0
+    assert got[5]["n_ws_chars"] == 2  # space and tab
+    # uniform-5 over "a b\tc" (5 distinct chars, each once):
+    # lattice log2(5) = 2 + 1/4 -> entropy exactly 2.25 bits
+    assert got[5]["entropy_bits"] == 2.25
