@@ -94,3 +94,25 @@ def test_url_unparseable_passthrough(spark):
         assert got[did]["canon_url"] == got[did]["url"]
         assert got[did]["is_url_keeper"] and got[did]["n_canon_copies"] == 1
     assert got[4]["url_parsed"] and got[4]["canon_url"] == "https://ok.com/x"
+
+
+def test_url_normalize_idempotent(spark):
+    """Canonicalization is a FIXED POINT: normalizing a canonical URL
+    returns it unchanged (parseable or not) — the property that makes
+    canon_url safe to store and re-process."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "https://WWW.Example.COM:443/a/b?utm_source=x&z=1&a=2#frag"),
+        (2, "http://shop.co.uk:80"),
+        (3, "ftp://files.example.org:21/data"),
+        (4, "https://x.org/p?utm_campaign=only"),
+        (5, "example.com/not-a-url"),
+        (6, "https://h.io/p?b=2&a=1&a=0"),   # duplicate param names sort stably
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    once = urls.url_normalize(df).select("doc_id", F.col("canon_url").alias("url"))
+    twice = urls.url_normalize(once).select("doc_id", "canon_url")
+    got1 = {r["doc_id"]: r["url"] for r in once.collect()}
+    got2 = {r["doc_id"]: r["canon_url"] for r in twice.collect()}
+    assert got1 == got2, (got1, got2)
