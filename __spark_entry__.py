@@ -490,6 +490,62 @@ def _q_json(spark, sf_dir):
 _SQL_TOKS = "string_split_regex(text, '\\s+')"
 
 
+def _sql_gopher_counts(extra: str = "") -> str:
+    """The Gopher battery's m/c CTE pair (integer counts over column
+    ``text`` of CTE ``src``) — ONE definition shared by the
+    t_gopher_rules, c_web_pipeline, and st_quality_stream oracles (a
+    threshold or stop-word change lands in all three or none).
+    ``extra`` prefixes carried columns into both SELECTs."""
+    return f"""m AS (
+  SELECT doc_id, {extra}
+         list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3
+         + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis
+  FROM src
+), c AS (
+  SELECT doc_id, {extra}
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+              AS BIGINT) AS sum_word_len,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(n_hash AS BIGINT) AS n_hash,
+         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter(lines, l ->
+              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l ->
+              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(CAST(list_contains(toks, 'the') AS INT)
+            + CAST(list_contains(toks, 'be') AS INT)
+            + CAST(list_contains(toks, 'to') AS INT)
+            + CAST(list_contains(toks, 'of') AS INT)
+            + CAST(list_contains(toks, 'and') AS INT)
+            + CAST(list_contains(toks, 'that') AS INT)
+            + CAST(list_contains(toks, 'have') AS INT)
+            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+            AS n_stopwords_hit
+  FROM m
+)"""
+
+
+def _sql_gopher_pass(min_words: int = 50) -> str:
+    """The battery's 7-rule conjunction over the count columns of
+    the ``c`` CTE from _sql_gopher_counts."""
+    return f"""(n_words >= {min_words} AND n_words <= 100000)
+       AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
+       AND ((n_hash + n_ellipsis) * 10 <= n_words)
+       AND (n_bullet_lines * 10 <= n_lines * 9)
+       AND (n_ellipsis_lines * 10 <= n_lines * 3)
+       AND (n_alpha_words * 10 >= n_words * 8)
+       AND (n_stopwords_hit >= 2)"""
+
+
+
 @_register(
     "t_token_stats",
     f"""
@@ -4686,42 +4742,8 @@ def _q_lm_quality(spark, sf_dir):
 @_register(
     "t_gopher_rules",
     f"""
-WITH m AS (
-  SELECT doc_id,
-         list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
-         string_split(text, chr(10)) AS lines,
-         length(text) - length(replace(text, '#', '')) AS n_hash,
-         (length(text) - length(replace(text, '...', ''))) // 3
-         + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis
-  FROM documents
-),
-c AS (
-  SELECT doc_id,
-         CAST(len(toks) AS BIGINT) AS n_words,
-         CAST(len(lines) AS BIGINT) AS n_lines,
-         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
-              AS BIGINT) AS sum_word_len,
-         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
-              AS BIGINT) AS n_alpha_words,
-         CAST(n_hash AS BIGINT) AS n_hash,
-         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
-         CAST(len(list_filter(lines, l ->
-              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
-              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
-         CAST(len(list_filter(lines, l ->
-              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
-              AS BIGINT) AS n_ellipsis_lines,
-         CAST(CAST(list_contains(toks, 'the') AS INT)
-            + CAST(list_contains(toks, 'be') AS INT)
-            + CAST(list_contains(toks, 'to') AS INT)
-            + CAST(list_contains(toks, 'of') AS INT)
-            + CAST(list_contains(toks, 'and') AS INT)
-            + CAST(list_contains(toks, 'that') AS INT)
-            + CAST(list_contains(toks, 'have') AS INT)
-            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
-            AS n_stopwords_hit
-  FROM m
-)
+WITH src AS (SELECT doc_id, text FROM documents),
+{_sql_gopher_counts()}
 SELECT *,
        CASE WHEN n_words > 0
             THEN CAST(sum_word_len AS DOUBLE) / n_words END
@@ -4737,13 +4759,7 @@ SELECT *,
        n_ellipsis_lines * 10 <= n_lines * 3 AS rule_ellipsis_lines,
        n_alpha_words * 10 >= n_words * 8 AS rule_alpha_words,
        n_stopwords_hit >= 2 AS rule_stopwords,
-       (n_words >= 50 AND n_words <= 100000)
-       AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
-       AND ((n_hash + n_ellipsis) * 10 <= n_words)
-       AND (n_bullet_lines * 10 <= n_lines * 9)
-       AND (n_ellipsis_lines * 10 <= n_lines * 3)
-       AND (n_alpha_words * 10 >= n_words * 8)
-       AND (n_stopwords_hit >= 2) AS pass_gopher
+       {_sql_gopher_pass()} AS pass_gopher
 FROM c
 """,
 )
@@ -5024,50 +5040,12 @@ WITH derived AS (
   SELECT doc_id, clean, clean_md5, n_sentences,
          (n_sentences >= 5) AND NOT has_lorem AND NOT has_curly AS pass_c4
   FROM c4
-), g0 AS (
-  SELECT doc_id, clean_md5, n_sentences, pass_c4,
-         list_filter(string_split_regex(clean, '\\s+'), w -> w <> '') AS toks,
-         string_split(clean, chr(10)) AS lines,
-         length(clean) - length(replace(clean, '#', '')) AS n_hash,
-         (length(clean) - length(replace(clean, '...', ''))) // 3
-         + (length(clean) - length(replace(clean, '…', ''))) AS n_ellipsis
-  FROM c4v
-), g AS (
-  SELECT doc_id, clean_md5, n_sentences, pass_c4,
-         CAST(len(toks) AS BIGINT) AS n_words,
-         CAST(len(lines) AS BIGINT) AS n_lines,
-         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
-              AS BIGINT) AS sum_word_len,
-         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
-              AS BIGINT) AS n_alpha_words,
-         CAST(n_hash AS BIGINT) AS n_hash,
-         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
-         CAST(len(list_filter(lines, l ->
-              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
-              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
-         CAST(len(list_filter(lines, l ->
-              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
-              AS BIGINT) AS n_ellipsis_lines,
-         CAST(CAST(list_contains(toks, 'the') AS INT)
-            + CAST(list_contains(toks, 'be') AS INT)
-            + CAST(list_contains(toks, 'to') AS INT)
-            + CAST(list_contains(toks, 'of') AS INT)
-            + CAST(list_contains(toks, 'and') AS INT)
-            + CAST(list_contains(toks, 'that') AS INT)
-            + CAST(list_contains(toks, 'have') AS INT)
-            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
-            AS n_stopwords_hit
-  FROM g0
-), v AS (
+), src AS (
+  SELECT doc_id, clean_md5, n_sentences, pass_c4, clean AS text FROM c4v
+), {_sql_gopher_counts(extra="clean_md5, n_sentences, pass_c4,")}, v AS (
   SELECT doc_id, clean_md5, n_words, n_sentences, pass_c4,
-         (n_words >= {_WP_GOPHER_MIN_WORDS} AND n_words <= 100000)
-         AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
-         AND ((n_hash + n_ellipsis) * 10 <= n_words)
-         AND (n_bullet_lines * 10 <= n_lines * 9)
-         AND (n_ellipsis_lines * 10 <= n_lines * 3)
-         AND (n_alpha_words * 10 >= n_words * 8)
-         AND (n_stopwords_hit >= 2) AS pass_gopher
-  FROM g
+         {_sql_gopher_pass(_WP_GOPHER_MIN_WORDS)} AS pass_gopher
+  FROM c
 )
 SELECT doc_id, clean_md5, n_words, n_sentences, pass_c4, pass_gopher,
        (pass_c4 AND pass_gopher)
@@ -5324,7 +5302,7 @@ WITH d AS (
   SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents
 ), p AS (
   SELECT doc_id, url,
-    regexp_matches(url, '{{URLRE}}') AS url_parsed,
+    regexp_matches(url, '{{URLRE}}') AND NOT contains(url, chr(1)) AS url_parsed,
     regexp_extract(url, '{{URLRE}}', 1) AS scheme,
     regexp_extract(url, '{{URLRE}}', 2) AS host,
     regexp_extract(url, '{{URLRE}}', 3) AS port,
@@ -5335,14 +5313,21 @@ WITH d AS (
 ), c AS (
   SELECT *,
     lower(scheme) AS _s, lower(host) AS _h,
-    CASE WHEN port = '' OR (lower(scheme) = 'http' AND port = '80')
-              OR (lower(scheme) = 'https' AND port = '443')
-         THEN '' ELSE ':' || port END AS _pp,
+    CASE WHEN port = '' THEN ''
+         WHEN (lower(scheme) = 'http'
+               AND CASE WHEN ltrim(port, '0') = '' THEN '0'
+                        ELSE ltrim(port, '0') END = '80')
+              OR (lower(scheme) = 'https'
+                  AND CASE WHEN ltrim(port, '0') = '' THEN '0'
+                           ELSE ltrim(port, '0') END = '443')
+         THEN ''
+         ELSE ':' || CASE WHEN ltrim(port, '0') = '' THEN '0'
+                          ELSE ltrim(port, '0') END END AS _pp,
     CASE WHEN path = '' THEN '/' ELSE path END AS _pa,
     coalesce(array_to_string(list_sort(list_filter(
       string_split(query, '&'),
       q -> q <> '' AND NOT regexp_matches(q,
-           '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&'), '') AS _kq,
+           '^(utm_[^=]*|gclid|fbclid)(=|\z)'))), '&'), '') AS _kq,
     string_split(lower(host), '.') AS _labels
   FROM p
 ), n AS (
@@ -5369,7 +5354,7 @@ FROM n
 """.replace(
         "{URLRE}",
         r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]+))?"
-        r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$",
+        r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?\z",
     ),
 )
 def _q_url_dedup(spark, sf_dir):
@@ -5429,49 +5414,9 @@ def _q_url_dedup(spark, sf_dir):
 @_register(
     "st_quality_stream",
     f"""
-WITH m AS (
-  SELECT doc_id, lang,
-         list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
-         string_split(text, chr(10)) AS lines,
-         length(text) - length(replace(text, '#', '')) AS n_hash,
-         (length(text) - length(replace(text, '...', ''))) // 3
-         + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis
-  FROM documents
-), c AS (
-  SELECT doc_id, lang,
-         CAST(len(toks) AS BIGINT) AS n_words,
-         CAST(len(lines) AS BIGINT) AS n_lines,
-         CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
-              AS BIGINT) AS sum_word_len,
-         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
-              AS BIGINT) AS n_alpha_words,
-         CAST(n_hash AS BIGINT) AS n_hash,
-         CAST(n_ellipsis AS BIGINT) AS n_ellipsis,
-         CAST(len(list_filter(lines, l ->
-              starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
-              OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet_lines,
-         CAST(len(list_filter(lines, l ->
-              ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
-              AS BIGINT) AS n_ellipsis_lines,
-         CAST(CAST(list_contains(toks, 'the') AS INT)
-            + CAST(list_contains(toks, 'be') AS INT)
-            + CAST(list_contains(toks, 'to') AS INT)
-            + CAST(list_contains(toks, 'of') AS INT)
-            + CAST(list_contains(toks, 'and') AS INT)
-            + CAST(list_contains(toks, 'that') AS INT)
-            + CAST(list_contains(toks, 'have') AS INT)
-            + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
-            AS n_stopwords_hit
-  FROM m
-), v AS (
-  SELECT lang,
-         (n_words >= 50 AND n_words <= 100000)
-         AND (sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words)
-         AND ((n_hash + n_ellipsis) * 10 <= n_words)
-         AND (n_bullet_lines * 10 <= n_lines * 9)
-         AND (n_ellipsis_lines * 10 <= n_lines * 3)
-         AND (n_alpha_words * 10 >= n_words * 8)
-         AND (n_stopwords_hit >= 2) AS pass_gopher
+WITH src AS (SELECT doc_id, lang, text FROM documents),
+{_sql_gopher_counts(extra="lang,")}, v AS (
+  SELECT lang, {_sql_gopher_pass()} AS pass_gopher
   FROM c
 )
 SELECT lang,

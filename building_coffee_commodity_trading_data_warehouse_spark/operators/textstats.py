@@ -2398,16 +2398,17 @@ def entropy_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
             "entropy_bits"
         ),
     )
-    # empty docs never reach the explode — re-attach them with zeros
-    # so the operator is total over its input
-    empties = documents.select("doc_id").join(
-        per_doc.select("doc_id"), "doc_id", "left_anti"
-    ).select(
+    # empty docs never reach the explode — a LEFT join from the id
+    # column re-attaches them as zero rows. (An anti-join + union
+    # would consume per_doc twice and re-execute the whole char
+    # explode per consumer — the same double-execution class the
+    # repetition battery's build measured and removed.)
+    zero = F.lit(0).cast("long")
+    return documents.select("doc_id").join(out, "doc_id", "left").select(
         "doc_id",
-        F.lit(0).cast("long").alias("n_chars"),
-        F.lit(0).cast("long").alias("n_distinct_chars"),
-        F.lit(0).cast("long").alias("n_ws_chars"),
-        F.lit(0).cast("long").alias("h_num_q20"),
-        F.lit(0.0).alias("entropy_bits"),
+        F.coalesce("n_chars", zero).alias("n_chars"),
+        F.coalesce("n_distinct_chars", zero).alias("n_distinct_chars"),
+        F.coalesce("n_ws_chars", zero).alias("n_ws_chars"),
+        F.coalesce("h_num_q20", zero).alias("h_num_q20"),
+        F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
     )
-    return out.unionByName(empties)

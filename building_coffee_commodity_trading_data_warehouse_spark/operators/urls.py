@@ -18,14 +18,18 @@ from pyspark.sql import functions as F
 # 1 scheme, 2 host, 3 port, 4 path, 5 query, 6 fragment. Userinfo is
 # folded into the host group on purpose (the synthetic pipelines here
 # never emit it; a production parser would split it off the same way).
+# \z (end of INPUT), never $: Java's $ also matches before a final
+# line terminator while RE2's does not, so a trailing-newline URL
+# would parse in Spark and fail in the oracle. Both engines support \z
+# with identical end-of-text semantics.
 URL_RE = (
     r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]+))?"
-    r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+    r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?\z"
 )
 
 # tracking parameters every canonicalizer strips (Google/Facebook
 # click ids and the utm_* campaign family)
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid)(=|\z)"
 
 # country-code second-level domains where the REGISTERED domain is
 # three labels, not two (a tiny deterministic stand-in for the public
@@ -55,8 +59,16 @@ def url_parse(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
         _GSEP,
     )
+    # a URL carrying the separator byte itself is DECLARED unparseable
+    # on both engines (control chars are illegal in URLs anyway) — a
+    # non-matching input with exactly five \x01 bytes would otherwise
+    # split into 6 parts and fabricate fields the oracle's
+    # regexp_matches would reject
     staged = df.select("*", parts.alias("_p")).select(
-        "*", (F.size("_p") == 6).alias("url_parsed")
+        "*",
+        (
+            (F.size("_p") == 6) & ~F.contains(u, F.lit(_GSEP))
+        ).alias("url_parsed"),
     )
 
     def _f(i: int) -> Column:
@@ -97,13 +109,21 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     parsed = url_parse(df, url_col)
     scheme = F.lower(F.col("scheme"))
     host = F.lower(F.col("host"))
+    # normalize the digit string first (':080' must equal ':80' and
+    # strip as a default port): TRIM LEADING zeros, all-zero -> '0'.
+    # String-level, so arbitrarily long digit runs never overflow a
+    # numeric cast on either engine.
+    stripped = F.expr("TRIM(LEADING '0' FROM port)")
+    norm_port = F.when(
+        (F.col("port") != "") & (stripped == ""), F.lit("0")
+    ).otherwise(stripped)
     default_port = (
-        ((scheme == "http") & (F.col("port") == "80"))
-        | ((scheme == "https") & (F.col("port") == "443"))
+        ((scheme == "http") & (norm_port == "80"))
+        | ((scheme == "https") & (norm_port == "443"))
     )
     port_part = F.when(
         (F.col("port") == "") | default_port, F.lit("")
-    ).otherwise(F.concat(F.lit(":"), F.col("port")))
+    ).otherwise(F.concat(F.lit(":"), norm_port))
     path_part = F.when(F.col("path") == "", F.lit("/")).otherwise(
         F.col("path")
     )

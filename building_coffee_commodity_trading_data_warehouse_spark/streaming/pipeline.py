@@ -78,6 +78,25 @@ def stage_delivery(src: str, land: str, tag: str) -> None:
         os.symlink(src, os.path.join(land, f"{tag}.parquet"))
 
 
+def _landing_dir(path: str) -> str:
+    """Expose a single parquet FILE through a symlinked landing dir —
+    Spark's file stream source requires a directory (read-only
+    testdata stays untouched). The target is resolved to an absolute
+    path first (os.symlink stores it verbatim; a relative target
+    would dangle against the tmpdir). Directories pass through."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        land = tempfile.mkdtemp(prefix="spark_graft_landing_")
+        os.symlink(
+            os.path.abspath(path),
+            os.path.join(land, os.path.basename(path)),
+        )
+        return land
+    return path
+
+
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events landing path. Spark's file
     stream source requires a DIRECTORY; a single-file path is exposed
@@ -91,15 +110,9 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     An empty landing dir can't be probed — it declares the legacy
     nanos schema.
     """
-    import os
-    import tempfile
-
     from pyspark.errors import AnalysisException
 
-    if os.path.isfile(path):
-        land = tempfile.mkdtemp(prefix="spark_graft_landing_")
-        os.symlink(path, os.path.join(land, os.path.basename(path)))
-        path = land
+    path = _landing_dir(path)
     try:
         probe = spark.read.parquet(path)
         schema, ts_type = probe.schema, dict(probe.dtypes).get("ts")
@@ -120,13 +133,7 @@ def stream_documents(spark: SparkSession, path: str) -> DataFrame:
     is exposed through a symlinked landing dir like stream_events; the
     schema is probed from a batch scan so the stream reader gets the
     explicit schema the file source requires."""
-    import os
-    import tempfile
-
-    if os.path.isfile(path):
-        land = tempfile.mkdtemp(prefix="spark_graft_doc_landing_")
-        os.symlink(path, os.path.join(land, os.path.basename(path)))
-        path = land
+    path = _landing_dir(path)
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).format("parquet").load(path)
 

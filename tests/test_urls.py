@@ -116,3 +116,28 @@ def test_url_normalize_idempotent(spark):
     got1 = {r["doc_id"]: r["url"] for r in once.collect()}
     got2 = {r["doc_id"]: r["canon_url"] for r in twice.collect()}
     assert got1 == got2, (got1, got2)
+
+
+def test_url_parse_engine_drift_edges(spark):
+    """Cross-engine edge cases from the r10 second review: a
+    trailing-newline URL must be UNPARSEABLE on both engines (\\z,
+    never $ — Java's $ matches before a final line terminator, RE2's
+    does not); an input carrying the internal separator byte is
+    declared unparseable rather than fabricating fields; leading-zero
+    ports normalize (':080' == ':80' == default, stripped)."""
+    rows = [
+        (1, "https://a.com/p#f\n"),
+        (2, "junk\x01a\x01b\x01c\x01d\x01e"),
+        (3, "http://a.com:080/x"),
+        (4, "http://a.com/x"),
+        (5, "https://b.io:0443/y"),
+        (6, "ftp://c.net:0021/z"),   # non-default port, zeros stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in urls.url_dedup(df).collect()}
+    assert not got[1]["url_parsed"] and got[1]["canon_url"] == got[1]["url"]
+    assert not got[2]["url_parsed"] and got[2]["n_canon_copies"] == 1
+    assert got[3]["canon_url"] == got[4]["canon_url"] == "http://a.com/x"
+    assert got[3]["n_canon_copies"] == 2 and not got[4]["is_url_keeper"]
+    assert got[5]["canon_url"] == "https://b.io/y"
+    assert got[6]["canon_url"] == "ftp://c.net:21/z"
