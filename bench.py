@@ -123,6 +123,10 @@ HEADLINE = [
     # position-union coverage join; the heaviest pure-text scan in
     # the headline set.
     "t_gopher_repetition",
+    # round-10 (late): the char-entropy signal — the one genuinely
+    # character-granular exchange in the repo (rows x chars explode
+    # with map-side (doc,char) combine).
+    "t_entropy_stats",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
