@@ -5543,6 +5543,72 @@ def _q_entropy_stats(spark, sf_dir):
     return textstats.entropy_stats(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "d_line_dedup",
+    """
+WITH derived AS (
+  SELECT doc_id,
+    replace(replace(text, ' batch ', chr(10) || 'batch '),
+            ' stream ', chr(10) || 'stream ')
+    || CASE WHEN doc_id % 2 = 0
+            THEN chr(10) || 'shared footer line here' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'cookie banner boilerplate text' ELSE '' END
+    AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx
+  FROM derived
+), k AS (
+  SELECT doc_id, idx, line,
+         (length(line) < 2)
+         OR (doc_id, idx) = MIN((doc_id, idx)) OVER (PARTITION BY line)
+           AS keep
+  FROM l
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+  md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                          chr(10) ORDER BY idx), '')) AS clean_md5,
+  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped
+FROM k GROUP BY doc_id
+""",
+)
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-wide exact LINE dedup (dedup.line_dedup — the
+    RefinedWeb/Dolma line-level pass): every >=2-char line keeps only
+    its first corpus occurrence; the rebuilt per-doc text is pinned
+    by md5. One narrow exchange (the first-occurrence window
+    partitions by the line text); the derived corpus plants a
+    250-doc shared footer and a 100-doc cookie banner the pass must
+    collapse to one occurrence each, on top of naturally colliding
+    marker-split lines."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        dedup as _dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(
+        F.replace(F.col("text"), F.lit(" batch "), F.lit("\nbatch ")),
+        F.lit(" stream "),
+        F.lit("\nstream "),
+    )
+    for mod, trip in (
+        (2, "\nshared footer line here"),
+        (5, "\ncookie banner boilerplate text"),
+    ):
+        t = F.when(
+            F.col("doc_id") % mod == 0, F.concat(t, F.lit(trip))
+        ).otherwise(t)
+    return _dedup.line_dedup(
+        docs.select("doc_id", t.alias("text")), min_line_chars=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # tolerance as-of / rank battery / dispersion / sketches / stream-static
 # ---------------------------------------------------------------------------
@@ -10624,6 +10690,7 @@ _VERIFY_FIRST = [
     "st_quality_stream",
     "s_embedding_quantize",
     "t_entropy_stats",
+    "d_line_dedup",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",

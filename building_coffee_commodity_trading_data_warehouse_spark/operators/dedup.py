@@ -1274,3 +1274,66 @@ def bloom_prefilter_dedup(
             .alias("no_false_negative"),
         )
     )
+
+
+def line_dedup(
+    documents: DataFrame, min_line_chars: int = 1
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the RefinedWeb/Dolma line-level
+    pass — boilerplate footers, cookie banners, nav text): every line
+    whose length is at least ``min_line_chars`` keeps only its FIRST
+    corpus occurrence (min (doc_id, line_idx)); shorter lines are
+    EXEMPT and always kept (deduplicating '' or 'Yes.' corpus-wide
+    would shred ordinary text — the exemption every production
+    implementation carries). Per document: line counts and the md5 of
+    the REBUILT text (kept lines joined in original order), so a gate
+    pins the actual post-dedup text, not just counts.
+
+    Scale shape: one posexplode to narrow (doc, idx, line) rows; ONE
+    exchange — the first-occurrence window partitions by the line
+    text itself (skew note: pathological corpora where one line
+    dominates would skew that partition; AQE skew handling applies,
+    and the exemption already removes the usual offenders like '');
+    the rebuild re-aggregates per document with in-doc-bounded
+    collect_list. Text crosses the wire once each way."""
+    from pyspark.sql import Window
+
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    )
+    w = Window.partitionBy("line")
+    first = F.min(F.struct("doc_id", "idx")).over(w)
+    kept = lines.withColumn("__f", first).select(
+        "doc_id",
+        "idx",
+        "line",
+        (
+            (F.length("line") < min_line_chars)
+            | (
+                (F.col("doc_id") == F.col("__f.doc_id"))
+                & (F.col("idx") == F.col("__f.idx"))
+            )
+        ).alias("keep"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("keep"), F.struct("idx", "line")
+                    )
+                )
+            ),
+            lambda s: s.getField("line"),
+        ),
+        "\n",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept_lines"),
+        F.md5(rebuilt).alias("clean_md5"),
+    ).select(
+        "*",
+        (F.col("n_lines") - F.col("n_kept_lines")).alias("n_dropped"),
+    )

@@ -404,3 +404,37 @@ def test_bloom_prefilter_no_false_negatives_and_hits(spark):
     assert out[5]["is_dup_exact"] == 1 and out[5]["bloom_hit"] == 1
     for d in (7, 9):
         assert out[d]["is_dup_exact"] == 0
+
+
+def test_line_dedup_first_occurrence_and_exemption(spark):
+    """Corpus-wide line dedup: a shared line survives only at its
+    min-(doc_id, idx) occurrence; lines under min_line_chars are
+    exempt; the rebuilt text (md5-pinned) preserves original order."""
+    import hashlib
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha line\nshared footer line\nx"),
+            (2, "shared footer line\nunique beta line"),
+            (3, "unique alpha line"),
+            (4, ""),
+            (5, "dup inside\ndup inside\ntail line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, min_line_chars=2).collect()
+    }
+    assert got[1]["n_kept_lines"] == 3  # first occurrences + exempt 'x'
+    assert got[2]["n_kept_lines"] == 1 and got[2]["n_dropped"] == 1
+    assert got[2]["clean_md5"] == hashlib.md5(b"unique beta line").hexdigest()
+    assert got[3]["n_kept_lines"] == 0  # its only line seen in doc 1
+    assert got[4]["n_kept_lines"] == 1  # '' exempt
+    # within-doc duplicate: second occurrence drops, order preserved
+    assert got[5]["n_kept_lines"] == 2
+    assert got[5]["clean_md5"] == hashlib.md5(
+        b"dup inside\ntail line"
+    ).hexdigest()
