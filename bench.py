@@ -127,6 +127,9 @@ HEADLINE = [
     # character-granular exchange in the repo (rows x chars explode
     # with map-side (doc,char) combine).
     "t_entropy_stats",
+    # round-10 (late): corpus-wide line dedup — the line-keyed window
+    # exchange under maximum duplicate mass.
+    "d_line_dedup",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
