@@ -4809,8 +4809,8 @@ WITH derived AS (
   SELECT doc_id, _text,
          CAST(len(_lines) AS BIGINT) AS n_lines,
          list_filter(_lines, ln ->
-           regexp_matches(rtrim(ln), '[.!?"]$')
-           AND len(list_filter(string_split_regex(ln, '\\s+'),
+           regexp_matches(ln, '[.!?"][ \\r]*\\z')
+           AND len(list_filter(string_split_regex(ln, '[ \\t\\n\\x0B\\f\\r]+'),
                                w -> w <> '')) >= 3
            AND NOT regexp_matches(ln, '(?i)javascript')) AS _kept
   FROM lined
@@ -4879,9 +4879,12 @@ def _q_c4_rules(spark, sf_dir):
 # variant — textstats._GPT2_PRETOKEN_RE) rendered for DuckDB. Both
 # engines use leftmost-FIRST alternation, so tokenization matches
 # byte-for-byte; dollar-quoting sidesteps the embedded single quote.
+# Whitespace class spelled out as [ \t\n\x0B\f\r] (= Java's \s) on
+# both sides — RE2's bare \s lacks \x0B (ADVICE r10).
 _SQL_GPT2_PRE = (
     "regexp_extract_all(text, "
-    "$$'(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+$$)"
+    "$$'(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+$$)"
 )
 
 
@@ -4898,9 +4901,10 @@ SELECT doc_id,
        AS BIGINT) AS n_word_toks,
   CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?\\p{{N}}+$')))
        AS BIGINT) AS n_num_toks,
-  CAST(len(list_filter(p, x -> regexp_matches(x, '^ ?[^\\s\\p{{L}}\\p{{N}}]+$')))
+  CAST(len(list_filter(p, x -> regexp_matches(x,
+       '^ ?[^ \\t\\n\\x0B\\f\\r\\p{{L}}\\p{{N}}]+$')))
        AS BIGINT) AS n_punct_toks,
-  CAST(len(list_filter(p, x -> regexp_matches(x, '^\\s+$')))
+  CAST(len(list_filter(p, x -> regexp_matches(x, '^[ \\t\\n\\x0B\\f\\r]+$')))
        AS BIGINT) AS n_space_toks,
   CAST(len(list_filter(p, x -> regexp_matches(x,
        $$^'(?:s|t|d|m|ll|ve|re)$$ || '$'))) AS BIGINT) AS n_contractions,
@@ -5017,8 +5021,8 @@ WITH derived AS (
 ), k AS (
   SELECT doc_id, _text,
          list_filter(_lines, ln ->
-           regexp_matches(rtrim(ln), '[.!?"]$')
-           AND len(list_filter(string_split_regex(ln, '\\s+'),
+           regexp_matches(ln, '[.!?"][ \\r]*\\z')
+           AND len(list_filter(string_split_regex(ln, '[ \\t\\n\\x0B\\f\\r]+'),
                                w -> w <> '')) >= 3
            AND NOT regexp_matches(ln, '(?i)javascript')) AS _kept
   FROM lined
@@ -5275,16 +5279,19 @@ def _q_gopher_repetition(spark, sf_dir):
 
 # URL derivation for the canonicalization gate: four deterministic
 # shapes per doc_id residue — (0,1) pairs differ only in case /
-# default port / tracking params / fragment and MUST canonicalize
-# identically; (2,3) collide across documents via the mod-50 path so
-# keeper election resolves real clusters; ftp-shaped rows keep a
-# non-default port. The oracle rebuilds the same URLs.
+# default port / tracking params / fragment / colon-carrying userinfo
+# (shape 1 carries 'u:p@', which the r11 parse splits off and the
+# canonical form drops — the ADVICE-r10 userinfo fix, gate-verified)
+# and MUST canonicalize identically; (2,3) collide across documents
+# via the mod-50 path so keeper election resolves real clusters;
+# ftp-shaped rows keep a non-default port. The oracle rebuilds the
+# same URLs.
 _URL_DERIVE_SQL = """
 CASE CAST(doc_id % 4 AS INT)
   WHEN 0 THEN 'https://WWW.Site' || CAST((doc_id // 4) % 7 AS VARCHAR)
               || '.Example.COM:443/p/'
               || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=x&b=2&a=1#f'
-  WHEN 1 THEN 'https://www.site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+  WHEN 1 THEN 'https://u:p@www.site' || CAST((doc_id // 4) % 7 AS VARCHAR)
               || '.example.com/p/'
               || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
   WHEN 2 THEN 'http://' || source || '.shop.co.uk:80/q/'
@@ -5353,7 +5360,7 @@ SELECT *,
 FROM n
 """.replace(
         "{URLRE}",
-        r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]+))?"
+        r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#]*@)?([^/?#:@\[\]]+)(?::([0-9]+))?"
         r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?\z",
     ),
 )
@@ -5387,7 +5394,7 @@ def _q_url_dedup(spark, sf_dir):
         .when(
             did % 4 == 1,
             F.concat(
-                F.lit("https://www.site"),
+                F.lit("https://u:p@www.site"),
                 (F.floor(did / 4) % 7).cast("string"),
                 F.lit(".example.com/p/"),
                 F.floor(did / 4).cast("string"), F.lit("?a=1&b=2"),
@@ -10591,35 +10598,97 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ==== round-10 order. STANDING POLICY (r6 verdict item 6): any
+    # ==== round-11 order. STANDING POLICY (r6 verdict item 6): any
     # round that edits a shared-helper module re-queues the gates
     # importing it ahead of the stale rotation. ====
-    # tier 1 — code changed in r10: semantic_dedup cell election
-    # moved onto the 2^-20 lattice (quantized argmax, ties low);
-    # chunk_documents single-split restructure (the directly-changed
-    # operator rotates here; its two consumer gates queue at 51+ —
-    # they are r9-fresh, in-session driver-contract verified, and the
-    # change is plan-shape-only, row-identity pinned); subtitles
-    # glued-cue header-metadata fix; stage_delivery mixed-layout
-    # guard (the one gate that stages deliveries). All re-verified
-    # repr-exact vs DuckDB through the driver contract in-session.
+    # tier 1 — code changed in r11 (all six were ALSO r10-new with no
+    # driver row yet, so they satisfy both tiers at once): the three
+    # r10 ADVICE regex/parse fixes — C4 terminal-punctuation rule
+    # re-anchored [.!?"][ \r]*\z + explicit whitespace class (Java $
+    # matches before a trailing \r, RE2's does not; consumers
+    # c_c4_rules + c_web_pipeline), GPT-2 pretokenizer \s spelled out
+    # as [ \t\n\x0B\f\r] (RE2 \s lacks \x0B; consumers
+    # t_pretoken_stats/_vocab), URL_RE userinfo group + strict host
+    # class with a planted u:p@ gate URL (c_url_dedup) — and the
+    # line_dedup skew restructure (window -> partial-aggregate+join,
+    # exempt lines pre-split; d_line_dedup, output-identical). All
+    # edits are function-scoped; other importers of the touched
+    # modules follow the standing 51+ policy.
+    "c_c4_rules",
+    "c_web_pipeline",
+    "t_pretoken_stats",
+    "t_pretoken_vocab",
+    "c_url_dedup",
+    "d_line_dedup",
+    # tier 2 — new in r10, never driver-sampled (r10 verdict item 1:
+    # the only gates in the registry with zero driver evidence).
+    "t_gopher_rules",
+    "t_gopher_repetition",
+    "t_lm_quality",
+    "t_entropy_stats",
+    "s_embedding_quantize",
+    "st_quality_stream",
+    # r10 verdict item 3 — d_minhash_lsh is the round's one
+    # multi-second bench outlier on untouched code; resample its
+    # r5-stale gate + certificate while root-causing.
+    "d_minhash_lsh",
+    "d_minhash_certify",
+    # tier 3 — 36 of the remaining 40 r5-stale gates (oldest driver
+    # rows in the registry; all green locally every round via
+    # test_oracle_parity). With tiers 1-2 this fills the ~50-gate
+    # driver sample exactly; worst staleness after r11 becomes r6.
+    "a_approx_distinct",
+    "a_heavy_hitters",
+    "a_percentiles_approx",
+    "c_pii_scrub",
+    "d_containment",
+    "d_decontaminate",
+    "d_incremental_dedup",
+    "d_ngram_jaccard",
+    "d_repeated_spans",
+    "d_semantic_decontaminate",
+    "e_csv_roundtrip",
+    "e_jdbc_roundtrip",
+    "e_rest_dimension",
+    "e_xml_roundtrip",
+    "f_pandas_udf_sql",
+    "f_variant_json",
+    "g_pagerank_trade",
+    "j_hinted_join",
+    "m_zorder_layout",
+    "q_bracket_revenue",
+    "q_dormant_customers",
+    "q_filtered_revenue",
+    "q_large_orders",
+    "q_lateral_topk",
+    "q_min_cost_supplier",
+    "q_nation_trade",
+    "q_pareto_customers",
+    "q_promotion_suppliers",
+    "q_recursive_streaks",
+    "q_small_qty_revenue",
+    "q_sql_function",
+    "q_supplier_diversity",
+    "q_waiting_suppliers",
+    "q_yoy_growth",
+    "t_bigram_counts",
+    "t_oov_rate",
+    # position 51+: the four r5-stale gates the 50-slot sample cannot
+    # fit — they lead the r12 rotation.
+    "t_token_diversity",
+    "w_anchored_vwap",
+    "w_rolling_corr",
+    "w_rsi",
+    # ---- everything else, prior relative order preserved
+    # (registration/staleness order from earlier rounds).
     "d_semdedup",
     "c_chunk_documents",
     "m_subtitle_cues",
     "st_dedup_stream",
-    # tier 2 — NEW this round: SemDeDup production-path gate
-    # (self-scaling √N cells on the cell-count-invariant
-    # identical-copies corpus), the cross-cell recall certificate
-    # (d_minhash_certify pattern), and the WordPiece tokenizer pair
-    # (likelihood-ratio scored pairs + end-to-end encode census).
     "d_semdedup_scaled",
     "d_semdedup_certify",
     "t_wordpiece_pairs",
     "t_wordpiece_encode",
-    # tier 3 — the 42 remaining r4-stale gates (r9 verdict item 4),
-    # oldest driver rows in the registry; all green locally every
-    # round (test_oracle_parity). With tiers 1-2 this fills the
-    # ~50-gate driver sample exactly; worst staleness becomes r5.
     "a_cube",
     "a_distinct_counts",
     "a_global_counts",
@@ -10662,35 +10731,6 @@ _VERIFY_FIRST = [
     "w_rolling_volatility",
     "w_sessionize",
     "w_time_range_mean",
-    # position 51+: t_lm_quality (NEWEST gate this round — the 42
-    # r4-stale rotations outrank a fifth first-row slot in the ~50
-    # sample; it is pytest-pinned + in-session DuckDB-verified and
-    # rotates first in r11 if the sample cuts at 50), the
-    # chunk_documents consumer gates (see tier-1
-    # note), t_unigram_segment (r10 change is a stats-only
-    # driver_rows counter, bit-identical path, pinned by pytest +
-    # in-session DuckDB verify), then the operators/similarity.py
-    # importers (standing shared-helper policy; the r10 edit is
-    # function-scoped to semantic_dedup._assign).
-    "t_lm_quality",
-    "t_gopher_rules",
-    # late-r10 additions, same reasoning as t_lm_quality: locally
-    # repr-exact through the driver contract at two SFs this round,
-    # so they yield their first-row slot to the stale rotation and
-    # lead the r11 sample: the C4 cleaning-rule battery (cleaned text
-    # pinned by md5 on a derived punctuated corpus) and the GPT-2
-    # pre-tokenizer pair (byte-exact reconstruction certificate +
-    # global top-100 vocabulary).
-    "c_c4_rules",
-    "t_pretoken_stats",
-    "t_pretoken_vocab",
-    "c_web_pipeline",
-    "t_gopher_repetition",
-    "c_url_dedup",
-    "st_quality_stream",
-    "s_embedding_quantize",
-    "t_entropy_stats",
-    "d_line_dedup",
     "c_pack_chunks",
     "d_chunk_dedup",
     "t_unigram_segment",
@@ -10703,10 +10743,7 @@ _VERIFY_FIRST = [
     "s_sparse_cosine",
     "s_ivf_index",
     "s_ivf_distributed",
-    "d_semantic_decontaminate",
     "s_embedding_dimstats",
-    # ---- everything else, prior relative order preserved
-    # (registration/staleness order from earlier rounds).
     "t_bpe_encode",
     "t_bpe_pairs",
     "m_decode_webp",
@@ -10823,47 +10860,6 @@ _VERIFY_FIRST = [
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
-    "d_ngram_jaccard",
-    "d_incremental_dedup",
-    "d_minhash_certify",
-    "d_minhash_lsh",
-    "d_decontaminate",
-    "a_percentiles_approx",
-    "q_yoy_growth",
-    "q_filtered_revenue",
-    "q_nation_trade",
-    "q_small_qty_revenue",
-    "q_large_orders",
-    "q_bracket_revenue",
-    "q_dormant_customers",
-    "t_bigram_counts",
-    "a_approx_distinct",
-    "f_pandas_udf_sql",
-    "d_containment",
-    "q_pareto_customers",
-    "c_pii_scrub",
-    "t_oov_rate",
-    "e_csv_roundtrip",
-    "q_waiting_suppliers",
-    "q_min_cost_supplier",
-    "q_supplier_diversity",
-    "q_promotion_suppliers",
-    "e_jdbc_roundtrip",
-    "e_rest_dimension",
-    "j_hinted_join",
-    "w_anchored_vwap",
-    "w_rolling_corr",
-    "w_rsi",
-    "q_lateral_topk",
-    "q_recursive_streaks",
-    "f_variant_json",
-    "q_sql_function",
-    "g_pagerank_trade",
-    "a_heavy_hitters",
-    "m_zorder_layout",
-    "e_xml_roundtrip",
-    "d_repeated_spans",
-    "t_token_diversity",
     "m_decode_resize",
     "e_snapshot_diff",
     "q_important_stock",

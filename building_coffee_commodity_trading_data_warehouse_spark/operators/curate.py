@@ -859,7 +859,7 @@ def c4_clean_rules(
     min_sentences: int = 5,
     keep_text: bool = False,
 ) -> DataFrame:
-    """The C4 cleaning-rule battery (Raffel et al. 2020, §2.2 — the
+    r"""The C4 cleaning-rule battery (Raffel et al. 2020, §2.2 — the
     line/page heuristics that turned Common Crawl into C4), per
     document: retain only lines that end in a terminal punctuation
     mark (period, exclamation mark, question mark, or end quotation
@@ -881,16 +881,33 @@ def c4_clean_rules(
     lambda, page flags are integer comparisons and substring scans.
     No shuffle, no UDF, no Python: the plan is a map-only stage that
     scans 100 TB embarrassingly parallel. Every regex used parses
-    identically in Java regex and RE2 (no lookaround, no backrefs), so
-    a DuckDB oracle replays each flag and the cleaned-text hash
-    bit-for-bit.
+    identically in Java regex and RE2 (no lookaround, no backrefs,
+    ``\z`` end-of-input anchors — never ``$``, which Java also matches
+    before a trailing line terminator — and Java's ``\s`` spelled out
+    as ``[ \t\n\x0B\f\r]`` because RE2's ``\s`` lacks ``\x0B``), so a
+    DuckDB oracle replays each flag and the cleaned-text hash
+    bit-for-bit, including on CRLF documents.
     """
     raw = F.col(text_col)
 
+    # Terminal-punctuation check: `[.!?"][ \r]*\z` on the RAW line —
+    # punctuation followed only by spaces/CRs to end-of-input. This
+    # subsumes the old rtrim-then-`$` form and fixes two cross-engine
+    # divergences (ADVICE r10): Java's `$` also matches before a final
+    # line terminator (so 'abc.\r' from a CRLF document was kept in
+    # Spark but dropped by the RE2 oracle), and rtrim strips only
+    # spaces, not '\r'. `\z` is end-of-INPUT in both engines. The word
+    # split spells Java's \s out as [ \t\n\x0B\f\r] because RE2's \s
+    # lacks \x0B — the entropy_stats convention.
     def _line_kept(ln: Column) -> Column:
-        words = F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != F.lit("")))
+        words = F.size(
+            F.filter(
+                F.split(ln, r"[ \t\n\x0B\f\r]+"),
+                lambda w: w != F.lit(""),
+            )
+        )
         return (
-            F.rtrim(ln).rlike(r'[.!?"]$')
+            ln.rlike(r'[.!?"][ \r]*\z')
             & (words >= min_words_per_line)
             & ~ln.rlike(r"(?i)javascript")
         )

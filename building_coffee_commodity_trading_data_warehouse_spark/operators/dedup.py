@@ -1289,32 +1289,56 @@ def line_dedup(
     the REBUILT text (kept lines joined in original order), so a gate
     pins the actual post-dedup text, not just counts.
 
-    Scale shape: one posexplode to narrow (doc, idx, line) rows; ONE
-    exchange — the first-occurrence window partitions by the line
-    text itself (skew note: pathological corpora where one line
-    dominates would skew that partition; AQE skew handling applies,
-    and the exemption already removes the usual offenders like '');
-    the rebuild re-aggregates per document with in-doc-bounded
-    collect_list. Text crosses the wire once each way."""
-    from pyspark.sql import Window
+    Scale shape (restructured r11 — the r10 shape put EVERY exploded
+    line, exempt ones included, through one ``Window.partitionBy
+    (line)``, so every blank line in the corpus — and every
+    mega-duplicated boilerplate line, the operator's own target —
+    landed on a single window partition, and AQE cannot split a
+    skewed *window* exchange, only skewed joins): one posexplode to
+    narrow (doc, idx, line) rows, then
 
+    * exempt lines (``length < min_line_chars`` — '' and friends,
+      the usual heavy hitters) are split out BEFORE any exchange and
+      never shuffle by line at all;
+    * first-occurrence election is a two-level partial AGGREGATE
+      (``groupBy(line).agg(min(struct(doc_id, idx)))``), not a
+      window: map-side combine collapses a 10^9-copy cookie-banner
+      line to one partial row per input partition before the
+      exchange, so the reducer for a hot line receives one row per
+      upstream partition, not 10^9;
+    * membership is recovered with an equi-join back on ``line`` —
+      a JOIN, which AQE skew handling CAN split if a hot line still
+      dominates the probe side.
+
+    The rebuild re-aggregates per document with in-doc-bounded
+    collect_list; its exchange is keyed by ``doc_id`` (well
+    distributed by construction), so exempt lines only ever shuffle
+    on a skew-free key — they never enter a line-keyed exchange. The
+    cost of the restructure is extra map-only scans of the text
+    column (probe / firsts-aggregate / exempt branches each rescan),
+    which at 100 TB is strictly cheaper than routing every blank
+    line in the corpus through one reducer."""
     lines = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
     )
-    w = Window.partitionBy("line")
-    first = F.min(F.struct("doc_id", "idx")).over(w)
-    kept = lines.withColumn("__f", first).select(
+    exempt = F.length("line") < min_line_chars
+    dedupable = lines.filter(~exempt)
+    firsts = dedupable.groupBy("line").agg(
+        F.min(F.struct("doc_id", "idx")).alias("__f")
+    )
+    kept = dedupable.join(firsts, "line").select(
         "doc_id",
         "idx",
         "line",
         (
-            (F.length("line") < min_line_chars)
-            | (
-                (F.col("doc_id") == F.col("__f.doc_id"))
-                & (F.col("idx") == F.col("__f.idx"))
-            )
+            (F.col("doc_id") == F.col("__f.doc_id"))
+            & (F.col("idx") == F.col("__f.idx"))
         ).alias("keep"),
+    ).unionByName(
+        lines.filter(exempt).select(
+            "doc_id", "idx", "line", F.lit(True).alias("keep")
+        )
     )
     rebuilt = F.array_join(
         F.transform(

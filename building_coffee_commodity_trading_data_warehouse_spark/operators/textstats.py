@@ -1992,13 +1992,18 @@ def gopher_quality_rules(
 # space); everything else (contraction suffixes, letter runs, digit
 # runs, punctuation runs) matches the original. Alternation is
 # leftmost-FIRST in both Java regex and RE2 (neither is POSIX
-# longest-match), so the two engines tokenize identically.
+# longest-match), so the two engines tokenize identically. The
+# whitespace class is spelled out as [ \t\n\x0B\f\r] — exactly Java's
+# \s — because RE2's \s lacks \x0B (ADVICE r10): with a bare \s a
+# vertical-tab char would be a whitespace pretoken in Spark but a
+# punctuation pretoken in the DuckDB oracle. Spelling it out is a
+# no-op for Spark and pins the oracle to the same tokenization.
 _GPT2_PRETOKEN_RE = (
     r"'(?:s|t|d|m|ll|ve|re)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"
+    r"|[ \t\n\x0B\f\r]+"
 )
 
 
@@ -2030,8 +2035,8 @@ def pretoken_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct("_pre")).cast("long").alias("n_unique"),
         _cls(r"^ ?\p{L}+$").alias("n_word_toks"),
         _cls(r"^ ?\p{N}+$").alias("n_num_toks"),
-        _cls(r"^ ?[^\s\p{L}\p{N}]+$").alias("n_punct_toks"),
-        _cls(r"^\s+$").alias("n_space_toks"),
+        _cls(r"^ ?[^ \t\n\x0B\f\r\p{L}\p{N}]+$").alias("n_punct_toks"),
+        _cls(r"^[ \t\n\x0B\f\r]+$").alias("n_space_toks"),
         _cls(r"^'(?:s|t|d|m|ll|ve|re)$").alias("n_contractions"),
         (F.array_join("_pre", "") == F.col("_text")).alias("recon_ok"),
     )

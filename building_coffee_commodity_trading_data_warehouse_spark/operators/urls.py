@@ -14,16 +14,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# scheme://host[:port][path][?query][#fragment] — capture groups:
-# 1 scheme, 2 host, 3 port, 4 path, 5 query, 6 fragment. Userinfo is
-# folded into the host group on purpose (the synthetic pipelines here
-# never emit it; a production parser would split it off the same way).
+# scheme://[userinfo@]host[:port][path][?query][#fragment] — capture
+# groups: 1 scheme, 2 host, 3 port, 4 path, 5 query, 6 fragment.
+# Userinfo (including a colon-carrying user:password form) is matched
+# by the non-capturing '(?:[^/?#]*@)?' and DROPPED from the canonical
+# form — the standard dedup canonicalization (two fetch identities
+# that differ only in credentials are the same resource). The class
+# excludes /?#, so a '@' later in the path or query can never be
+# mistaken for an authority delimiter, and greedy matching puts the
+# host after the LAST '@' of the authority (RFC 3986's reading of a
+# degenerate multi-'@' authority). The host class requires >=1 char
+# and excludes '@'/'['/']', so the degenerate forms parse-FAIL into
+# the passthrough path instead of fabricating fields: IPv6 literal
+# hosts ('https://[::1]/', which previously "parsed" as host='[')
+# and empty-authority forms ('file:///etc/hosts') are their own
+# dedup keys, like every other non-match.
 # \z (end of INPUT), never $: Java's $ also matches before a final
 # line terminator while RE2's does not, so a trailing-newline URL
 # would parse in Spark and fail in the oracle. Both engines support \z
 # with identical end-of-text semantics.
 URL_RE = (
-    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]*)(?::([0-9]+))?"
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/?#]*@)?([^/?#:@\[\]]+)(?::([0-9]+))?"
     r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?\z"
 )
 

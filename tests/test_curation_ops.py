@@ -2053,3 +2053,71 @@ def test_entropy_stats_lattice_values(spark):
     # uniform-5 over "a b\tc" (5 distinct chars, each once):
     # lattice log2(5) = 2 + 1/4 -> entropy exactly 2.25 bits
     assert got[5]["entropy_bits"] == 2.25
+
+
+def test_c4_rules_crlf_lines_cross_engine(spark):
+    """CRLF documents (ADVICE r10): splitting on '\\n' leaves a
+    trailing '\\r' on every line, and the old rtrim-then-[.!?\"]$ rule
+    diverged between engines — Java's $ matches before a final line
+    terminator (kept 'abc.\\r'), RE2's $ is end-of-text only (dropped
+    it). The r11 rule [.!?\"][ \\r]*\\z is pinned here on BOTH engines
+    over the exact divergent inputs."""
+    import duckdb
+
+    lines = [
+        "good line one right here.\r",   # punct + CR → kept
+        "no terminal punctuation\r",     # → dropped
+        "trailing space then cr. \r",    # punct, space, CR → kept
+        "plain lf line stays fine.",     # → kept
+        "short.\r",                      # punct but <3 words → dropped
+    ]
+    docs = spark.createDataFrame(
+        [(1, "\n".join(lines))], "doc_id long, text string"
+    )
+    got = curate.c4_clean_rules(docs).collect()[0]
+    assert got["n_lines"] == 5
+    assert got["n_kept_lines"] == 3
+
+    kept_sql = duckdb.sql(
+        "SELECT len(list_filter(string_split(?, chr(10)), ln ->"
+        "  regexp_matches(ln, '[.!?\"][ \\r]*\\z')"
+        "  AND len(list_filter(string_split_regex(ln,"
+        "        '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 3"
+        "  AND NOT regexp_matches(ln, '(?i)javascript')))",
+        params=["\n".join(lines)],
+    ).fetchone()[0]
+    assert kept_sql == got["n_kept_lines"]
+
+
+def test_pretoken_vertical_tab_whitespace_cross_engine(spark):
+    """\\x0B (ADVICE r10): Java's \\s covers vertical tab, RE2's does
+    not — with a bare \\s a \\x0B char was a whitespace pretoken in
+    Spark but a punctuation pretoken in the oracle. The explicit
+    [ \\t\\n\\x0B\\f\\r] class is pinned on both engines: the token
+    stream, class counts, and reconstruction must agree."""
+    import duckdb
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import textstats
+
+    text = "alpha\x0bbeta \x0b\t42!"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = textstats.pretoken_stats(docs).collect()[0]
+    # alpha | \x0B | beta | ' \x0B\t'?  — leftmost-first: ' ?\p{L}+'
+    # can't take ' ' before '\x0B', so: alpha, \x0B, beta, ' \x0B\t'
+    # wait: after 'beta' comes ' \x0B\t42!': ' ?\p{N}+' needs digits
+    # right after the optional space — '\x0B' blocks it, so the
+    # whitespace branch takes ' \x0B\t', then '42' (no leading
+    # space), then '!'.
+    assert got["recon_ok"]
+    assert got["n_space_toks"] == 2      # '\x0B' and ' \x0B\t'
+    assert got["n_punct_toks"] == 1      # '!'
+    assert got["n_word_toks"] == 2 and got["n_num_toks"] == 1
+
+    toks_sql = duckdb.sql(
+        "SELECT regexp_extract_all(?, "
+        "$$'(?:s|t|d|m|ll|ve|re)| ?\\p{L}+| ?\\p{N}+"
+        "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+$$)",
+        params=[text],
+    ).fetchone()[0]
+    assert "".join(toks_sql) == text
+    assert toks_sql == ["alpha", "\x0b", "beta", " \x0b\t", "42", "!"]

@@ -923,3 +923,41 @@ def test_lm_quality_single_split_per_scan(spark, sf_dir):
         if "Project" in ln and "split(text" in ln
     }
     assert len(projs) <= 3, sorted(projs)
+
+
+def test_line_dedup_no_window_exempt_lines_skip_line_exchange(spark):
+    """r10 verdict item 2: line_dedup's first-occurrence election must
+    be a two-level partial AGGREGATE + equi-join, never a
+    Window.partitionBy(line) — AQE can split a skewed join but not a
+    skewed window exchange, and the old shape sent every blank /
+    mega-duplicated line to a single window partition. Pins: (a) no
+    Window anywhere; (b) the election aggregate has a map-side
+    partial_min (a 10^9-copy line collapses to one partial per input
+    partition before the wire); (c) EVERY line-keyed exchange sits
+    above the `length >= min_line_chars` filter, so exempt lines
+    never enter a line-keyed exchange at all."""
+    import re as _re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a line here\n\nb"), (2, "a line here\nb line\n")],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.line_dedup(docs, min_line_chars=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "partial_min(struct(doc_id" in plan, plan
+    line_exchanges = _re.findall(
+        r"Exchange hashpartitioning\(line#(\d+)", plan
+    )
+    assert line_exchanges, plan  # the election still shuffles by line
+    for expr_id in line_exchanges:
+        assert f"Filter (length(line#{expr_id}) >= 2)" in plan, (
+            expr_id, plan,
+        )
+    # the exempt branch exists and is map-only (filter straight into
+    # the doc_id-keyed rebuild, no line-keyed exchange of its own)
+    assert _re.search(r"Filter \(length\(line#\d+\) < 2\)", plan), plan
