@@ -87,16 +87,21 @@ HEADLINE = [
     "s_ivf_search_dist",
     # round-9 session additions (no frozen comparator yet; recorded so
     # the r10 freeze can adopt them): substring-dedup CUT, unigram-LM
-    # tokenizer train+segment, SemDeDup at the gate's fixed 8 cells.
+    # tokenizer train+segment.
     "d_span_removal",
     "t_unigram_segment",
-    "d_semdedup",
+    # round-11 (r10 verdict item 5): the nc=8 "d_semdedup" headline
+    # entry is RETIRED — it was 14.5 s = 18% of headline wall
+    # measuring the fixed-8-cell configuration the operator docstring
+    # tells users NOT to deploy (kept through r10 only for hash
+    # continuity while the production entry landed). The gate itself
+    # is unchanged (still 8 cells, still oracle-hash-verified every
+    # round); the bench now times only the production knob below.
     # round-10: SemDeDup at the PRODUCTION configuration — the
     # self-scaling n_centroids=None default (√N cells) the docstring
-    # prescribes at scale. The d_semdedup entry above keeps the
-    # fixed-8-cell gate config for continuity; THIS is the number
-    # that must regress loudly (r9 verdict item 1: the fixed-cell
-    # config is the one the x100 study proved per-cell-quadratic).
+    # prescribes at scale. THIS is the number that must regress
+    # loudly (r9 verdict item 1: the fixed-cell config is the one the
+    # x100 study proved per-cell-quadratic).
     "d_semdedup_prod",
     # round-10: the WordPiece family's hot half (scored pair table —
     # two vocab-sized aggregates + two joins + one global top-100)

@@ -3,9 +3,12 @@
 Per-query bench ratios from a single full-bench run carry no signal at
 the 0.3–3 s magnitudes of sf0.1 — a co-tenant CPU burst lands on
 whichever query is running. The stable per-query judgment is this
-protocol: ONE fresh JVM per query, one warm-up run, then N timed reps
-back-to-back, with the constant-work CPU probe taken around them so the
-reading can be calibrated against the frozen baseline's probe.
+protocol: ONE fresh JVM per query, one warm-up run, then a
+ramp-until-stable phase (reps until two successive agree within 5%,
+cap 8 — JIT/BLAS-heavy paths warm slower than one rep; r10 verdict
+item 4), then N timed reps back-to-back, with the constant-work CPU
+probe taken around them so the reading can be calibrated against the
+frozen baseline's probe.
 
 Usage:
     python scripts/isolated_reps.py q1 [q2 ...]      # default 5 reps
@@ -58,10 +61,24 @@ def run_once():
 
 cal0 = _calibration_cpu_sec()
 run_once()  # warm-up: JVM JIT, scan caches, broadcast build
+# Ramp-until-stable (r10 verdict item 4): JIT/BLAS-heavy paths (the
+# k-means+GEMM SemDeDup family) keep speeding up for several reps
+# after the single warm-up — freezing or reading from the ramp makes
+# the entry cry wolf every later round. Keep taking ramp reps until
+# two successive reps agree within 5% (cap 8), then take the timed
+# reps from the stable tail.
+ramp = [run_once()]
+while len(ramp) < 8:
+    t = run_once()
+    prev = ramp[-1]
+    ramp.append(t)
+    if abs(t - prev) <= 0.05 * max(t, prev):
+        break
 reps = [run_once() for _ in range({reps})]
 cal1 = _calibration_cpu_sec()
 print("ISO_RESULT " + json.dumps(
     {{"query": name, "reps": [round(r, 3) for r in reps],
+      "ramp": [round(r, 3) for r in ramp],
       "cal_cpu": round(min(cal0, cal1), 3)}}))
 """
 
