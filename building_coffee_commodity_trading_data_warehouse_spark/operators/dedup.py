@@ -1361,3 +1361,51 @@ def line_dedup(
         "*",
         (F.col("n_lines") - F.col("n_kept_lines")).alias("n_dropped"),
     )
+
+
+def keeper_election(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    eligible: Column | None = None,
+    first_col: str = "__keeper_id",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe first-occurrence keeper election, shared by
+    ``urls.url_dedup`` and ``curate.web_pipeline`` (r10 verdict item
+    8): adds ``first_col`` = min ``id_col`` per ``key_col`` among
+    rows where ``eligible`` holds (all rows when None; NULL for keys
+    with no eligible row), and optionally ``count_col`` = total rows
+    per key.
+
+    Why not ``Window.partitionBy(key)``: a window exchange routes
+    every row of a hot key to ONE reducer and AQE cannot split a
+    skewed window partition — only skewed joins. The hot keys are
+    real at 100 TB: ``web_pipeline`` keys by clean_md5, and every
+    document whose cleaned text is empty shares md5('') (such rows
+    can never be keepers — zero words fails the Gopher word-count
+    rule — yet the r10 shape still funneled them through the window
+    reducer); ``url_dedup`` keys by canon_url, where a front page
+    fetched 10^8 times is one key. This helper instead
+    1. pre-aggregates (key → min id, count) with a two-level partial
+       aggregate — map-side combine collapses a 10^9-copy key to one
+       partial row per input partition before the wire;
+    2. LEFT-joins the collapsed firsts back on ``key_col`` — a JOIN,
+       which AQE skew handling CAN split when a hot key dominates
+       the probe side.
+    Cost: the upstream plan is evaluated twice (probe + aggregate
+    branch). For these callers the upstream is a map-only codegen
+    projection, so the trade is 2x embarrassingly-parallel map work
+    for the removal of an unsplittable single-reducer hot spot.
+    """
+    agg = [
+        F.min(
+            F.when(eligible, F.col(id_col))
+            if eligible is not None
+            else F.col(id_col)
+        ).alias(first_col)
+    ]
+    if count_col is not None:
+        agg.append(F.count(F.lit(1)).cast("long").alias(count_col))
+    firsts = df.groupBy(key_col).agg(*agg)
+    return df.join(firsts, key_col, "left")

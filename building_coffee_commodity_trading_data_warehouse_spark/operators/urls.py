@@ -170,14 +170,24 @@ def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """URL-level dedup on the CANONICAL form: keeper = min id per
-    canon_url. One narrow exchange (canon hash + id), text never
-    shuffles — the same keeper-election window as web_pipeline."""
-    from pyspark.sql import Window
+    canon_url. Election is the shared skew-safe two-level aggregate +
+    join (``dedup.keeper_election``, r10 verdict item 8) — canon_url
+    is high-cardinality, but a front page fetched 10^8 times is one
+    key, and a window would route all its rows to one reducer while
+    AQE can only split skewed JOINS. The exchange stays narrow
+    (canonical URL + id), text never shuffles."""
+    from .dedup import keeper_election
 
     canon = url_normalize(df, url_col)
-    w = Window.partitionBy("canon_url")
-    return canon.select(
-        "*",
-        (F.col(id_col) == F.min(id_col).over(w)).alias("is_url_keeper"),
-        F.count(F.lit(1)).over(w).cast("long").alias("n_canon_copies"),
+    elected = keeper_election(
+        canon,
+        "canon_url",
+        id_col=id_col,
+        first_col="__first",
+        count_col="n_canon_copies",
+    )
+    return elected.select(
+        *[c for c in elected.columns if c not in ("__first", "n_canon_copies")],
+        (F.col(id_col) == F.col("__first")).alias("is_url_keeper"),
+        F.col("n_canon_copies"),
     )

@@ -961,3 +961,41 @@ def test_line_dedup_no_window_exempt_lines_skip_line_exchange(spark):
     # the exempt branch exists and is map-only (filter straight into
     # the doc_id-keyed rebuild, no line-keyed exchange of its own)
     assert _re.search(r"Filter \(length\(line#\d+\) < 2\)", plan), plan
+
+
+def test_keeper_election_no_window_partial_agg_join(spark):
+    """r10 verdict item 8: the url_dedup and web_pipeline keeper
+    elections must be the shared two-level aggregate + join
+    (dedup.keeper_election), never Window.partitionBy — clean_md5
+    carries a guaranteed hot key (md5('') for every all-lines-dropped
+    document) and canon_url a plausible one (mega-fetched front
+    pages); AQE splits skewed joins, not skewed window exchanges.
+    Pins per operator: no Window; a partial_min aggregate below the
+    key exchange (map-side combine collapses the hot key)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        curate,
+        urls,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"line {i} stays well here.\nend of doc {i}.") for i in range(8)],
+        "doc_id long, text string",
+    )
+    wp_plan = (
+        curate.web_pipeline(docs, min_words=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in wp_plan, wp_plan
+    assert "partial_min(CASE WHEN" in wp_plan, wp_plan
+
+    u = spark.createDataFrame(
+        [(i, f"https://site{i % 3}.com/p?x={i}") for i in range(8)],
+        "doc_id long, url string",
+    )
+    url_plan = (
+        urls.url_dedup(u)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in url_plan, url_plan
+    assert "partial_min(doc_id" in url_plan, url_plan
+    assert "partial_count(1)" in url_plan, url_plan
