@@ -1750,8 +1750,17 @@ def bigram_lm_scores(
     Scale shape: reference collapses to vocab-sized unigram/bigram
     count tables (map-side combinable aggregates); scoring is the
     corpus bigram explode joined against those tables on their keys
-    (shuffle joins — the LM tables are Heaps-bounded but can exceed
-    broadcast size at 100 TB) and ONE per-doc re-aggregate; the
+    and ONE per-doc re-aggregate. Measured on real prose (SCALE.md
+    round-11, scripts/heaps_study.py): the UNIGRAM vocabulary is
+    Heaps-sublinear (beta ~ 0.5-0.6) but the BIGRAM table grows with
+    beta ~ 0.7-0.86 and its post-combine shuffle rows with beta ~
+    0.9 — near-linear, NOT vocabulary-flat, when the LM is trained
+    on the corpus it scores (reference=None). The 100 TB posture is
+    therefore CCNet's own: pass a bounded trusted ``reference``
+    (Wenzek et al. train on Wikipedia, not on the crawl), which
+    makes both LM tables constant-size, lets AQE broadcast them, and
+    turns scoring into a map-only pass with zero corpus-keyed
+    shuffle; self-training is for bounded corpora. Either way the
     global tier cut reuses the bucketed distributed rank
     (plans/analytics._global_ntile_rank — never an
     empty-partitionBy window). Docs with <2 tokens score NULL and
