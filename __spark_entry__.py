@@ -857,6 +857,78 @@ def _q_incremental_dedup(spark, sf_dir):
 
 
 @_register(
+    "d_incremental_neardup",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b JOIN bandk h ON b.band = h.band AND b.band_hash = h.band_hash
+  WHERE b.doc_id >= 250 AND h.doc_id < 250
+),
+inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs GROUP BY batch_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       r.best_jaccard,
+       r.match_doc_id,
+       coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN roll r ON d.doc_id = r.batch_id
+""",
+)
+def _q_incremental_neardup(spark, sf_dir):
+    """Incremental batch-vs-history NEAR-dup (dedup.incremental_neardup,
+    new r11): the second half of the corpus lands as a batch against
+    the first half as history; each batch doc gets its banded
+    candidate count, best exact Jaccard, min matching history doc at
+    threshold 0.2, and the is_neardup verdict — the LSH incremental
+    twin of d_incremental_dedup's exact-hash pass. History enters
+    only through its band table + candidate-pruned shingle index
+    (broadcast-semi-joined down before any shuffle); candidates are a
+    banded equi-join, never all-pairs. Deterministic md5 min-hashing:
+    the oracle replays signatures, bands, candidates, Jaccard, and
+    flags bit-for-bit, including the no-candidate NULL rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_neardup(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        k=8, bands=4, n=2, threshold=0.2,
+    )
+
+
+@_register(
     "d_minhash_certify",
     f"""
 WITH sig AS (
@@ -5416,6 +5488,92 @@ def _q_url_dedup(spark, sf_dir):
         )
     )
     return urls.url_dedup(docs.select("doc_id", u.alias("url")))
+
+
+@_register(
+    "c_domain_rollup",
+    """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 6
+           THEN 'not a url ' || CAST(doc_id % 4 AS VARCHAR)
+         WHEN doc_id % 7 = 5
+           THEN 'https://trap.example.com/page?id='
+                || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'https://www.site' || CAST(doc_id % 23 AS VARCHAR)
+              || '.org/p/' || CAST(doc_id AS VARCHAR)
+    END AS url,
+    doc_id % 3 = 0 AS pass_q
+  FROM documents
+), c AS (
+  -- every derived URL is canonical BY CONSTRUCTION (lowercase, no
+  -- default port / tracking / fragment; unparseables pass through),
+  -- so the oracle derives canon_url and registered_domain from the
+  -- residue classes instead of replaying the parse — an independent
+  -- specification (the parse path itself is c_url_dedup's gate).
+  SELECT doc_id, pass_q, url AS canon_url,
+    CASE WHEN doc_id % 7 = 6 THEN ''
+         WHEN doc_id % 7 = 5 THEN 'example.com'
+         ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.org'
+    END AS registered_domain
+  FROM d
+)
+SELECT registered_domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_unique_canon,
+       (count(*) - count(DISTINCT canon_url)) * 1.0 / count(*)
+         AS dup_rate,
+       sum(CASE WHEN pass_q THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS quality_rate,
+       count(*) >= 5
+         AND (count(*) - count(DISTINCT canon_url)) * 100 > 50 * count(*)
+         AS is_suspect
+FROM c GROUP BY registered_domain
+""",
+)
+def _q_domain_rollup(spark, sf_dir):
+    """Per-domain triage rollup (urls.domain_rollup, new r11 — the
+    FineWeb-style domain aggregation that blocklists crawler traps
+    and mirror farms before any content pass): docs, distinct
+    canonical URLs, dup rate, quality rate, and the is_suspect flag
+    per registered_domain. The derived corpus plants a high-dup trap
+    domain (3 pages fetched ~71 times), an unparseable-URL '' domain
+    (also duplicate-heavy), and 23 clean per-doc-unique domains. One
+    aggregation tree — the distinct count's first exchange keys on
+    (domain, canon_url), so a mega-domain spreads over its URLs
+    instead of one reducer; flags are integer
+    cross-multiplications."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = (
+        F.when(
+            did % 7 == 6,
+            F.concat(F.lit("not a url "), (did % 4).cast("string")),
+        )
+        .when(
+            did % 7 == 5,
+            F.concat(
+                F.lit("https://trap.example.com/page?id="),
+                (did % 3).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), (did % 23).cast("string"),
+                F.lit(".org/p/"), did.cast("string"),
+            )
+        )
+    )
+    derived = docs.select(
+        "doc_id", u.alias("url"), (did % 3 == 0).alias("pass_q")
+    )
+    return urls.domain_rollup(
+        derived, quality_col="pass_q", min_docs=5, max_dup_rate=0.5
+    )
 
 
 @_register(
@@ -10679,6 +10837,11 @@ _VERIFY_FIRST = [
     "w_anchored_vwap",
     "w_rolling_corr",
     "w_rsi",
+    # r11-new gates (locally repr-verified through the driver contract
+    # at two SFs this session; per standing policy they yield the
+    # ~50-slot sample to the stale rotation and lead the r12 sample).
+    "d_incremental_neardup",
+    "c_domain_rollup",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",

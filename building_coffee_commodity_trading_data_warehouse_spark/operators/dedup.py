@@ -418,7 +418,6 @@ def minhash_lsh_pairs(
     at ``threshold``. Each stage is an equi-join — no all-pairs scan.
     ``strategy`` picks the verification plan (see ngram_jaccard_pairs).
     """
-    r = k // bands
     # ONE shingle frame feeds signatures and verification (persisted:
     # two full scans+reshingles otherwise), and ONE groupBy yields the
     # signatures AND the per-doc sizes the verify stage needs. The
@@ -429,25 +428,8 @@ def minhash_lsh_pairs(
     sig = scoped_persist(_minhash_wide(sh, k))
     # band hashes are a PURE PROJECTION off the wide signature row — no
     # second shuffle for banding (the row-per-seed formulation needs a
-    # groupBy(doc_id, band) here)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-                    ).cast("binary")
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_key = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_hash").alias("band_hash"),
-    )
+    # groupBy(doc_id, band) here); shared with incremental_neardup
+    band_key = _band_keys(sig, k, bands)
     a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -875,6 +857,148 @@ def incremental_dedup(
         .groupBy("content_md5")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "content_md5")
+    )
+
+
+def _band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) off a WIDE signature row — a pure
+    projection, no extra shuffle (shared by minhash_lsh_pairs and
+    incremental_neardup)."""
+    r = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)],
+                    ).cast("binary")
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def incremental_neardup(
+    history: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup: a new crawl batch lands against an
+    already-deduplicated corpus, and each batch document is checked
+    for near-duplicates IN HISTORY via MinHash-LSH banding (the
+    production posture for continuously-arriving data — Dolma/
+    RefinedWeb rerun exact hashes incrementally but near-dup against
+    the full back-corpus is the expensive step this operator bounds;
+    cf. ``incremental_dedup`` for the exact-hash twin). Per batch
+    document: ``n_candidates`` (distinct history docs sharing any
+    band bucket), ``best_jaccard`` (max exact Jaccard over those
+    candidates; NULL when no candidate), ``match_doc_id`` (min
+    history doc_id among candidates with Jaccard >= ``threshold``),
+    and ``is_neardup``. Every batch row appears in the output —
+    shingle-less docs (under n tokens) simply carry zero candidates.
+
+    Scale shape — why this works against 100 TB of history:
+    * history participates ONLY through its band table (k/bands
+      hashes -> one 32-byte key per band per doc) and its shingle
+      index; in production BOTH are pre-materialized once (bucketed
+      by band_hash / doc_id) and appended per batch, so the
+      per-batch cost never rescans history text;
+    * candidate generation is a banded equi-join of the BATCH band
+      table (batch-sized) against the history band table — never an
+      all-pairs scan;
+    * exact-Jaccard verification touches only candidate docs: the
+      candidate id sets (bounded by batch_size x bands x bucket
+      occupancy) broadcast-semi-join both shingle tables down BEFORE
+      any shuffle, so history shingles are pruned at the scan, not
+      exchanged (with a bucketed index this is a partition-pruned
+      read);
+    * the verify join shuffles only candidate shingles on the
+      shingle key; the per-batch-doc rollup keys on doc_id.
+    Deterministic md5 min-hashing throughout (the module contract),
+    so a SQL oracle replays signatures, bands, candidates, Jaccard,
+    and flags bit-for-bit.
+    """
+    bsh = scoped_persist(shingles(batch, n))
+    hsh = scoped_persist(shingles(history, n))
+    bsig = scoped_persist(_minhash_wide(bsh, k))
+    hsig = scoped_persist(_minhash_wide(hsh, k))
+    cand = (
+        _band_keys(bsig, k, bands)
+        .select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
+        .join(
+            _band_keys(hsig, k, bands).select(
+                F.col("doc_id").alias("hist_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("batch_id", "hist_id")
+        .distinct()
+    )
+    cand = scoped_persist(cand)
+    bsh_c = bsh.join(
+        F.broadcast(cand.select(F.col("batch_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("batch_id"), "shingle")
+    hsh_c = hsh.join(
+        F.broadcast(cand.select(F.col("hist_id").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("hist_id"), "shingle")
+    inter = (
+        cand.join(bsh_c, "batch_id")
+        .join(hsh_c, ["hist_id", "shingle"])
+        .groupBy("batch_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = bsig.select(
+        F.col("doc_id").alias("batch_id"), F.col("n_shingles").alias("na")
+    )
+    sb = hsig.select(
+        F.col("doc_id").alias("hist_id"), F.col("n_shingles").alias("nb")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    pairs = (
+        cand.join(inter, ["batch_id", "hist_id"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .join(sa, "batch_id")
+        .join(sb, "hist_id")
+        .select(
+            "batch_id", "hist_id", jac.cast("double").alias("jaccard")
+        )
+    )
+    rollup = pairs.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min(
+            F.when(F.col("jaccard") >= F.lit(threshold), F.col("hist_id"))
+        ).alias("match_doc_id"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(rollup, batch["doc_id"] == rollup["batch_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            "best_jaccard",
+            "match_doc_id",
+            F.coalesce(
+                F.col("best_jaccard") >= F.lit(threshold), F.lit(False)
+            ).alias("is_neardup"),
+        )
     )
 
 

@@ -191,3 +191,74 @@ def url_dedup(
         (F.col(id_col) == F.col("__first")).alias("is_url_keeper"),
         F.col("n_canon_copies"),
     )
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    min_docs: int = 5,
+    max_dup_rate: float = 0.5,
+) -> DataFrame:
+    """FineWeb-style per-DOMAIN aggregation (Penedo et al. 2024 run
+    URL filtering and per-domain triage before any content pass):
+    roll the corpus up to ``registered_domain`` with ``n_docs``,
+    ``n_unique_canon`` (distinct canonical URLs), ``dup_rate``
+    (fraction of fetches that are canonical-URL re-fetches), the
+    optional ``quality_rate`` (mean of a boolean ``quality_col``),
+    and ``is_suspect`` — a domain with at least ``min_docs``
+    documents whose dup_rate exceeds ``max_dup_rate`` (the
+    crawler-trap / mirror-farm signature that domain blocklists are
+    built from). Unparseable URLs roll up under the '' domain — a
+    real signal (a domain-shaped spike of garbage URLs), not a drop.
+
+    Scale shape: ONE aggregation tree. The distinct-count runs as
+    Spark's two-phase distinct aggregate — the first exchange keys on
+    (registered_domain, canon_url), so a mega-domain (wikipedia.org
+    at 10^8 fetches) spreads over its distinct URLs instead of
+    funneling one reducer; the second exchange carries one row per
+    domain. No join, no window, text never shuffles (only URL-derived
+    columns). Flags are integer cross-multiplications; the two rates
+    are single correctly-rounded int/int divisions, so a SQL oracle
+    replays every row bit-for-bit."""
+    canon = url_normalize(df, url_col)
+    qcols = (
+        [F.sum(F.col(quality_col).cast("long")).alias("__nq")]
+        if quality_col
+        else []
+    )
+    agg = canon.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("canon_url").cast("long").alias("n_unique_canon"),
+        *qcols,
+    )
+    dup_rate = (
+        (F.col("n_docs") - F.col("n_unique_canon")).cast("double")
+        / F.col("n_docs")
+    )
+    out = agg.select(
+        "registered_domain",
+        "n_docs",
+        "n_unique_canon",
+        dup_rate.alias("dup_rate"),
+        *(
+            [
+                (F.col("__nq").cast("double") / F.col("n_docs")).alias(
+                    "quality_rate"
+                )
+            ]
+            if quality_col
+            else []
+        ),
+        (
+            (F.col("n_docs") >= F.lit(min_docs))
+            # integer cross-multiplication, never a float threshold:
+            # dup_rate > r  <=>  (n_docs - n_unique) > r * n_docs
+            & (
+                (F.col("n_docs") - F.col("n_unique_canon")) * F.lit(100)
+                > F.lit(int(max_dup_rate * 100)) * F.col("n_docs")
+            )
+        ).alias("is_suspect"),
+    )
+    return out

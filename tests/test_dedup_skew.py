@@ -438,3 +438,146 @@ def test_line_dedup_first_occurrence_and_exemption(spark):
     assert got[5]["clean_md5"] == hashlib.md5(
         b"dup inside\ntail line"
     ).hexdigest()
+
+
+def test_incremental_neardup_planted_scenarios(spark):
+    """Batch-vs-history LSH near-dup: exact copy and one-word edit
+    match history; novel and shingle-less docs carry zero candidates
+    and NULL jaccard (not 0.0 — 'no candidate' is distinguishable
+    from 'candidate with zero overlap')."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text about spark shuffle exchanges"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "the quick brown fox jumps over the lazy cat today"),
+            (12, "nothing like anything in history whatsoever plainly"),
+            (13, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.incremental_neardup(
+            hist, batch, k=8, bands=4, n=2, threshold=0.4
+        ).collect()
+    }
+    assert got[10]["is_neardup"] and got[10]["best_jaccard"] == 1.0
+    assert got[10]["match_doc_id"] == 1
+    assert got[11]["is_neardup"] and 0.5 < got[11]["best_jaccard"] < 1.0
+    assert not got[12]["is_neardup"] and got[12]["n_candidates"] == 0
+    assert got[12]["best_jaccard"] is None
+    assert got[13]["n_candidates"] == 0 and got[13]["match_doc_id"] is None
+
+
+def test_incremental_neardup_matches_python_reference(spark):
+    """Randomized sweep: 36 docs from an 8-word vocabulary (forced
+    collisions), split history/batch; candidates, Jaccard, rollup and
+    flags must match an independent pure-Python LSH implementation
+    exactly."""
+    import hashlib
+    import random
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    rng = random.Random(411)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(36)
+    ]
+    hist_rows = [r for r in rows if r[0] < 18]
+    batch_rows = [r for r in rows if r[0] >= 18]
+    k, bands, thr = 8, 4, 0.3
+    r_per = k // bands
+
+    def sh_set(text):
+        toks = [t for t in text.split() if t]
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    def sig(shset):
+        return [
+            min(
+                hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shset
+            )
+            for i in range(k)
+        ]
+
+    def bandhashes(sg):
+        return [
+            hashlib.md5(
+                ",".join(sg[b * r_per:(b + 1) * r_per]).encode()
+            ).hexdigest()
+            for b in range(bands)
+        ]
+
+    hsets = {i: sh_set(t) for i, t in hist_rows}
+    bsets = {i: sh_set(t) for i, t in batch_rows}
+    hbands = {i: bandhashes(sig(s)) for i, s in hsets.items() if s}
+    bbands = {i: bandhashes(sig(s)) for i, s in bsets.items() if s}
+    expected = {}
+    for bid, bt in batch_rows:
+        cands = {
+            hid
+            for hid, hb in hbands.items()
+            if bid in bbands
+            and any(x == y for x, y in zip(bbands[bid], hb))
+        }
+        jacs = {
+            hid: len(bsets[bid] & hsets[hid])
+            / len(bsets[bid] | hsets[hid])
+            for hid in cands
+        }
+        best = max(jacs.values()) if jacs else None
+        matches = [h for h, j in jacs.items() if j >= thr]
+        expected[bid] = (
+            len(cands),
+            best,
+            min(matches) if matches else None,
+            best is not None and best >= thr,
+        )
+
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_candidates"], r["best_jaccard"],
+            r["match_doc_id"], r["is_neardup"],
+        )
+        for r in dedup.incremental_neardup(
+            hist, batch, k=k, bands=bands, n=2, threshold=thr
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_incremental_neardup_plan_broadcast_semi_prune(spark):
+    """Scale-posture pins: both shingle tables are pruned to candidate
+    docs with broadcast LEFT-SEMI joins BEFORE the verify shuffle
+    (history shingles never exchange wholesale), and candidate
+    generation is an equi-join (no cartesian anywhere)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.incremental_neardup(hist, batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -172,3 +172,66 @@ def test_url_userinfo_split_and_dropped(spark):
     assert got[5]["host"] == "h.io" and got[5]["query"] == "e=x@y.z"
     assert not got[6]["url_parsed"]
     assert got[6]["canon_url"] == got[6]["url"]
+
+
+def test_domain_rollup_rates_and_suspect_flag(spark):
+    """Per-domain triage: a crawler-trap domain (many fetches, few
+    unique canonical URLs) flags is_suspect at >=min_docs; a clean
+    domain with all-unique URLs does not; case/tracking variants
+    collapse into the canonical count; unparseable URLs roll up under
+    the '' domain."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import urls
+
+    rows = (
+        # trap.net: 6 fetches of 2 pages (one via tracking variant)
+        [(i, f"https://trap.net/p?id={i % 2}", i % 2 == 0) for i in range(4)]
+        + [(4, "https://TRAP.net/p?id=0&utm_source=x", True),
+           (5, "https://trap.net:443/p?id=1", False)]
+        # clean.org: 6 unique pages
+        + [(10 + i, f"https://clean.org/a/{i}", True) for i in range(6)]
+        # two identical unparseable strings
+        + [(20, "junk junk", False), (21, "junk junk", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, pass_q boolean")
+    got = {
+        r["registered_domain"]: r
+        for r in urls.domain_rollup(
+            df, quality_col="pass_q", min_docs=5, max_dup_rate=0.5
+        ).collect()
+    }
+    t = got["trap.net"]
+    assert t["n_docs"] == 6 and t["n_unique_canon"] == 2
+    assert t["dup_rate"] == 4 / 6 and t["is_suspect"]
+    assert t["quality_rate"] == 3 / 6
+    c = got["clean.org"]
+    assert c["n_docs"] == 6 and c["n_unique_canon"] == 6
+    assert c["dup_rate"] == 0.0 and not c["is_suspect"]
+    u = got[""]
+    assert u["n_docs"] == 2 and u["n_unique_canon"] == 1
+    # duplicate-heavy but under min_docs: not suspect
+    assert not u["is_suspect"]
+
+
+def test_domain_rollup_plan_two_phase_distinct_no_window(spark):
+    """Scale pin: the rollup is one aggregation tree whose FIRST
+    exchange keys on (registered_domain, canon_url) — a mega-domain
+    spreads over its distinct URLs instead of funneling one reducer —
+    with no join and no window anywhere."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.com/p/{i}", True) for i in range(12)],
+        "doc_id long, url string, pass_q boolean",
+    )
+    plan = (
+        urls.domain_rollup(df, quality_col="pass_q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "Join" not in plan, plan
+    import re as _re
+
+    m = _re.search(
+        r"Exchange hashpartitioning\(registered_domain#\d+, canon_url#\d+",
+        plan,
+    )
+    assert m, plan
