@@ -5491,6 +5491,81 @@ def _q_url_dedup(spark, sf_dir):
 
 
 @_register(
+    "d_neardup_index",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b JOIN bandk h ON b.band = h.band AND b.band_hash = h.band_hash
+  WHERE b.doc_id >= 250 AND h.doc_id < 250
+),
+inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs GROUP BY batch_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       r.best_jaccard,
+       r.match_doc_id,
+       coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN roll r ON d.doc_id = r.batch_id
+""",
+)
+def _q_neardup_index(spark, sf_dir):
+    """The PERSISTED-index twin of d_incremental_neardup (new r11):
+    build the near-dup band/shingle/size index from the first half of
+    the corpus (dedup.neardup_index_build), then search the second
+    half against it (dedup.neardup_index_search). The oracle is the
+    SAME SQL as the direct path — the index cycle must reproduce the
+    in-flight computation bit-for-bit, which also certifies the meta
+    sidecar round-trip. This is the posture the history-axis sweep
+    (SCALE.md round-11) prescribes: per-batch cost excludes history
+    rescans because history lives as three parquet tables."""
+    import os as _os
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_neardup_index/{tag}_{_os.getpid()}"
+    dedup.neardup_index_build(
+        docs.filter(F.col("doc_id") < 250), ipath, k=8, bands=4, n=2
+    )
+    return dedup.neardup_index_search(
+        spark, ipath, docs.filter(F.col("doc_id") >= 250), threshold=0.2
+    )
+
+
+@_register(
     "c_domain_rollup",
     """
 WITH d AS (
@@ -10842,6 +10917,7 @@ _VERIFY_FIRST = [
     # ~50-slot sample to the stale rotation and lead the r12 sample).
     "d_incremental_neardup",
     "c_domain_rollup",
+    "d_neardup_index",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",

@@ -933,11 +933,40 @@ def incremental_neardup(
     hsh = scoped_persist(shingles(history, n))
     bsig = scoped_persist(_minhash_wide(bsh, k))
     hsig = scoped_persist(_minhash_wide(hsh, k))
+    return _neardup_against(
+        batch,
+        bsh,
+        bsig,
+        _band_keys(hsig, k, bands),
+        hsh,
+        hsig.select("doc_id", "n_shingles"),
+        k,
+        bands,
+        threshold,
+    )
+
+
+def _neardup_against(
+    batch: DataFrame,
+    bsh: DataFrame,
+    bsig: DataFrame,
+    hband: DataFrame,
+    hsh: DataFrame,
+    hsz: DataFrame,
+    k: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Candidate generation + verification + per-batch-doc rollup
+    against ARBITRARY history-side inputs — computed in-flight by
+    ``incremental_neardup`` or loaded from a persisted index by
+    ``neardup_index_search`` (the two paths are row-identical by
+    construction and pinned so by pytest)."""
     cand = (
         _band_keys(bsig, k, bands)
         .select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
         .join(
-            _band_keys(hsig, k, bands).select(
+            hband.select(
                 F.col("doc_id").alias("hist_id"), "band", "band_hash"
             ),
             ["band", "band_hash"],
@@ -965,7 +994,7 @@ def incremental_neardup(
     sa = bsig.select(
         F.col("doc_id").alias("batch_id"), F.col("n_shingles").alias("na")
     )
-    sb = hsig.select(
+    sb = hsz.select(
         F.col("doc_id").alias("hist_id"), F.col("n_shingles").alias("nb")
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -999,6 +1028,85 @@ def incremental_neardup(
                 F.col("best_jaccard") >= F.lit(threshold), F.lit(False)
             ).alias("is_neardup"),
         )
+    )
+
+
+def neardup_index_build(
+    documents: DataFrame,
+    path: str,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 2,
+    mode: str = "overwrite",
+) -> str:
+    """Build (or, with ``mode='append'``, extend) the PERSISTENT
+    near-dup index that makes ``incremental_neardup``'s 100 TB
+    posture executable instead of asserted: three parquet tables
+    under ``path`` —
+
+    * ``bands``    (doc_id, band, band_hash): one 32-byte key per
+      band per doc, the candidate-join side;
+    * ``shingles`` (doc_id, shingle): the verification side, read
+      candidate-pruned at search time;
+    * ``sizes``    (doc_id, n_shingles): union sizes for Jaccard —
+
+    plus a one-row ``meta`` sidecar (k, bands, n) that
+    ``neardup_index_search`` validates so an index can never be
+    probed with mismatched banding. The per-batch production cycle
+    is: search the batch against the index, then APPEND the batch's
+    survivors — history text is never rescanned (the cost the
+    history-axis sweep in SCALE.md round-11 shows dominating when
+    the index is rebuilt per batch)."""
+    spark = documents.sparkSession
+    sh = scoped_persist(shingles(documents, n))
+    sig = scoped_persist(_minhash_wide(sh, k))
+    meta = [(int(k), int(bands), int(n))]
+    if mode == "append":
+        have = spark.read.parquet(f"{path}/meta").collect()[0]
+        if (have["k"], have["bands"], have["n"]) != meta[0]:
+            raise ValueError(
+                f"index at {path} was built with "
+                f"(k,bands,n)={tuple(have)}, append requested {meta[0]}"
+            )
+    _band_keys(sig, k, bands).write.mode(mode).parquet(f"{path}/bands")
+    sh.write.mode(mode).parquet(f"{path}/shingles")
+    sig.select("doc_id", "n_shingles").write.mode(mode).parquet(
+        f"{path}/sizes"
+    )
+    if mode != "append":
+        spark.createDataFrame(
+            meta, "k int, bands int, n int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return path
+
+
+def neardup_index_search(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Search a batch against a persisted ``neardup_index_build``
+    index — same output schema and values as ``incremental_neardup``
+    over the indexed history (pinned row-identical by pytest), but
+    the history side is three parquet reads: the band table joins as
+    written, and the shingle/size tables are broadcast-semi pruned
+    to candidate docs at the SCAN (never exchanged wholesale).
+    Banding parameters come from the index's meta sidecar."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    k, bands, n = meta["k"], meta["bands"], meta["n"]
+    bsh = scoped_persist(shingles(batch, n))
+    bsig = scoped_persist(_minhash_wide(bsh, k))
+    return _neardup_against(
+        batch,
+        bsh,
+        bsig,
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/sizes"),
+        k,
+        bands,
+        threshold,
     )
 
 

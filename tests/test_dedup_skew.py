@@ -581,3 +581,54 @@ def test_incremental_neardup_plan_broadcast_semi_prune(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_neardup_index_roundtrip_identical_and_append(spark, tmp_path):
+    """The persisted-index search must be ROW-IDENTICAL to the direct
+    incremental_neardup over the same history; appending a second
+    history slab must equal one build over the union; mismatched
+    banding parameters on append must refuse."""
+    import pytest as _pt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    h1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} eps zeta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    h2 = spark.createDataFrame(
+        [(20 + i, f"one two three four tok{i} five six") for i in range(6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta tok3 eps zeta"),  # dup of h1/3
+            (101, "one two three four tok2 five six"),      # dup of h2/22
+            (102, "totally novel content right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_candidates"], r["best_jaccard"],
+         r["match_doc_id"], r["is_neardup"])
+        for r in df.collect()
+    )
+    p = str(tmp_path / "idx")
+    dedup.neardup_index_build(h1, p, k=8, bands=4, n=2)
+    dedup.neardup_index_build(h2, p, k=8, bands=4, n=2, mode="append")
+    got = key(dedup.neardup_index_search(spark, p, batch, threshold=0.4))
+    union = h1.unionByName(h2)
+    direct = key(
+        dedup.incremental_neardup(union, batch, k=8, bands=4, n=2,
+                                  threshold=0.4)
+    )
+    one_build = str(tmp_path / "idx2")
+    dedup.neardup_index_build(union, one_build, k=8, bands=4, n=2)
+    rebuilt = key(
+        dedup.neardup_index_search(spark, one_build, batch, threshold=0.4)
+    )
+    assert got == direct == rebuilt
+    assert [r for r in got if r[0] == 100][0][4] is True
+    assert [r for r in got if r[0] == 102][0][1] == 0
+    with _pt.raises(ValueError, match="mismatch|built with"):
+        dedup.neardup_index_build(h1, p, k=4, bands=2, n=2, mode="append")
