@@ -5566,6 +5566,105 @@ def _q_neardup_index(spark, sf_dir):
 
 
 @_register(
+    "st_neardup_stream",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b JOIN bandk h ON b.band = h.band AND b.band_hash = h.band_hash
+  WHERE b.doc_id >= 250 AND h.doc_id < 250
+),
+inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs GROUP BY batch_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       r.best_jaccard,
+       r.match_doc_id,
+       coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN roll r ON d.doc_id = r.batch_id
+""",
+)
+def _q_st_neardup_stream(spark, sf_dir):
+    """Streaming near-dup screening (pipeline.neardup_stream, new
+    r11): the first half of the corpus is indexed once
+    (dedup.neardup_index_build); the second half lands as TWO
+    delivery files drained as separate micro-batches
+    (maxFilesPerTrigger=1), each searched against the static index
+    via foreachBatch and appended to the verdict sink. Per-doc
+    results depend only on (doc, history), so the drained union must
+    equal the direct batch search — the oracle is the SAME SQL as
+    d_incremental_neardup, the strongest batch/stream parity pin
+    available."""
+    import os as _os
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_neardup_stidx/{tag}_{_os.getpid()}"
+    dedup.neardup_index_build(
+        docs.filter(F.col("doc_id") < 250), ipath, k=8, bands=4, n=2
+    )
+    land = tempfile.mkdtemp(prefix="spark_graft_neardup_landing_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_neardup_stage_")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    mid = 250 + (batch.count() + 1) // 2
+    # two logical deliveries, staged FLAT into the landing dir (the
+    # file stream source lists one level deep — stage_delivery's
+    # whole reason to exist)
+    batch.filter(F.col("doc_id") < mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/d1")
+    batch.filter(F.col("doc_id") >= mid).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/d2")
+    pipeline.stage_delivery(f"{stage}/d1", land, "delivery_1")
+    pipeline.stage_delivery(f"{stage}/d2", land, "delivery_2")
+    out = tempfile.mkdtemp(prefix="spark_graft_neardup_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_neardup_ckpt_")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.neardup_stream(stream, ipath, out, ckpt, threshold=0.2)
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@_register(
     "c_domain_rollup",
     """
 WITH d AS (
@@ -10918,6 +11017,7 @@ _VERIFY_FIRST = [
     "d_incremental_neardup",
     "c_domain_rollup",
     "d_neardup_index",
+    "st_neardup_stream",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",

@@ -126,16 +126,64 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def stream_documents(spark: SparkSession, path: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over a documents landing path — the
     schema-probed twin of ``stream_events`` without the timestamp
     normalization (documents carry no event time). A single-file path
     is exposed through a symlinked landing dir like stream_events; the
     schema is probed from a batch scan so the stream reader gets the
-    explicit schema the file source requires."""
+    explicit schema the file source requires.
+    ``max_files_per_trigger`` caps files per micro-batch (availableNow
+    honors it as maxBytes-style batching), so a multi-file landing dir
+    demonstrably drains as MULTIPLE micro-batches."""
     path = _landing_dir(path)
     schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).format("parquet").load(path)
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def neardup_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """Streaming NEAR-dup screening (the production deploy of
+    ``dedup.neardup_index_search``): every arriving micro-batch of
+    documents is searched against the PERSISTED band index and the
+    per-doc verdicts append to ``out_path``. foreachBatch, because
+    the search is a multi-stage join/aggregate pipeline the streaming
+    engine cannot express as one continuous query — the same pattern
+    as ``merge_stream``. Per-doc results depend only on (doc,
+    history), so ANY micro-batch partitioning yields the identical
+    row set (the st_neardup_stream gate pins batch/stream parity
+    against the direct batch oracle). State is zero: the index is
+    static, the stream holds nothing between batches, and exactly-
+    once lands on the checkpoint + append-sink contract. Returns the
+    StreamingQuery."""
+    from ..operators import dedup as _dedup
+
+    def _screen(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        res = _dedup.neardup_index_search(
+            batch.sparkSession, index_path, batch, threshold
+        )
+        res.write.mode("append").parquet(out_path)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:

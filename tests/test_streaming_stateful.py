@@ -651,3 +651,64 @@ def test_interval_join_bounded_triggers_keep_state_window_sized(
         relevant,
     )
     assert bnd_peak * 4 <= drain_peak, (bnd_peak, drain_peak)
+
+
+def test_neardup_stream_two_microbatches_equal_direct(spark, tmp_path):
+    """Streaming near-dup screening: two staged deliveries drain as
+    TWO micro-batches (maxFilesPerTrigger=1), each searched against
+    the static persisted index; the appended verdicts must equal the
+    direct batch search (per-doc results depend only on (doc,
+    history), so micro-batch partitioning is invisible)."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    hist = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma tok2 delta eps"),
+            (101, "alpha beta gamma tok4 delta eps"),
+            (102, "entirely new words appear here instead"),
+            (103, "more novel content in the second delivery"),
+        ],
+        "doc_id long, text string",
+    )
+    ipath = str(tmp_path / "idx")
+    dedup.neardup_index_build(hist, ipath, k=8, bands=4, n=2)
+    stage, land = tmp_path / "stage", str(tmp_path / "land")
+    import os
+
+    os.makedirs(land, exist_ok=True)
+    batch.filter(F.col("doc_id") < 102).coalesce(1).write.parquet(
+        str(stage / "d1")
+    )
+    batch.filter(F.col("doc_id") >= 102).coalesce(1).write.parquet(
+        str(stage / "d2")
+    )
+    pipeline.stage_delivery(str(stage / "d1"), land, "delivery_1")
+    pipeline.stage_delivery(str(stage / "d2"), land, "delivery_2")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.neardup_stream(stream, ipath, out, ckpt, threshold=0.4)
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches == 2, [p["numInputRows"] for p in q.recentProgress]
+
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_candidates"], r["best_jaccard"],
+         r["match_doc_id"], r["is_neardup"])
+        for r in df.collect()
+    )
+    streamed = key(spark.read.parquet(out))
+    direct = key(
+        dedup.incremental_neardup(hist, batch, k=8, bands=4, n=2,
+                                  threshold=0.4)
+    )
+    assert streamed == direct
+    assert [r for r in streamed if r[0] == 100][0][4] is True
