@@ -135,6 +135,15 @@ HEADLINE = [
     # round-10 (late): corpus-wide line dedup — the line-keyed window
     # exchange under maximum duplicate mass.
     "d_line_dedup",
+    # round-11: incremental batch-vs-history near-dup — banded
+    # candidate equi-join + candidate-pruned verify, the new LSH
+    # family's regression sentinel (the index/search/stream variants
+    # share its core, so one entry covers the family's hot path).
+    "d_incremental_neardup",
+    # round-11: per-domain triage rollup — the two-phase distinct
+    # aggregate under a planted trap domain; pins the cost of the
+    # (domain, canon_url)-keyed first exchange.
+    "c_domain_rollup",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
