@@ -1538,9 +1538,15 @@ def line_dedup(
       line to one partial row per input partition before the
       exchange, so the reducer for a hot line receives one row per
       upstream partition, not 10^9;
-    * membership is recovered with an equi-join back on ``line`` —
-      a JOIN, which AQE skew handling CAN split if a hot line still
-      dominates the probe side.
+    * membership is recovered with a SALTED equi-join back on
+      ``line`` (``joins.salted_join``: probe salt = hash of
+      (doc_id, idx), firsts replicated per salt) — a hot line's
+      probe rows spread over 16 reducers BY CONSTRUCTION. The salt
+      is load-bearing: AQE's skew-join split does not match this
+      plan shape (the firsts side carries its final aggregate
+      between exchange and join; measured on Spark 4.1 with a
+      planted 60%-hot-line corpus — zero skew=true splits even
+      under forceOptimizeSkewedJoin).
 
     The rebuild re-aggregates per document with in-doc-bounded
     collect_list; its exchange is keyed by ``doc_id`` (well
@@ -1556,10 +1562,14 @@ def line_dedup(
     )
     exempt = F.length("line") < min_line_chars
     dedupable = lines.filter(~exempt)
+    from .joins import salted_join
+
     firsts = dedupable.groupBy("line").agg(
         F.min(F.struct("doc_id", "idx")).alias("__f")
     )
-    kept = dedupable.join(firsts, "line").select(
+    kept = salted_join(
+        dedupable, firsts, "line", salt_cols=["doc_id", "idx"]
+    ).select(
         "doc_id",
         "idx",
         "line",
@@ -1602,6 +1612,7 @@ def keeper_election(
     eligible: Column | None = None,
     first_col: str = "__keeper_id",
     count_col: str | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Skew-safe first-occurrence keeper election, shared by
     ``urls.url_dedup`` and ``curate.web_pipeline`` (r10 verdict item
@@ -1612,24 +1623,37 @@ def keeper_election(
 
     Why not ``Window.partitionBy(key)``: a window exchange routes
     every row of a hot key to ONE reducer and AQE cannot split a
-    skewed window partition — only skewed joins. The hot keys are
-    real at 100 TB: ``web_pipeline`` keys by clean_md5, and every
-    document whose cleaned text is empty shares md5('') (such rows
-    can never be keepers — zero words fails the Gopher word-count
-    rule — yet the r10 shape still funneled them through the window
-    reducer); ``url_dedup`` keys by canon_url, where a front page
-    fetched 10^8 times is one key. This helper instead
+    skewed window partition. The hot keys are real at 100 TB:
+    ``web_pipeline`` keys by clean_md5, and every document whose
+    cleaned text is empty shares md5('') (such rows can never be
+    keepers — zero words fails the Gopher word-count rule — yet the
+    r10 shape still funneled them through the window reducer);
+    ``url_dedup`` keys by canon_url, where a front page fetched 10^8
+    times is one key. This helper instead
     1. pre-aggregates (key → min id, count) with a two-level partial
        aggregate — map-side combine collapses a 10^9-copy key to one
        partial row per input partition before the wire;
-    2. LEFT-joins the collapsed firsts back on ``key_col`` — a JOIN,
-       which AQE skew handling CAN split when a hot key dominates
-       the probe side.
-    Cost: the upstream plan is evaluated twice (probe + aggregate
-    branch). For these callers the upstream is a map-only codegen
-    projection, so the trade is 2x embarrassingly-parallel map work
+    2. joins the collapsed firsts back with a SALTED equi-join
+       (``joins.salted_join``): the probe row's salt is a
+       deterministic hash of its non-key columns, the firsts side is
+       replicated once per salt value, and the join key becomes
+       (key, salt) — a hot key's probe rows spread over
+       ``salt_buckets`` reducers BY CONSTRUCTION.
+    The salt is load-bearing, not insurance: AQE's skew-join split
+    does NOT apply to this plan shape (measured, Spark 4.1 — the
+    OptimizeSkewedJoin rule only matches a join whose children are
+    bare shuffle stages, and the firsts side has its final aggregate
+    between the exchange and the join, so a planted 60%%-hot-key run
+    completes with zero ``skew=true`` splits even under
+    forceOptimizeSkewedJoin). Cost: the upstream plan is evaluated
+    twice (probe + aggregate branch) and the vocabulary-sized firsts
+    table shuffles ``salt_buckets``x. For these callers the upstream
+    is a map-only codegen projection, so the trade is 2x
+    embarrassingly-parallel map work + a small replicated dimension
     for the removal of an unsplittable single-reducer hot spot.
     """
+    from .joins import salted_join
+
     agg = [
         F.min(
             F.when(eligible, F.col(id_col))
@@ -1640,4 +1664,11 @@ def keeper_election(
     if count_col is not None:
         agg.append(F.count(F.lit(1)).cast("long").alias(count_col))
     firsts = df.groupBy(key_col).agg(*agg)
-    return df.join(firsts, key_col, "left")
+    return salted_join(
+        df,
+        firsts,
+        key_col,
+        "left",
+        salt_buckets=salt_buckets,
+        salt_cols=[id_col],
+    )

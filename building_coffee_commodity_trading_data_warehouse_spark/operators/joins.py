@@ -93,19 +93,27 @@ def salted_join(
     key: str,
     how: str = "inner",
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-buster equi-join: the HOT side gets a deterministic salt
-    (hash of its other columns mod N), the small side is replicated N×
-    with every salt value, and the join key becomes (key, salt) — one
-    hot key now spreads over N reducers instead of melting one.
+    (hash of ``salt_cols`` — default all its other columns — mod N),
+    the small side is replicated N× with every salt value, and the
+    join key becomes (key, salt) — one hot key now spreads over N
+    reducers instead of melting one.
 
     Result is row-identical to ``left.join(right, key, how)``. AQE's
-    skew-join split handles moderate skew automatically; explicit
-    salting is for the pathological keys a 100 TB fact table meets
-    (null-heavy FKs, default values). Deterministic: no rand(), so the
-    plan replays identically (speculative retries, AQE re-optimization).
+    skew-join split handles moderate skew automatically ONLY when the
+    join's children are bare shuffle stages; it does NOT match a join
+    fed by an aggregate (measured r11, dedup.keeper_election), so for
+    those shapes this salt is the load-bearing spread, not insurance.
+    Explicit salting is likewise for the pathological keys a 100 TB
+    fact table meets (null-heavy FKs, default values). Pass a short
+    ``salt_cols`` (a row-identity column) when the left side is wide —
+    the hash is evaluated per probe row in both the join filter and
+    the projection. Deterministic: no rand(), so the plan replays
+    identically (speculative retries, AQE re-optimization).
     """
-    other = [c for c in left.columns if c != key]
+    other = salt_cols or [c for c in left.columns if c != key]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in other]), F.lit(salt_buckets))
     salted_left = left.withColumn("_salt", salt.cast("int"))
     salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -632,3 +632,39 @@ def test_neardup_index_roundtrip_identical_and_append(spark, tmp_path):
     assert [r for r in got if r[0] == 102][0][1] == 0
     with _pt.raises(ValueError, match="mismatch|built with"):
         dedup.neardup_index_build(h1, p, k=4, bands=2, n=2, mode="append")
+
+
+def test_line_dedup_planted_hot_line_correct(spark):
+    """Planted 60%-hot-key corpus (the cookie-banner case the salted
+    election exists for): 600 of 1000 docs share one boilerplate
+    line. The hot line survives only at its min (doc_id, idx)
+    occurrence; every unique line survives; totals reconcile."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 5 < 3,
+            F.concat(
+                F.lit("unique line number "), F.col("id").cast("string"),
+                F.lit("\nACCEPT ALL COOKIES TO CONTINUE"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("only unique content "), F.col("id").cast("string"))
+        )
+        .alias("text"),
+    )
+    out = dedup.line_dedup(docs, min_line_chars=2)
+    tot = out.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_kept_lines").alias("nk")
+    ).collect()[0]
+    # 600 hot docs x 2 lines + 400 unique docs x 1 line = 1600 lines;
+    # kept = 1000 unique + 1 hot occurrence
+    assert tot["nl"] == 1600 and tot["nk"] == 1001
+    first_hot = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert first_hot["n_kept_lines"] == 2  # doc 0 keeps its hot copy
+    later_hot = out.filter(F.col("doc_id") == 5).collect()[0]
+    assert later_hot["n_kept_lines"] == 1  # later copies drop it
