@@ -1006,7 +1006,11 @@ def web_pipeline(
     rule) yet a window would still funnel all of them through one
     reducer. With the aggregate+join shape the hot key collapses
     map-side in the aggregate branch and rides the probe side of a
-    JOIN, which AQE skew handling can split. The cost is a second
+    SALTED join — (clean_md5, salt) keys spread it over the salt
+    buckets by construction, because AQE's skew-join split never
+    fires on aggregate-fed joins (measured, SCALE.md round-11(4));
+    when the firsts side is broadcast-small the salt is inert and
+    the probe never shuffles at all. The cost is a second
     evaluation of the fused battery chain for the aggregate branch —
     2x embarrassingly-parallel map work for the removal of an
     unsplittable single-reducer hot spot (measured, isolated-rep
