@@ -1005,12 +1005,14 @@ def web_pipeline(
     rows can never be keepers (zero words fails the Gopher word-count
     rule) yet a window would still funnel all of them through one
     reducer. With the aggregate+join shape the hot key collapses
-    map-side in the aggregate branch and rides the probe side of a
-    SALTED join — (clean_md5, salt) keys spread it over the salt
-    buckets by construction, because AQE's skew-join split never
-    fires on aggregate-fed joins (measured, SCALE.md round-11(4));
-    when the firsts side is broadcast-small the salt is inert and
-    the probe never shuffles at all. The cost is a second
+    map-side in the aggregate branch and then resolves through the
+    heavy-hitter HYBRID join: keys with >= heavy_threshold copies
+    (md5('') guaranteed among them at scale) broadcast and join
+    map-side — their rows never shuffle by clean_md5 — while light
+    keys take a shuffle join whose reducer is bounded by the
+    threshold (AQE's skew-join split never fires on aggregate-fed
+    joins, and salting would replicate the corpus-sized firsts
+    table; both measured, SCALE.md round-11(4)). The cost is a second
     evaluation of the fused battery chain for the aggregate branch —
     2x embarrassingly-parallel map work for the removal of an
     unsplittable single-reducer hot spot (measured, isolated-rep

@@ -1509,7 +1509,9 @@ def bloom_prefilter_dedup(
 
 
 def line_dedup(
-    documents: DataFrame, min_line_chars: int = 1
+    documents: DataFrame,
+    min_line_chars: int = 1,
+    heavy_threshold: int = 1000,
 ) -> DataFrame:
     """Corpus-wide exact LINE dedup (the RefinedWeb/Dolma line-level
     pass — boilerplate footers, cookie banners, nav text): every line
@@ -1538,15 +1540,18 @@ def line_dedup(
       line to one partial row per input partition before the
       exchange, so the reducer for a hot line receives one row per
       upstream partition, not 10^9;
-    * membership is recovered with a SALTED equi-join back on
-      ``line`` (``joins.salted_join``: probe salt = hash of
-      (doc_id, idx), firsts replicated per salt) — a hot line's
-      probe rows spread over 16 reducers BY CONSTRUCTION. The salt
-      is load-bearing: AQE's skew-join split does not match this
-      plan shape (the firsts side carries its final aggregate
-      between exchange and join; measured on Spark 4.1 with a
-      planted 60%-hot-line corpus — zero skew=true splits even
-      under forceOptimizeSkewedJoin).
+    * membership is recovered with the HEAVY-HITTER HYBRID join
+      (the shared ``keeper_election`` shape, r11 final after two
+      measured dead ends — SCALE.md round-11(4): AQE's skew-join
+      split never fires on aggregate-fed joins, and a salted join
+      replicates the firsts side, which is corpus-sized when most
+      lines are unique): lines with at least ``heavy_threshold``
+      copies form a broadcast dictionary (at most
+      total_lines/heavy_threshold entries by construction) that
+      probe rows join MAP-SIDE — a hot line's rows never shuffle by
+      line at all; only the unmatched remainder shuffle-joins the
+      light firsts, where every key has under ``heavy_threshold``
+      rows, so the reducer bound is the threshold itself.
 
     The rebuild re-aggregates per document with in-doc-bounded
     collect_list; its exchange is keyed by ``doc_id`` (well
@@ -1562,14 +1567,37 @@ def line_dedup(
     )
     exempt = F.length("line") < min_line_chars
     dedupable = lines.filter(~exempt)
-    from .joins import salted_join
-
     firsts = dedupable.groupBy("line").agg(
-        F.min(F.struct("doc_id", "idx")).alias("__f")
+        F.min(F.struct("doc_id", "idx")).alias("__f"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
     )
-    kept = salted_join(
-        dedupable, firsts, "line", salt_cols=["doc_id", "idx"]
-    ).select(
+    heavy = firsts.filter(F.col("__n") >= heavy_threshold).select(
+        "line", F.col("__f").alias("__fh"), F.lit(True).alias("__hv")
+    )
+    light = firsts.filter(F.col("__n") < heavy_threshold).select(
+        F.col("line").alias("__jk"), F.lit(0).alias("__hm"), "__f"
+    )
+    hv = F.coalesce(F.col("__hv"), F.lit(False))
+    probe = dedupable.join(F.broadcast(heavy), "line", "left").select(
+        "doc_id",
+        "idx",
+        "line",
+        "__fh",
+        # skew redirect: heavy rows enter the shuffle under their own
+        # (doc_id,idx) identity (marker 1 — the light side is always
+        # marker 0, so no accidental match), light rows under the line
+        F.when(
+            hv, F.concat_ws("_", F.col("doc_id"), F.col("idx"))
+        ).otherwise(F.col("line")).alias("__jk"),
+        F.when(hv, F.lit(1)).otherwise(F.lit(0)).alias("__hm"),
+    )
+    elected = probe.join(light, ["__jk", "__hm"], "left").select(
+        "doc_id",
+        "idx",
+        "line",
+        F.coalesce(F.col("__f"), F.col("__fh")).alias("__f"),
+    )
+    kept = elected.select(
         "doc_id",
         "idx",
         "line",
@@ -1612,7 +1640,7 @@ def keeper_election(
     eligible: Column | None = None,
     first_col: str = "__keeper_id",
     count_col: str | None = None,
-    salt_buckets: int = 16,
+    heavy_threshold: int = 1000,
 ) -> DataFrame:
     """Skew-safe first-occurrence keeper election, shared by
     ``urls.url_dedup`` and ``curate.web_pipeline`` (r10 verdict item
@@ -1629,46 +1657,74 @@ def keeper_election(
     keepers — zero words fails the Gopher word-count rule — yet the
     r10 shape still funneled them through the window reducer);
     ``url_dedup`` keys by canon_url, where a front page fetched 10^8
-    times is one key. This helper instead
-    1. pre-aggregates (key → min id, count) with a two-level partial
+    times is one key.
+
+    Shape (r11 final, after two measured dead ends — see SCALE.md
+    round-11(4): AQE's skew-join split never fires on aggregate-fed
+    joins, and salting the join replicates the FIRSTS side, which is
+    corpus-sized when most keys are unique — measured 3x slower than
+    the window on a 2M-doc hot corpus):
+    1. pre-aggregate (key → min id, count) with a two-level partial
        aggregate — map-side combine collapses a 10^9-copy key to one
        partial row per input partition before the wire;
-    2. joins the collapsed firsts back with a SALTED equi-join
-       (``joins.salted_join``): the probe row's salt is a
-       deterministic hash of its non-key columns, the firsts side is
-       replicated once per salt value, and the join key becomes
-       (key, salt) — a hot key's probe rows spread over
-       ``salt_buckets`` reducers BY CONSTRUCTION.
-    The salt is load-bearing, not insurance: AQE's skew-join split
-    does NOT apply to this plan shape (measured, Spark 4.1 — the
-    OptimizeSkewedJoin rule only matches a join whose children are
-    bare shuffle stages, and the firsts side has its final aggregate
-    between the exchange and the join, so a planted 60%%-hot-key run
-    completes with zero ``skew=true`` splits even under
-    forceOptimizeSkewedJoin). Cost: the upstream plan is evaluated
-    twice (probe + aggregate branch) and the vocabulary-sized firsts
-    table shuffles ``salt_buckets``x. For these callers the upstream
-    is a map-only codegen projection, so the trade is 2x
-    embarrassingly-parallel map work + a small replicated dimension
-    for the removal of an unsplittable single-reducer hot spot.
+    2. split the firsts by the observed count: keys with at least
+       ``heavy_threshold`` copies form the HEAVY dictionary — at
+       most total_rows/heavy_threshold entries by construction, so
+       it broadcasts — and everything else is LIGHT;
+    3. probe rows LEFT-join the broadcast heavy dictionary map-side,
+       which resolves the hot keys' answers without any key-wise
+       shuffle; then ONE shuffle join against the light firsts
+       recovers the rest — with the heavy rows' join key REDIRECTED
+       to their own row id (plus a marker column that can never
+       match the light side), so a hot key enters the exchange as
+       distinct per-row keys and spreads uniformly, while every
+       genuine light key has under ``heavy_threshold`` rows. The
+       reducer bound is heavy_threshold, no optimizer cooperation
+       needed, and the probe chain is evaluated ONCE (the first
+       hybrid cut union'd two filtered probe branches, which
+       re-evaluated the upstream chain per branch — measured 1.5x
+       on web_pipeline's fused battery).
+    Sizing rule at scale: pick heavy_threshold >= total_rows / 10^6
+    to bound the broadcast dictionary at ~10^6 entries; the default
+    1000 holds to 10^9 input rows.
     """
-    from .joins import salted_join
-
     agg = [
         F.min(
             F.when(eligible, F.col(id_col))
             if eligible is not None
             else F.col(id_col)
-        ).alias(first_col)
+        ).alias(first_col),
+        F.count(F.lit(1)).cast("long").alias(count_col or "__kc"),
     ]
-    if count_col is not None:
-        agg.append(F.count(F.lit(1)).cast("long").alias(count_col))
+    ccol = count_col or "__kc"
     firsts = df.groupBy(key_col).agg(*agg)
-    return salted_join(
-        df,
-        firsts,
+    heavy = firsts.filter(F.col(ccol) >= heavy_threshold).select(
         key_col,
-        "left",
-        salt_buckets=salt_buckets,
-        salt_cols=[id_col],
+        F.col(first_col).alias("__fh"),
+        F.col(ccol).alias("__ch"),
+        F.lit(True).alias("__hv"),
     )
+    light = firsts.filter(F.col(ccol) < heavy_threshold).select(
+        F.col(key_col).alias("__jk"),
+        F.lit(0).alias("__hm"),
+        first_col,
+        ccol,
+    )
+    hv = F.coalesce(F.col("__hv"), F.lit(False))
+    probe = df.join(F.broadcast(heavy), key_col, "left").select(
+        "*",
+        F.when(hv, F.col(id_col).cast("string"))
+        .otherwise(F.col(key_col))
+        .alias("__jk"),
+        F.when(hv, F.lit(1)).otherwise(F.lit(0)).alias("__hm"),
+    )
+    out = probe.join(light, ["__jk", "__hm"], "left").select(
+        *df.columns,
+        F.coalesce(F.col(first_col), F.col("__fh")).alias(first_col),
+        *(
+            [F.coalesce(F.col(ccol), F.col("__ch")).alias(ccol)]
+            if count_col is not None
+            else []
+        ),
+    )
+    return out

@@ -171,13 +171,14 @@ def url_dedup(
 ) -> DataFrame:
     """URL-level dedup on the CANONICAL form: keeper = min id per
     canon_url. Election is the shared skew-safe two-level aggregate +
-    SALTED join (``dedup.keeper_election``, r10 verdict item 8) —
-    canon_url is high-cardinality, but a front page fetched 10^8
-    times is one key, a window would route all its rows to one
-    reducer, and AQE's skew-join split never fires on aggregate-fed
-    joins (measured, SCALE.md round-11(4)) — the salt spreads the hot
-    key by construction. The exchange stays narrow (canonical URL +
-    id + salt), text never shuffles."""
+    heavy-hitter HYBRID join (``dedup.keeper_election``, r10 verdict
+    item 8) — canon_url is high-cardinality, but a front page
+    fetched 10^8 times is one key, a window would route all its rows
+    to one reducer, and AQE's skew-join split never fires on
+    aggregate-fed joins (measured, SCALE.md round-11(4)); hot URLs
+    resolve through a broadcast dictionary map-side, light ones
+    through a threshold-bounded shuffle join. The exchange stays
+    narrow (canonical URL + id), text never shuffles."""
     from .dedup import keeper_election
 
     canon = url_normalize(df, url_col)

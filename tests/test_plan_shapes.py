@@ -958,8 +958,9 @@ def test_line_dedup_no_window_exempt_lines_skip_line_exchange(spark):
         assert f"(length(line#{expr_id}) >= 2)" in plan, (
             expr_id, plan,
         )
-    # (d) the membership join is salted: keys include _salt
-    assert _re.search(r"Join \[line#\d+, _salt#\d+\]", plan), plan
+    # (d) heavy-hitter hybrid: a broadcast join for heavy lines
+    # plus a shuffle join for the bounded light remainder
+    assert "BroadcastHashJoin" in plan, plan
     # the exempt branch exists and is map-only (filter straight into
     # the doc_id-keyed rebuild, no line-keyed exchange of its own)
     assert _re.search(r"Filter \(length\(line#\d+\) < 2\)", plan), plan
@@ -1001,4 +1002,5 @@ def test_keeper_election_no_window_partial_agg_join(spark):
     assert "Window" not in url_plan, url_plan
     assert "partial_min(doc_id" in url_plan, url_plan
     assert "partial_count(1)" in url_plan, url_plan
-    assert "_salt" in wp_plan and "_salt" in url_plan
+    assert "BroadcastHashJoin" in wp_plan, wp_plan
+    assert "BroadcastHashJoin" in url_plan, url_plan
