@@ -5751,6 +5751,141 @@ def _q_domain_rollup(spark, sf_dir):
 
 
 @_register(
+    "d_paragraph_dedup",
+    """
+WITH derived AS (
+  SELECT doc_id,
+    replace(replace(text, ' batch ', chr(10) || chr(10) || 'batch '),
+            ' scan ', chr(10) || chr(10) || 'scan ')
+    || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || chr(10) || 'subscribe to our newsletter today'
+            ELSE '' END
+    AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10) || chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10) || chr(10)), 1) - 1
+           AS idx
+  FROM derived
+), k AS (
+  SELECT doc_id, idx, para,
+         (length(para) < 2)
+         OR (doc_id, idx) = MIN((doc_id, idx)) OVER (PARTITION BY para)
+           AS keep
+  FROM l
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+  md5(coalesce(string_agg(CASE WHEN keep THEN para END,
+                          chr(10) || chr(10) ORDER BY idx), ''))
+    AS clean_md5,
+  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped
+FROM k GROUP BY doc_id
+""",
+)
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact PARAGRAPH dedup (dedup.line_dedup with
+    sep='\\n\\n' — the Dolma paragraph-level pass, new r11): marker
+    words become paragraph breaks and every third document gains a
+    planted newsletter-subscribe paragraph the pass must collapse to
+    one corpus-wide occurrence. Same heavy-hitter hybrid election and
+    md5-pinned rebuild as the line pass, at the other granularity."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(
+        F.replace(F.col("text"), F.lit(" batch "), F.lit("\n\nbatch ")),
+        F.lit(" scan "),
+        F.lit("\n\nscan "),
+    )
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit("\n\nsubscribe to our newsletter today")),
+    ).otherwise(t)
+    return dedup.line_dedup(
+        docs.select("doc_id", t.alias("text")),
+        min_line_chars=2,
+        sep="\n\n",
+    )
+
+
+@_register(
+    "c_domain_filter",
+    """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 6
+           THEN 'not a url ' || CAST(doc_id % 4 AS VARCHAR)
+         WHEN doc_id % 7 = 5
+           THEN 'https://trap.example.com/page?id='
+                || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'https://www.site' || CAST(doc_id % 23 AS VARCHAR)
+              || '.org/p/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, url,
+    CASE WHEN doc_id % 7 = 6 THEN ''
+         WHEN doc_id % 7 = 5 THEN 'example.com'
+         ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.org'
+    END AS registered_domain
+  FROM d
+), suspects AS (
+  SELECT registered_domain FROM c
+  GROUP BY registered_domain
+  HAVING count(*) >= 5
+     AND (count(*) - count(DISTINCT url)) * 100 > 50 * count(*)
+)
+SELECT doc_id, registered_domain
+FROM c
+WHERE registered_domain NOT IN (SELECT registered_domain FROM suspects)
+""",
+)
+def _q_domain_filter(spark, sf_dir):
+    """Domain-blocklist application (urls.domain_filter, new r11 —
+    the FineWeb URL-filtering step): build the blocklist from
+    domain_rollup's is_suspect verdicts over the same derived corpus
+    as c_domain_rollup (the trap domain and the unparseable ''
+    domain both trip it), then broadcast-anti-join the corpus — the
+    blocklist ships to executors, the corpus never shuffles. The
+    oracle derives the suspect set independently from the residue
+    construction."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        urls,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = (
+        F.when(
+            did % 7 == 6,
+            F.concat(F.lit("not a url "), (did % 4).cast("string")),
+        )
+        .when(
+            did % 7 == 5,
+            F.concat(
+                F.lit("https://trap.example.com/page?id="),
+                (did % 3).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), (did % 23).cast("string"),
+                F.lit(".org/p/"), did.cast("string"),
+            )
+        )
+    )
+    derived = docs.select("doc_id", u.alias("url"))
+    block = urls.domain_rollup(derived, min_docs=5, max_dup_rate=0.5).filter(
+        F.col("is_suspect")
+    )
+    return urls.domain_filter(derived, block).select(
+        "doc_id", "registered_domain"
+    )
+
+
+@_register(
     "st_quality_stream",
     f"""
 WITH src AS (SELECT doc_id, lang, text FROM documents),
@@ -5921,8 +6056,8 @@ def _q_line_dedup(spark, sf_dir):
     """Corpus-wide exact LINE dedup (dedup.line_dedup — the
     RefinedWeb/Dolma line-level pass): every >=2-char line keeps only
     its first corpus occurrence; the rebuilt per-doc text is pinned
-    by md5. One narrow exchange (the first-occurrence window
-    partitions by the line text); the derived corpus plants a
+    by md5. Heavy-hitter hybrid election (broadcast dictionary +
+    skew-redirect join, SCALE.md round-11(4)); the derived corpus plants a
     250-doc shared footer and a 100-doc cookie banner the pass must
     collapse to one occurrence each, on top of naturally colliding
     marker-split lines."""
@@ -11018,6 +11153,8 @@ _VERIFY_FIRST = [
     "c_domain_rollup",
     "d_neardup_index",
     "st_neardup_stream",
+    "d_paragraph_dedup",
+    "c_domain_filter",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",

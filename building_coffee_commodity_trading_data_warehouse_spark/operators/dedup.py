@@ -1512,6 +1512,7 @@ def line_dedup(
     documents: DataFrame,
     min_line_chars: int = 1,
     heavy_threshold: int = 1000,
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide exact LINE dedup (the RefinedWeb/Dolma line-level
     pass — boilerplate footers, cookie banners, nav text): every line
@@ -1519,7 +1520,12 @@ def line_dedup(
     corpus occurrence (min (doc_id, line_idx)); shorter lines are
     EXEMPT and always kept (deduplicating '' or 'Yes.' corpus-wide
     would shred ordinary text — the exemption every production
-    implementation carries). Per document: line counts and the md5 of
+    implementation carries). ``sep`` picks the granularity: the
+    default newline gives line dedup; a blank-line separator gives
+    the Dolma-style PARAGRAPH dedup pass with identical semantics.
+    ``sep`` is a LITERAL separator — the split quotes it with
+    ``\\Q...\\E`` on the regex side, and the rebuild joins kept
+    units with the same bytes. Per document: line counts and the md5 of
     the REBUILT text (kept lines joined in original order), so a gate
     pins the actual post-dedup text, not just counts.
 
@@ -1563,7 +1569,9 @@ def line_dedup(
     line in the corpus through one reducer."""
     lines = documents.select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+        F.posexplode(
+            F.split(F.col("text"), "\\Q" + sep + "\\E")
+        ).alias("idx", "line"),
     )
     exempt = F.length("line") < min_line_chars
     dedupable = lines.filter(~exempt)
@@ -1621,7 +1629,7 @@ def line_dedup(
             ),
             lambda s: s.getField("line"),
         ),
-        "\n",
+        sep,
     )
     return kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),

@@ -265,3 +265,22 @@ def domain_rollup(
         ).alias("is_suspect"),
     )
     return out
+
+
+def domain_filter(
+    df: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply a domain blocklist (typically ``domain_rollup``'s
+    is_suspect output, or a curated list like the UT1 categories
+    FineWeb uses): canonicalize, then drop every document whose
+    registered_domain appears in ``blocklist`` — a broadcast
+    LEFT-ANTI join, so the blocklist (domain-cardinality, tiny
+    relative to the corpus) ships to every executor and the corpus
+    never shuffles; map-only at 100 TB. The blocklist just needs a
+    ``registered_domain`` column."""
+    canon = url_normalize(df, url_col)
+    return canon.join(
+        F.broadcast(blocklist.select("registered_domain").distinct()),
+        "registered_domain",
+        "left_anti",
+    )

@@ -668,3 +668,61 @@ def test_line_dedup_planted_hot_line_correct(spark):
     assert first_hot["n_kept_lines"] == 2  # doc 0 keeps its hot copy
     later_hot = out.filter(F.col("doc_id") == 5).collect()[0]
     assert later_hot["n_kept_lines"] == 1  # later copies drop it
+
+
+def test_line_dedup_paragraph_granularity(spark):
+    """sep='\\n\\n' runs the same pass at PARAGRAPH granularity: a
+    paragraph shared across docs survives only at its first corpus
+    occurrence, newlines WITHIN a paragraph are untouched, and the
+    rebuilt text joins with the same blank-line bytes."""
+    import hashlib
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nalpha two\n\nshared para\nsecond line"),
+            (2, "shared para\nsecond line\n\nbeta unique"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, min_line_chars=2, sep="\n\n").collect()
+    }
+    assert got[1]["n_lines"] == 2 and got[1]["n_kept_lines"] == 2
+    assert got[1]["clean_md5"] == hashlib.md5(
+        b"alpha one\nalpha two\n\nshared para\nsecond line"
+    ).hexdigest()
+    assert got[2]["n_kept_lines"] == 1 and got[2]["n_dropped"] == 1
+    assert got[2]["clean_md5"] == hashlib.md5(b"beta unique").hexdigest()
+    assert got[3]["n_kept_lines"] == 1  # 1-char paragraph: exempt, kept
+
+
+def test_domain_filter_blocklist_applied(spark):
+    """domain_filter drops every doc whose registered_domain is
+    blocklisted (broadcast anti-join; corpus never shuffles) and
+    keeps the rest, including unparseable ''-domain rows when '' is
+    not blocked."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import urls
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.net/a"),
+            (2, "https://SPAM.net:443/b"),
+            (3, "https://ok.org/c"),
+            (4, "junk"),
+        ],
+        "doc_id long, url string",
+    )
+    block = spark.createDataFrame([("spam.net",)], "registered_domain string")
+    got = sorted(
+        r["doc_id"] for r in urls.domain_filter(docs, block).collect()
+    )
+    assert got == [3, 4]
+    plan = (
+        urls.domain_filter(docs, block)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan
