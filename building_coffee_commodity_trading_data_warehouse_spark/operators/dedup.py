@@ -886,6 +886,33 @@ def _band_keys(sig: DataFrame, k: int, bands: int) -> DataFrame:
     )
 
 
+def _cap_band_buckets(hband: DataFrame, max_bucket: int) -> DataFrame:
+    """Bound a history band table at <= ``max_bucket`` representative
+    doc_ids per (band, band_hash) — the guard against the quadratic
+    LSH hazard: a page with 10^8 corpus copies puts every copy in the
+    SAME band bucket, so an uncapped candidate join emits
+    batch_hits x 10^8 pairs. Representatives are salt-partitioned
+    MINIMA (group by (band, band_hash, hash(doc_id) mod max_bucket),
+    keep the min id): a map-side-combinable aggregate, so the mega
+    bucket itself collapses to <= max_bucket partial rows per input
+    partition and never funnels one reducer. Deterministic, and the
+    bucket's global-min doc_id always survives (it is the minimum of
+    its own salt group), so capped keeper/match elections keep their
+    min-id answers. Recall contract: buckets at or under max_bucket
+    members MAY still drop some (salt collisions keep only the
+    per-salt min) — the cap is an explicit approximation knob, off
+    by default."""
+    return (
+        hband.groupBy(
+            "band",
+            "band_hash",
+            F.pmod(F.xxhash64("doc_id"), F.lit(max_bucket)).alias("__s"),
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("__s")
+    )
+
+
 def incremental_neardup(
     history: DataFrame,
     batch: DataFrame,
@@ -893,6 +920,7 @@ def incremental_neardup(
     bands: int = 4,
     n: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: a new crawl batch lands against an
     already-deduplicated corpus, and each batch document is checked
@@ -928,16 +956,26 @@ def incremental_neardup(
     Deterministic md5 min-hashing throughout (the module contract),
     so a SQL oracle replays signatures, bands, candidates, Jaccard,
     and flags bit-for-bit.
+
+    ``max_bucket`` (default None = exact) bounds candidate volume per
+    band bucket via ``_cap_band_buckets`` — the guard for the one
+    quadratic hazard LSH banding has at crawl scale: a mega-
+    duplicated page whose copies all share every bucket. Capped runs
+    keep the min-id member of every bucket, so ``match_doc_id``
+    answers are preserved for docs matching a capped bucket.
     """
     bsh = scoped_persist(shingles(batch, n))
     hsh = scoped_persist(shingles(history, n))
     bsig = scoped_persist(_minhash_wide(bsh, k))
     hsig = scoped_persist(_minhash_wide(hsh, k))
+    hband = _band_keys(hsig, k, bands)
+    if max_bucket is not None:
+        hband = _cap_band_buckets(hband, max_bucket)
     return _neardup_against(
         batch,
         bsh,
         bsig,
-        _band_keys(hsig, k, bands),
+        hband,
         hsh,
         hsig.select("doc_id", "n_shingles"),
         k,
@@ -1085,6 +1123,7 @@ def neardup_index_search(
     path: str,
     batch: DataFrame,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Search a batch against a persisted ``neardup_index_build``
     index — same output schema and values as ``incremental_neardup``
@@ -1097,11 +1136,14 @@ def neardup_index_search(
     k, bands, n = meta["k"], meta["bands"], meta["n"]
     bsh = scoped_persist(shingles(batch, n))
     bsig = scoped_persist(_minhash_wide(bsh, k))
+    hband = spark.read.parquet(f"{path}/bands")
+    if max_bucket is not None:
+        hband = _cap_band_buckets(hband, max_bucket)
     return _neardup_against(
         batch,
         bsh,
         bsig,
-        spark.read.parquet(f"{path}/bands"),
+        hband,
         spark.read.parquet(f"{path}/shingles"),
         spark.read.parquet(f"{path}/sizes"),
         k,

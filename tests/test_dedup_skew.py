@@ -726,3 +726,45 @@ def test_domain_filter_blocklist_applied(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftAnti" in plan and "Broadcast" in plan, plan
+
+
+def test_incremental_neardup_max_bucket_caps_quadratic_candidates(spark):
+    """The LSH quadratic hazard: 60 identical history copies put every
+    copy in the same band buckets, so an uncapped batch copy draws 60
+    candidates; max_bucket=4 bounds it at <= 4 representatives per
+    bucket while (a) the global-min history doc always survives the
+    cap (salt-partitioned minima), so match_doc_id is unchanged, and
+    (b) the capped plan's bucket aggregate is map-side combinable
+    (partial_min below the exchange — the mega bucket itself never
+    funnels one reducer)."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    hot = "the exact same boilerplate page content repeated everywhere"
+    hist = spark.createDataFrame(
+        [(i, hot) for i in range(60)]
+        + [(100, "one genuinely different history document here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(200, hot), (201, "novel text with no match at all")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r
+        for r in dedup.incremental_neardup(
+            hist, batch, k=8, bands=4, n=2, threshold=0.5
+        ).collect()
+    }
+    capped_df = dedup.incremental_neardup(
+        hist, batch, k=8, bands=4, n=2, threshold=0.5, max_bucket=4
+    )
+    capped = {r["doc_id"]: r for r in capped_df.collect()}
+    assert exact[200]["n_candidates"] == 60
+    assert capped[200]["n_candidates"] <= 4
+    assert capped[200]["is_neardup"] and capped[200]["best_jaccard"] == 1.0
+    assert capped[200]["match_doc_id"] == exact[200]["match_doc_id"] == 0
+    assert capped[201]["n_candidates"] == 0
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min(doc_id" in plan, plan
