@@ -11077,9 +11077,11 @@ _VERIFY_FIRST = [
     # as [ \t\n\x0B\f\r] (RE2 \s lacks \x0B; consumers
     # t_pretoken_stats/_vocab), URL_RE userinfo group + strict host
     # class with a planted u:p@ gate URL (c_url_dedup) — and the
-    # line_dedup skew restructure (window -> partial-aggregate+join,
-    # exempt lines pre-split; d_line_dedup, output-identical). All
-    # edits are function-scoped; other importers of the touched
+    # election skew restructure (window -> partial-aggregate +
+    # heavy-hitter-hybrid join after the round's three-shape A/B,
+    # SCALE.md round-11(4); exempt lines pre-split; consumers
+    # d_line_dedup + c_web_pipeline + c_url_dedup, output-identical).
+    # All edits are function-scoped; other importers of the touched
     # modules follow the standing 51+ policy.
     "c_c4_rules",
     "c_web_pipeline",
