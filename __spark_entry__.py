@@ -5751,6 +5751,154 @@ def _q_domain_rollup(spark, sf_dir):
 
 
 @_register(
+    "st_neardup_append",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+hist1 AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+cand1 AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b
+  JOIN bandk h ON b.band = h.band AND b.band_hash = h.band_hash
+  JOIN hist1 hh ON h.doc_id = hh.doc_id
+  WHERE b.doc_id >= 250 AND b.doc_id < 375
+),
+inter1 AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN hist1 hh ON b.doc_id = hh.doc_id
+  WHERE a.doc_id >= 250 AND a.doc_id < 375
+  GROUP BY 1, 2
+),
+pairs1 AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand1 c
+  LEFT JOIN inter1 i
+    ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll1 AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs1 GROUP BY batch_id
+),
+v1 AS (
+  SELECT d.doc_id,
+         CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+         r.best_jaccard,
+         r.match_doc_id,
+         coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+  FROM (SELECT doc_id FROM documents WHERE doc_id >= 250 AND doc_id < 375) d
+  LEFT JOIN roll1 r ON d.doc_id = r.batch_id
+),
+hist2 AS (
+  SELECT doc_id FROM hist1
+  UNION ALL
+  SELECT doc_id FROM v1 WHERE NOT is_neardup
+),
+cand2 AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b
+  JOIN bandk h ON b.band = h.band AND b.band_hash = h.band_hash
+  JOIN hist2 hh ON h.doc_id = hh.doc_id
+  WHERE b.doc_id >= 375 
+),
+inter2 AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  JOIN hist2 hh ON b.doc_id = hh.doc_id
+  WHERE a.doc_id >= 375 
+  GROUP BY 1, 2
+),
+pairs2 AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand2 c
+  LEFT JOIN inter2 i
+    ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll2 AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs2 GROUP BY batch_id
+),
+v2 AS (
+  SELECT d.doc_id,
+         CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+         r.best_jaccard,
+         r.match_doc_id,
+         coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+  FROM (SELECT doc_id FROM documents WHERE doc_id >= 375 ) d
+  LEFT JOIN roll2 r ON d.doc_id = r.batch_id
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+""",
+)
+def _q_st_neardup_append(spark, sf_dir):
+    """Streaming near-dup with SURVIVOR APPENDS (new r11 — the full
+    production cycle): the first half of the corpus is indexed once;
+    the batch half lands as two deliveries (doc_id < 375 first,
+    maxFilesPerTrigger=1), and after each micro-batch is screened its
+    NON-duplicate docs append to the index — so delivery 2 dedups
+    against history AND delivery 1's survivors. The oracle replays
+    the sequential semantics exactly in SQL (pass 2's candidate
+    history is hist UNION pass-1 survivors), which also pins the
+    deterministic landing-order drain."""
+    import os as _os
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_neardup_apidx/{tag}_{_os.getpid()}"
+    dedup.neardup_index_build(
+        docs.filter(F.col("doc_id") < 250), ipath, k=8, bands=4, n=2
+    )
+    land = tempfile.mkdtemp(prefix="spark_graft_ndapp_landing_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_ndapp_stage_")
+    docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 375)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    docs.filter(F.col("doc_id") >= 375).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/d2")
+    pipeline.stage_delivery(f"{stage}/d1", land, "delivery_1")
+    pipeline.stage_delivery(f"{stage}/d2", land, "delivery_2")
+    out = tempfile.mkdtemp(prefix="spark_graft_ndapp_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ndapp_ckpt_")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.neardup_stream(
+        stream, ipath, out, ckpt, threshold=0.2, append_survivors=True
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@_register(
     "d_paragraph_dedup",
     """
 WITH derived AS (
@@ -11157,6 +11305,7 @@ _VERIFY_FIRST = [
     "st_neardup_stream",
     "d_paragraph_dedup",
     "c_domain_filter",
+    "st_neardup_append",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",

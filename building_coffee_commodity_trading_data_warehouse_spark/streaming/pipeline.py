@@ -154,6 +154,7 @@ def neardup_stream(
     out_path: str,
     checkpoint: str,
     threshold: float = 0.5,
+    append_survivors: bool = False,
 ):
     """Streaming NEAR-dup screening (the production deploy of
     ``dedup.neardup_index_search``): every arriving micro-batch of
@@ -164,10 +165,19 @@ def neardup_stream(
     as ``merge_stream``. Per-doc results depend only on (doc,
     history), so ANY micro-batch partitioning yields the identical
     row set (the st_neardup_stream gate pins batch/stream parity
-    against the direct batch oracle). State is zero: the index is
-    static, the stream holds nothing between batches, and exactly-
-    once lands on the checkpoint + append-sink contract. Returns the
-    StreamingQuery."""
+    against the direct batch oracle). With the static index, state is
+    zero and exactly-once lands on the checkpoint + append-sink
+    contract.
+
+    ``append_survivors=True`` is the full production cycle: after
+    screening, the micro-batch's NON-duplicate docs append to the
+    index, so every later micro-batch also dedups against the earlier
+    ones — results then DO depend on the micro-batch order (the file
+    source drains deliveries in landing order, deterministic under
+    availableNow), and a replayed micro-batch would re-append
+    (production stages the append and publishes atomically with the
+    checkpoint; the st_neardup_append gate replays the sequential
+    semantics exactly in SQL). Returns the StreamingQuery."""
     from ..operators import dedup as _dedup
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
@@ -176,7 +186,23 @@ def neardup_stream(
         res = _dedup.neardup_index_search(
             batch.sparkSession, index_path, batch, threshold
         )
+        res = res.persist()
         res.write.mode("append").parquet(out_path)
+        if append_survivors:
+            keep_ids = res.filter(~res["is_neardup"]).select("doc_id")
+            survivors = batch.join(keep_ids, "doc_id", "left_semi")
+            meta = batch.sparkSession.read.parquet(
+                f"{index_path}/meta"
+            ).collect()[0]
+            _dedup.neardup_index_build(
+                survivors,
+                index_path,
+                k=meta["k"],
+                bands=meta["bands"],
+                n=meta["n"],
+                mode="append",
+            )
+        res.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_screen)

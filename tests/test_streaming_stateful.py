@@ -712,3 +712,58 @@ def test_neardup_stream_two_microbatches_equal_direct(spark, tmp_path):
     )
     assert streamed == direct
     assert [r for r in streamed if r[0] == 100][0][4] is True
+
+
+def test_neardup_stream_append_survivors_cross_delivery(spark, tmp_path):
+    """append_survivors=True: delivery 2 must dedup against delivery
+    1's SURVIVORS, not just the initial history — a delivery-2 copy
+    of a delivery-1 doc (absent from history) flags with
+    match_doc_id pointing at the delivery-1 doc; a delivery-1 doc
+    that was itself a duplicate does NOT join the index (its
+    delivery-2 copy matches the original history doc instead)."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    hist = spark.createDataFrame(
+        [(1, "history doc alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [
+            (10, "history doc alpha beta gamma delta"),   # dup of hist 1
+            (11, "fresh delivery one content entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [
+            (20, "fresh delivery one content entirely new"),  # dup of 11
+            (21, "history doc alpha beta gamma delta"),       # dup of 1
+            (22, "never seen anywhere text right here"),
+        ],
+        "doc_id long, text string",
+    )
+    ipath = str(tmp_path / "idx")
+    dedup.neardup_index_build(hist, ipath, k=8, bands=4, n=2)
+    stage, land = tmp_path / "stage", str(tmp_path / "land")
+    import os
+
+    os.makedirs(land, exist_ok=True)
+    d1.coalesce(1).write.parquet(str(stage / "d1"))
+    d2.coalesce(1).write.parquet(str(stage / "d2"))
+    pipeline.stage_delivery(str(stage / "d1"), land, "delivery_1")
+    pipeline.stage_delivery(str(stage / "d2"), land, "delivery_2")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.neardup_stream(
+        stream, ipath, out, ckpt, threshold=0.5, append_survivors=True
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[10]["is_neardup"] and got[10]["match_doc_id"] == 1
+    assert not got[11]["is_neardup"]          # survivor -> joins index
+    assert got[20]["is_neardup"] and got[20]["match_doc_id"] == 11
+    assert got[21]["is_neardup"] and got[21]["match_doc_id"] == 1
+    assert not got[22]["is_neardup"]
