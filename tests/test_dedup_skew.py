@@ -768,3 +768,42 @@ def test_incremental_neardup_max_bucket_caps_quadratic_candidates(spark):
     assert capped[201]["n_candidates"] == 0
     plan = capped_df._jdf.queryExecution().executedPlan().toString()
     assert "partial_min(doc_id" in plan, plan
+
+
+def test_keeper_election_heavy_path_values_match_plain(spark):
+    """Direct keeper_election coverage of the HEAVY branch: with
+    heavy_threshold=3, a 6-copy hot key resolves through the
+    broadcast dictionary + redirect keys while a 2-copy key takes the
+    light join — first/count answers must equal the plain
+    (threshold=inf) election for every row, including (a) a hot key
+    whose ELIGIBLE set is empty (first stays NULL) and (b) NULL-id
+    eligibility interplay."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    rows = (
+        [(i, "hot", i % 2 == 0) for i in range(10, 16)]      # 6 copies
+        + [(20, "cold", True), (21, "cold", True)]           # 2 copies
+        + [(30, "dead", False), (31, "dead", False),         # 4 copies,
+           (32, "dead", False), (33, "dead", False)]         # none eligible
+    )
+    df = spark.createDataFrame(rows, "doc_id long, k string, ok boolean")
+
+    def run(threshold):
+        out = dedup.keeper_election(
+            df, "k", eligible=F.col("ok"),
+            first_col="first", count_col="n",
+            heavy_threshold=threshold,
+        )
+        return sorted(
+            (r["doc_id"], r["k"], r["first"], r["n"]) for r in out.collect()
+        )
+
+    heavy = run(3)
+    plain = run(10**9)
+    assert heavy == plain
+    by_id = {t[0]: t for t in heavy}
+    assert by_id[11] == (11, "hot", 10, 6)    # min ELIGIBLE id, full count
+    assert by_id[20] == (20, "cold", 20, 2)
+    assert by_id[30] == (30, "dead", None, 4)  # hot-ish key, no eligible
