@@ -5959,6 +5959,66 @@ def _q_paragraph_dedup(spark, sf_dir):
 
 
 @_register(
+    "d_line_dedup_hot",
+    """
+WITH derived AS (
+  SELECT doc_id,
+    replace(text, ' batch ', chr(10) || 'batch ')
+    || CASE WHEN doc_id % 5 < 3
+            THEN chr(10) || 'accept all cookies to continue browsing'
+            ELSE '' END
+    AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx
+  FROM derived
+), k AS (
+  SELECT doc_id, idx, line,
+         (length(line) < 2)
+         OR (doc_id, idx) = MIN((doc_id, idx)) OVER (PARTITION BY line)
+           AS keep
+  FROM l
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+  md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                          chr(10) ORDER BY idx), '')) AS clean_md5,
+  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped
+FROM k GROUP BY doc_id
+""",
+)
+def _q_line_dedup_hot(spark, sf_dir):
+    """line_dedup under an ACTIVATED heavy-hitter path (new r11): 60%
+    of documents share one planted cookie-banner line and
+    heavy_threshold=10 forces it through the broadcast-dictionary
+    branch and the redirect keys of the skew-safe election — while
+    the oracle is the threshold-FREE window formulation, so a green
+    hash proves the heavy branch computes byte-identical answers to
+    the exact semantics (the d_line_dedup gate's default threshold
+    leaves the heavy dictionary empty at sf scale; this gate is the
+    driver evidence for the branch that matters at 100 TB)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        dedup as _dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.replace(F.col("text"), F.lit(" batch "), F.lit("\nbatch "))
+    t = F.when(
+        F.col("doc_id") % 5 < 3,
+        F.concat(t, F.lit("\naccept all cookies to continue browsing")),
+    ).otherwise(t)
+    return _dedup.line_dedup(
+        docs.select("doc_id", t.alias("text")),
+        min_line_chars=2,
+        heavy_threshold=10,
+    )
+
+
+@_register(
     "c_domain_filter",
     """
 WITH d AS (
@@ -11306,6 +11366,7 @@ _VERIFY_FIRST = [
     "d_paragraph_dedup",
     "c_domain_filter",
     "st_neardup_append",
+    "d_line_dedup_hot",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",
