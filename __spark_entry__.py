@@ -5491,6 +5491,86 @@ def _q_url_dedup(spark, sf_dir):
 
 
 @_register(
+    "d_incremental_neardup_capped",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+capped AS (
+  SELECT band, band_hash, MIN(doc_id) AS doc_id
+  FROM (
+    SELECT b.*,
+           CAST(concat('0x', substr(md5('bucketcap|'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS s
+    FROM bandk b WHERE doc_id < 250
+  )
+  GROUP BY band, band_hash, s
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b JOIN capped h
+    ON b.band = h.band AND b.band_hash = h.band_hash
+  WHERE b.doc_id >= 250
+),
+inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs GROUP BY batch_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       r.best_jaccard,
+       r.match_doc_id,
+       coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN roll r ON d.doc_id = r.batch_id
+""",
+)
+def _q_incremental_neardup_capped(spark, sf_dir):
+    """The mega-bucket cap under full oracle replay (new r11):
+    incremental near-dup with max_bucket=2 — every history band
+    bucket collapses to at most two salt-partitioned-minimum
+    representatives (portable md5 salt), and the DuckDB oracle
+    replays the capped candidate set, Jaccard, and flags
+    bit-for-bit. Complements the d_incremental_neardup exact gate:
+    together they pin that the cap changes exactly what its recall
+    contract says and nothing else."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_neardup(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        k=8, bands=4, n=2, threshold=0.2, max_bucket=2,
+    )
+
+
+@_register(
     "d_neardup_index",
     f"""
 WITH sh AS ({_SQL_SHINGLES}),
@@ -11367,6 +11447,7 @@ _VERIFY_FIRST = [
     "c_domain_filter",
     "st_neardup_append",
     "d_line_dedup_hot",
+    "d_incremental_neardup_capped",
     # ---- everything else, prior relative order preserved
     # (registration/staleness order from earlier rounds).
     "d_semdedup",

@@ -901,13 +901,28 @@ def _cap_band_buckets(hband: DataFrame, max_bucket: int) -> DataFrame:
     min-id answers. Recall contract: buckets at or under max_bucket
     members MAY still drop some (salt collisions keep only the
     per-salt min) — the cap is an explicit approximation knob, off
-    by default."""
+    by default. The salt is the module's PORTABLE md5 bucket (first
+    8 hex chars of md5('bucketcap|id')), not xxhash64, so a DuckDB
+    oracle replays capped results bit-for-bit
+    (d_incremental_neardup_capped)."""
+    salt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bucketcap|"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % max_bucket
+    )
     return (
-        hband.groupBy(
-            "band",
-            "band_hash",
-            F.pmod(F.xxhash64("doc_id"), F.lit(max_bucket)).alias("__s"),
-        )
+        hband.groupBy("band", "band_hash", salt.alias("__s"))
         .agg(F.min("doc_id").alias("doc_id"))
         .drop("__s")
     )
