@@ -1037,14 +1037,27 @@ def web_pipeline(
         carry=("clean_md5", "n_sentences", "pass_c4"),
     )
     survives = F.col("pass_c4") & F.col("pass_gopher")
-    narrow = g.select(
-        "doc_id",
-        "clean_md5",
-        "n_words",
-        "n_sentences",
-        "pass_c4",
-        "pass_gopher",
-        survives.alias("__survives"),
+    # Persist the NARROW pre-election table (hash + flags, ~50 B/doc —
+    # spill-backed MEMORY_AND_DISK): keeper_election evaluates its
+    # input for the probe AND the aggregate branch, and without the
+    # persist each branch re-runs the whole fused regex battery.
+    # Measured (scripts/pipeline_fusion_study.py, x100): unpersisted
+    # fused 9.4 s vs staged-to-parquet 5.5 s — the r10 fusion win had
+    # INVERTED under the skew-safe election; persisting the narrow
+    # table restores single battery evaluation while keeping the
+    # fused plan and skipping the staged write's parquet round-trip.
+    from ..caching import scoped_persist
+
+    narrow = scoped_persist(
+        g.select(
+            "doc_id",
+            "clean_md5",
+            "n_words",
+            "n_sentences",
+            "pass_c4",
+            "pass_gopher",
+            survives.alias("__survives"),
+        )
     )
     elected = keeper_election(
         narrow,
