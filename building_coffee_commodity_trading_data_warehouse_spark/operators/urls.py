@@ -178,7 +178,12 @@ def url_dedup(
     aggregate-fed joins (measured, SCALE.md round-11(4)); hot URLs
     resolve through a broadcast dictionary map-side, light ones
     through a threshold-bounded shuffle join. The exchange stays
-    narrow (canonical URL + id), text never shuffles."""
+    narrow (canonical URL + id), text never shuffles. The election
+    evaluates the parse chain twice (probe + aggregate branch) —
+    deliberately left unpersisted here: one regexp_replace per URL
+    row is cheap map work, unlike web_pipeline's regex battery,
+    which persists its narrow table for exactly this reason
+    (SCALE.md round-11(8))."""
     from .dedup import keeper_election
 
     canon = url_normalize(df, url_col)
