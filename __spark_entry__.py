@@ -5741,7 +5741,9 @@ def _q_st_neardup_stream(spark, sf_dir):
     stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
     q = pipeline.neardup_stream(stream, ipath, out, ckpt, threshold=0.2)
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # per-batch idempotent sink layout (r12): drop the batch_id
+    # partition column for the pure verdict schema
+    return spark.read.parquet(out).drop("batch_id")
 
 
 @_register(
@@ -5975,7 +5977,9 @@ def _q_st_neardup_append(spark, sf_dir):
         stream, ipath, out, ckpt, threshold=0.2, append_survivors=True
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # per-batch idempotent sink layout (r12): drop the batch_id
+    # partition column for the pure verdict schema
+    return spark.read.parquet(out).drop("batch_id")
 
 
 @_register(
@@ -6170,6 +6174,219 @@ def _q_domain_filter(spark, sf_dir):
     )
     return urls.domain_filter(derived, block).select(
         "doc_id", "registered_domain"
+    )
+
+
+@_register(
+    "c_full_curation",
+    f"""
+WITH d0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 6
+           THEN 'not a url ' || CAST(doc_id % 4 AS VARCHAR)
+         WHEN doc_id % 7 = 5
+           THEN 'https://trap.example.com/page?id='
+                || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'https://www.site' || CAST(doc_id % 23 AS VARCHAR)
+              || '.org/p/' || CAST(doc_id AS VARCHAR)
+    END AS url,
+    CASE WHEN doc_id % 10 = 0 THEN {_WP_CONST_PAGE_SQL}
+         ELSE {_C4_DERIVE_SQL}
+              || CASE WHEN doc_id % 2 = 0
+                      THEN {_WP_STOP_SENTENCE_SQL} ELSE '' END
+    END AS text
+  FROM documents
+), dom AS (
+  SELECT doc_id, url,
+    CASE WHEN doc_id % 7 = 6 THEN ''
+         WHEN doc_id % 7 = 5 THEN 'example.com'
+         ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.org'
+    END AS registered_domain
+  FROM d0
+), suspects AS (
+  SELECT registered_domain FROM dom
+  GROUP BY registered_domain
+  HAVING count(*) >= 5
+     AND (count(*) - count(DISTINCT url)) * 100 > 50 * count(*)
+), f AS (
+  SELECT d0.doc_id, d0.text
+  FROM d0 JOIN dom USING (doc_id)
+  WHERE dom.registered_domain NOT IN
+        (SELECT registered_domain FROM suspects)
+), lined AS (
+  SELECT doc_id, text AS _text, string_split(text, chr(10)) AS _lines
+  FROM f
+), kk AS (
+  SELECT doc_id, _text,
+         list_filter(_lines, ln ->
+           regexp_matches(ln, '[.!?"][ \\r]*\\z')
+           AND len(list_filter(
+                 string_split_regex(ln, '[ \\t\\n\\x0B\\f\\r]+'),
+                 w -> w <> '')) >= 3
+           AND NOT regexp_matches(ln, '(?i)javascript')) AS _kept
+  FROM lined
+), c4 AS (
+  SELECT doc_id,
+         coalesce(array_to_string(_kept, chr(10)), '') AS clean,
+         md5(coalesce(array_to_string(_kept, chr(10)), '')) AS clean_md5,
+         CAST((length(coalesce(array_to_string(_kept, chr(10)), ''))
+               - length(replace(coalesce(array_to_string(_kept, chr(10)), ''), '.', '')))
+            + (length(coalesce(array_to_string(_kept, chr(10)), ''))
+               - length(replace(coalesce(array_to_string(_kept, chr(10)), ''), '!', '')))
+            + (length(coalesce(array_to_string(_kept, chr(10)), ''))
+               - length(replace(coalesce(array_to_string(_kept, chr(10)), ''), '?', '')))
+           AS BIGINT) AS n_sentences,
+         contains(lower(_text), 'lorem ipsum') AS has_lorem,
+         contains(_text, '{{') AS has_curly
+  FROM kk
+), c4v AS (
+  SELECT doc_id, clean, clean_md5,
+         (n_sentences >= 5) AND NOT has_lorem AND NOT has_curly AS pass_c4
+  FROM c4
+), src AS (
+  SELECT doc_id, clean_md5, pass_c4, clean AS text FROM c4v
+), {_sql_gopher_counts(extra="clean_md5, pass_c4,")}, v AS (
+  SELECT doc_id, clean_md5, pass_c4,
+         {_sql_gopher_pass(_WP_GOPHER_MIN_WORDS)} AS pass_gopher
+  FROM c
+), keepers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      (pass_c4 AND pass_gopher)
+      AND doc_id = MIN(CASE WHEN pass_c4 AND pass_gopher THEN doc_id END)
+          OVER (PARTITION BY clean_md5) AS keep
+    FROM v
+  ) WHERE keep
+), kept AS (
+  SELECT c4v.doc_id, c4v.clean AS text FROM c4v JOIN keepers USING (doc_id)
+), l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx
+  FROM kept
+), k2 AS (
+  SELECT doc_id, idx, line,
+         (length(line) < 2)
+         OR (doc_id, idx) = MIN((doc_id, idx)) OVER (PARTITION BY line)
+           AS keep
+  FROM l
+), pd AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN line END,
+                             chr(10) ORDER BY idx), '') AS text
+  FROM k2 GROUP BY doc_id
+), tok AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM pd
+), sh AS (
+  SELECT DISTINCT doc_id, s AS shingle
+  FROM tok,
+       UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         u(s)
+), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+), bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+), cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b JOIN bandk h
+    ON b.band = h.band AND b.band_hash = h.band_hash
+  WHERE b.doc_id >= 250 AND h.doc_id < 250
+), inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.batch_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+), nd_drops AS (
+  SELECT batch_id FROM pairs GROUP BY batch_id HAVING MAX(jaccard) >= 0.2
+), surv AS (
+  SELECT doc_id, text FROM pd
+  WHERE doc_id < 250
+     OR doc_id NOT IN (SELECT batch_id FROM nd_drops)
+), st AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM surv
+), s2 AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM st
+), ch AS (
+  SELECT doc_id,
+         CAST(start // 48 AS BIGINT) AS chunk_id,
+         CAST(doc_id % 8 AS BIGINT) AS shard,
+         CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+         array_to_string(
+           toks[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')
+           AS chunk_text
+  FROM s2
+), p AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS pack_offset
+  FROM ch
+)
+SELECT doc_id, chunk_id, shard, n_tokens, chunk_text,
+       CAST(pack_offset AS BIGINT) AS pack_offset,
+       CAST(pack_offset // 256 AS BIGINT) AS pack_id
+FROM p
+""",
+)
+def _q_full_curation(spark, sf_dir):
+    """END-TO-END curation capstone (curate.full_curation, new r12 —
+    r11 verdict item 6): domain rollup/blocklist filter →
+    web_pipeline (C4 → Gopher → skew-safe exact-dedup election) →
+    corpus-wide line dedup over the kept docs' C4-cleaned text →
+    incremental near-dup of the >=250 batch against the <250
+    history → chunk + pack into 8 shards, as ONE composed plan. The
+    derived corpus overlays c_domain_rollup's residue URLs (trap +
+    unparseable domains both trip the blocklist) on c_web_pipeline's
+    curated text plants (const 50-copy page, stop-word sentences,
+    C4 trip lines), so every stage is non-degenerate. The oracle
+    replays all six stages in one SQL, pinning the cross-operator
+    contracts — survivor sets, rebuilt text bytes, chunk boundaries,
+    pack offsets — that the per-stage gates cannot see."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = (
+        F.when(
+            did % 7 == 6,
+            F.concat(F.lit("not a url "), (did % 4).cast("string")),
+        )
+        .when(
+            did % 7 == 5,
+            F.concat(
+                F.lit("https://trap.example.com/page?id="),
+                (did % 3).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), (did % 23).cast("string"),
+                F.lit(".org/p/"), did.cast("string"),
+            )
+        )
+    )
+    derived = _web_pipeline_derived(docs).join(
+        docs.select("doc_id").select("doc_id", u.alias("url")), "doc_id"
+    )
+    return curate.full_curation(
+        derived,
+        history_max_id=250,
+        min_words=_WP_GOPHER_MIN_WORDS,
+        para_sep="\n",
+        neardup_threshold=0.2,
     )
 
 
@@ -9376,6 +9593,64 @@ def _q_span_removal(spark, sf_dir):
 
 
 @_register(
+    "d_maximal_spans",
+    f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[i:i+4], ' ') AS span
+  FROM base, UNNEST(range(1, len(tk) - 3)) u(i)
+  WHERE len(tk) >= 5
+), hot AS (
+  SELECT span FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+), hv AS (
+  SELECT o.doc_id, o.pos, o.pos + 4 AS e
+  FROM occ o JOIN hot h USING (span)
+), isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         THEN 1 ELSE 0 END AS ni
+  FROM hv
+), isl2 AS (
+  SELECT doc_id, pos, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), iv AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+), sl AS (
+  SELECT i.doc_id, i.s AS start, i.e AS "end",
+         array_to_string(b.tk[CAST(i.s AS INT):CAST(i.e AS INT)], ' ')
+           AS span,
+         i.e - i.s + 1 AS n_tokens
+  FROM iv i JOIN base b USING (doc_id)
+), st AS (
+  SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sl GROUP BY span
+)
+SELECT s.doc_id, s.start, s."end", s.span, s.n_tokens, st.n_docs
+FROM sl s JOIN st ON s.span = st.span
+""",
+)
+def _q_maximal_spans(spark, sf_dir):
+    """Maximal repeated-span coalescing (dedup.maximal_spans, new
+    r12 — the canonical Lee et al. 2022 ExactSubstr span identity,
+    r11 verdict item 5): overlapping/adjacent hot 5-gram windows
+    merge into ONE maximal span per (doc, run), sliced back out of
+    the token array, with corpus-wide n_docs counted on the MAXIMAL
+    span text. Gap-islands window over hot occurrences only
+    (boilerplate-mass-sized), doc-keyed interval slice join,
+    span-keyed stats rollup — nothing corpus-sized unkeyed."""
+    return dedup.maximal_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+@_register(
     "t_token_diversity",
     f"""
 WITH pdt AS (
@@ -11353,47 +11628,88 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ==== round-11 order. STANDING POLICY (r6 verdict item 6): any
+    # ==== round-12 order. STANDING POLICY (r6 verdict item 6): any
     # round that edits a shared-helper module re-queues the gates
     # importing it ahead of the stale rotation. ====
-    # tier 1 — code changed in r11 (all six were ALSO r10-new with no
-    # driver row yet, so they satisfy both tiers at once): the three
-    # r10 ADVICE regex/parse fixes — C4 terminal-punctuation rule
-    # re-anchored [.!?"][ \r]*\z + explicit whitespace class (Java $
-    # matches before a trailing \r, RE2's does not; consumers
-    # c_c4_rules + c_web_pipeline), GPT-2 pretokenizer \s spelled out
-    # as [ \t\n\x0B\f\r] (RE2 \s lacks \x0B; consumers
-    # t_pretoken_stats/_vocab), URL_RE userinfo group + strict host
-    # class with a planted u:p@ gate URL (c_url_dedup) — and the
-    # election skew restructure (window -> partial-aggregate +
-    # heavy-hitter-hybrid join after the round's three-shape A/B,
-    # SCALE.md round-11(4); exempt lines pre-split; consumers
-    # d_line_dedup + c_web_pipeline + c_url_dedup, output-identical).
-    # All edits are function-scoped; other importers of the touched
-    # modules follow the standing 51+ policy.
-    "c_c4_rules",
+    # tier 1 — code changed in r12: the r11 ADVICE batch (exact-
+    # rational domain_rollup threshold; keeper_election two-sided
+    # string cast; line_dedup JDK-exact literal quoting;
+    # manifest-committed atomic index appends; idempotent
+    # neardup_stream replay incl. own-tag search exclusion) plus the
+    # r11-verdict-4 candidate-prune auto-route — consumers across
+    # dedup.py / urls.py / streaming/pipeline.py. The first nine are
+    # ALSO the r11-new never-driver-sampled gates (r11 verdict item
+    # 1), so they satisfy both tiers at once.
+    "c_domain_rollup",
+    "c_domain_filter",
+    "d_incremental_neardup",
+    "d_incremental_neardup_capped",
+    "d_neardup_index",
+    "st_neardup_append",
+    "st_neardup_stream",
+    "d_line_dedup_hot",
+    "d_paragraph_dedup",
+    "d_line_dedup",
     "c_web_pipeline",
+    "c_url_dedup",
+    # tier 2 — new in r12 (no driver row yet): the end-to-end
+    # curation capstone and maximal repeated-span coalescing
+    # (r11 verdict items 6 and 5).
+    "c_full_curation",
+    "d_maximal_spans",
+    # tier 3 — the four r5-stale gates the r11 sample could not fit
+    # (they lead per r11 verdict item 1) ...
+    "t_token_diversity",
+    "w_anchored_vwap",
+    "w_rolling_corr",
+    "w_rsi",
+    # ... plus the 32 oldest r6-stale gates, filling the ~50-slot
+    # driver sample exactly; the 17 remaining r6 gates lead r13.
+    "a_active_users",
+    "a_correlation",
+    "a_histogram",
+    "a_mad_robust",
+    "a_set_ops",
+    "a_unpivot_totals",
+    "c_boilerplate_scrub",
+    "c_clean_text",
+    "c_dsir_weights",
+    "c_group_sample",
+    "c_winsorize",
+    "e_jsonl_roundtrip",
+    "e_orc_roundtrip",
+    "e_pdf_report",
+    "e_snapshot_diff",
+    "e_time_travel",
+    "e_udtf_chunks",
+    "f_bitwise_battery",
+    "f_higher_order",
+    "f_null_battery",
+    "m_analyze_stats",
+    "m_audio_wav",
+    "m_decode_resize",
+    "m_image_phash",
+    "m_skew_report",
+    "m_validate_rules",
+    "p_filter_pushdown",
+    "q_basket_pairs",
+    "q_important_stock",
+    "q_market_concentration",
+    "q_order_distribution",
+    "q_order_lifecycle",
+    # ---- everything else, prior relative order preserved
+    # (registration/staleness order from earlier rounds).
+    "c_c4_rules",
     "t_pretoken_stats",
     "t_pretoken_vocab",
-    "c_url_dedup",
-    "d_line_dedup",
-    # tier 2 — new in r10, never driver-sampled (r10 verdict item 1:
-    # the only gates in the registry with zero driver evidence).
     "t_gopher_rules",
     "t_gopher_repetition",
     "t_lm_quality",
     "t_entropy_stats",
     "s_embedding_quantize",
     "st_quality_stream",
-    # r10 verdict item 3 — d_minhash_lsh is the round's one
-    # multi-second bench outlier on untouched code; resample its
-    # r5-stale gate + certificate while root-causing.
     "d_minhash_lsh",
     "d_minhash_certify",
-    # tier 3 — 36 of the remaining 40 r5-stale gates (oldest driver
-    # rows in the registry; all green locally every round via
-    # test_oracle_parity). With tiers 1-2 this fills the ~50-gate
-    # driver sample exactly; worst staleness after r11 becomes r6.
     "a_approx_distinct",
     "a_heavy_hitters",
     "a_percentiles_approx",
@@ -11430,26 +11746,6 @@ _VERIFY_FIRST = [
     "q_yoy_growth",
     "t_bigram_counts",
     "t_oov_rate",
-    # position 51+: the four r5-stale gates the 50-slot sample cannot
-    # fit — they lead the r12 rotation.
-    "t_token_diversity",
-    "w_anchored_vwap",
-    "w_rolling_corr",
-    "w_rsi",
-    # r11-new gates (locally repr-verified through the driver contract
-    # at two SFs this session; per standing policy they yield the
-    # ~50-slot sample to the stale rotation and lead the r12 sample).
-    "d_incremental_neardup",
-    "c_domain_rollup",
-    "d_neardup_index",
-    "st_neardup_stream",
-    "d_paragraph_dedup",
-    "c_domain_filter",
-    "st_neardup_append",
-    "d_line_dedup_hot",
-    "d_incremental_neardup_capped",
-    # ---- everything else, prior relative order preserved
-    # (registration/staleness order from earlier rounds).
     "d_semdedup",
     "c_chunk_documents",
     "m_subtitle_cues",
@@ -11629,41 +11925,10 @@ _VERIFY_FIRST = [
     "a_countmin_freq",
     "g_triangle_counts",
     "c_negative_pairs",
-    "m_decode_resize",
-    "e_snapshot_diff",
-    "q_important_stock",
     "st_stateful_totals",
     "st_zscore_outliers",
-    "e_pdf_report",
     "st_variant_totals",
-    "c_dsir_weights",
-    "m_audio_wav",
-    "a_active_users",
     "w_zscore_outliers",
-    "m_validate_rules",
-    "e_time_travel",
-    "a_correlation",
-    "a_histogram",
-    "a_mad_robust",
-    "a_set_ops",
-    "a_unpivot_totals",
-    "c_boilerplate_scrub",
-    "c_clean_text",
-    "c_group_sample",
-    "c_winsorize",
-    "e_jsonl_roundtrip",
-    "e_orc_roundtrip",
-    "e_udtf_chunks",
-    "f_bitwise_battery",
-    "f_higher_order",
-    "f_null_battery",
-    "m_analyze_stats",
-    "m_image_phash",
-    "m_skew_report",
-    "q_basket_pairs",
-    "q_market_concentration",
-    "q_order_distribution",
-    "q_order_lifecycle",
     "q_product_profit",
     "q_promo_revenue",
     "q_shipmode_priority",
@@ -11671,7 +11936,6 @@ _VERIFY_FIRST = [
     "st_leaderboard",
     "st_left_join",
     "w_resample_ffill",
-    "p_filter_pushdown",
     "q_sql_surface",
     "s_global_sort",
     "s_lsh_buckets",

@@ -144,6 +144,16 @@ HEADLINE = [
     # aggregate under a planted trap domain; pins the cost of the
     # (domain, canon_url)-keyed first exchange.
     "c_domain_rollup",
+    # round-12 (r11 verdict item 7): the remaining new-family
+    # headliners, so regressions in the paragraph and persisted-index
+    # paths regress loudly. Paragraph dedup = the same election core
+    # as d_line_dedup at the other granularity (different explode
+    # fan-out and key distribution); the index pair mirrors the IVF
+    # build/search split — the amortized BUILD and the
+    # manifest-pruned SEARCH are different production phases.
+    "d_paragraph_dedup",
+    "d_nd_index_build",
+    "d_nd_index_search",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
@@ -220,11 +230,58 @@ def _bench_semdedup_prod(spark, sf_dir):
     return similarity.semantic_dedup(emb, threshold=0.95)
 
 
+_ND_BENCH_PATH = f"/tmp/spark_graft_bench_ndidx_{os.getpid()}"
+
+
+def _bench_nd_index_build(spark, sf_dir):
+    """Phase 1: build the persisted near-dup band index over the
+    history half of the corpus (eager — the three table writes + the
+    manifest commit ARE the work; returns None so the bench loop
+    skips the noop sink). Same banding knobs as the d_neardup_index
+    driver gate."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        dedup,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    half = docs.selectExpr("max(doc_id) div 2 AS m").head()["m"]
+    dedup.neardup_index_build(
+        docs.filter(F.col("doc_id") <= half), _ND_BENCH_PATH,
+        k=8, bands=4, n=2,
+    )
+    return None
+
+
+def _bench_nd_index_search(spark, sf_dir):
+    """Phase 2: search the other half of the corpus against the index
+    phase 1 built — the per-batch production cost (candidate
+    equi-join + manifest-pruned candidate-semi-joined shingle verify;
+    history text never rescanned)."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import (
+        dedup,
+    )
+
+    docs = catalog.table(spark, sf_dir, "documents")
+    half = docs.selectExpr("max(doc_id) div 2 AS m").head()["m"]
+    return dedup.neardup_index_search(
+        spark, _ND_BENCH_PATH, docs.filter(F.col("doc_id") > half),
+        threshold=0.2,
+    )
+
+
 EXTRA = {
     "s_ivf_index_build": _bench_ivf_build,
     "s_ivf_index_search": _bench_ivf_search,
     "s_ivf_search_dist": _bench_ivf_search_dist,
     "d_semdedup_prod": _bench_semdedup_prod,
+    "d_nd_index_build": _bench_nd_index_build,
+    "d_nd_index_search": _bench_nd_index_search,
 }
 
 

@@ -1076,3 +1076,129 @@ def web_pipeline(
             F.col("__survives") & (F.col("doc_id") == F.col("__first"))
         ).alias("keep"),
     )
+
+
+def full_curation(
+    documents: DataFrame,
+    history_max_id: int,
+    url_col: str = "url",
+    min_words: int = 50,
+    min_sentences: int = 5,
+    domain_min_docs: int = 5,
+    max_dup_rate: float = 0.5,
+    para_min_chars: int = 2,
+    para_sep: str = "\n\n",
+    neardup_threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 2,
+    chunk: int = 64,
+    stride: int = 48,
+    max_tokens: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """END-TO-END curation capstone (r11 verdict item 6) — the
+    FineWeb shape as ONE composed plan, pinning the cross-operator
+    contracts (column names, keeper semantics, survivor ordering)
+    that individual gates can't see:
+
+    1. ``urls.domain_rollup`` builds the suspect-domain blocklist
+       from the corpus's own URLs and ``urls.domain_filter`` drops
+       blocked documents (broadcast anti join — map-only);
+    2. ``web_pipeline`` (C4 line/page rules → Gopher battery →
+       skew-safe exact-dedup keeper election) picks the kept docs;
+    3. the kept docs' C4-cleaned text (recomputed map-only on the
+       kept subset — cheaper than carrying corpus-wide text through
+       the election exchange) runs Dolma-style PARAGRAPH dedup
+       (``dedup.line_dedup`` with a blank-line separator,
+       ``keep_text=True``) and the rebuilt text flows on;
+    4. documents below ``history_max_id`` form the already-curated
+       HISTORY; the rest land as the incoming batch and screen
+       against history with ``dedup.incremental_neardup`` — batch
+       near-dups drop, history and surviving batch docs go forward;
+    5. survivors chunk (``chunk_documents``) and pack
+       (``pack_chunks``) into ``doc_id % n_shards`` shards.
+
+    Returns the final packed-chunk table: (doc_id, chunk_id, shard,
+    n_tokens, chunk_text, pack_offset, pack_id).
+
+    Scale posture is inherited stage-for-stage from the component
+    operators (each documented and benched on its own): the corpus
+    text crosses exactly three exchanges end-to-end — the paragraph
+    election's line-keyed shuffle, the doc_id-keyed paragraph
+    rebuild, and the pack window's shard-keyed sort — everything
+    else is map-only, broadcast-pruned, or verdict-row-sized. The
+    intermediate verdict tables (web_pipeline's keep column, the
+    near-dup rollup) are persisted by their own operators where
+    re-evaluation would repeat regex batteries."""
+    from .dedup import incremental_neardup, line_dedup
+    from .urls import domain_filter, domain_rollup
+
+    block = domain_rollup(
+        documents,
+        url_col=url_col,
+        min_docs=domain_min_docs,
+        max_dup_rate=max_dup_rate,
+    ).filter(F.col("is_suspect"))
+    filtered = domain_filter(documents, block, url_col=url_col).select(
+        "doc_id", "text"
+    )
+    wp = web_pipeline(
+        filtered, min_words=min_words, min_sentences=min_sentences
+    )
+    kept = filtered.join(
+        wp.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    # Stage-boundary lineage CUTS (localCheckpoint, the
+    # textstats/ingest precedent): line_dedup references its input
+    # ~4x and the near-dup + survivor stages reference the
+    # paragraph-deduped table ~8x, so an uncut six-stage composition
+    # multiplies the upstream subtree into the plan ~64x — measured
+    # to OOM the driver just BUILDING the plan string at sf0.01, let
+    # alone scheduling it. Each checkpoint materializes exactly the
+    # table the next stage must consume anyway (a production run
+    # would stage these to parquet between jobs); downstream plans
+    # read a leaf.
+    clean = (
+        c4_clean_rules(kept, min_sentences=min_sentences, keep_text=True)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint()
+    )
+    para = (
+        line_dedup(
+            clean,
+            min_line_chars=para_min_chars,
+            sep=para_sep,
+            keep_text=True,
+        )
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .localCheckpoint()
+    )
+    hist = para.filter(F.col("doc_id") < history_max_id)
+    batch = para.filter(F.col("doc_id") >= history_max_id)
+    nd = incremental_neardup(
+        hist, batch, k=k, bands=bands, n=n, threshold=neardup_threshold
+    )
+    survivors = hist.unionByName(
+        batch.join(
+            nd.filter(~F.col("is_neardup")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    chunks = chunk_documents(survivors, chunk=chunk, stride=stride)
+    packed = pack_chunks(
+        chunks.withColumn(
+            "shard", (F.col("doc_id") % n_shards).cast("long")
+        ),
+        max_tokens=max_tokens,
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_id",
+        "shard",
+        "n_tokens",
+        "chunk_text",
+        "pack_offset",
+        "pack_id",
+    )

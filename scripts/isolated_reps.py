@@ -49,6 +49,8 @@ fn = EXTRA.get(name) or entry_mod.queries()[name]
 # the IVF SEARCH entries read the index that s_ivf_index_build wrote
 # under a PID-keyed path — a fresh subprocess has no index yet, so
 # build it first (untimed; mirrors the bench's phase ordering)
+if name == "d_nd_index_search":
+    EXTRA["d_nd_index_build"](spark, sf_dir)
 if name in ("s_ivf_index_search", "s_ivf_search_dist"):
     EXTRA["s_ivf_index_build"](spark, sf_dir)
 

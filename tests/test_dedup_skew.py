@@ -807,3 +807,226 @@ def test_keeper_election_heavy_path_values_match_plain(spark):
     assert by_id[11] == (11, "hot", 10, 6)    # min ELIGIBLE id, full count
     assert by_id[20] == (20, "cold", 20, 2)
     assert by_id[30] == (30, "dead", None, 4)  # hot-ish key, no eligible
+
+
+# --------------------------------------------------------------- r12 fixes
+
+
+def test_regex_quote_separator_containing_backslash_E(spark):
+    """r11 ADVICE: a bare \\Q...\\E wrap breaks when the literal
+    separator itself contains \\E — _regex_quote must keep ANY byte
+    sequence literal (JDK Pattern.quote algorithm)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    # separator is the 4-char literal '\E+.' — naive quoting would
+    # end the quote at \E and interpret '+.' as regex
+    sep = "\\E+."
+    docs = spark.createDataFrame(
+        [(1, f"aaaa{sep}bbbb{sep}cccc"), (2, f"bbbb{sep}aaaa")],
+        "doc_id long, text string",
+    )
+    out = dedup.line_dedup(docs, min_line_chars=1, sep=sep)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_kept_lines"] == 3
+    # doc 2's 'aaaa' and 'bbbb' are corpus-dups of doc 1's units
+    assert got[2]["n_lines"] == 2 and got[2]["n_kept_lines"] == 0
+    # regression guard: plain re-split on the literal must agree
+    probe = spark.createDataFrame([(1, f"x{sep}y")], "i long, t string")
+    from pyspark.sql import functions as F
+
+    n = probe.select(
+        F.size(F.split("t", dedup._regex_quote(sep))).alias("n")
+    ).head()["n"]
+    assert n == 2
+
+
+def test_keeper_election_long_key_column(spark):
+    """r11 ADVICE: keeper_election silently assumed string keys (the
+    heavy branch substitutes a string-cast id). With the explicit
+    two-sided cast a LONG key column must work and agree with the
+    plain window answer."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    rows = [(i, i % 7) for i in range(200)] + [(1000 + i, 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, grp long")
+    out = dedup.keeper_election(
+        df, "grp", count_col="n", heavy_threshold=10
+    )
+    got = {
+        (r["doc_id"]): (r["__keeper_id"], r["n"]) for r in out.collect()
+    }
+    from collections import Counter, defaultdict
+
+    counts = Counter(g for _, g in rows)
+    firsts = defaultdict(lambda: 1 << 60)
+    for i, g in rows:
+        firsts[g] = min(firsts[g], i)
+    for i, g in rows:
+        assert got[i] == (firsts[g], counts[g]), (i, g, got[i])
+
+
+def test_neardup_index_torn_append_invisible_and_replay_idempotent(
+    spark, tmp_path
+):
+    """r11 ADVICE: the old append wrote bands/shingles/sizes as three
+    independent parquet appends — a failure between them left a torn
+    index. The r12 manifest contract: (1) a batch partition without
+    its manifest row is IGNORED at search time; (2) re-running an
+    append with the same batch_tag overwrites itself (streaming
+    replay idempotency)."""
+    import pytest as _pt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(4)],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(50, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    dedup.neardup_index_build(hist, p, k=8, bands=4, n=2)
+    base = dedup.neardup_index_search(spark, p, batch, threshold=0.4)
+    assert not base.head()["is_neardup"]
+
+    # simulate a TORN append: bands land, manifest (and the other
+    # tables) never do — exactly the crash window the ADVICE names
+    sh = dedup.shingles(extra, 2)
+    sig = dedup._minhash_wide(sh, 8)
+    dedup._band_keys(sig, 8, 4).write.mode("overwrite").parquet(
+        f"{p}/bands/batch=torn"
+    )
+    after_torn = dedup.neardup_index_search(spark, p, batch, threshold=0.4)
+    r = after_torn.head()
+    assert not r["is_neardup"] and r["n_candidates"] == 0
+
+    # committed append now lands; replaying it with the SAME tag must
+    # not double anything
+    dedup.neardup_index_build(
+        extra, p, k=8, bands=4, n=2, mode="append", batch_tag="b1"
+    )
+    dedup.neardup_index_build(
+        extra, p, k=8, bands=4, n=2, mode="append", batch_tag="b1"
+    )
+    got = dedup.neardup_index_search(spark, p, batch, threshold=0.4).head()
+    assert got["is_neardup"] and got["match_doc_id"] == 50
+    assert got["n_candidates"] == 1  # not inflated by the replay
+    direct = dedup.incremental_neardup(
+        hist.unionByName(extra), batch, k=8, bands=4, n=2, threshold=0.4
+    ).head()
+    assert (
+        got["n_candidates"],
+        got["best_jaccard"],
+        got["match_doc_id"],
+        got["is_neardup"],
+    ) == (
+        direct["n_candidates"],
+        direct["best_jaccard"],
+        direct["match_doc_id"],
+        direct["is_neardup"],
+    )
+    with _pt.raises(ValueError, match="must not contain"):
+        dedup.neardup_index_build(
+            extra, p, k=8, bands=4, n=2, mode="append", batch_tag="a=b"
+        )
+
+
+def test_neardup_candidate_prune_auto_routes_to_shuffle(spark):
+    """r11 verdict item 4: the candidate-id semi-joins broadcast only
+    UNDER the size threshold; above it the hint is dropped and the
+    plan must contain a non-broadcast semi-join (the driver-safe path
+    for mega candidate sets)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma tok2 delta eps")],
+        "doc_id long, text string",
+    )
+    # kill size-based auto-broadcast (the test_plan_shapes idiom): at
+    # test scale Spark's own estimator happily broadcasts the tiny id
+    # sets even without our hint, which is correct for tiny data but
+    # hides the route this test audits. With the threshold off, a
+    # surviving BroadcastHashJoin can only come from the explicit
+    # hint the auto-route is supposed to have dropped.
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = dedup.incremental_neardup(
+            hist, batch, k=8, bands=4, n=2, threshold=0.4,
+            max_broadcast_ids=0,
+        )
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        semis = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+        assert semis, plan
+        assert all("BroadcastHashJoin" not in ln for ln in semis), plan
+        # and the routed answer is identical to the broadcast answer
+        normal = dedup.incremental_neardup(
+            hist, batch, k=8, bands=4, n=2, threshold=0.4
+        )
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(forced) == key(normal)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_maximal_spans_coalesce_overlapping_windows(spark):
+    """r11 verdict item 5 — canonical Lee et al. 2022 span identity:
+    a 7-token repeated run surfaces as 3 overlapping 5-gram windows
+    and must coalesce into ONE maximal span of 7 tokens, with
+    corpus-wide n_docs counted on the MAXIMAL span text."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        maximal_spans,
+    )
+
+    run = "all rights reserved by the publisher inc"  # 7 tokens
+    rows = [
+        (1, f"intro {run} tail words"),
+        (2, f"{run} and more"),
+        (3, f"x y {run}"),
+        (4, "unrelated filler text with no shared spans at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = maximal_spans(docs, n=5, min_docs=3).collect()
+    by_doc = {r["doc_id"]: r for r in got}
+    assert len(got) == 3 and set(by_doc) == {1, 2, 3}
+    for r in got:
+        assert r["span"] == run and r["n_tokens"] == 7 and r["n_docs"] == 3
+    assert (by_doc[1]["start"], by_doc[1]["end"]) == (2, 8)
+    assert (by_doc[2]["start"], by_doc[2]["end"]) == (1, 7)
+    assert (by_doc[3]["start"], by_doc[3]["end"]) == (3, 9)
+
+    # two DIFFERENT hot 5-grams adjacent in one doc coalesce there
+    # (interval semantics: merged ranges, not per-span ranges) while
+    # docs holding only one of them emit the fixed-5 span; the
+    # merged 10-token text is unique to doc 20 -> n_docs == 1
+    a = "alpha beta gamma delta epsilon"
+    b = "one two three four five"
+    docs2 = spark.createDataFrame(
+        [
+            (20, f"{a} {b}"),
+            (21, f"l {a} r"),
+            (22, f"{a} z"),
+            (23, f"q {b}"),
+            (24, f"{b} w"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = maximal_spans(docs2, n=5, min_docs=3).collect()
+    d20 = [r for r in got2 if r["doc_id"] == 20]
+    assert len(d20) == 1
+    assert d20[0]["span"] == f"{a} {b}" and d20[0]["n_tokens"] == 10
+    assert d20[0]["n_docs"] == 1
+    d21 = [r for r in got2 if r["doc_id"] == 21]
+    assert d21[0]["span"] == a and d21[0]["n_docs"] == 2  # docs 21, 22

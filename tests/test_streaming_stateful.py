@@ -767,3 +767,46 @@ def test_neardup_stream_append_survivors_cross_delivery(spark, tmp_path):
     assert got[20]["is_neardup"] and got[20]["match_doc_id"] == 11
     assert got[21]["is_neardup"] and got[21]["match_doc_id"] == 1
     assert not got[22]["is_neardup"]
+
+
+def test_neardup_stream_replayed_microbatch_idempotent(spark, tmp_path):
+    """r11 ADVICE: foreachBatch is at-least-once — a micro-batch
+    replayed after a failure re-runs the screen. The r12 contract:
+    replaying a batch_id leaves the verdict sink AND the
+    append_survivors index byte-identical to a single run (per-batch
+    partition overwrite + manifest-tagged index append)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    hist = spark.createDataFrame(
+        [(1, "history doc alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [
+            (10, "history doc alpha beta gamma delta"),
+            (11, "fresh delivery one content entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(20, "fresh delivery one content entirely new")],
+        "doc_id long, text string",
+    )
+    ipath, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    dedup.neardup_index_build(hist, ipath, k=8, bands=4, n=2)
+
+    pipeline._neardup_screen_batch(d1, 0, ipath, out, 0.5, True)
+    # REPLAY batch 0 (the at-least-once failure case), then batch 1
+    pipeline._neardup_screen_batch(d1, 0, ipath, out, 0.5, True)
+    pipeline._neardup_screen_batch(d2, 1, ipath, out, 0.5, True)
+
+    verdicts = spark.read.parquet(out).drop("batch_id").collect()
+    got = {r["doc_id"]: r for r in verdicts}
+    assert len(verdicts) == 3  # no duplicated rows from the replay
+    assert got[10]["is_neardup"] and got[10]["match_doc_id"] == 1
+    assert not got[11]["is_neardup"]
+    # d2's copy of 11 matches EXACTLY ONE index entry for doc 11 —
+    # a double-appended index would inflate n_candidates
+    assert got[20]["is_neardup"] and got[20]["match_doc_id"] == 11
+    assert got[20]["n_candidates"] == 1

@@ -235,3 +235,51 @@ def test_domain_rollup_plan_two_phase_distinct_no_window(spark):
         plan,
     )
     assert m, plan
+
+
+def test_domain_rollup_threshold_exact_rational(spark):
+    """r11 ADVICE: int(max_dup_rate*100) truncated 0.29 to 28/100
+    (0.29*100 == 28.999... in IEEE754), misflagging domains whose
+    dup_rate falls between the quantized and requested threshold.
+    The exact-rational cross-multiplication must flag dup_rate >
+    0.29 strictly: a domain at EXACTLY 29/100 stays clean, one at
+    30/100 trips, and a sub-hundredth threshold like 0.125 is
+    honored exactly (not quantized to 0.12)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import urls
+
+    def corpus(n_docs, n_unique, domain):
+        # n_docs fetches of n_unique distinct URLs on one domain
+        return [
+            (
+                i,
+                f"https://{domain}/p{i % n_unique}",
+            )
+            for i in range(n_docs)
+        ]
+
+    rows = (
+        corpus(100, 71, "at29.example")     # dup_rate = 29/100 exactly
+        + [(1000 + i, f"https://over29.example/p{i % 70}") for i in range(100)]  # 30/100
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["registered_domain"]: r["is_suspect"]
+        for r in urls.domain_rollup(df, min_docs=5, max_dup_rate=0.29).collect()
+    }
+    assert got["at29.example"] is False      # 0.29 > 0.29 is false
+    assert got["over29.example"] is True     # 0.30 > 0.29
+
+    rows8 = [(i, f"https://eighth.example/p{i % 7}") for i in range(8)]
+    df8 = spark.createDataFrame(rows8, "doc_id long, url string")
+    got8 = {
+        r["registered_domain"]: r["is_suspect"]
+        for r in urls.domain_rollup(df8, min_docs=5, max_dup_rate=0.125).collect()
+    }
+    assert got8["eighth.example"] is False   # dup 1/8 == 0.125, not >
+    got8b = {
+        r["registered_domain"]: r["is_suspect"]
+        for r in urls.domain_rollup(
+            df8, min_docs=5, max_dup_rate=0.124999
+        ).collect()
+    }
+    assert got8b["eighth.example"] is True   # 1/8 > 0.124999
