@@ -1130,7 +1130,14 @@ def full_curation(
     else is map-only, broadcast-pruned, or verdict-row-sized. The
     intermediate verdict tables (web_pipeline's keep column, the
     near-dup rollup) are persisted by their own operators where
-    re-evaluation would repeat regex batteries."""
+    re-evaluation would repeat regex batteries.
+
+    Deployment: fused-vs-staged is a measured TIE (within 3% at x1
+    and x10 — SCALE.md round-12(2), both variants row-identical), so
+    choose by operations, not speed: this composed form for
+    interactive/one-shot runs; stage each boundary to parquet
+    (scripts/full_curation_staged_study.py's ``staged`` shows the
+    layout) when a production scheduler needs per-stage restart."""
     from .dedup import incremental_neardup, line_dedup
     from .urls import domain_filter, domain_rollup
 
