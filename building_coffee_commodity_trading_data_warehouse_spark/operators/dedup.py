@@ -1158,13 +1158,13 @@ def neardup_index_build(
     spark = documents.sparkSession
     sh = scoped_persist(shingles(documents, n))
     sig = scoped_persist(_minhash_wide(sh, k))
-    meta = [(int(k), int(bands), int(n))]
+    meta = (int(k), int(bands), int(n))
     if mode == "append":
         have = spark.read.parquet(f"{path}/meta").collect()[0]
-        if (have["k"], have["bands"], have["n"]) != meta[0]:
+        if (have["k"], have["bands"], have["n"]) != meta:
             raise ValueError(
                 f"index at {path} was built with "
-                f"(k,bands,n)={tuple(have)}, append requested {meta[0]}"
+                f"(k,bands,n)={tuple(have)}, append requested {meta}"
             )
     bid = batch_tag if batch_tag is not None else uuid.uuid4().hex
     if "=" in bid or "/" in bid:
@@ -1186,11 +1186,17 @@ def neardup_index_build(
             df.withColumn("batch", F.lit(bid)).write.partitionBy(
                 "batch"
             ).mode("overwrite").parquet(f"{path}/{name}")
-        spark.createDataFrame(
-            meta, "k int, bands int, n int"
+        # one-row sidecars via spark.range + lit — pure-JVM plans.
+        # createDataFrame([...]) from a local list routes through a
+        # Python RDD and costs ~5 s PER CALL in this runtime
+        # (measured; it was 85% of the whole build's wall).
+        spark.range(1).select(
+            F.lit(meta[0]).cast("int").alias("k"),
+            F.lit(meta[1]).cast("int").alias("bands"),
+            F.lit(meta[2]).cast("int").alias("n"),
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     # commit point — a batch without its manifest row does not exist.
-    committed = spark.createDataFrame([(True,)], "committed boolean")
+    committed = spark.range(1).select(F.lit(True).alias("committed"))
     if mode == "append":
         committed.coalesce(1).write.mode("overwrite").parquet(
             f"{path}/manifest/batch={bid}"

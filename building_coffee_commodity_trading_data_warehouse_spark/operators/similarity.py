@@ -741,9 +741,21 @@ def ivf_index_build(
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
     )
+    # centroid sidecar via the pandas/Arrow path: createDataFrame
+    # from a local LIST routes through a Python RDD whose worker
+    # spin-up costs seconds per call in this runtime (measured r12 —
+    # it was most of the neardup index build's wall before the same
+    # fix there); the Arrow conversion is driver-side and immediate.
+    import pandas as _pd
+
+    cpdf = _pd.DataFrame(
+        {
+            "cell": _pd.Series(range(len(C)), dtype="int64"),
+            "centroid": [[float(v) for v in row] for row in C],
+        }
+    )
     spark.createDataFrame(
-        [(i, [float(v) for v in C[i]]) for i in range(len(C))],
-        "cell long, centroid array<double>",
+        cpdf, "cell long, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return path
 

@@ -184,20 +184,18 @@ def load_with_audit(
 def audit_append(spark: SparkSession, report: LoadReport, audit_path: str, created_by: str = "spark") -> None:
     """stg_checking_logs row (STG.py:143-161) appended to the audit
     table."""
-    row = spark.createDataFrame(
-        [
-            (
-                report.script,
-                report.source_name,
-                report.target_name,
-                report.source_row,
-                report.target_row,
-                report.duration_sec,
-                report.snapshot_date,
-            )
-        ],
-        "script string, source_name string, target_name string, "
-        "source_row long, target_row long, duration_sec double, snapshot_date string",
+    # one-row frame via spark.range + lit (pure JVM): createDataFrame
+    # from a local list routes through a Python RDD whose worker
+    # spin-up costs seconds per call in this runtime (measured r12 on
+    # the near-dup index sidecars — same fix).
+    row = spark.range(1).select(
+        F.lit(report.script).cast("string").alias("script"),
+        F.lit(report.source_name).cast("string").alias("source_name"),
+        F.lit(report.target_name).cast("string").alias("target_name"),
+        F.lit(report.source_row).cast("long").alias("source_row"),
+        F.lit(report.target_row).cast("long").alias("target_row"),
+        F.lit(report.duration_sec).cast("double").alias("duration_sec"),
+        F.lit(report.snapshot_date).cast("string").alias("snapshot_date"),
     ).select(
         "*",
         F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("created_date"),
