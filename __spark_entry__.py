@@ -5646,6 +5646,89 @@ def _q_neardup_index(spark, sf_dir):
 
 
 @_register(
+    "d_neardup_compact",
+    f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+  FROM sh CROSS JOIN range(8) r(seed)
+  GROUP BY doc_id, seed
+),
+bandk AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_hash
+  FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+  FROM bandk b JOIN bandk h ON b.band = h.band AND b.band_hash = h.band_hash
+  WHERE b.doc_id >= 250 AND h.doc_id < 250
+),
+inter AS (
+  SELECT a.doc_id AS batch_id, b.doc_id AS hist_id, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id >= 250 AND b.doc_id < 250
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.batch_id, c.hist_id,
+         coalesce(i.n_common, 0) * 1.0
+           / (x.n + y.n - coalesce(i.n_common, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON c.batch_id = i.batch_id AND c.hist_id = i.hist_id
+  JOIN sz x ON c.batch_id = x.doc_id
+  JOIN sz y ON c.hist_id = y.doc_id
+),
+roll AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         MAX(jaccard) AS best_jaccard,
+         MIN(CASE WHEN jaccard >= 0.2 THEN hist_id END) AS match_doc_id
+  FROM pairs GROUP BY batch_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(r.n_candidates, 0) AS BIGINT) AS n_candidates,
+       r.best_jaccard,
+       r.match_doc_id,
+       coalesce(r.best_jaccard >= 0.2, false) AS is_neardup
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+LEFT JOIN roll r ON d.doc_id = r.batch_id
+""",
+)
+def _q_neardup_compact(spark, sf_dir):
+    """Index lifecycle gate (new r12): build the index from the first
+    half of history, APPEND the second half as a separate committed
+    batch, COMPACT the two batches into one base
+    (dedup.neardup_index_compact), VACUUM the superseded directories,
+    then search the corpus's second half. The oracle is the SAME SQL
+    as d_neardup_index / d_incremental_neardup over the <250 history
+    — compaction and vacuum must be pure physical rewrites, so the
+    post-compact search reproduces the direct computation
+    bit-for-bit (a lost or duplicated row in any of the three
+    rewritten tables shifts candidate counts or Jaccard and fails
+    the hash)."""
+    import os as _os
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_neardup_cmp/{tag}_{_os.getpid()}"
+    dedup.neardup_index_build(
+        docs.filter(F.col("doc_id") < 125), ipath, k=8, bands=4, n=2
+    )
+    dedup.neardup_index_build(
+        docs.filter((F.col("doc_id") >= 125) & (F.col("doc_id") < 250)),
+        ipath, k=8, bands=4, n=2, mode="append", batch_tag="b2",
+    )
+    dedup.neardup_index_compact(spark, ipath)
+    dedup.neardup_index_vacuum(spark, ipath)
+    return dedup.neardup_index_search(
+        spark, ipath, docs.filter(F.col("doc_id") >= 250), threshold=0.2
+    )
+
+
+@_register(
     "st_neardup_stream",
     f"""
 WITH sh AS ({_SQL_SHINGLES}),
@@ -11657,6 +11740,7 @@ _VERIFY_FIRST = [
     # (r11 verdict items 6 and 5).
     "c_full_curation",
     "d_maximal_spans",
+    "d_neardup_compact",
     # tier 3 — the four r5-stale gates the r11 sample could not fit
     # (they lead per r11 verdict item 1) ...
     "t_token_diversity",

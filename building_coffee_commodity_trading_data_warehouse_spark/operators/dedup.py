@@ -1208,6 +1208,90 @@ def neardup_index_build(
     return path
 
 
+def neardup_index_compact(spark, path: str) -> str:
+    """Rewrite every manifest-committed batch of a near-dup index
+    into ONE base batch and repoint the manifest at it — the
+    LSM-style maintenance step that completes the index lifecycle
+    (build → append-per-batch → search → COMPACT → vacuum): a
+    long-running ingest accumulates one partition directory per
+    append, and the search-side manifest filter degrades from
+    partition pruning into a many-valued IN over thousands of tiny
+    files. Search results are IDENTICAL before and after (pinned by
+    the d_neardup_compact gate against the full SQL oracle and by
+    pytest) — compaction is a pure physical rewrite.
+
+    Sequencing: the compacted data lands FIRST under an unreferenced
+    ``batch=compact-…`` directory (invisible — no manifest row),
+    then the manifest is REWRITTEN to the single new batch. The
+    manifest rewrite is the one non-append step in the index's life;
+    on a filesystem without atomic directory replace there is a
+    brief window where a concurrent search could see a partial
+    manifest — run compaction from the ingest owner, not
+    concurrently with searches (a production deployment would swap a
+    metastore pointer instead). Superseded batch directories stay on
+    disk (still ignored by every search) until
+    ``neardup_index_vacuum``. Returns the new batch tag."""
+    import uuid
+
+    committed = [
+        r["batch"]
+        for r in spark.read.parquet(f"{path}/manifest")
+        .select("batch")
+        .distinct()
+        .collect()
+    ]
+    bid = "compact-" + uuid.uuid4().hex
+    for name in ("bands", "shingles", "sizes"):
+        t = spark.read.parquet(f"{path}/{name}")
+        if "batch" in t.columns:
+            t = t.filter(F.col("batch").isin(committed)).drop("batch")
+        t.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
+    spark.range(1).select(F.lit(True).alias("committed")).withColumn(
+        "batch", F.lit(bid)
+    ).coalesce(1).write.partitionBy("batch").mode("overwrite").parquet(
+        f"{path}/manifest"
+    )
+    return bid
+
+
+def neardup_index_vacuum(spark, path: str) -> list[str]:
+    """Delete batch directories no longer referenced by the manifest
+    (superseded by ``neardup_index_compact``, or torn appends whose
+    manifest row never landed). Local filesystem only — a non-local
+    scheme raises (the maintenance.table_file_stats contract; swap
+    point: Hadoop FileSystem.delete via the JVM gateway). Returns the
+    removed directory paths."""
+    import os
+    import shutil
+
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            f"neardup_index_vacuum: non-local scheme in {path!r}; wire "
+            "the Hadoop FileSystem here before vacuuming remote indexes"
+        )
+    root = path.removeprefix("file:")
+    committed = {
+        r["batch"]
+        for r in spark.read.parquet(f"{path}/manifest")
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    removed = []
+    for name in ("bands", "shingles", "sizes"):
+        tdir = os.path.join(root, name)
+        if not os.path.isdir(tdir):
+            continue
+        for entry in sorted(os.listdir(tdir)):
+            if not entry.startswith("batch="):
+                continue
+            if entry.removeprefix("batch=") not in committed:
+                full = os.path.join(tdir, entry)
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed
+
+
 def neardup_index_search(
     spark,
     path: str,
@@ -1821,9 +1905,10 @@ def line_dedup(
     implementation carries). ``sep`` picks the granularity: the
     default newline gives line dedup; a blank-line separator gives
     the Dolma-style PARAGRAPH dedup pass with identical semantics.
-    ``sep`` is a LITERAL separator — the split quotes it with
-    ``\\Q...\\E`` on the regex side, and the rebuild joins kept
-    units with the same bytes. Per document: line counts and the md5 of
+    ``sep`` is a LITERAL separator — the split quotes it via
+    ``_regex_quote`` (JDK ``Pattern.quote`` semantics, safe for any
+    byte sequence including embedded ``\\E``), and the rebuild joins
+    kept units with the same bytes. Per document: line counts and the md5 of
     the REBUILT text (kept lines joined in original order), so a gate
     pins the actual post-dedup text, not just counts.
 

@@ -1030,3 +1030,69 @@ def test_maximal_spans_coalesce_overlapping_windows(spark):
     assert d20[0]["n_docs"] == 1
     d21 = [r for r in got2 if r["doc_id"] == 21]
     assert d21[0]["span"] == a and d21[0]["n_docs"] == 2  # docs 21, 22
+
+
+def test_neardup_index_compact_and_vacuum(spark, tmp_path):
+    """Index lifecycle (r12): compaction rewrites all committed
+    batches into one base batch with IDENTICAL search results;
+    vacuum removes superseded and torn batch directories; a
+    post-compact append continues the normal cycle."""
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    h1 = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(4)],
+        "doc_id long, text string",
+    )
+    h2 = spark.createDataFrame(
+        [(10, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma tok2 delta eps"),
+            (101, "zeta eta theta iota kappa lambda"),
+            (102, "entirely novel words right here now"),
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_candidates"], r["best_jaccard"],
+         r["match_doc_id"], r["is_neardup"])
+        for r in df.collect()
+    )
+    p = str(tmp_path / "idx")
+    dedup.neardup_index_build(h1, p, k=8, bands=4, n=2)
+    dedup.neardup_index_build(h2, p, k=8, bands=4, n=2, mode="append",
+                              batch_tag="b2")
+    before = key(dedup.neardup_index_search(spark, p, batch, threshold=0.4))
+
+    # plant a TORN batch (data, no manifest row) — vacuum must remove it
+    dedup.shingles(h2, 2).write.mode("overwrite").parquet(
+        f"{p}/shingles/batch=torn"
+    )
+    bid = dedup.neardup_index_compact(spark, p)
+    assert bid.startswith("compact-")
+    after = key(dedup.neardup_index_search(spark, p, batch, threshold=0.4))
+    assert before == after
+
+    removed = dedup.neardup_index_vacuum(spark, p)
+    # superseded: base build batch + b2 across 3 tables, plus the torn dir
+    names = {os.path.basename(r) for r in removed}
+    assert "batch=torn" in names and "batch=b2" in names
+    assert all(f"batch={bid}" != n for n in names)
+    still = key(dedup.neardup_index_search(spark, p, batch, threshold=0.4))
+    assert still == before
+
+    # the cycle continues: append after compact, new doc searchable
+    h3 = spark.createDataFrame(
+        [(20, "entirely novel words right here now")],
+        "doc_id long, text string",
+    )
+    dedup.neardup_index_build(h3, p, k=8, bands=4, n=2, mode="append",
+                              batch_tag="b3")
+    got = {r["doc_id"]: r for r in
+           dedup.neardup_index_search(spark, p, batch, threshold=0.4).collect()}
+    assert got[102]["is_neardup"] and got[102]["match_doc_id"] == 20
+    assert got[100]["is_neardup"] and got[101]["is_neardup"]

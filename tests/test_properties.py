@@ -656,3 +656,70 @@ def test_remove_repeated_spans_matches_reference(spark, docs, n, min_docs):
         for r in remove_repeated_spans(sdf, n=n, min_docs=min_docs).collect()
     }
     assert got == _ref_remove_spans(docs, n, min_docs)
+
+
+def _ref_maximal_spans(texts, n, min_docs):
+    """Brute-force reference for maximal_spans: enumerate n-gram
+    occurrences, keep hot ones (>= min_docs distinct docs), merge
+    overlapping/ADJACENT [p, p+n-1] ranges per doc into maximal
+    intervals, slice the merged text, count distinct docs per maximal
+    span text. Positions 1-based inclusive."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    occ = {}
+    for d, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            occ.setdefault(" ".join(tk[p : p + n]), []).append((d, p))
+    hot = {s for s, os_ in occ.items() if len({d for d, _ in os_}) >= min_docs}
+    rows = []
+    for d, tk in toks.items():
+        ranges = sorted(
+            (p, p + n - 1)
+            for s in hot
+            for dd, p in occ.get(s, ())
+            if dd == d
+        )
+        merged = []
+        for a, b in ranges:
+            if merged and a <= merged[-1][1] + 1:  # overlap OR adjacent
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        for a, b in merged:
+            rows.append((d, a + 1, b + 1, " ".join(tk[a : b + 1]), b - a + 1))
+    ndocs = {}
+    for d, _, _, s, _ in rows:
+        ndocs.setdefault(s, set()).add(d)
+    return sorted(
+        (d, a, b, s, ln, len(ndocs[s])) for d, a, b, s, ln in rows
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+    min_docs=st.integers(2, 3),
+)
+def test_maximal_spans_matches_reference(spark, docs, n, min_docs):
+    """Random tiny-alphabet corpora maximize overlapping AND adjacent
+    hot windows — the two merge cases maximal_spans must coalesce.
+    Spark must equal the brute-force reference exactly: positions,
+    merged span text, and corpus-wide n_docs on the MAXIMAL text."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators.dedup import (
+        maximal_spans,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"], r["span"], r["n_tokens"],
+         r["n_docs"])
+        for r in maximal_spans(sdf, n=n, min_docs=min_docs).collect()
+    )
+    assert got == _ref_maximal_spans(docs, n, min_docs)
