@@ -1259,6 +1259,64 @@ def _q_chunk_documents(spark, sf_dir):
 
 
 @_register(
+    "c_span_corruption",
+    """
+WITH base AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+), bb AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+         CAST(len(tk) // 20 AS INT) AS nb
+  FROM base
+), sp AS (
+  SELECT doc_id, tk, n,
+    list_transform(range(0, nb), b ->
+      CAST(b * 20
+           + CAST(concat('0x', substr(md5('spancorr|t5|'
+               || CAST(doc_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)),
+               1, 8)) AS BIGINT) % 18
+           AS INT)) AS st
+  FROM bb
+)
+SELECT doc_id, n AS n_tokens,
+  CAST(len(st) AS BIGINT) AS n_spans,
+  CAST(len(st) * 3 AS BIGINT) AS n_masked,
+  array_to_string(list_filter(
+    list_transform(range(1, CAST(n AS INT) + 1), i ->
+      CASE
+        WHEN CAST((i - 1) // 20 AS INT) < len(st)
+             AND (i - 1) >= st[CAST((i - 1) // 20 AS INT) + 1]
+             AND (i - 1) <  st[CAST((i - 1) // 20 AS INT) + 1] + 3
+        THEN CASE WHEN (i - 1) = st[CAST((i - 1) // 20 AS INT) + 1]
+                  THEN '<extra_id_'
+                       || CAST(CAST((i - 1) // 20 AS INT) AS VARCHAR)
+                       || '>'
+                  ELSE NULL END
+        ELSE tk[CAST(i AS INT)]
+      END),
+    x -> x IS NOT NULL), ' ') AS inputs,
+  array_to_string(list_concat(
+    flatten(list_transform(range(0, len(st)), k ->
+      list_concat(
+        ['<extra_id_' || CAST(k AS VARCHAR) || '>'],
+        tk[CAST(st[CAST(k AS INT) + 1] + 1 AS INT)
+           : CAST(st[CAST(k AS INT) + 1] + 3 AS INT)]))),
+    ['<extra_id_' || CAST(len(st) AS VARCHAR) || '>']), ' ') AS targets
+FROM sp
+""",
+)
+def _q_span_corruption(spark, sf_dir):
+    """T5-style span-corruption sample prep (curate.span_corruption,
+    new r12): deterministic block variant — every full 20-token block
+    masks one 3-token span at the portable md5 offset of (seed, doc,
+    block), inputs rebuilt with <extra_id_k> sentinels, targets as
+    the sentinel-delimited masked spans + terminal sentinel. One
+    map-only projection, no RNG, no shuffle; the oracle replays
+    inputs and targets byte-for-byte (a one-token drift anywhere in
+    the rebuild breaks the hash)."""
+    return curate.span_corruption(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "c_quality_filter",
     f"""
 WITH s AS (
@@ -11741,6 +11799,7 @@ _VERIFY_FIRST = [
     "c_full_curation",
     "d_maximal_spans",
     "d_neardup_compact",
+    "c_span_corruption",
     # tier 3 — the four r5-stale gates the r11 sample could not fit
     # (they lead per r11 verdict item 1) ...
     "t_token_diversity",

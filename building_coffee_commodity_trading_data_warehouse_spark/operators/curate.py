@@ -1209,3 +1209,121 @@ def full_curation(
         "pack_offset",
         "pack_id",
     )
+
+
+def span_corruption(
+    documents: DataFrame,
+    text_col: str = "text",
+    mask_ratio: float = 0.15,
+    span_len: int = 3,
+    seed: str = "t5",
+) -> DataFrame:
+    """T5/UL2-style span-corruption sample prep (Raffel et al. 2020
+    §3.1.4 denoising objective): mask contiguous token spans and emit
+    the (inputs, targets) pair the trainer consumes — inputs with
+    each masked span replaced by its ``<extra_id_k>`` sentinel,
+    targets as the sentinel-delimited masked spans plus the terminal
+    sentinel.
+
+    DETERMINISTIC BLOCK VARIANT: T5 samples span starts and lengths
+    from an RNG; at corpus scale that makes samples depend on
+    partitioning and re-runs. Here the token stream is cut into
+    fixed blocks of ``round(span_len / mask_ratio)`` tokens and each
+    FULL block masks exactly one ``span_len`` span whose offset is
+    the portable md5 bucket of (seed, doc, block) — so the masked
+    fraction is exactly ``span_len/block`` per full block (the tail
+    stays unmasked), spans can never overlap, every sample is a pure
+    function of (seed, text), and a SQL oracle replays inputs and
+    targets byte-for-byte. Span k's sentinel is ``<extra_id_k>`` in
+    block order; targets end with ``<extra_id_{n_spans}>``, T5's
+    terminal sentinel.
+
+    Scale shape: ONE projection — tokenize once, block spans derived
+    in-row (sequence + transform), inputs/targets rebuilt with
+    index-lambda transforms and array_join. No shuffle, no UDF, no
+    RNG; the plan is a map-only scan at any corpus size."""
+    block = max(span_len + 1, int(round(span_len / mask_ratio)))
+    base = documents.select(
+        "doc_id", F.split(F.col(text_col), r"\s+").alias("__tk")
+    )
+    n = F.size("__tk")
+    n_blocks = F.floor(n / F.lit(block)).cast("int")
+    # offset of block b's masked span inside the block: md5 bucket of
+    # (seed, doc, b) mod the legal start range (block - span_len + 1)
+    off = lambda b: (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"spancorr|{seed}|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        b.cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(block - span_len + 1)
+    )
+    # absolute 0-based span starts, one per full block
+    starts = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: (b * F.lit(block) + off(b)).cast("int"),
+    )
+    withs = base.select(
+        "doc_id",
+        "__tk",
+        n.cast("long").alias("n_tokens"),
+        F.when(n_blocks > 0, starts)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("__st"),
+    )
+    st = F.col("__st")
+    # position i's block (candidate span index) and that span's start.
+    # F.get (0-based, NULL out of bounds) — element_at RAISES on an
+    # out-of-range index under Spark 4's default ANSI mode, and tail
+    # positions past the last full block index past the starts array.
+    blk = lambda i: F.floor(i / F.lit(block)).cast("int")
+    span_start = lambda i: F.get(st, blk(i))
+    in_span = lambda i: (
+        (i >= span_start(i)) & (i < span_start(i) + F.lit(span_len))
+    )
+    sentinel = lambda k: F.concat(
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    # inputs: sentinel at each span start, masked tokens dropped,
+    # everything else verbatim (NULLs vanish in the filter)
+    inputs_arr = F.filter(
+        F.transform(
+            F.col("__tk"),
+            lambda t, i: F.when(
+                in_span(i) & (i == span_start(i)), sentinel(blk(i))
+            ).when(in_span(i), F.lit(None).cast("string")).otherwise(t),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # targets: <extra_id_k> + span tokens per block, then the terminal
+    targets_arr = F.concat(
+        F.flatten(
+            F.transform(
+                st,
+                lambda s, k: F.concat(
+                    F.array(sentinel(k)),
+                    F.slice(F.col("__tk"), s + 1, span_len),
+                ),
+            )
+        ),
+        F.array(sentinel(F.size(st))),
+    )
+    return withs.select(
+        "doc_id",
+        "n_tokens",
+        F.size(st).cast("long").alias("n_spans"),
+        (F.size(st) * F.lit(span_len)).cast("long").alias("n_masked"),
+        F.concat_ws(" ", inputs_arr).alias("inputs"),
+        F.concat_ws(" ", targets_arr).alias("targets"),
+    )

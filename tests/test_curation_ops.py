@@ -2121,3 +2121,60 @@ def test_pretoken_vertical_tab_whitespace_cross_engine(spark):
     ).fetchone()[0]
     assert "".join(toks_sql) == text
     assert toks_sql == ["alpha", "\x0b", "beta", " \x0b\t", "42", "!"]
+
+
+def test_span_corruption_matches_reference(spark):
+    """Deterministic block-variant span corruption (r12): Spark must
+    equal a pure-Python reference byte-for-byte across the edges —
+    multi-block with tail, exactly-one-block, sub-block (no masking),
+    and empty text."""
+    import hashlib
+    import re as _re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    def ref(doc_id, text, block=20, span=3, seed="t5"):
+        tk = _re.split(r"\s+", text)
+        n = len(tk)
+        st = []
+        for b in range(n // block):
+            h = hashlib.md5(
+                f"spancorr|{seed}|{doc_id}|{b}".encode()
+            ).hexdigest()
+            st.append(b * block + int(h[:8], 16) % (block - span + 1))
+        inputs = []
+        for i, t in enumerate(tk):
+            k = i // block
+            if k < len(st) and st[k] <= i < st[k] + span:
+                if i == st[k]:
+                    inputs.append(f"<extra_id_{k}>")
+            else:
+                inputs.append(t)
+        targets = []
+        for k, s in enumerate(st):
+            targets.append(f"<extra_id_{k}>")
+            targets.extend(tk[s : s + span])
+        targets.append(f"<extra_id_{len(st)}>")
+        return (n, len(st), len(st) * 3, " ".join(inputs), " ".join(targets))
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(55))),
+        (2, " ".join(f"x{i}" for i in range(20))),
+        (3, "short text only"),
+        (4, ""),
+        (5, " ".join(f"y{i}" for i in range(100))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_masked"],
+                      r["inputs"], r["targets"])
+        for r in curate.span_corruption(df).collect()
+    }
+    for d, t in rows:
+        assert got[d] == ref(d, t), d
+    # masked fraction is exactly span/block per full block
+    assert got[5][2] == 5 * 3 and got[5][1] == 5
+    # reconstruction invariant: inputs' sentinel count == n_spans and
+    # targets carry every masked token
+    assert got[1][3].count("<extra_id_") == got[1][1]
+    assert got[1][4].count("<extra_id_") == got[1][1] + 1
