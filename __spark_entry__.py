@@ -1317,6 +1317,50 @@ def _q_span_corruption(spark, sf_dir):
 
 
 @_register(
+    "c_fim_transform",
+    f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+), c AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+    CAST(CAST(concat('0x', substr(md5('fimcut|fim|a|'
+         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % (len(tk) + 1) AS INT) AS c1,
+    CAST(CAST(concat('0x', substr(md5('fimcut|fim|b|'
+         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         % (len(tk) + 1) AS INT) AS c2,
+    CAST(concat('0x', substr(md5('fim|fim|'
+         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         < {int(0.5 * (1 << 32))} AND len(tk) >= 4 AS app
+  FROM base
+), d AS (
+  SELECT doc_id, tk, n, least(c1, c2) AS lo, greatest(c1, c2) AS hi, app
+  FROM c
+)
+SELECT doc_id, n AS n_tokens, app AS fim_applied,
+  CASE WHEN app THEN CAST(lo AS BIGINT) END AS cut_start,
+  CASE WHEN app THEN CAST(hi AS BIGINT) END AS cut_end,
+  CASE WHEN app THEN array_to_string(
+    ['<fim_prefix>'] || tk[1:lo] || ['<fim_suffix>']
+      || tk[hi + 1:CAST(n AS INT)] || ['<fim_middle>']
+      || tk[lo + 1:hi], ' ')
+  ELSE array_to_string(tk, ' ') END AS output
+FROM d
+""",
+)
+def _q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle sample prep (curate.fim_transform, new r12
+    — Bavarian et al. 2022 PSM format): a deterministic
+    content-addressed half of the corpus rewrites as
+    <fim_prefix> P <fim_suffix> S <fim_middle> M with the two token
+    cut points drawn from portable md5 buckets over [0, n]; the rest
+    pass through verbatim. One map-only projection, no RNG; the
+    oracle replays selection, cut points, and the rebuilt string
+    byte-for-byte."""
+    return curate.fim_transform(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "c_quality_filter",
     f"""
 WITH s AS (
@@ -11800,6 +11844,7 @@ _VERIFY_FIRST = [
     "d_maximal_spans",
     "d_neardup_compact",
     "c_span_corruption",
+    "c_fim_transform",
     # tier 3 — the four r5-stale gates the r11 sample could not fit
     # (they lead per r11 verdict item 1) ...
     "t_token_diversity",

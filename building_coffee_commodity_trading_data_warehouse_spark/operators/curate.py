@@ -1327,3 +1327,71 @@ def span_corruption(
         F.concat_ws(" ", inputs_arr).alias("inputs"),
         F.concat_ws(" ", targets_arr).alias("targets"),
     )
+
+
+def fim_transform(
+    documents: DataFrame,
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+    min_tokens: int = 4,
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle sample prep (Bavarian et al. 2022 — the
+    code-model training transform): a deterministic ``fim_rate``
+    fraction of documents is rewritten in PSM order —
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M`` — so the model
+    learns infilling while the rest pass through verbatim
+    (``fim_applied`` false).
+
+    Determinism (the span_corruption convention): document selection
+    is the content-addressed ``hash_bucket`` (a doc's FIM fate never
+    changes as the corpus grows), and the two token cut points are
+    portable md5 buckets of (seed, doc) over [0, n] — a pure function
+    of (seed, text), partitioning-independent, byte-replayable in
+    SQL. Documents under ``min_tokens`` tokens pass through (a
+    sub-4-token FIM sample is degenerate).
+
+    Scale: one map-only projection — tokenize once, two bucket
+    draws, three in-row slices, one join. No RNG, no shuffle, no
+    UDF."""
+    base = documents.select(
+        "doc_id", F.split(F.col(text_col), r"\s+").alias("__tk")
+    )
+    n = F.size("__tk")
+
+    def _cut(tag: str) -> Column:
+        h = F.md5(
+            F.concat(
+                F.lit(f"fimcut|{seed}|{tag}|"),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        )
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % (n + 1).cast("long")
+        ).cast("int")
+
+    c1, c2 = _cut("a"), _cut("b")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    applied = (
+        hash_bucket(F.col("doc_id"), f"fim|{seed}")
+        < F.lit(int(fim_rate * _BUCKETS))
+    ) & (n >= min_tokens)
+    fim_arr = F.concat(
+        F.array(F.lit("<fim_prefix>")),
+        F.slice("__tk", 1, lo),
+        F.array(F.lit("<fim_suffix>")),
+        F.slice("__tk", hi + 1, n - hi),
+        F.array(F.lit("<fim_middle>")),
+        F.slice("__tk", lo + 1, hi - lo),
+    )
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        applied.alias("fim_applied"),
+        F.when(applied, lo.cast("long")).alias("cut_start"),
+        F.when(applied, hi.cast("long")).alias("cut_end"),
+        F.when(applied, F.concat_ws(" ", fim_arr))
+        .otherwise(F.concat_ws(" ", "__tk"))
+        .alias("output"),
+    )

@@ -2178,3 +2178,47 @@ def test_span_corruption_matches_reference(spark):
     # targets carry every masked token
     assert got[1][3].count("<extra_id_") == got[1][1]
     assert got[1][4].count("<extra_id_") == got[1][1] + 1
+
+
+def test_fim_transform_reference_and_invariants(spark):
+    """FIM PSM transform (r12): reconstruction invariant — for every
+    applied doc, prefix+middle+suffix re-assembles the original token
+    stream; selection and cut points match the pure-Python md5
+    reference; short docs pass through."""
+    import hashlib
+    import re as _re
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(i % 30))) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curate.fim_transform(df).collect()}
+    n_applied = 0
+    for d, text in rows:
+        tk = _re.split(r"\s+", text)
+        n = len(tk)
+        exp_app = bucket(f"fim|fim|{d}") < (1 << 31) and n >= 4
+        r = got[d]
+        assert r["fim_applied"] == exp_app, d
+        if not exp_app:
+            assert r["output"] == " ".join(tk)
+            assert r["cut_start"] is None and r["cut_end"] is None
+            continue
+        n_applied += 1
+        c1 = bucket(f"fimcut|fim|a|{d}") % (n + 1)
+        c2 = bucket(f"fimcut|fim|b|{d}") % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        assert (r["cut_start"], r["cut_end"]) == (lo, hi)
+        exp = (["<fim_prefix>"] + tk[:lo] + ["<fim_suffix>"] + tk[hi:]
+               + ["<fim_middle>"] + tk[lo:hi])
+        assert r["output"] == " ".join(exp), d
+        # reconstruction: P + M + S == original
+        out = r["output"]
+        p = out.split("<fim_suffix>")[0].replace("<fim_prefix>", "").split()
+        s = out.split("<fim_suffix>")[1].split("<fim_middle>")[0].split()
+        m = out.split("<fim_middle>")[1].split()
+        assert p + m + s == tk, d
+    assert n_applied > 5  # the rate actually selects a population
