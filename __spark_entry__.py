@@ -6362,6 +6362,38 @@ def _q_domain_filter(spark, sf_dir):
     )
 
 
+def _full_curation_derived(docs) -> DataFrame:
+    """The c_full_curation gate's corpus constructor — c_domain_rollup's
+    residue URLs overlaid on _web_pipeline_derived's curated text —
+    shared with scripts/full_curation_staged_study.py so the
+    fused-vs-staged study provably measures the SAME derived corpus
+    the gate verifies (the _web_pipeline_derived precedent)."""
+    did = F.col("doc_id")
+    u = (
+        F.when(
+            did % 7 == 6,
+            F.concat(F.lit("not a url "), (did % 4).cast("string")),
+        )
+        .when(
+            did % 7 == 5,
+            F.concat(
+                F.lit("https://trap.example.com/page?id="),
+                (did % 3).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.site"), (did % 23).cast("string"),
+                F.lit(".org/p/"), did.cast("string"),
+            )
+        )
+    )
+    return _web_pipeline_derived(docs).join(
+        docs.select("doc_id", u.alias("url")), "doc_id"
+    )
+
+
+
 @_register(
     "c_full_curation",
     f"""
@@ -6543,31 +6575,8 @@ def _q_full_curation(spark, sf_dir):
     contracts — survivor sets, rebuilt text bytes, chunk boundaries,
     pack offsets — that the per-stage gates cannot see."""
     docs = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    u = (
-        F.when(
-            did % 7 == 6,
-            F.concat(F.lit("not a url "), (did % 4).cast("string")),
-        )
-        .when(
-            did % 7 == 5,
-            F.concat(
-                F.lit("https://trap.example.com/page?id="),
-                (did % 3).cast("string"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("https://www.site"), (did % 23).cast("string"),
-                F.lit(".org/p/"), did.cast("string"),
-            )
-        )
-    )
-    derived = _web_pipeline_derived(docs).join(
-        docs.select("doc_id").select("doc_id", u.alias("url")), "doc_id"
-    )
     return curate.full_curation(
-        derived,
+        _full_curation_derived(docs),
         history_max_id=250,
         min_words=_WP_GOPHER_MIN_WORDS,
         para_sep="\n",

@@ -1144,8 +1144,31 @@ def neardup_index_build(
     and re-running an append with the same ``batch_tag`` OVERWRITES
     its own partitions — idempotent replay, which is what the
     streaming deploy's foreachBatch (at-least-once) needs.
-    ``batch_tag`` defaults to a fresh uuid4; pass a deterministic tag
-    to opt into replay-idempotency.
+    ``batch_tag`` defaults to a fresh ``b<uuid4>``; pass a
+    deterministic tag to opt into replay-idempotency. Tags are
+    restricted to ``[A-Za-z0-9._-]`` WITH at least one ASCII letter:
+    a purely numeric or date-shaped tag would be type-INFERRED by
+    partition discovery (``batch=20240101`` reads back as an int),
+    silently breaking the string comparisons search, compact, and
+    vacuum make against directory names.
+
+    ``mode='overwrite'`` is a MANIFEST SWAP, not a truncate: the new
+    corpus lands under a fresh unreferenced batch directory exactly
+    like an append, then the manifest is REWRITTEN to reference only
+    that batch. A crash mid-build therefore leaves either the OLD
+    index view (data written, manifest not yet swapped) or a loud
+    error (manifest mid-rewrite — search refuses a batch-partitioned
+    index without a readable manifest), never a silently-empty
+    history. Superseded batch directories remain until
+    ``neardup_index_vacuum``. Rebuilding in place with DIFFERENT
+    (k, bands, n) is refused — the old view would pair with the new
+    meta during the window; use a fresh path.
+
+    Appending to a PRE-MANIFEST (legacy flat-layout) index is
+    refused: mixing ``batch=`` partition directories with flat part
+    files makes the whole table unreadable ("conflicting directory
+    structures"). Legacy indexes keep working read-only; rebuild
+    them to adopt the manifest layout.
 
     DUPLICATE-DOC HAZARD (unchanged semantics, now documented):
     appending the SAME doc_id twice — two batches sharing ids, or a
@@ -1153,39 +1176,63 @@ def neardup_index_build(
     and duplicates its band/shingle rows, inflating candidate and
     Jaccard arithmetic. Appends must carry corpus-unique doc_ids;
     the keeper of idempotency is the tag, not the id."""
+    import re as _re
     import uuid
+
+    from pyspark.errors import AnalysisException
 
     spark = documents.sparkSession
     sh = scoped_persist(shingles(documents, n))
     sig = scoped_persist(_minhash_wide(sh, k))
     meta = (int(k), int(bands), int(n))
-    if mode == "append":
+    try:
         have = spark.read.parquet(f"{path}/meta").collect()[0]
-        if (have["k"], have["bands"], have["n"]) != meta:
-            raise ValueError(
-                f"index at {path} was built with "
-                f"(k,bands,n)={tuple(have)}, append requested {meta}"
-            )
-    bid = batch_tag if batch_tag is not None else uuid.uuid4().hex
-    if "=" in bid or "/" in bid:
-        raise ValueError(f"batch_tag {bid!r} must not contain '=' or '/'")
+        have = (have["k"], have["bands"], have["n"])
+    except AnalysisException:
+        have = None
+    if have is not None and have != meta:
+        raise ValueError(
+            f"index at {path} was built with (k,bands,n)={have}, "
+            f"{mode} requested {meta}"
+            + ("" if mode == "append" else
+               " — in-place rebuild with different banding would pair"
+               " the old view with the new meta mid-swap; use a fresh"
+               " path")
+        )
+    if mode == "append" and have is None:
+        raise ValueError(f"append requested but no index meta at {path}")
+    try:
+        spark.read.parquet(f"{path}/manifest").head(1)
+        has_manifest = True
+    except AnalysisException:
+        has_manifest = False
+    if have is not None and not has_manifest:
+        raise ValueError(
+            f"index at {path} predates the manifest layout; writing "
+            "batch= partition directories next to its flat part files "
+            "would make the table unreadable — build to a FRESH path "
+            "(legacy indexes stay searchable read-only)"
+        )
+    bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", bid) or not _re.search(
+        r"[A-Za-z]", bid
+    ):
+        raise ValueError(
+            f"batch_tag {bid!r} must be [A-Za-z0-9._-]+ and contain a "
+            "letter (a numeric/date-shaped tag gets type-inferred by "
+            "partition discovery and breaks tag comparisons)"
+        )
     tables = {
         "bands": _band_keys(sig, k, bands),
         "shingles": sh,
         "sizes": sig.select("doc_id", "n_shingles"),
     }
-    if mode == "append":
-        # direct write into this batch's partition dir: overwrite is
-        # scoped to the dir, so a replayed tag redoes only itself.
-        for name, df in tables.items():
-            df.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
-    else:
-        # fresh build: partitionBy + overwrite clears any prior
-        # batches of each table wholesale.
-        for name, df in tables.items():
-            df.withColumn("batch", F.lit(bid)).write.partitionBy(
-                "batch"
-            ).mode("overwrite").parquet(f"{path}/{name}")
+    # data first, under this batch's own partition dir — invisible
+    # until the manifest references it; a replayed tag redoes only
+    # itself (per-dir overwrite).
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
+    if have is None:
         # one-row sidecars via spark.range + lit — pure-JVM plans.
         # createDataFrame([...]) from a local list routes through a
         # Python RDD and costs ~5 s PER CALL in this runtime
@@ -1202,6 +1249,9 @@ def neardup_index_build(
             f"{path}/manifest/batch={bid}"
         )
     else:
+        # MANIFEST SWAP: the rewritten manifest references only the
+        # new batch; prior batches become unreferenced garbage for
+        # neardup_index_vacuum.
         committed.withColumn("batch", F.lit(bid)).coalesce(1).write.partitionBy(
             "batch"
         ).mode("overwrite").parquet(f"{path}/manifest")
@@ -1222,21 +1272,27 @@ def neardup_index_compact(spark, path: str) -> str:
 
     Sequencing: the compacted data lands FIRST under an unreferenced
     ``batch=compact-…`` directory (invisible — no manifest row),
-    then the manifest is REWRITTEN to the single new batch. The
-    manifest rewrite is the one non-append step in the index's life;
-    on a filesystem without atomic directory replace there is a
-    brief window where a concurrent search could see a partial
-    manifest — run compaction from the ingest owner, not
-    concurrently with searches (a production deployment would swap a
-    metastore pointer instead). Superseded batch directories stay on
-    disk (still ignored by every search) until
-    ``neardup_index_vacuum``. Returns the new batch tag."""
+    then the manifest is REWRITTEN to the single new batch — the
+    same manifest-swap ``neardup_index_build(mode='overwrite')``
+    uses. On a filesystem without atomic directory replace a
+    concurrent search can race the swap; it sees the old view, the
+    new view, or a LOUD error (search refuses a batch-partitioned
+    index whose manifest is unreadable mid-rewrite) — never a
+    silently partial result. Still, run compaction from the ingest
+    owner rather than concurrently with searches (a production
+    deployment would swap a metastore pointer instead). Superseded
+    batch directories stay on disk (still ignored by every search)
+    until ``neardup_index_vacuum``. Returns the new batch tag."""
     import uuid
 
+    # batch values cast to STRING: partition discovery type-infers a
+    # numeric/date-shaped tag, and a typed value never equals the
+    # directory-name string (build validates tags against this, the
+    # cast is the belt for indexes written before the validation).
     committed = [
         r["batch"]
         for r in spark.read.parquet(f"{path}/manifest")
-        .select("batch")
+        .select(F.col("batch").cast("string").alias("batch"))
         .distinct()
         .collect()
     ]
@@ -1244,7 +1300,9 @@ def neardup_index_compact(spark, path: str) -> str:
     for name in ("bands", "shingles", "sizes"):
         t = spark.read.parquet(f"{path}/{name}")
         if "batch" in t.columns:
-            t = t.filter(F.col("batch").isin(committed)).drop("batch")
+            t = t.filter(
+                F.col("batch").cast("string").isin(committed)
+            ).drop("batch")
         t.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
     spark.range(1).select(F.lit(True).alias("committed")).withColumn(
         "batch", F.lit(bid)
@@ -1270,10 +1328,12 @@ def neardup_index_vacuum(spark, path: str) -> list[str]:
             "the Hadoop FileSystem here before vacuuming remote indexes"
         )
     root = path.removeprefix("file:")
+    # string-cast for the same type-inference reason as compact: the
+    # comparison below is against raw directory-name strings.
     committed = {
         r["batch"]
         for r in spark.read.parquet(f"{path}/manifest")
-        .select("batch")
+        .select(F.col("batch").cast("string").alias("batch"))
         .distinct()
         .collect()
     }
@@ -1338,7 +1398,9 @@ def neardup_index_search(
         committed = [
             r["batch"]
             for r in spark.read.parquet(f"{path}/manifest")
-            .select("batch")
+            # string-cast: a type-inferred (numeric/date-shaped)
+            # partition value must still compare against tag strings
+            .select(F.col("batch").cast("string").alias("batch"))
             .distinct()
             .collect()
         ]
@@ -1354,9 +1416,20 @@ def neardup_index_search(
 
     def _tbl(name: str) -> DataFrame:
         t = spark.read.parquet(f"{path}/{name}")
-        if committed is None or "batch" not in t.columns:
-            return t
-        return t.filter(F.col("batch").isin(committed)).drop("batch")
+        if "batch" not in t.columns:
+            return t  # legacy flat layout
+        if committed is None:
+            # batch partitions WITHOUT a readable manifest is not
+            # legacy — it is a torn or mid-publish index; reading it
+            # unfiltered would mix unpublished batches in silently.
+            raise ValueError(
+                f"index table {path}/{name} has batch partitions but "
+                f"no readable manifest at {path}/manifest — torn "
+                "build/append or manifest swap in flight"
+            )
+        return t.filter(
+            F.col("batch").cast("string").isin(committed)
+        ).drop("batch")
 
     hband = _tbl("bands")
     if max_bucket is not None:

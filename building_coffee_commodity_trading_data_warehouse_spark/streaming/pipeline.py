@@ -170,11 +170,14 @@ def neardup_stream(
     IDEMPOTENT REPLAY (r11 ADVICE — foreachBatch is at-least-once,
     so a micro-batch replayed after a failure re-runs ``_screen``;
     a bare append sink would duplicate its verdict rows): each
-    batch's verdicts OVERWRITE their own ``batch_id=<id>`` partition
-    directory under ``out_path`` — Structured Streaming replays a
-    batch under the SAME batch_id, so the redo rewrites exactly its
-    own output and nothing else. Readers see a ``batch_id``
-    partition column; drop it for the pure verdict schema.
+    batch's verdicts OVERWRITE their own ``batch_id=<run>-<id>``
+    partition directory under ``out_path`` — Structured Streaming
+    replays a batch under the SAME batch_id within one checkpoint
+    lineage, so the redo rewrites exactly its own output and nothing
+    else, and the checkpoint-derived run prefix keeps a RESTARTED
+    query (fresh checkpoint, batch_ids from 0) from clobbering the
+    previous run's partitions. Readers see a ``batch_id`` partition
+    column; drop it for the pure verdict schema.
 
     ``append_survivors=True`` is the full production cycle: after
     screening, the micro-batch's NON-duplicate docs append to the
@@ -188,10 +191,25 @@ def neardup_stream(
     build's durability docstring; the st_neardup_append gate replays
     the sequential semantics exactly in SQL). Returns the
     StreamingQuery."""
+    import hashlib
+    import os as _os
+
+    # RUN-scoped tag prefix: Structured Streaming batch_ids restart
+    # at 0 under a NEW checkpoint, so a bare "stream-<id>" tag from a
+    # restarted query would overwrite the PREVIOUS run's batches in
+    # the index and verdict sink. Deriving the prefix from the
+    # checkpoint path keeps same-checkpoint replays idempotent
+    # (identical tag) while distinct checkpoint lineages never
+    # collide. 'r' prefix guarantees a letter (partition-discovery
+    # type-inference contract, see neardup_index_build).
+    run = "r" + hashlib.md5(
+        _os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
     def _screen(batch: DataFrame, batch_id: int) -> None:
         _neardup_screen_batch(
             batch, batch_id, index_path, out_path, threshold,
-            append_survivors,
+            append_survivors, run=run,
         )
 
     return (
@@ -209,15 +227,17 @@ def _neardup_screen_batch(
     out_path: str,
     threshold: float,
     append_survivors: bool,
+    run: str = "r0",
 ) -> None:
     """One micro-batch of ``neardup_stream`` — module-level so the
     replay contract is directly testable: calling this twice with the
-    same ``batch_id`` must leave the verdict sink and (with
+    same ``(run, batch_id)`` must leave the verdict sink and (with
     ``append_survivors``) the index byte-identical to one call."""
     from ..operators import dedup as _dedup
 
     if not batch.head(1):
         return
+    tag = f"stream-{run}-{batch_id}"
     # exclude this batch's OWN index tag from the search: on a
     # replay the index already holds the first attempt's survivor
     # append, and without the exclusion the batch would match itself
@@ -226,10 +246,12 @@ def _neardup_screen_batch(
         index_path,
         batch,
         threshold,
-        exclude_tags=[f"stream-{batch_id}"] if append_survivors else None,
+        exclude_tags=[tag] if append_survivors else None,
     )
     res = res.persist()
-    res.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+    res.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={run}-{batch_id}"
+    )
     if append_survivors:
         keep_ids = res.filter(~res["is_neardup"]).select("doc_id")
         survivors = batch.join(keep_ids, "doc_id", "left_semi")
@@ -243,7 +265,7 @@ def _neardup_screen_batch(
             bands=meta["bands"],
             n=meta["n"],
             mode="append",
-            batch_tag=f"stream-{batch_id}",
+            batch_tag=tag,
         )
     res.unpersist()
 

@@ -27,22 +27,12 @@ from building_coffee_commodity_trading_data_warehouse_spark.session import get_s
 
 
 def _derived(spark, sf_dir):
+    # the gate's OWN corpus constructor — the study provably measures
+    # the corpus c_full_curation verifies
     from building_coffee_commodity_trading_data_warehouse_spark import catalog
 
-    docs = catalog.table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    u = (
-        F.when(did % 7 == 6,
-               F.concat(F.lit("not a url "), (did % 4).cast("string")))
-        .when(did % 7 == 5,
-              F.concat(F.lit("https://trap.example.com/page?id="),
-                       (did % 3).cast("string")))
-        .otherwise(F.concat(F.lit("https://www.site"),
-                            (did % 23).cast("string"),
-                            F.lit(".org/p/"), did.cast("string")))
-    )
-    return entry_mod._web_pipeline_derived(docs).join(
-        docs.select("doc_id", u.alias("url")), "doc_id"
+    return entry_mod._full_curation_derived(
+        catalog.table(spark, sf_dir, "documents")
     )
 
 

@@ -933,9 +933,16 @@ def test_neardup_index_torn_append_invisible_and_replay_idempotent(
         direct["match_doc_id"],
         direct["is_neardup"],
     )
-    with _pt.raises(ValueError, match="must not contain"):
+    with _pt.raises(ValueError, match="must be"):
         dedup.neardup_index_build(
             extra, p, k=8, bands=4, n=2, mode="append", batch_tag="a=b"
+        )
+    # numeric/date-shaped tags are refused too: partition discovery
+    # would type-infer them and break every tag-string comparison
+    with _pt.raises(ValueError, match="must be"):
+        dedup.neardup_index_build(
+            extra, p, k=8, bands=4, n=2, mode="append",
+            batch_tag="20240101",
         )
 
 

@@ -810,3 +810,53 @@ def test_neardup_stream_replayed_microbatch_idempotent(spark, tmp_path):
     # a double-appended index would inflate n_candidates
     assert got[20]["is_neardup"] and got[20]["match_doc_id"] == 11
     assert got[20]["n_candidates"] == 1
+
+
+def test_neardup_stream_restart_fresh_checkpoint_no_clobber(spark, tmp_path):
+    """A RESTARTED query (new checkpoint, batch_ids from 0 again)
+    must not overwrite the previous run's verdict partitions or
+    stream-tagged index batches — the run-scoped tag prefix derived
+    from the checkpoint path keeps lineages disjoint."""
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    hist = spark.createDataFrame(
+        [(1, "history doc alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(11, "fresh run one content entirely new")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(21, "fresh run one content entirely new")],  # dup of 11
+        "doc_id long, text string",
+    )
+    ipath, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    dedup.neardup_index_build(hist, ipath, k=8, bands=4, n=2)
+
+    def run(df, tag):
+        land = str(tmp_path / f"land{tag}")
+        os.makedirs(land, exist_ok=True)
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage{tag}"))
+        pipeline.stage_delivery(
+            str(tmp_path / f"stage{tag}"), land, "delivery"
+        )
+        stream = pipeline.stream_documents(spark, land)
+        q = pipeline.neardup_stream(
+            stream, ipath, out, str(tmp_path / f"ckpt{tag}"),
+            threshold=0.5, append_survivors=True,
+        )
+        q.awaitTermination()
+
+    run(d1, "A")   # batch_id 0 under checkpoint A
+    run(d2, "B")   # batch_id 0 AGAIN under checkpoint B
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    # both runs' verdicts present — run B did not clobber run A's
+    assert set(got) == {11, 21}
+    assert not got[11]["is_neardup"]
+    # run B screened against run A's surviving append
+    assert got[21]["is_neardup"] and got[21]["match_doc_id"] == 11
