@@ -7986,6 +7986,55 @@ def _q_ewma(spark, sf_dir):
 
 
 @_register(
+    "c_pack_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+  FROM t
+),
+ch AS (
+  SELECT doc_id,
+         CAST(start // 48 AS BIGINT) AS chunk_id,
+         CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+         doc_id % 4 AS shard
+  FROM s
+),
+p AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+            AS pack_offset
+  FROM ch
+),
+pk AS (
+  SELECT shard, CAST(pack_offset // 256 AS BIGINT) AS pack_id,
+         n_tokens, pack_offset
+  FROM p
+)
+SELECT shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN pack_offset + n_tokens > (pack_id + 1) * 256
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+       CAST(SUM(n_tokens) AS BIGINT) / 256.0 AS fill_ratio
+FROM pk GROUP BY shard, pack_id
+""",
+)
+def _q_pack_stats(spark, sf_dir):
+    """Packing-efficiency audit (curate.pack_stats, new r12) over the
+    c_pack_chunks layout: per (shard, pack) chunk/token counts,
+    boundary-straddle count, and fill ratio — only a shard's last
+    pack may be under-full, so the gate pins the invariant the
+    assembly relies on. One (shard, pack_id)-keyed aggregation on
+    top of the packing window; no extra join."""
+    ch = curate.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk=64, stride=48
+    ).withColumn("shard", F.pmod("doc_id", F.lit(4)))
+    packed = curate.pack_chunks(ch, max_tokens=256, shard_col="shard")
+    return curate.pack_stats(packed, max_tokens=256)
+
+
+@_register(
     "c_temperature_mix",
     """
 WITH c AS (
@@ -11854,6 +11903,7 @@ _VERIFY_FIRST = [
     "d_neardup_compact",
     "c_span_corruption",
     "c_fim_transform",
+    "c_pack_stats",
     # tier 3 — the four r5-stale gates the r11 sample could not fit
     # (they lead per r11 verdict item 1) ...
     "t_token_diversity",

@@ -1395,3 +1395,43 @@ def fim_transform(
         .otherwise(F.concat_ws(" ", "__tk"))
         .alias("output"),
     )
+
+
+def pack_stats(
+    packed: DataFrame,
+    max_tokens: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Packing-efficiency audit over ``pack_chunks`` output — the
+    numbers a shard-assembly pipeline checks before shipping packs to
+    a trainer: per (shard, pack_id): ``n_chunks``, ``n_tokens``
+    (token mass whose START offset falls in the pack), ``n_straddle``
+    (chunks crossing the pack's right boundary — the concat-and-chunk
+    slice points), and ``fill_ratio`` (n_tokens / max_tokens; only a
+    shard's LAST pack can be under-full by construction, so a low
+    fill anywhere else means the input ordering broke).
+
+    One aggregation keyed on (shard, pack_id) — the same key space
+    the packs themselves parallelize over; no window, no join. The
+    fill_ratio division is the only float, computed once per output
+    row."""
+    straddle = (
+        F.col("pack_offset") + F.col("n_tokens")
+        > (F.col("pack_id") + 1) * F.lit(max_tokens)
+    )
+    return (
+        packed.groupBy(shard_col, "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(straddle.cast("int")).cast("long").alias("n_straddle"),
+        )
+        .select(
+            shard_col,
+            "pack_id",
+            "n_chunks",
+            "n_tokens",
+            "n_straddle",
+            (F.col("n_tokens") / F.lit(max_tokens)).alias("fill_ratio"),
+        )
+    )

