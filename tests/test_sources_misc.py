@@ -172,20 +172,49 @@ def test_compaction_splits_oversized_partition(spark, sf_dir, tmp_path):
     assert a == b
 
 
-def test_file_stats_rejects_remote_scheme():
-    """Silently summing 0 bytes for s3:// objects would make
-    compact_table collapse a remote table to ONE file; the stats helper
-    must refuse instead."""
+def test_file_stats_unconfigured_remote_scheme_fails_loud(spark):
+    """Silently summing 0 bytes for unreachable objects would make
+    compact_table collapse a remote table to ONE file. The stats
+    helper now routes through the Hadoop FileSystem (r12 verdict item
+    7), so a scheme with no configured connector fails LOUDLY at FS
+    resolution instead of summing zeros — and a scheme WITH a
+    connector (s3a on a real cluster) would just work."""
     import pytest
 
     from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
 
     class _FakeScan:
-        def inputFiles(self):
-            return ["s3://bucket/tbl/part-000.parquet"]
+        sparkSession = spark
 
-    with pytest.raises(NotImplementedError, match="non-local scheme"):
+        def inputFiles(self):
+            return ["nosuchfs://bucket/tbl/part-000.parquet"]
+
+    with pytest.raises(Exception, match="[Nn]o FileSystem for scheme"):
         maintenance.table_file_stats(_FakeScan())
+
+
+def test_file_stats_file_scheme_uri(spark, sf_dir, tmp_path):
+    """file:-scheme URIs stat end-to-end through the Hadoop FS path
+    (the old os.path.getsize code handled them by prefix-stripping;
+    the new code must resolve the scheme) and agree with the local
+    on-disk sizes."""
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark import catalog
+    from building_coffee_commodity_trading_data_warehouse_spark.plans import maintenance
+
+    dest = str(tmp_path / "t")
+    catalog.table(spark, sf_dir, "region").write.parquet(dest)
+    n, total = maintenance.table_file_stats(
+        spark.read.parquet("file://" + dest)
+    )
+    want = sum(
+        os.path.getsize(os.path.join(dest, f))
+        for f in os.listdir(dest)
+        if f.endswith(".parquet")
+    )
+    assert n == len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert total == want
 
 
 def test_jsonl_orc_roundtrip(spark, tmp_path):

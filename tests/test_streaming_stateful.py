@@ -860,3 +860,77 @@ def test_neardup_stream_restart_fresh_checkpoint_no_clobber(spark, tmp_path):
     assert not got[11]["is_neardup"]
     # run B screened against run A's surviving append
     assert got[21]["is_neardup"] and got[21]["match_doc_id"] == 11
+
+
+def test_neardup_stream_wiped_checkpoint_same_path_new_lineage(spark, tmp_path):
+    """r12 ADVICE: the old run prefix was md5(abspath(checkpoint)), so
+    wiping a checkpoint dir and restarting at the SAME path restarted
+    batch_ids at 0 under an IDENTICAL prefix — silently overwriting
+    the previous lineage's verdict partitions and stream-tagged index
+    batches. The run id is now a uuid minted once into a marker file
+    INSIDE the checkpoint dir: wiping the checkpoint wipes the marker,
+    so the next run is a new lineage and prior verdicts survive."""
+    import os
+    import shutil
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    hist = spark.createDataFrame(
+        [(1, "history doc alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(11, "fresh run one content entirely new")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(21, "fresh run one content entirely new")],  # dup of 11
+        "doc_id long, text string",
+    )
+    ipath, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")  # the SAME path both runs
+    dedup.neardup_index_build(hist, ipath, k=8, bands=4, n=2)
+
+    def run(df, tag):
+        land = str(tmp_path / f"land{tag}")
+        os.makedirs(land, exist_ok=True)
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage{tag}"))
+        pipeline.stage_delivery(str(tmp_path / f"stage{tag}"), land, "delivery")
+        stream = pipeline.stream_documents(spark, land)
+        q = pipeline.neardup_stream(
+            stream, ipath, out, ckpt,
+            threshold=0.5, append_survivors=True,
+        )
+        q.awaitTermination()
+
+    run(d1, "A")          # batch_id 0, lineage 1
+    shutil.rmtree(ckpt)   # checkpoint lost/wiped — the ADVICE scenario
+    run(d2, "B")          # batch_id 0 AGAIN at the same path
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    assert set(got) == {11, 21}, "wiped-checkpoint restart clobbered run 1"
+    assert not got[11]["is_neardup"]
+    # lineage 2 screened against lineage 1's surviving index append
+    assert got[21]["is_neardup"] and got[21]["match_doc_id"] == 11
+
+
+def test_checkpoint_run_id_mint_once_and_reread(spark, tmp_path):
+    """The run-id marker is minted once per checkpoint lineage, read
+    back stable across calls, letter-prefixed (the index partition-tag
+    contract), and re-minted fresh after the checkpoint is wiped."""
+    import re
+    import shutil
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming.pipeline import (
+        _checkpoint_run_id,
+    )
+
+    ckpt = str(tmp_path / "ck")
+    a = _checkpoint_run_id(spark, ckpt)
+    b = _checkpoint_run_id(spark, ckpt)
+    assert a == b
+    assert re.fullmatch(r"[A-Za-z0-9._-]+", a) and re.search(r"[A-Za-z]", a)
+    shutil.rmtree(ckpt)
+    c = _checkpoint_run_id(spark, ckpt)
+    assert c != a
