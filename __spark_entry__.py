@@ -2465,6 +2465,167 @@ def _q_image_phash(spark, sf_dir):
     return multimodal.image_phash(media)
 
 
+# Shared oracle for the phash-index gates: replay the 64-bit phash
+# from the payload bytes (the m_image_phash CTEs), band the history
+# (< 250) into 4×16-bit pigeonhole bands, equi-join the batch
+# (>= 250), verify with bit_count(xor) — the full persisted-index
+# search replayed with no index at all, which is exactly the point:
+# the index is a physical artifact, never a semantic one.
+_SQL_PHASH_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, n, w, h,
+         list_transform(range(1, GREATEST(n, 1) + 1),
+           i -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS L
+  FROM t
+),
+g AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 64), k ->
+           ( L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0)
+               % GREATEST(n, 1) + 1]
+           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1)
+               % GREATEST(n, 1) + 1]
+           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2)
+               % GREATEST(n, 1) + 1]) // 3) AS gs
+  FROM codes
+),
+m AS (SELECT doc_id, gs, list_sum(gs) // 64 AS mean FROM g),
+bits AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32, 64),
+           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
+                     THEN 2 ** (k - 32) ELSE 0 END)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
+                     THEN 2 ** k ELSE 0 END)) AS BIGINT) AS hash_lo
+  FROM m
+),
+hist AS (SELECT doc_id, hash_hi, hash_lo FROM bits WHERE doc_id < 250),
+bt AS (SELECT doc_id, hash_hi, hash_lo FROM bits WHERE doc_id >= 250),
+bands(band) AS (SELECT unnest(range(0, 4))),
+hb AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN hash_lo & 65535
+                   WHEN 1 THEN (hash_lo >> 16) & 65535
+                   WHEN 2 THEN hash_hi & 65535
+                   ELSE (hash_hi >> 16) & 65535 END AS band_val
+  FROM hist CROSS JOIN bands
+),
+bb AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN hash_lo & 65535
+                   WHEN 1 THEN (hash_lo >> 16) & 65535
+                   WHEN 2 THEN hash_hi & 65535
+                   ELSE (hash_hi >> 16) & 65535 END AS band_val
+  FROM bt CROSS JOIN bands
+),
+cand AS (
+  SELECT DISTINCT bb.doc_id, hb.doc_id AS hist_id
+  FROM bb JOIN hb ON bb.band = hb.band AND bb.band_val = hb.band_val
+),
+sc AS (
+  SELECT c.doc_id, c.hist_id,
+         CAST(bit_count(xor(b.hash_hi, h2.hash_hi))
+            + bit_count(xor(b.hash_lo, h2.hash_lo)) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN bt b ON c.doc_id = b.doc_id
+  JOIN hist h2 ON c.hist_id = h2.doc_id
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT hist_id) AS BIGINT) AS n_candidates,
+         MIN(hamming) AS best_hamming,
+         MIN(CASE WHEN hamming <= 3 THEN hist_id END) AS match_doc_id
+  FROM sc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(p.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+       p.best_hamming, p.match_doc_id,
+       COALESCE(p.best_hamming <= 3, FALSE) AS is_dup
+FROM bt b LEFT JOIN per p USING (doc_id)
+"""
+
+
+@_register("m_phash_index", _SQL_PHASH_SEARCH)
+def _q_phash_index(spark, sf_dir):
+    """Persisted IMAGE near-dup index (multimodal.phash_index_build /
+    phash_index_search, new r13 — r12 verdict item 6): perceptual
+    hashes of the first half of history build the index, the second
+    half APPENDS as a separate manifest-committed batch, then the
+    batch (doc_id >= 250) is searched — candidate count, best Hamming
+    distance, smallest matching history doc within the budget, and
+    the verdict per image. The index rides the exact durability
+    machinery the text index hardened in r12 (manifest commits, torn
+    appends invisible, static-pinned swap)."""
+    import os as _os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    hashes = multimodal.image_phash(media).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    hashes = hashes.persist()
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_phash_idx/{tag}_{_os.getpid()}"
+    multimodal.phash_index_build(
+        hashes.filter(F.col("doc_id") < 125), ipath, max_distance=3
+    )
+    multimodal.phash_index_build(
+        hashes.filter((F.col("doc_id") >= 125) & (F.col("doc_id") < 250)),
+        ipath, max_distance=3, mode="append", batch_tag="b2",
+    )
+    return multimodal.phash_index_search(
+        spark, ipath, hashes.filter(F.col("doc_id") >= 250)
+    )
+
+
+@_register("m_phash_search", _SQL_PHASH_SEARCH)
+def _q_phash_search(spark, sf_dir):
+    """Image-index MAINTENANCE lifecycle (new r13): build + append,
+    then COMPACT the two committed batches into one base and VACUUM
+    the superseded directories (multimodal.phash_index_compact /
+    _vacuum — the shared Hadoop-FS manifest machinery), then search.
+    The oracle is the SAME no-index SQL as m_phash_index: compaction
+    and vacuum are pure physical rewrites, so one lost or doubled
+    band/hash row anywhere in the rewrite shifts a candidate count or
+    Hamming min and fails the value hash."""
+    import os as _os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+
+    ship_package(spark)
+    media = multimodal.to_media_table(_t(spark, sf_dir, "documents"))
+    hashes = multimodal.image_phash(media).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    hashes = hashes.persist()
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_phash_cmp/{tag}_{_os.getpid()}"
+    multimodal.phash_index_build(
+        hashes.filter(F.col("doc_id") < 125), ipath, max_distance=3
+    )
+    multimodal.phash_index_build(
+        hashes.filter((F.col("doc_id") >= 125) & (F.col("doc_id") < 250)),
+        ipath, max_distance=3, mode="append", batch_tag="b2",
+    )
+    multimodal.phash_index_compact(spark, ipath)
+    multimodal.phash_index_vacuum(spark, ipath)
+    return multimodal.phash_index_search(
+        spark, ipath, hashes.filter(F.col("doc_id") >= 250)
+    )
+
+
 @_register(
     "m_audio_wav",
     """
@@ -9890,6 +10051,64 @@ def _q_maximal_spans(spark, sf_dir):
     span-keyed stats rollup — nothing corpus-sized unkeyed."""
     return dedup.maximal_spans(
         _t(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+@_register(
+    "d_maximal_spans_chars",
+    """
+WITH occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, i, 24) AS w
+  FROM documents, UNNEST(range(1, length(text) - 22)) u(i)
+  WHERE length(text) >= 24
+), hot AS (
+  SELECT w FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+), hv AS (
+  SELECT o.doc_id, o.pos, o.pos + 23 AS e
+  FROM occ o JOIN hot h USING (w)
+), isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         THEN 1 ELSE 0 END AS ni
+  FROM hv
+), isl2 AS (
+  SELECT doc_id, pos, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), iv AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+), sl AS (
+  SELECT i.doc_id, i.s AS start, i.e AS "end",
+         substring(d.text, CAST(i.s AS INT),
+                   CAST(i.e - i.s + 1 AS INT)) AS span,
+         i.e - i.s + 1 AS n_chars
+  FROM iv i JOIN documents d USING (doc_id)
+), st AS (
+  SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sl GROUP BY span
+)
+SELECT s.doc_id, s.start, s."end", s.span, s.n_chars, st.n_docs
+FROM sl s JOIN st ON s.span = st.span
+""",
+)
+def _q_maximal_spans_chars(spark, sf_dir):
+    """Character-granular maximal repeated spans
+    (dedup.maximal_spans_chars, new r13 — r12 verdict item 5, the
+    Lee et al. 2022 byte-fidelity mode): stride-1 24-char windows
+    over the RAW text, hot if in >= 3 distinct docs, coalesced
+    per doc into maximal character ranges and sliced back out with
+    1-based inclusive char positions — a repeated run is ONE span
+    regardless of token boundaries. Spark ships 8-byte xxhash64
+    window keys through the hot-detection shuffle (the oracle
+    replays with exact window text — the gate therefore also pins
+    collision-cleanliness); islands/slice/stats mirror the token
+    gate."""
+    return dedup.maximal_spans_chars(
+        _t(spark, sf_dir, "documents"), min_len=24, min_docs=3
     )
 
 

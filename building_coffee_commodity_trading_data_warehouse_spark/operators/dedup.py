@@ -1176,24 +1176,50 @@ def neardup_index_build(
     and duplicates its band/shingle rows, inflating candidate and
     Jaccard arithmetic. Appends must carry corpus-unique doc_ids;
     the keeper of idempotency is the tag, not the id."""
-    import re as _re
     import uuid
-
-    from pyspark.errors import AnalysisException
 
     spark = documents.sparkSession
     sh = scoped_persist(shingles(documents, n))
     sig = scoped_persist(_minhash_wide(sh, k))
-    meta = (int(k), int(bands), int(n))
+    _index_preflight(
+        spark, path, mode, {"k": int(k), "bands": int(bands), "n": int(n)}
+    )
+    bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
+    _validate_batch_tag(bid)
+    tables = {
+        "bands": _band_keys(sig, k, bands),
+        "shingles": sh,
+        "sizes": sig.select("doc_id", "n_shingles"),
+    }
+    _write_index_batch(
+        spark,
+        path,
+        bid,
+        mode,
+        tables,
+        {"k": int(k), "bands": int(bands), "n": int(n)},
+    )
+    return path
+
+
+def _index_preflight(spark, path: str, mode: str, want: dict) -> bool:
+    """Shared preflight for the manifest-committed index lifecycle
+    (text near-dup bands and image phash bands take the same path):
+    validates the meta sidecar against ``want``, refuses appends to
+    nothing / to a torn build / to a legacy flat-layout index, and
+    lets an overwrite retry recover a torn-new build in place (r12
+    ADVICE). Returns True when meta already exists at ``path``."""
+    from pyspark.errors import AnalysisException
+
     try:
-        have = spark.read.parquet(f"{path}/meta").collect()[0]
-        have = (have["k"], have["bands"], have["n"])
+        row = spark.read.parquet(f"{path}/meta").collect()[0]
+        have = {k: row[k] for k in want}
     except AnalysisException:
         have = None
-    if have is not None and have != meta:
+    if have is not None and have != want:
         raise ValueError(
-            f"index at {path} was built with (k,bands,n)={have}, "
-            f"{mode} requested {meta}"
+            f"index at {path} was built with {have}, {mode} requested "
+            f"{want}"
             + ("" if mode == "append" else
                " — in-place rebuild with different banding would pair"
                " the old view with the new meta mid-swap; use a fresh"
@@ -1239,7 +1265,12 @@ def neardup_index_build(
         # torn-new + overwrite: fall through — the rebuild lands
         # under a fresh batch dir and the manifest swap publishes
         # it; the torn directories become vacuum-able garbage.
-    bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
+    return have is not None
+
+
+def _validate_batch_tag(bid: str) -> None:
+    import re as _re
+
     if not _re.fullmatch(r"[A-Za-z0-9._-]+", bid) or not _re.search(
         r"[A-Za-z]", bid
     ):
@@ -1248,25 +1279,44 @@ def neardup_index_build(
             "letter (a numeric/date-shaped tag gets type-inferred by "
             "partition discovery and breaks tag comparisons)"
         )
-    tables = {
-        "bands": _band_keys(sig, k, bands),
-        "shingles": sh,
-        "sizes": sig.select("doc_id", "n_shingles"),
-    }
+
+
+def _write_index_batch(
+    spark,
+    path: str,
+    bid: str,
+    mode: str,
+    tables: dict,
+    meta_vals: dict,
+) -> None:
+    """The durable write sequence shared by every manifest-committed
+    index: per-batch data partitions first (invisible — nothing
+    references them), the int-typed meta sidecar if this is a fresh
+    path, then the manifest COMMIT — append publishes one batch row,
+    overwrite is the manifest SWAP (see neardup_index_build's
+    durability docstring)."""
     # data first, under this batch's own partition dir — invisible
     # until the manifest references it; a replayed tag redoes only
     # itself (per-dir overwrite).
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
-    if have is None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(f"{path}/meta").head(1)
+        fresh = False
+    except AnalysisException:
+        fresh = True
+    if fresh:
         # one-row sidecars via spark.range + lit — pure-JVM plans.
         # createDataFrame([...]) from a local list routes through a
         # Python RDD and costs ~5 s PER CALL in this runtime
         # (measured; it was 85% of the whole build's wall).
         spark.range(1).select(
-            F.lit(meta[0]).cast("int").alias("k"),
-            F.lit(meta[1]).cast("int").alias("bands"),
-            F.lit(meta[2]).cast("int").alias("n"),
+            *[
+                F.lit(v).cast("int").alias(kk)
+                for kk, v in meta_vals.items()
+            ]
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     # commit point — a batch without its manifest row does not exist.
     committed = spark.range(1).select(F.lit(True).alias("committed"))
@@ -1289,10 +1339,11 @@ def neardup_index_build(
         ).option("partitionOverwriteMode", "static").mode(
             "overwrite"
         ).parquet(f"{path}/manifest")
-    return path
 
 
-def neardup_index_compact(spark, path: str) -> str:
+def neardup_index_compact(
+    spark, path: str, tables: tuple = ("bands", "shingles", "sizes")
+) -> str:
     """Rewrite every manifest-committed batch of a near-dup index
     into ONE base batch and repoint the manifest at it — the
     LSM-style maintenance step that completes the index lifecycle
@@ -1331,7 +1382,7 @@ def neardup_index_compact(spark, path: str) -> str:
         .collect()
     ]
     bid = "compact-" + uuid.uuid4().hex
-    for name in ("bands", "shingles", "sizes"):
+    for name in tables:
         t = spark.read.parquet(f"{path}/{name}")
         if "batch" in t.columns:
             t = t.filter(
@@ -1352,6 +1403,56 @@ def neardup_index_compact(spark, path: str) -> str:
     return bid
 
 
+def _committed_view(spark, path: str, exclude_tags=None):
+    """The committed batch-tag list a search must read — one bounded
+    collect of the manifest (string-cast: a type-inferred numeric/
+    date-shaped partition value must still compare against tag
+    strings) minus ``exclude_tags`` (the streaming replay contract,
+    see ``neardup_index_search``). ``None`` means a legacy
+    pre-manifest index (read unfiltered)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        committed = [
+            r["batch"]
+            for r in spark.read.parquet(f"{path}/manifest")
+            .select(F.col("batch").cast("string").alias("batch"))
+            .distinct()
+            .collect()
+        ]
+    except AnalysisException:
+        committed = None  # legacy (pre-manifest) index layout
+    if exclude_tags:
+        if committed is None:
+            raise ValueError(
+                "exclude_tags requires a manifest-layout index "
+                f"(none found at {path})"
+            )
+        committed = [b for b in committed if b not in set(exclude_tags)]
+    return committed
+
+
+def _committed_table(spark, path: str, name: str, committed) -> DataFrame:
+    """Read one index table restricted to manifest-committed batches
+    — the ``batch.isin(committed)`` filter is partition PRUNING at the
+    parquet scan, so torn batch partitions never load."""
+    t = spark.read.parquet(f"{path}/{name}")
+    if "batch" not in t.columns:
+        return t  # legacy flat layout
+    if committed is None:
+        # batch partitions WITHOUT a readable manifest is not
+        # legacy — it is a torn or mid-publish index; reading it
+        # unfiltered would mix unpublished batches in silently.
+        raise ValueError(
+            f"index table {path}/{name} has batch partitions but "
+            f"no readable manifest at {path}/manifest — torn "
+            "build/append or manifest swap in flight"
+        )
+    return t.filter(
+        F.col("batch").cast("string").isin(committed)
+    ).drop("batch")
+
+
 def _read_committed_tags(spark, path: str) -> set[str]:
     """The manifest's committed batch-tag set, string-cast (partition
     discovery type-infers numeric/date-shaped tags; comparisons here
@@ -1367,7 +1468,10 @@ def _read_committed_tags(spark, path: str) -> set[str]:
 
 
 def neardup_index_vacuum(
-    spark, path: str, grace_seconds: float = 0.0
+    spark,
+    path: str,
+    grace_seconds: float = 0.0,
+    tables: tuple = ("bands", "shingles", "sizes"),
 ) -> list[str]:
     """Delete batch directories no longer referenced by the manifest
     (superseded by ``neardup_index_compact``, or torn appends whose
@@ -1409,7 +1513,7 @@ def neardup_index_vacuum(
     committed = _read_committed_tags(spark, path)
     cutoff_ms = (time.time() - grace_seconds) * 1000.0
     candidates = []  # (table, tag, hadoop Path)
-    for name in ("bands", "shingles", "sizes"):
+    for name in tables:
         tdir = HPath(f"{path}/{name}")
         if not fs.exists(tdir):
             continue
@@ -1471,49 +1575,15 @@ def neardup_index_search(
     matching itself. Requires the manifest layout (a ValueError on a
     legacy index — silently ignoring the exclusion would return
     self-matches)."""
-    from pyspark.errors import AnalysisException
-
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     k, bands, n = meta["k"], meta["bands"], meta["n"]
     bsh = scoped_persist(shingles(batch, n))
     bsig = scoped_persist(_minhash_wide(bsh, k))
 
-    try:
-        committed = [
-            r["batch"]
-            for r in spark.read.parquet(f"{path}/manifest")
-            # string-cast: a type-inferred (numeric/date-shaped)
-            # partition value must still compare against tag strings
-            .select(F.col("batch").cast("string").alias("batch"))
-            .distinct()
-            .collect()
-        ]
-    except AnalysisException:
-        committed = None  # legacy (pre-manifest) index layout
-    if exclude_tags:
-        if committed is None:
-            raise ValueError(
-                "exclude_tags requires a manifest-layout index "
-                f"(none found at {path})"
-            )
-        committed = [b for b in committed if b not in set(exclude_tags)]
+    committed = _committed_view(spark, path, exclude_tags)
 
     def _tbl(name: str) -> DataFrame:
-        t = spark.read.parquet(f"{path}/{name}")
-        if "batch" not in t.columns:
-            return t  # legacy flat layout
-        if committed is None:
-            # batch partitions WITHOUT a readable manifest is not
-            # legacy — it is a torn or mid-publish index; reading it
-            # unfiltered would mix unpublished batches in silently.
-            raise ValueError(
-                f"index table {path}/{name} has batch partitions but "
-                f"no readable manifest at {path}/manifest — torn "
-                "build/append or manifest swap in flight"
-            )
-        return t.filter(
-            F.col("batch").cast("string").isin(committed)
-        ).drop("batch")
+        return _committed_table(spark, path, name, committed)
 
     hband = _tbl("bands")
     if max_bucket is not None:
@@ -1686,6 +1756,145 @@ def maximal_spans(
     )
     return sliced.join(stats, "span").select(
         "doc_id", "start", "end", "span", "n_tokens", "n_docs"
+    )
+
+
+def maximal_spans_chars(
+    documents: DataFrame,
+    min_len: int = 50,
+    min_docs: int = 3,
+    text_col: str = "text",
+    exact: bool = False,
+) -> DataFrame:
+    """Character-granular maximal repeated spans — the Lee et al.
+    2022 fidelity mode (r12 verdict item 5): ExactSubstr operates on
+    BYTES with a ~50-byte minimum, while ``maximal_spans`` quantizes
+    span identity to token n-grams, so a repeated run that starts or
+    ends MID-token is trimmed to whole-token boundaries and a run
+    shorter than ``n`` tokens but longer than 50 characters is
+    missed entirely. Here the sliding window is ``min_len``
+    CHARACTERS with stride 1 over the raw text: any substring of
+    ≥ ``min_len`` chars repeated across ≥ ``min_docs`` distinct
+    documents surfaces as run(s) of hot windows, which coalesce
+    (gap-islands, overlap-or-adjacent) into ONE maximal span per
+    (document, run), sliced back out of the text with 1-based
+    inclusive CHARACTER positions. Output: (doc_id, start, end,
+    span, n_chars, n_docs) — ``n_docs`` counted on the maximal span
+    text, exactly like the token mode.
+
+    Plan: the window table is built IN-ROW (one ``transform`` over a
+    position sequence — ``substr``/``xxhash64`` are codegen, no UDF,
+    no posexplode join-back), so the exploded frame carries
+    (doc_id, pos, window-key) and nothing else. By default the
+    window key is ``xxhash64`` of the window text — 8 bytes crossing
+    the hot-detection shuffle instead of ``min_len`` chars (~6× less
+    exchange volume at the default 50); a hash collision can only
+    ADD a false hot window (two distinct windows colliding), never
+    hide a real one, and the planted-fixture pytest plus the gate's
+    exact-text DuckDB oracle pin that the emitted spans are
+    collision-clean at test scale (~n²/2⁶⁴ expected collisions:
+    ~1e-8 even at a billion windows). ``exact=True`` ships the
+    window text itself for the paranoid path. Stride-1 char windows
+    are ~word-length× more rows than the token mode's — that is the
+    honest cost of byte-fidelity (Lee et al. pay it in a suffix
+    array); the rows are narrow (doc_id, pos, 8-byte key) and every
+    exchange is keyed (window key, then doc_id, then span text),
+    so the 100 TB posture is bounded by shuffle volume, not by any
+    driver or per-task state."""
+    from pyspark.sql import Window
+
+    n = int(min_len)
+    key = (lambda s: s) if exact else (lambda s: F.xxhash64(s))
+    empty_t = (
+        "array<struct<pos:int,w:string>>"
+        if exact
+        else "array<struct<pos:int,w:bigint>>"
+    )
+    base = documents.select("doc_id", F.col(text_col).alias("__tx"))
+    nwin = F.length("__tx") - (n - 1)
+    wins = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.struct(
+                i.alias("pos"),
+                key(F.col("__tx").substr(i, F.lit(n))).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast(empty_t))
+    occ = base.select("doc_id", F.explode(wins).alias("s")).select(
+        "doc_id", F.col("s.pos").cast("long").alias("pos"), "s.w"
+    )
+    hot = (
+        occ.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("w")
+    )
+    iv = occ.join(hot, "w").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("end").over(w_prev), F.lit(0)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    merged = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
+                "__iv"
+            )
+        )
+    )
+    sliced = (
+        base.join(merged, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.col("__iv"),
+                    lambda c: F.struct(
+                        c["start"].cast("long").alias("start"),
+                        c["end"].cast("long").alias("end"),
+                        F.col("__tx")
+                        .substr(
+                            c["start"].cast("int"),
+                            (c["end"] - c["start"] + 1).cast("int"),
+                        )
+                        .alias("span"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "doc_id",
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.span").alias("span"),
+            (F.col("m.end") - F.col("m.start") + F.lit(1)).alias("n_chars"),
+        )
+    )
+    stats = sliced.groupBy("span").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    return sliced.join(stats, "span").select(
+        "doc_id", "start", "end", "span", "n_chars", "n_docs"
     )
 
 

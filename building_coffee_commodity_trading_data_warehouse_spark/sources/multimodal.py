@@ -1204,6 +1204,182 @@ def phash_pairs(hashes: DataFrame, max_distance: int = 3) -> DataFrame:
     )
 
 
+def phash_index_build(
+    hashes: DataFrame,
+    path: str,
+    max_distance: int = 3,
+    mode: str = "overwrite",
+    batch_tag: str | None = None,
+) -> str:
+    """Persist an IMAGE near-dup index over perceptual-hash Hamming
+    bands — the image twin of ``dedup.neardup_index_build`` (r12
+    verdict item 6: text got the durable batch-vs-history screen in
+    r11-12; a VLM-scale crawl needs the same shape for images).
+    Input is the ``image_phash`` output (doc_id, hash_hi, hash_lo —
+    the 64-bit perceptual hash as two 32-bit halves); the index is
+    two parquet tables under ``path``:
+
+    * ``bands``  (doc_id, band, band_val): ``max_distance + 1``
+      pigeonhole bands per image (two hashes within the Hamming
+      budget must agree on at least one FULL band — the candidate
+      equi-join side, same shape as ``phash_pairs``);
+    * ``hashes`` (doc_id, hash_hi, hash_lo): the verification side —
+      unlike text near-dup there is no shingle table to prune; the
+      whole verification payload is 24 bytes per image,
+
+    plus the one-row ``meta`` sidecar (max_distance — banding derives
+    from it, so an index can never be probed with mismatched bands)
+    and the same manifest-commit durability contract as the text
+    index (every guarantee in ``neardup_index_build``'s docstring —
+    torn appends invisible, same-tag replay idempotent, overwrite =
+    manifest swap pinned static, torn-new recoverable by overwrite
+    retry — is enforced by the SHARED ``_index_preflight`` /
+    ``_write_index_batch`` machinery, not re-implemented)."""
+    import uuid
+
+    from ..operators import dedup as _dedup
+
+    spark = hashes.sparkSession
+    _dedup._index_preflight(
+        spark, path, mode, {"max_distance": int(max_distance)}
+    )
+    bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
+    _dedup._validate_batch_tag(bid)
+    nbands = max_distance + 1
+    width = 64 // nbands
+    banded = hashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_value(k, width) for k in range(nbands)])
+        ).alias("band", "band_val"),
+    )
+    _dedup._write_index_batch(
+        spark,
+        path,
+        bid,
+        mode,
+        {
+            "bands": banded,
+            "hashes": hashes.select("doc_id", "hash_hi", "hash_lo"),
+        },
+        {"max_distance": int(max_distance)},
+    )
+    return path
+
+
+def phash_index_compact(spark, path: str) -> str:
+    """LSM-style compaction of a phash index — the shared manifest-
+    swap rewrite (``dedup.neardup_index_compact``) over this index's
+    two tables. Search results are identical before and after
+    (pinned by the m_phash_search gate and pytest)."""
+    from ..operators import dedup as _dedup
+
+    return _dedup.neardup_index_compact(
+        spark, path, tables=("bands", "hashes")
+    )
+
+
+def phash_index_vacuum(
+    spark, path: str, grace_seconds: float = 0.0
+) -> list[str]:
+    """Delete unreferenced phash-index batch directories — the shared
+    Hadoop-FS vacuum (``dedup.neardup_index_vacuum``: manifest
+    re-read + optional grace window against in-flight appends) over
+    this index's two tables."""
+    from ..operators import dedup as _dedup
+
+    return _dedup.neardup_index_vacuum(
+        spark, path, grace_seconds=grace_seconds, tables=("bands", "hashes")
+    )
+
+
+def phash_index_search(
+    spark,
+    path: str,
+    batch_hashes: DataFrame,
+    exclude_tags: list[str] | None = None,
+) -> DataFrame:
+    """Search a batch of image hashes against a persisted
+    ``phash_index_build`` index: per batch image, the candidate count,
+    best (minimum) Hamming distance to history, the smallest matching
+    history doc_id within the budget, and the verdict — (doc_id,
+    n_candidates, best_hamming, match_doc_id, is_dup). Banding
+    parameters come from the index's meta sidecar; only manifest-
+    COMMITTED batches are read (shared ``_committed_view`` /
+    ``_committed_table`` — partition pruning drops torn batches at
+    the scan), and ``exclude_tags`` hides a replayed micro-batch's
+    own first-attempt append exactly like the text search.
+
+    Plan: batch bands are built in-row (posexplode of shift/mask
+    expressions — codegen), candidates come from the (band,
+    band_val) equi-join, and verification joins the candidate pairs
+    to the two narrow hash tables (24 bytes/image — there is nothing
+    to prune, so no broadcast/shuffle auto-route is needed here; AQE
+    broadcasts the candidate side when it fits). The rollup keys on
+    the batch doc_id. Nothing corpus-sized crosses an exchange
+    unkeyed and nothing lands on the driver but the meta row and the
+    committed tag list."""
+    from ..operators import dedup as _dedup
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    max_distance = meta["max_distance"]
+    nbands = max_distance + 1
+    width = 64 // nbands
+    committed = _dedup._committed_view(spark, path, exclude_tags)
+    hband = _dedup._committed_table(spark, path, "bands", committed).select(
+        F.col("doc_id").alias("hist_id"), "band", "band_val"
+    )
+    hhash = _dedup._committed_table(spark, path, "hashes", committed).select(
+        F.col("doc_id").alias("hist_id"),
+        F.col("hash_hi").alias("hi_h"),
+        F.col("hash_lo").alias("lo_h"),
+    )
+    bband = batch_hashes.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[_band_value(k, width) for k in range(nbands)])
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        bband.join(hband, ["band", "band_val"])
+        .select("doc_id", "hist_id")
+        .distinct()
+    )
+    dist = (
+        F.bit_count(F.col("hash_hi").bitwiseXOR(F.col("hi_h")))
+        + F.bit_count(F.col("hash_lo").bitwiseXOR(F.col("lo_h")))
+    ).cast("int")
+    scored = (
+        cand.join(hhash, "hist_id")
+        .join(
+            batch_hashes.select("doc_id", "hash_hi", "hash_lo"), "doc_id"
+        )
+        .select("doc_id", "hist_id", dist.alias("hamming"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.countDistinct("hist_id").cast("long").alias("n_candidates"),
+        F.min("hamming").alias("best_hamming"),
+        F.min(
+            F.when(F.col("hamming") <= max_distance, F.col("hist_id"))
+        ).alias("match_doc_id"),
+    )
+    return (
+        batch_hashes.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            "best_hamming",
+            "match_doc_id",
+            F.coalesce(
+                F.col("best_hamming") <= F.lit(max_distance), F.lit(False)
+            ).alias("is_dup"),
+        )
+    )
+
+
 def _band_value(k: int, width: int):
     """Bits [k·width, (k+1)·width) of the 64-bit hash held as two
     32-bit halves (hash_hi = bits 32-63, hash_lo = bits 0-31)."""

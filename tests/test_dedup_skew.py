@@ -1273,3 +1273,51 @@ def test_vacuum_grace_window_and_file_scheme(spark, tmp_path):
     assert removed2 and all("batch=" + bid not in r for r in removed2)
     still = dedup.neardup_index_search(spark, p, batch, threshold=0.4).head()
     assert still["is_neardup"] and still["best_jaccard"] == 1.0
+
+
+def test_maximal_spans_chars_cross_token_boundaries(spark):
+    """r12 verdict item 5 (Lee et al. byte-granularity fidelity): a
+    repeated run that starts or ends MID-token must surface as one
+    maximal CHARACTER span — the token-n-gram mode can't see it at
+    all when the run lives inside single long tokens or has
+    partial-token edges. Planted: (a) a 39-char single-token run
+    shared by 3 docs with different fused prefixes/suffixes; (b) a
+    37-char run with partial tokens at BOTH ends
+    (berries/ferries/merries -> 'erries ... epsilon'). Also pins
+    hash-keyed == exact-text window detection."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    S = "the-quick-brown-fox-jumps-over-the-lazy"  # 39 chars, ONE token
+    docs = spark.createDataFrame(
+        [
+            (1, "pref1" + S + "tail1 other words here"),
+            (2, "pp2" + S + "zz2 more words"),
+            (3, "x" + S + "y unrelated trailing content"),
+            (4, "berries alpha beta gamma delta epsilon"),
+            (5, "ferries alpha beta gamma delta epsilons"),
+            (6, "merries alpha beta gamma delta epsilonq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, dedup.maximal_spans_chars(docs, min_len=20, min_docs=3)
+            .collect())
+    )
+    assert got == [
+        (1, 6, 44, S, 39, 3),
+        (2, 4, 42, S, 39, 3),
+        (3, 2, 40, S, 39, 3),
+        (4, 2, 38, "erries alpha beta gamma delta epsilon", 37, 3),
+        (5, 2, 38, "erries alpha beta gamma delta epsilon", 37, 3),
+        (6, 2, 38, "erries alpha beta gamma delta epsilon", 37, 3),
+    ]
+    # the token mode is blind to every one of these (no shared token
+    # 5-gram exists) — the fidelity delta this mode closes
+    assert dedup.maximal_spans(docs, n=5, min_docs=3).count() == 0
+    exact = sorted(
+        map(tuple, dedup.maximal_spans_chars(
+            docs, min_len=20, min_docs=3, exact=True).collect())
+    )
+    assert exact == got
+    # runs shorter than min_len stay invisible
+    assert dedup.maximal_spans_chars(docs, min_len=40, min_docs=3).count() == 0
