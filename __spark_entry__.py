@@ -12090,47 +12090,92 @@ def _q_rfm_segments(spark, sf_dir):
 # from the latest CORRECTNESS_r*.json coverage, demote freshly
 # re-verified gates to tier 4.
 _VERIFY_FIRST = [
-    # ==== round-12 order. STANDING POLICY (r6 verdict item 6): any
+    # ==== round-13 order. STANDING POLICY (r6 verdict item 6): any
     # round that edits a shared-helper module re-queues the gates
     # importing it ahead of the stale rotation. ====
-    # tier 1 — code changed in r12: the r11 ADVICE batch (exact-
-    # rational domain_rollup threshold; keeper_election two-sided
-    # string cast; line_dedup JDK-exact literal quoting;
-    # manifest-committed atomic index appends; idempotent
-    # neardup_stream replay incl. own-tag search exclusion) plus the
-    # r11-verdict-4 candidate-prune auto-route — consumers across
-    # dedup.py / urls.py / streaming/pipeline.py. The first nine are
-    # ALSO the r11-new never-driver-sampled gates (r11 verdict item
-    # 1), so they satisfy both tiers at once.
-    "c_domain_rollup",
-    "c_domain_filter",
+    # tier 1 — code changed in r13: the r12 ADVICE batch (manifest
+    # swap pinned static under dynamic partitionOverwriteMode;
+    # torn-new build recovery; vacuum manifest re-read + grace
+    # window; checkpoint-lineage run-id marker) plus the index
+    # machinery refactor into shared helpers and the Hadoop-FS
+    # rewrite of vacuum and maintenance.table_file_stats —
+    # consumers across dedup.py / streaming/pipeline.py /
+    # plans/maintenance.py.
+    "d_neardup_index",
+    "d_neardup_compact",
     "d_incremental_neardup",
     "d_incremental_neardup_capped",
-    "d_neardup_index",
     "st_neardup_append",
     "st_neardup_stream",
+    "st_quality_stream",
+    "c_full_curation",
+    "m_compact_table",
+    # tier 2 — new in r13 (no driver row yet): char-granular
+    # maximal spans (r12 verdict item 5) and the persisted image
+    # near-dup index lifecycle (r12 verdict item 6).
+    "d_maximal_spans_chars",
+    "m_phash_index",
+    "m_phash_search",
+    # tier 3 — the 21 r6-stale gates (r12 verdict item 1: six
+    # driver rounds without a resample; includes the core
+    # sorts/top-k parity surface) ...
+    "q_important_stock",
+    "q_market_concentration",
+    "q_order_distribution",
+    "q_order_lifecycle",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_shipmode_priority",
+    "q_sql_surface",
+    "s_embedding_dimstats",
+    "s_global_sort",
+    "s_lsh_buckets",
+    "s_topk_per_group",
+    "st_histogram",
+    "st_leaderboard",
+    "st_left_join",
+    "st_stateful_totals",
+    "st_variant_totals",
+    "st_zscore_outliers",
+    "t_fingerprints",
+    "w_resample_ffill",
+    "w_zscore_outliers",
+    # ... then the oldest r7-stale gates filling the ~50-slot
+    # sample (the rest of the r7 cohort is r14's tier 3).
+    "a_countmin_freq",
+    "a_cramers_v",
+    "a_gini",
+    "a_ks_drift",
+    "a_mann_kendall",
+    "a_sketch_rollup",
+    "c_model_score",
+    "c_negative_pairs",
+    "d_cluster_canonical",
+    "d_simhash_pairs",
+    "e_cdc_apply",
+    "e_date_dim",
+    "e_schema_evolution",
+    "g_triangle_counts",
+    "j_asof_forward",
+    "j_edit_distance",
+    "m_audio_vad",
+    "m_frame_counts",
+    # remainder: prior rotation order (r8+ recency).
+    "c_domain_rollup",
+    "c_domain_filter",
     "d_line_dedup_hot",
     "d_paragraph_dedup",
     "d_line_dedup",
     "c_web_pipeline",
     "c_url_dedup",
-    # tier 2 — new in r12 (no driver row yet): the end-to-end
-    # curation capstone and maximal repeated-span coalescing
-    # (r11 verdict items 6 and 5).
-    "c_full_curation",
     "d_maximal_spans",
-    "d_neardup_compact",
     "c_span_corruption",
     "c_fim_transform",
     "c_pack_stats",
-    # tier 3 — the four r5-stale gates the r11 sample could not fit
-    # (they lead per r11 verdict item 1) ...
     "t_token_diversity",
     "w_anchored_vwap",
     "w_rolling_corr",
     "w_rsi",
-    # ... plus the 32 oldest r6-stale gates, filling the ~50-slot
-    # driver sample exactly; the 17 remaining r6 gates lead r13.
     "a_active_users",
     "a_correlation",
     "a_histogram",
@@ -12159,12 +12204,6 @@ _VERIFY_FIRST = [
     "m_validate_rules",
     "p_filter_pushdown",
     "q_basket_pairs",
-    "q_important_stock",
-    "q_market_concentration",
-    "q_order_distribution",
-    "q_order_lifecycle",
-    # ---- everything else, prior relative order preserved
-    # (registration/staleness order from earlier rounds).
     "c_c4_rules",
     "t_pretoken_stats",
     "t_pretoken_vocab",
@@ -12173,7 +12212,6 @@ _VERIFY_FIRST = [
     "t_lm_quality",
     "t_entropy_stats",
     "s_embedding_quantize",
-    "st_quality_stream",
     "d_minhash_lsh",
     "d_minhash_certify",
     "a_approx_distinct",
@@ -12243,7 +12281,6 @@ _VERIFY_FIRST = [
     "j_asof_tolerance",
     "j_bucketed_join",
     "j_salted_skew",
-    "m_compact_table",
     "q_order_cadence",
     "q_top_suppliers",
     "s_embedding_clusters",
@@ -12274,7 +12311,6 @@ _VERIFY_FIRST = [
     "s_sparse_cosine",
     "s_ivf_index",
     "s_ivf_distributed",
-    "s_embedding_dimstats",
     "t_bpe_encode",
     "t_bpe_pairs",
     "m_decode_webp",
@@ -12353,7 +12389,6 @@ _VERIFY_FIRST = [
     "flagship_windows",
     "j_star_join",
     "j_roleplay_nation",
-    "s_topk_per_group",
     "q_duplicate_payments",
     "w_cusum",
     "st_cusum",
@@ -12363,49 +12398,16 @@ _VERIFY_FIRST = [
     "q_cohort_ltv",
     "q_association_rules",
     "q_customer_migration",
-    "a_gini",
-    "a_cramers_v",
-    "a_ks_drift",
-    "a_mann_kendall",
     "t_langid_ngram",
-    "m_audio_vad",
     "m_image_patches",
     "m_video_pairs",
     "t_quality_language",
     "t_token_stats",
     "w_rank_battery",
     "m_multimodal_features",
-    "m_frame_counts",
-    "d_simhash_pairs",
-    "e_schema_evolution",
-    "e_cdc_apply",
-    "e_date_dim",
     "w_global_rownum",
-    "j_asof_forward",
-    "j_edit_distance",
     "t_feature_hashing",
     "w_bollinger",
-    "c_model_score",
-    "a_sketch_rollup",
-    "d_cluster_canonical",
-    "a_countmin_freq",
-    "g_triangle_counts",
-    "c_negative_pairs",
-    "st_stateful_totals",
-    "st_zscore_outliers",
-    "st_variant_totals",
-    "w_zscore_outliers",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_shipmode_priority",
-    "st_histogram",
-    "st_leaderboard",
-    "st_left_join",
-    "w_resample_ffill",
-    "q_sql_surface",
-    "s_global_sort",
-    "s_lsh_buckets",
-    "t_fingerprints",
 ]
 
 

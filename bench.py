@@ -154,6 +154,25 @@ HEADLINE = [
     "d_paragraph_dedup",
     "d_nd_index_build",
     "d_nd_index_search",
+    # round-13 (r12 verdict item 4): the r12 gate-only newcomers join
+    # the headline set so they regress loudly — maximal repeated-span
+    # coalescing (the heaviest new text scan), the six-stage curation
+    # capstone (the heaviest composed plan in the repo), the
+    # deterministic sample-prep trio (map-only HOF projections — they
+    # pin the "no exchange grows with corpus size" property), and the
+    # full index-maintenance lifecycle (build+append+compact+vacuum+
+    # search — parquet-rewrite bound).
+    "d_maximal_spans",
+    "c_full_curation",
+    "c_span_corruption",
+    "c_fim_transform",
+    "c_pack_stats",
+    "d_neardup_compact",
+    # round-13: char-granular maximal spans (new this round, frozen
+    # same-round so r14 inherits a comparator) — the stride-1
+    # character-window exchange, the repo's densest shuffle per
+    # input byte.
+    "d_maximal_spans_chars",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
