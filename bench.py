@@ -13,6 +13,7 @@ way a single-shot run can."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -358,6 +359,15 @@ def main() -> None:
             if res is not None:
                 res.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            # release the rep's JVM-side state before the next one
+            # (r13, mirrors scripts/isolated_reps.py): eager
+            # localCheckpoint gates (c_full_curation) otherwise pin
+            # checkpointed RDD blocks across reps — measured 8 s ->
+            # 17 s of storage/GC-pressure growth by rep 5, a harness
+            # artifact that would make every later rep (and every
+            # later QUERY in the sequence) read high.
+            del res
+            gc.collect()
         timings[name] = round(statistics.median(samples), 3)
     cal_cpu.append(_calibration_cpu_sec())
     cal_spark.append(_calibration_spark_sec(spark))

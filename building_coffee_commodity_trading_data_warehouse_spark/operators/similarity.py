@@ -802,10 +802,7 @@ def ivf_index_search(
             spark, path, queries, k=k, nprobe=nprobe, margin=margin
         )
 
-    cpdf = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
-    )
-    C = np.stack(cpdf["centroid"].to_numpy()).astype("float64")
+    C = _read_centroids(spark, path)
     n_centroids = len(C)
     limit = k + margin
     vectors = spark.read.parquet(f"{path}/vectors")
@@ -911,6 +908,38 @@ def ivf_index_search(
     )
 
 
+def _read_centroids(spark, path: str):
+    """The n_centroids×D quantizer matrix from the index's one-file
+    ``centroids`` sidecar, sorted by cell. Local/file: paths read
+    driver-side via pyarrow (~ms — the sidecar is a handful of rows;
+    r13: profiling showed the Spark-job route costing ~0.25 s of
+    every search's plan phase, a fixed tax per query batch); any
+    other scheme, or any pyarrow surprise, falls back to the Spark
+    scan — same rows either way."""
+    import numpy as np
+
+    p = f"{path}/centroids"
+    if "://" not in p or p.startswith("file:"):
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            files = sorted(
+                _glob.glob(p.removeprefix("file:") + "/*.parquet")
+            )
+            if files:
+                pdf = _pq.read_table(files).to_pandas()
+                pdf = pdf.sort_values("cell").reset_index(drop=True)
+                return np.stack(pdf["centroid"].to_numpy()).astype(
+                    "float64"
+                )
+        except Exception:
+            pass  # fall through to the Spark scan
+    cpdf = spark.read.parquet(p).orderBy("cell").toPandas()
+    return np.stack(cpdf["centroid"].to_numpy()).astype("float64")
+
+
 def ivf_index_search_distributed(
     spark,
     path: str,
@@ -949,8 +978,7 @@ def ivf_index_search_distributed(
     import numpy as np
     import pandas as pd
 
-    cpdf = spark.read.parquet(f"{path}/centroids").orderBy("cell").toPandas()
-    C = np.stack(cpdf["centroid"].to_numpy()).astype("float64")
+    C = _read_centroids(spark, path)
     bc = spark.sparkContext.broadcast(C)
     limit = k + margin
     par = spark.sparkContext.defaultParallelism

@@ -59,7 +59,18 @@ def run_once():
     res = fn(spark, sf_dir)
     if res is not None:
         res.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # Release the previous rep's JVM-side state BETWEEN reps (r13):
+    # gates built around eager localCheckpoint (c_full_curation) pin
+    # checkpointed RDD blocks until the Python DataFrame ref is
+    # GC'd AND the ContextCleaner runs — without the explicit
+    # collect, reps 3-5 in one JVM read 8 s -> 17 s of pure storage/
+    # GC pressure growth, which is a harness artifact, not the
+    # query's steady-state cost.
+    import gc
+    del res
+    gc.collect()
+    return dt
 
 cal0 = _calibration_cpu_sec()
 run_once()  # warm-up: JVM JIT, scan caches, broadcast build
