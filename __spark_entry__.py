@@ -2627,6 +2627,161 @@ def _q_phash_search(spark, sf_dir):
 
 
 @_register(
+    "st_phash_stream",
+    r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n,
+         length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
+  FROM documents
+),
+codes AS (
+  SELECT doc_id, n, w, h,
+         list_transform(range(1, GREATEST(n, 1) + 1),
+           i -> CASE WHEN n = 0 THEN 0
+                     ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS L
+  FROM t
+),
+g AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, 64), k ->
+           ( L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0)
+               % GREATEST(n, 1) + 1]
+           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1)
+               % GREATEST(n, 1) + 1]
+           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2)
+               % GREATEST(n, 1) + 1]) // 3) AS gs
+  FROM codes
+),
+m AS (SELECT doc_id, gs, list_sum(gs) // 64 AS mean FROM g),
+bits AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(32, 64),
+           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
+                     THEN 2 ** (k - 32) ELSE 0 END)) AS BIGINT) AS hash_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
+                     THEN 2 ** k ELSE 0 END)) AS BIGINT) AS hash_lo
+  FROM m
+),
+bands(band) AS (SELECT unnest(range(0, 4))),
+bv AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN hash_lo & 65535
+                   WHEN 1 THEN (hash_lo >> 16) & 65535
+                   WHEN 2 THEN hash_hi & 65535
+                   ELSE (hash_hi >> 16) & 65535 END AS band_val
+  FROM bits CROSS JOIN bands
+),
+hist1 AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+cand1 AS (
+  SELECT DISTINCT b.doc_id AS q, h.doc_id AS hist_id
+  FROM bv b JOIN bv h ON b.band = h.band AND b.band_val = h.band_val
+  JOIN hist1 hh ON h.doc_id = hh.doc_id
+  WHERE b.doc_id >= 250 AND b.doc_id < 375
+),
+sc1 AS (
+  SELECT c.q, c.hist_id,
+         CAST(bit_count(xor(x.hash_hi, y.hash_hi))
+            + bit_count(xor(x.hash_lo, y.hash_lo)) AS INTEGER) AS hamming
+  FROM cand1 c JOIN bits x ON c.q = x.doc_id
+  JOIN bits y ON c.hist_id = y.doc_id
+),
+r1 AS (
+  SELECT q, CAST(COUNT(DISTINCT hist_id) AS BIGINT) AS n_candidates,
+         MIN(hamming) AS best_hamming,
+         MIN(CASE WHEN hamming <= 3 THEN hist_id END) AS match_doc_id
+  FROM sc1 GROUP BY q
+),
+v1 AS (
+  SELECT d.doc_id, COALESCE(r.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+         r.best_hamming, r.match_doc_id,
+         COALESCE(r.best_hamming <= 3, FALSE) AS is_dup
+  FROM (SELECT doc_id FROM documents WHERE doc_id >= 250 AND doc_id < 375) d
+  LEFT JOIN r1 r ON d.doc_id = r.q
+),
+hist2 AS (
+  SELECT doc_id FROM hist1
+  UNION ALL
+  SELECT doc_id FROM v1 WHERE NOT is_dup
+),
+cand2 AS (
+  SELECT DISTINCT b.doc_id AS q, h.doc_id AS hist_id
+  FROM bv b JOIN bv h ON b.band = h.band AND b.band_val = h.band_val
+  JOIN hist2 hh ON h.doc_id = hh.doc_id
+  WHERE b.doc_id >= 375
+),
+sc2 AS (
+  SELECT c.q, c.hist_id,
+         CAST(bit_count(xor(x.hash_hi, y.hash_hi))
+            + bit_count(xor(x.hash_lo, y.hash_lo)) AS INTEGER) AS hamming
+  FROM cand2 c JOIN bits x ON c.q = x.doc_id
+  JOIN bits y ON c.hist_id = y.doc_id
+),
+r2 AS (
+  SELECT q, CAST(COUNT(DISTINCT hist_id) AS BIGINT) AS n_candidates,
+         MIN(hamming) AS best_hamming,
+         MIN(CASE WHEN hamming <= 3 THEN hist_id END) AS match_doc_id
+  FROM sc2 GROUP BY q
+),
+v2 AS (
+  SELECT d.doc_id, COALESCE(r.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+         r.best_hamming, r.match_doc_id,
+         COALESCE(r.best_hamming <= 3, FALSE) AS is_dup
+  FROM (SELECT doc_id FROM documents WHERE doc_id >= 375) d
+  LEFT JOIN r2 r ON d.doc_id = r.q
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+""",
+)
+def _q_st_phash_stream(spark, sf_dir):
+    """Streaming IMAGE near-dup with survivor appends (new r13 —
+    pipeline.phash_stream, the image twin of st_neardup_append):
+    perceptual hashes of the first corpus half build the persisted
+    Hamming-band index; the second half lands as two deliveries
+    (doc_id < 375 first, maxFilesPerTrigger=1); each micro-batch is
+    decoded → hashed → screened, and its non-duplicate images append
+    to the index, so delivery 2 dedups against history AND delivery
+    1's survivors. The oracle replays the sequential two-pass
+    semantics from payload bytes with no index and no stream at all."""
+    import os as _os
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.session import (
+        ship_package,
+    )
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    ship_package(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_phash_stridx/{tag}_{_os.getpid()}"
+    hist_hashes = multimodal.image_phash(
+        multimodal.to_media_table(docs.filter(F.col("doc_id") < 250))
+    ).select("doc_id", "hash_hi", "hash_lo")
+    multimodal.phash_index_build(hist_hashes, ipath, max_distance=3)
+    land = tempfile.mkdtemp(prefix="spark_graft_phstr_landing_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_phstr_stage_")
+    docs.filter(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 375)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    docs.filter(F.col("doc_id") >= 375).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/d2")
+    pipeline.stage_delivery(f"{stage}/d1", land, "delivery_1")
+    pipeline.stage_delivery(f"{stage}/d2", land, "delivery_2")
+    out = tempfile.mkdtemp(prefix="spark_graft_phstr_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_phstr_ckpt_")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.phash_stream(
+        stream, ipath, out, ckpt, append_survivors=True
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).drop("batch_id")
+
+
+@_register(
     "m_audio_wav",
     """
 SELECT doc_id,
@@ -10113,6 +10268,74 @@ def _q_maximal_spans_chars(spark, sf_dir):
 
 
 @_register(
+    "d_span_removal_chars",
+    """
+WITH occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, i, 24) AS w
+  FROM documents, UNNEST(range(1, length(text) - 22)) u(i)
+  WHERE length(text) >= 24
+), hot AS (
+  SELECT w FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
+), hv AS (
+  SELECT o.doc_id, o.pos, o.pos + 23 AS e
+  FROM occ o JOIN hot h USING (w)
+), isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+         THEN 1 ELSE 0 END AS ni
+  FROM hv
+), isl2 AS (
+  SELECT doc_id, pos, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), iv AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+), recon AS (
+  SELECT doc_id, s, e,
+    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+      AS seg_start
+  FROM iv
+), kept AS (
+  SELECT r.doc_id,
+    string_agg(substring(d.text, CAST(r.seg_start AS INT),
+                         CAST(r.s - r.seg_start AS INT)),
+               '' ORDER BY r.s) AS head,
+    MAX(r.e) AS last_e,
+    CAST(SUM(r.e - r.s + 1) AS BIGINT) AS n_cut
+  FROM recon r JOIN documents d USING (doc_id)
+  GROUP BY r.doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       COALESCE(k.n_cut, CAST(0 AS BIGINT)) AS n_cut,
+       CASE WHEN k.doc_id IS NULL THEN d.text
+            ELSE COALESCE(k.head, '')
+                 || substring(d.text, CAST(k.last_e + 1 AS INT),
+                              CAST(length(d.text) - k.last_e AS INT))
+       END AS text_clean
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+""",
+)
+def _q_span_removal_chars(spark, sf_dir):
+    """Character-granular substring-dedup CUT
+    (dedup.remove_repeated_spans_chars, new r13 — the removal pair
+    of d_maximal_spans_chars, same 24-char/min_docs=3 detection):
+    maximal hot character ranges cut from every document, survivors
+    re-joined with NO separator, (doc_id, n_chars, n_cut,
+    text_clean) replayed byte-for-byte — the full Lee et al.
+    ExactSubstr pipeline at byte fidelity. Reconstruction is one
+    in-row transform over the interval array (gap-before-each-cut +
+    tail), codegen end to end."""
+    return dedup.remove_repeated_spans_chars(
+        _t(spark, sf_dir, "documents"), min_len=24, min_docs=3
+    )
+
+
+@_register(
     "t_token_diversity",
     f"""
 WITH pdt AS (
@@ -12114,8 +12337,10 @@ _VERIFY_FIRST = [
     # maximal spans (r12 verdict item 5) and the persisted image
     # near-dup index lifecycle (r12 verdict item 6).
     "d_maximal_spans_chars",
+    "d_span_removal_chars",
     "m_phash_index",
     "m_phash_search",
+    "st_phash_stream",
     # tier 3 — the 21 r6-stale gates (r12 verdict item 1: six
     # driver rounds without a resample; includes the core
     # sorts/top-k parity surface) ...

@@ -1898,6 +1898,145 @@ def maximal_spans_chars(
     )
 
 
+def remove_repeated_spans_chars(
+    documents: DataFrame,
+    min_len: int = 50,
+    min_docs: int = 3,
+    text_col: str = "text",
+    exact: bool = False,
+) -> DataFrame:
+    """Character-granular substring-dedup CUT — the removal step
+    paired with ``maximal_spans_chars`` exactly as
+    ``remove_repeated_spans`` pairs with ``repeated_spans``, and the
+    full Lee et al. 2022 ExactSubstr pipeline at byte fidelity:
+    every maximal character range whose ``min_len``-char windows are
+    repeated across ≥ ``min_docs`` distinct documents is cut from
+    EVERY document, and the survivors re-join with NO separator (a
+    cut mid-token must not mint a phantom space — the char-mode
+    twin of the token mode's single-space rejoin). Returns (doc_id,
+    n_chars, n_cut, text_clean); documents with nothing repeated
+    pass through with n_cut = 0.
+
+    Plan: detection + gap-islands merge are shared with
+    ``maximal_spans_chars`` (window keys are 8-byte hashes by
+    default, doc-keyed islands over HOT occurrences only); the
+    merged cut intervals fold to one array row per doc and
+    LEFT-join back (dictionary-sized — AQE broadcasts it at scale);
+    reconstruction builds the KEPT segments in-row — one
+    ``transform`` over the interval array emits the gap before each
+    cut, plus the tail after the last — and ``concat_ws('')`` glues
+    them: codegen end to end, O(intervals-per-doc) slices, each
+    character copied once."""
+    from pyspark.sql import Window
+
+    n = int(min_len)
+    key = (lambda s: s) if exact else (lambda s: F.xxhash64(s))
+    empty_t = (
+        "array<struct<pos:int,w:string>>"
+        if exact
+        else "array<struct<pos:int,w:bigint>>"
+    )
+    base = documents.select("doc_id", F.col(text_col).alias("__tx"))
+    nwin = F.length("__tx") - (n - 1)
+    wins = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.struct(
+                i.alias("pos"),
+                key(F.col("__tx").substr(i, F.lit(n))).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast(empty_t))
+    occ = base.select("doc_id", F.explode(wins).alias("s")).select(
+        "doc_id", F.col("s.pos").cast("long").alias("pos"), "s.w"
+    )
+    hot = (
+        occ.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("w")
+    )
+    iv = occ.join(hot, "w").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max("end").over(w_prev), F.lit(0)) + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    cuts = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
+                "cuts"
+            )
+        )
+    )
+    joined = base.join(cuts, "doc_id", "left")
+    nchars = F.length("__tx")
+    # kept segment BEFORE cut k runs from prev_end+1 to start_k-1;
+    # the tail after the last cut closes the reconstruction. The
+    # previous cut's end comes from the sorted interval array itself
+    # (element k-1), so the whole rebuild is one in-row transform —
+    # no second window, no UDF.
+    segs = F.concat(
+        F.transform(
+            F.col("cuts"),
+            lambda c, k: F.col("__tx").substr(
+                F.when(k == 0, F.lit(1)).otherwise(
+                    F.get(F.col("cuts"), k - 1)["end"] + 1
+                ).cast("int"),
+                (
+                    c["start"]
+                    - F.when(k == 0, F.lit(1)).otherwise(
+                        F.get(F.col("cuts"), k - 1)["end"] + 1
+                    )
+                ).cast("int"),
+            ),
+        ),
+        F.array(
+            F.col("__tx").substr(
+                (F.element_at(F.col("cuts"), -1)["end"] + 1).cast("int"),
+                (nchars - F.element_at(F.col("cuts"), -1)["end"]).cast(
+                    "int"
+                ),
+            )
+        ),
+    )
+    clean = F.when(F.col("cuts").isNull(), F.col("__tx")).otherwise(
+        F.concat_ws("", segs)
+    )
+    return joined.select(
+        "doc_id",
+        nchars.alias("n_chars"),
+        F.coalesce(
+            F.aggregate(
+                F.col("cuts"),
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + (c["end"] - c["start"] + 1),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_cut"),
+        clean.alias("text_clean"),
+    )
+
+
 def remove_repeated_spans(
     documents: DataFrame,
     n: int = 5,

@@ -311,6 +311,90 @@ def _neardup_screen_batch(
     res.unpersist()
 
 
+def phash_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    append_survivors: bool = False,
+):
+    """Streaming IMAGE near-dup screening — the production deploy of
+    ``multimodal.phash_index_search``, completing the image/text
+    symmetry (r13; r12 verdict item 6 built the persisted image
+    index, this is its streaming front): every arriving micro-batch
+    of documents becomes a media table, is perceptual-hashed
+    (Arrow-batched ``image_phash``), searched against the PERSISTED
+    Hamming-band index, and its per-image verdicts land under
+    ``out_path``. Identical replay/durability contract to
+    ``neardup_stream`` — per-``batch_id`` partition overwrite, a
+    checkpoint-lineage run prefix from the mint-once marker, and
+    (with ``append_survivors=True``) survivor appends tagged
+    ``stream-<run>-<id>`` whose own tag is EXCLUDED from that
+    batch's search so an at-least-once replay reproduces its
+    verdicts instead of matching its first attempt."""
+    run = _checkpoint_run_id(stream_docs.sparkSession, checkpoint)
+
+    def _screen(batch: DataFrame, batch_id: int) -> None:
+        _phash_screen_batch(
+            batch, batch_id, index_path, out_path, append_survivors,
+            run=run,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _phash_screen_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    append_survivors: bool,
+    run: str = "r0",
+) -> None:
+    """One micro-batch of ``phash_stream`` — module-level so the
+    replay contract is directly testable, exactly like
+    ``_neardup_screen_batch``."""
+    from ..sources import multimodal as _mm
+
+    if not batch.head(1):
+        return
+    spark = batch.sparkSession
+    tag = f"stream-{run}-{batch_id}"
+    hashes = (
+        _mm.image_phash(_mm.to_media_table(batch))
+        .select("doc_id", "hash_hi", "hash_lo")
+        .persist()
+    )
+    res = _mm.phash_index_search(
+        spark,
+        index_path,
+        hashes,
+        exclude_tags=[tag] if append_survivors else None,
+    )
+    res = res.persist()
+    res.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={run}-{batch_id}"
+    )
+    if append_survivors:
+        keep_ids = res.filter(~res["is_dup"]).select("doc_id")
+        survivors = hashes.join(keep_ids, "doc_id", "left_semi")
+        meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+        _mm.phash_index_build(
+            survivors,
+            index_path,
+            max_distance=meta["max_distance"],
+            mode="append",
+            batch_tag=tag,
+        )
+    res.unpersist()
+    hashes.unpersist()
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain everything currently available through the streaming
     engine into an in-memory table and return it as a DataFrame —

@@ -1321,3 +1321,51 @@ def test_maximal_spans_chars_cross_token_boundaries(spark):
     assert exact == got
     # runs shorter than min_len stay invisible
     assert dedup.maximal_spans_chars(docs, min_len=40, min_docs=3).count() == 0
+
+
+def test_remove_repeated_spans_chars_cut_and_rejoin(spark):
+    """The char-granular CUT (remove_repeated_spans_chars): maximal
+    hot character ranges are removed from every doc and survivors
+    re-join with NO separator (a cut mid-token must not mint a
+    phantom space). Planted: the single-token 39-char run and the
+    partial-token-both-ends run from the maximal_spans_chars
+    fixture, plus an untouched doc."""
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import dedup
+
+    S = "the-quick-brown-fox-jumps-over-the-lazy"
+    docs = spark.createDataFrame(
+        [
+            (1, "pref1" + S + "tail1 other words here"),
+            (2, "pp2" + S + "zz2 more words"),
+            (3, "x" + S + "y unrelated trailing content"),
+            (4, "berries alpha beta gamma delta epsilon"),
+            (5, "ferries alpha beta gamma delta epsilons"),
+            (6, "merries alpha beta gamma delta epsilonq"),
+            (7, "totally unrelated document here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           dedup.remove_repeated_spans_chars(docs, min_len=20, min_docs=3)
+           .collect()}
+    assert len(got) == 7
+    # seamless rejoin around the single-token run — no phantom space
+    assert got[1]["text_clean"] == "pref1tail1 other words here"
+    assert got[1]["n_cut"] == 39
+    assert got[2]["text_clean"] == "pp2zz2 more words"
+    # partial-token cut at BOTH ends: 'b'+'', 'f'+'s', 'm'+'q'
+    assert got[4]["text_clean"] == "b" and got[4]["n_cut"] == 37
+    assert got[5]["text_clean"] == "fs"
+    assert got[6]["text_clean"] == "mq"
+    # untouched doc passes through verbatim
+    assert got[7]["text_clean"] == "totally unrelated document here"
+    assert got[7]["n_cut"] == 0
+    # exact-text window keys agree with the hash default
+    exact = {r["doc_id"]: r for r in
+             dedup.remove_repeated_spans_chars(
+                 docs, min_len=20, min_docs=3, exact=True).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == \
+        {k: tuple(v) for k, v in exact.items()}
+    # reconstruction invariant: n_chars - n_cut == len(text_clean)
+    for r in got.values():
+        assert r["n_chars"] - r["n_cut"] == len(r["text_clean"])

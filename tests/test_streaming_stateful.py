@@ -934,3 +934,60 @@ def test_checkpoint_run_id_mint_once_and_reread(spark, tmp_path):
     shutil.rmtree(ckpt)
     c = _checkpoint_run_id(spark, ckpt)
     assert c != a
+
+
+def test_phash_stream_cross_delivery_and_replay(spark, tmp_path):
+    """Streaming image screen (r13, pipeline.phash_stream): delivery
+    2's copy of a delivery-1 SURVIVOR image is flagged (survivor
+    appends work across micro-batches), and replaying a micro-batch
+    with the same (run, batch_id) leaves the verdict sink and index
+    unchanged — the _neardup_screen_batch replay contract, ported."""
+    import os
+
+    from building_coffee_commodity_trading_data_warehouse_spark.sources import multimodal as mm
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    hist = spark.createDataFrame(
+        [(1, "history image payload alpha beta gamma", "crawl")],
+        "doc_id long, text string, source string",
+    )
+    d1 = spark.createDataFrame(
+        [(11, "fresh novel image content entirely new", "crawl")],
+        "doc_id long, text string, source string",
+    )
+    d2 = spark.createDataFrame(
+        [(21, "fresh novel image content entirely new", "crawl"),  # copy of 11
+         (22, "history image payload alpha beta gamma", "crawl")], # copy of hist 1
+        "doc_id long, text string, source string",
+    )
+    ipath, out = str(tmp_path / "pidx"), str(tmp_path / "out")
+    hh = mm.image_phash(mm.to_media_table(hist)).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    mm.phash_index_build(hh, ipath, max_distance=3)
+
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    d1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    d2.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    pipeline.stage_delivery(str(tmp_path / "s1"), land, "delivery_1")
+    pipeline.stage_delivery(str(tmp_path / "s2"), land, "delivery_2")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.phash_stream(
+        stream, ipath, out, str(tmp_path / "ckpt"), append_survivors=True
+    )
+    q.awaitTermination()
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    assert set(got) == {11, 21, 22}
+    assert not got[11]["is_dup"]                       # novel survivor
+    assert got[21]["is_dup"] and got[21]["match_doc_id"] == 11
+    assert got[22]["is_dup"] and got[22]["match_doc_id"] == 1
+
+    # replay the SECOND micro-batch (its tag is in the index now):
+    # verdicts and candidate counts must be byte-identical
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    run = pipeline._checkpoint_run_id(spark, str(tmp_path / "ckpt"))
+    pipeline._phash_screen_batch(d2, 1, ipath, out, True, run=run)
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
