@@ -2471,8 +2471,10 @@ def _q_image_phash(spark, sf_dir):
 # (>= 250), verify with bit_count(xor) — the full persisted-index
 # search replayed with no index at all, which is exactly the point:
 # the index is a physical artifact, never a semantic one.
-_SQL_PHASH_SEARCH = r"""
-WITH t AS (
+# Shared phash-replay CTE chain (payload bytes -> 64-bit aHash as
+# two 32-bit halves) — composed into every phash-index oracle so
+# the hash arithmetic exists in ONE place (r13 review).
+_SQL_PHASH_BITS = r"""t AS (
   SELECT doc_id, text, length(text) AS n,
          length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
   FROM documents
@@ -2505,7 +2507,11 @@ bits AS (
            k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
                      THEN 2 ** k ELSE 0 END)) AS BIGINT) AS hash_lo
   FROM m
-),
+)"""
+
+
+_SQL_PHASH_SEARCH = rf"""
+WITH {_SQL_PHASH_BITS},
 hist AS (SELECT doc_id, hash_hi, hash_lo FROM bits WHERE doc_id < 250),
 bt AS (SELECT doc_id, hash_hi, hash_lo FROM bits WHERE doc_id >= 250),
 bands(band) AS (SELECT unnest(range(0, 4))),
@@ -2628,42 +2634,8 @@ def _q_phash_search(spark, sf_dir):
 
 @_register(
     "st_phash_stream",
-    r"""
-WITH t AS (
-  SELECT doc_id, text, length(text) AS n,
-         length(text) % 16 + 2 AS w, length(text) % 8 + 2 AS h
-  FROM documents
-),
-codes AS (
-  SELECT doc_id, n, w, h,
-         list_transform(range(1, GREATEST(n, 1) + 1),
-           i -> CASE WHEN n = 0 THEN 0
-                     ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS L
-  FROM t
-),
-g AS (
-  SELECT doc_id, w, h,
-         list_transform(range(0, 64), k ->
-           ( L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 0)
-               % GREATEST(n, 1) + 1]
-           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 1)
-               % GREATEST(n, 1) + 1]
-           + L[((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) * 3 + 2)
-               % GREATEST(n, 1) + 1]) // 3) AS gs
-  FROM codes
-),
-m AS (SELECT doc_id, gs, list_sum(gs) // 64 AS mean FROM g),
-bits AS (
-  SELECT doc_id,
-         CAST(list_sum(list_transform(range(32, 64),
-           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
-                     THEN 2 ** (k - 32) ELSE 0 END)) AS BIGINT) AS hash_hi,
-         CAST(list_sum(list_transform(range(0, 32),
-           k -> CASE WHEN gs[CAST(k AS INTEGER) + 1] > mean
-                     THEN 2 ** k ELSE 0 END)) AS BIGINT) AS hash_lo
-  FROM m
-),
-bands(band) AS (SELECT unnest(range(0, 4))),
+    rf"""
+WITH {_SQL_PHASH_BITS},bands(band) AS (SELECT unnest(range(0, 4))),
 bv AS (
   SELECT doc_id, band,
          CASE band WHEN 0 THEN hash_lo & 65535
@@ -10209,10 +10181,11 @@ def _q_maximal_spans(spark, sf_dir):
     )
 
 
-@_register(
-    "d_maximal_spans_chars",
-    """
-WITH occ AS (
+# Shared char-window detection CTE chain (stride-1 24-char windows
+# -> hot -> gap-islands -> merged intervals `iv`) — composed into
+# both char-granularity oracles so the detection arithmetic exists
+# in ONE place (r13 review).
+_SQL_CHAR_ISLANDS = r"""occ AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, i, 24) AS w
   FROM documents, UNNEST(range(1, length(text) - 22)) u(i)
   WHERE length(text) >= 24
@@ -10236,7 +10209,13 @@ WITH occ AS (
 ), iv AS (
   SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
   FROM isl2 GROUP BY doc_id, island
-), sl AS (
+)"""
+
+
+@_register(
+    "d_maximal_spans_chars",
+    f"""
+WITH {_SQL_CHAR_ISLANDS}, sl AS (
   SELECT i.doc_id, i.s AS start, i.e AS "end",
          substring(d.text, CAST(i.s AS INT),
                    CAST(i.e - i.s + 1 AS INT)) AS span,
@@ -10269,32 +10248,8 @@ def _q_maximal_spans_chars(spark, sf_dir):
 
 @_register(
     "d_span_removal_chars",
-    """
-WITH occ AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos, substring(text, i, 24) AS w
-  FROM documents, UNNEST(range(1, length(text) - 22)) u(i)
-  WHERE length(text) >= 24
-), hot AS (
-  SELECT w FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3
-), hv AS (
-  SELECT o.doc_id, o.pos, o.pos + 23 AS e
-  FROM occ o JOIN hot h USING (w)
-), isl AS (
-  SELECT doc_id, pos, e,
-    CASE WHEN pos > COALESCE(MAX(e) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
-         THEN 1 ELSE 0 END AS ni
-  FROM hv
-), isl2 AS (
-  SELECT doc_id, pos, e,
-    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM isl
-), iv AS (
-  SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
-  FROM isl2 GROUP BY doc_id, island
-), recon AS (
+    f"""
+WITH {_SQL_CHAR_ISLANDS}, recon AS (
   SELECT doc_id, s, e,
     COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
       AS seg_start

@@ -1181,7 +1181,7 @@ def neardup_index_build(
     spark = documents.sparkSession
     sh = scoped_persist(shingles(documents, n))
     sig = scoped_persist(_minhash_wide(sh, k))
-    _index_preflight(
+    have = _index_preflight(
         spark, path, mode, {"k": int(k), "bands": int(bands), "n": int(n)}
     )
     bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
@@ -1198,6 +1198,7 @@ def neardup_index_build(
         mode,
         tables,
         {"k": int(k), "bands": int(bands), "n": int(n)},
+        fresh=not have,
     )
     return path
 
@@ -1288,6 +1289,7 @@ def _write_index_batch(
     mode: str,
     tables: dict,
     meta_vals: dict,
+    fresh: bool,
 ) -> None:
     """The durable write sequence shared by every manifest-committed
     index: per-batch data partitions first (invisible — nothing
@@ -1300,13 +1302,9 @@ def _write_index_batch(
     # itself (per-dir overwrite).
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
-    from pyspark.errors import AnalysisException
-
-    try:
-        spark.read.parquet(f"{path}/meta").head(1)
-        fresh = False
-    except AnalysisException:
-        fresh = True
+    # `fresh` comes straight from _index_preflight's meta probe —
+    # re-reading here would add a driver job per build and a window
+    # for the two reads to disagree (r13 review)
     if fresh:
         # one-row sidecars via spark.range + lit — pure-JVM plans.
         # createDataFrame([...]) from a local list routes through a
@@ -1521,8 +1519,22 @@ def neardup_index_vacuum(
             entry = st.getPath().getName()
             if not st.isDirectory() or not entry.startswith("batch="):
                 continue
-            if st.getModificationTime() >= cutoff_ms:
-                continue  # younger than the grace window
+            if grace_seconds > 0:
+                # Directory mtimes are MEANINGLESS on object stores
+                # (S3A reports 0 for synthetic dirs) — exactly the
+                # schemes this code path exists for — so the age test
+                # uses the NEWEST child file, falling back to the dir
+                # mtime, and spares anything whose age is unknown
+                # (mtime <= 0): a grace window that silently never
+                # fires would be worse than none (r13 review).
+                mtime = st.getModificationTime()
+                try:
+                    for child in fs.listStatus(st.getPath()):
+                        mtime = max(mtime, child.getModificationTime())
+                except Exception:
+                    pass  # dir vanished mid-listing: another owner
+                if mtime <= 0 or mtime >= cutoff_ms:
+                    continue  # young, or too young to prove old
             tag = entry.removeprefix("batch=")
             if tag not in committed:
                 candidates.append((tag, st.getPath()))
@@ -1759,51 +1771,24 @@ def maximal_spans(
     )
 
 
-def maximal_spans_chars(
+def _hot_char_islands(
     documents: DataFrame,
-    min_len: int = 50,
-    min_docs: int = 3,
-    text_col: str = "text",
-    exact: bool = False,
-) -> DataFrame:
-    """Character-granular maximal repeated spans — the Lee et al.
-    2022 fidelity mode (r12 verdict item 5): ExactSubstr operates on
-    BYTES with a ~50-byte minimum, while ``maximal_spans`` quantizes
-    span identity to token n-grams, so a repeated run that starts or
-    ends MID-token is trimmed to whole-token boundaries and a run
-    shorter than ``n`` tokens but longer than 50 characters is
-    missed entirely. Here the sliding window is ``min_len``
-    CHARACTERS with stride 1 over the raw text: any substring of
-    ≥ ``min_len`` chars repeated across ≥ ``min_docs`` distinct
-    documents surfaces as run(s) of hot windows, which coalesce
-    (gap-islands, overlap-or-adjacent) into ONE maximal span per
-    (document, run), sliced back out of the text with 1-based
-    inclusive CHARACTER positions. Output: (doc_id, start, end,
-    span, n_chars, n_docs) — ``n_docs`` counted on the maximal span
-    text, exactly like the token mode.
-
-    Plan: the window table is built IN-ROW (one ``transform`` over a
-    position sequence — ``substr``/``xxhash64`` are codegen, no UDF,
-    no posexplode join-back), so the exploded frame carries
-    (doc_id, pos, window-key) and nothing else. By default the
-    window key is ``xxhash64`` of the window text — 8 bytes crossing
-    the hot-detection shuffle instead of ``min_len`` chars (~6× less
-    exchange volume at the default 50); a hash collision can only
-    ADD a false hot window (two distinct windows colliding), never
-    hide a real one, and the planted-fixture pytest plus the gate's
-    exact-text DuckDB oracle pin that the emitted spans are
-    collision-clean at test scale (~n²/2⁶⁴ expected collisions:
-    ~1e-8 even at a billion windows). ``exact=True`` ships the
-    window text itself for the paranoid path. Stride-1 char windows
-    are ~word-length× more rows than the token mode's — that is the
-    honest cost of byte-fidelity (Lee et al. pay it in a suffix
-    array); the rows are narrow (doc_id, pos, 8-byte key) and every
-    exchange is keyed (window key, then doc_id, then span text),
-    so the 100 TB posture is bounded by shuffle volume, not by any
-    driver or per-task state."""
+    n: int,
+    min_docs: int,
+    text_col: str,
+    exact: bool,
+):
+    """Shared char-granular detection core for ``maximal_spans_chars``
+    and ``remove_repeated_spans_chars``: stride-1 ``n``-char windows
+    built in-row (``substr`` + ``xxhash64`` keys by default — 8 bytes
+    through the hot-detection shuffle; ``exact=True`` ships text),
+    hot if present in ≥ ``min_docs`` distinct docs, coalesced per doc
+    by the overlap-or-adjacent gap-islands rule. Returns
+    (``base``: (doc_id, __tx), ``merged intervals``: one row per
+    (doc, island) with 1-based inclusive char positions
+    (doc_id, start, end))."""
     from pyspark.sql import Window
 
-    n = int(min_len)
     key = (lambda s: s) if exact else (lambda s: F.xxhash64(s))
     empty_t = (
         "array<struct<pos:int,w:string>>"
@@ -1852,14 +1837,60 @@ def maximal_spans_chars(
             1,
         ).otherwise(0),
     ).withColumn("island", F.sum("new_island").over(w_run))
-    merged = (
-        islands.groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
-                "__iv"
-            )
+    merged = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start"), F.max("end").alias("end")
+    )
+    return base, merged
+
+
+def maximal_spans_chars(
+    documents: DataFrame,
+    min_len: int = 50,
+    min_docs: int = 3,
+    text_col: str = "text",
+    exact: bool = False,
+) -> DataFrame:
+    """Character-granular maximal repeated spans — the Lee et al.
+    2022 fidelity mode (r12 verdict item 5): ExactSubstr operates on
+    BYTES with a ~50-byte minimum, while ``maximal_spans`` quantizes
+    span identity to token n-grams, so a repeated run that starts or
+    ends MID-token is trimmed to whole-token boundaries and a run
+    shorter than ``n`` tokens but longer than 50 characters is
+    missed entirely. Here the sliding window is ``min_len``
+    CHARACTERS with stride 1 over the raw text: any substring of
+    ≥ ``min_len`` chars repeated across ≥ ``min_docs`` distinct
+    documents surfaces as run(s) of hot windows, which coalesce
+    (gap-islands, overlap-or-adjacent) into ONE maximal span per
+    (document, run), sliced back out of the text with 1-based
+    inclusive CHARACTER positions. Output: (doc_id, start, end,
+    span, n_chars, n_docs) — ``n_docs`` counted on the maximal span
+    text, exactly like the token mode.
+
+    Plan: the window table is built IN-ROW (one ``transform`` over a
+    position sequence — ``substr``/``xxhash64`` are codegen, no UDF,
+    no posexplode join-back), so the exploded frame carries
+    (doc_id, pos, window-key) and nothing else. By default the
+    window key is ``xxhash64`` of the window text — 8 bytes crossing
+    the hot-detection shuffle instead of ``min_len`` chars (~6× less
+    exchange volume at the default 50); a hash collision can only
+    ADD a false hot window (two distinct windows colliding), never
+    hide a real one, and the planted-fixture pytest plus the gate's
+    exact-text DuckDB oracle pin that the emitted spans are
+    collision-clean at test scale (~n²/2⁶⁴ expected collisions:
+    ~1e-8 even at a billion windows). ``exact=True`` ships the
+    window text itself for the paranoid path. Stride-1 char windows
+    are ~word-length× more rows than the token mode's — that is the
+    honest cost of byte-fidelity (Lee et al. pay it in a suffix
+    array); the rows are narrow (doc_id, pos, 8-byte key) and every
+    exchange is keyed (window key, then doc_id, then span text),
+    so the 100 TB posture is bounded by shuffle volume, not by any
+    driver or per-task state."""
+    base, m = _hot_char_islands(
+        documents, int(min_len), min_docs, text_col, exact
+    )
+    merged = m.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
+            "__iv"
         )
     )
     sliced = (
@@ -1927,65 +1958,12 @@ def remove_repeated_spans_chars(
     cut, plus the tail after the last — and ``concat_ws('')`` glues
     them: codegen end to end, O(intervals-per-doc) slices, each
     character copied once."""
-    from pyspark.sql import Window
-
-    n = int(min_len)
-    key = (lambda s: s) if exact else (lambda s: F.xxhash64(s))
-    empty_t = (
-        "array<struct<pos:int,w:string>>"
-        if exact
-        else "array<struct<pos:int,w:bigint>>"
+    base, m = _hot_char_islands(
+        documents, int(min_len), min_docs, text_col, exact
     )
-    base = documents.select("doc_id", F.col(text_col).alias("__tx"))
-    nwin = F.length("__tx") - (n - 1)
-    wins = F.when(
-        nwin >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.struct(
-                i.alias("pos"),
-                key(F.col("__tx").substr(i, F.lit(n))).alias("w"),
-            ),
-        ),
-    ).otherwise(F.array().cast(empty_t))
-    occ = base.select("doc_id", F.explode(wins).alias("s")).select(
-        "doc_id", F.col("s.pos").cast("long").alias("pos"), "s.w"
-    )
-    hot = (
-        occ.groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("w")
-    )
-    iv = occ.join(hot, "w").select(
-        "doc_id", "pos", (F.col("pos") + F.lit(n - 1)).alias("end")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = iv.withColumn(
-        "new_island",
-        F.when(
-            F.col("pos")
-            > F.coalesce(F.max("end").over(w_prev), F.lit(0)) + 1,
-            1,
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w_run))
-    cuts = (
-        islands.groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
-                "cuts"
-            )
+    cuts = m.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias(
+            "cuts"
         )
     )
     joined = base.join(cuts, "doc_id", "left")

@@ -1240,7 +1240,7 @@ def phash_index_build(
     from ..operators import dedup as _dedup
 
     spark = hashes.sparkSession
-    _dedup._index_preflight(
+    have = _dedup._index_preflight(
         spark, path, mode, {"max_distance": int(max_distance)}
     )
     bid = batch_tag if batch_tag is not None else "b" + uuid.uuid4().hex
@@ -1263,6 +1263,7 @@ def phash_index_build(
             "hashes": hashes.select("doc_id", "hash_hi", "hash_lo"),
         },
         {"max_distance": int(max_distance)},
+        fresh=not have,
     )
     return path
 

@@ -150,42 +150,75 @@ def stream_documents(
 
 def _checkpoint_run_id(spark, checkpoint: str) -> str:
     """Mint-once run id for a checkpoint LINEAGE: a ``run_id``
-    marker file inside the checkpoint directory, created with a
-    fresh uuid on first use and read back on every restart. Goes
-    through the Hadoop FileSystem resolved from the path's scheme
-    (same JVM-gateway pattern as ``dedup.neardup_index_vacuum``), so
-    local paths and object-store checkpoints behave identically.
-    The id starts with a letter — ``neardup_index_build``'s
-    partition-tag contract (a purely numeric tag gets type-inferred
-    by partition discovery)."""
+    marker file inside the checkpoint directory, created on first
+    use and read back on every restart. Goes through the Hadoop
+    FileSystem resolved from the path's scheme (same JVM-gateway
+    pattern as ``dedup.neardup_index_vacuum``), so local paths and
+    object-store checkpoints behave identically. The id starts with
+    a letter — ``neardup_index_build``'s partition-tag contract (a
+    purely numeric tag gets type-inferred by partition discovery).
+
+    Three hardenings (r13 review):
+
+    * LEGACY MIGRATION — a checkpoint that already holds streaming
+      state (an ``offsets/`` dir) but no marker predates the marker
+      scheme; its existing verdict partitions and index batches were
+      tagged with the old ``md5(abspath)`` prefix, so THAT value is
+      written into the marker — a replayed batch keeps overwriting
+      its own first attempt instead of self-matching it under a
+      fresh prefix. Only a genuinely fresh checkpoint mints a uuid.
+    * ATOMIC MINT — the id is written to a temp file and RENAMED
+      into place (Hadoop rename refuses an existing destination), so
+      a crash mid-write can never leave a torn half-written marker,
+      and a concurrent double-start resolves to whichever racer's
+      rename won — the loser deletes its temp and reads the
+      winner's id.
+    * TORN-MARKER RECOVERY — an empty marker (only producible by a
+      pre-hardening crash) is deleted and re-minted instead of
+      bricking the lineage."""
+    import hashlib
+    import os as _os
     import uuid
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    marker = HPath(checkpoint.rstrip("/") + "/run_id")
+    root = checkpoint.rstrip("/")
+    marker = HPath(root + "/run_id")
     fs = marker.getFileSystem(hconf)
-    if not fs.exists(marker):
-        fs.mkdirs(marker.getParent())
-        out = fs.create(marker, False)  # refuse to clobber a racer's
+    for _attempt in range(2):
+        if not fs.exists(marker):
+            if fs.exists(HPath(root + "/offsets")):
+                # pre-marker lineage: reproduce the historical prefix
+                run = "r" + hashlib.md5(
+                    _os.path.abspath(checkpoint).encode()
+                ).hexdigest()[:8]
+            else:
+                run = "r" + uuid.uuid4().hex[:12]
+            fs.mkdirs(marker.getParent())
+            tmp = HPath(root + f"/.run_id.{uuid.uuid4().hex[:8]}.tmp")
+            out = fs.create(tmp, True)
+            try:
+                out.writeBytes(run)
+            finally:
+                out.close()
+            if not fs.rename(tmp, marker):
+                fs.delete(tmp, False)  # racer won — read theirs below
+        ins = fs.open(marker)
         try:
-            out.writeBytes("r" + uuid.uuid4().hex[:12])
+            got = jvm.org.apache.commons.io.IOUtils.toString(
+                ins, "UTF-8"
+            ).strip()
         finally:
-            out.close()
-    ins = fs.open(marker)
-    try:
-        run = jvm.org.apache.commons.io.IOUtils.toString(
-            ins, "UTF-8"
-        ).strip()
-    finally:
-        ins.close()
-    if not run:
-        raise ValueError(
-            f"empty run_id marker at {marker} — checkpoint dir is "
-            "corrupt; remove the whole directory to start a fresh "
-            "lineage"
-        )
-    return run
+            ins.close()
+        if got:
+            return got
+        # torn (pre-hardening) marker: clear and re-mint once
+        fs.delete(marker, False)
+    raise ValueError(
+        f"run_id marker at {marker} is empty after re-mint — "
+        "filesystem is misbehaving; remove the marker file manually"
+    )
 
 
 def neardup_stream(
@@ -246,11 +279,19 @@ def neardup_stream(
     # with it, so the next run mints a fresh prefix; same-checkpoint
     # restarts/replays read the same marker and stay idempotent.
     run = _checkpoint_run_id(stream_docs.sparkSession, checkpoint)
+    # banding params are immutable per index lineage: one meta read
+    # here instead of one per micro-batch (r13 review, same hoist as
+    # phash_stream)
+    _m = (
+        stream_docs.sparkSession.read.parquet(f"{index_path}/meta")
+        .collect()[0]
+    )
+    kbn = (int(_m["k"]), int(_m["bands"]), int(_m["n"]))
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
         _neardup_screen_batch(
             batch, batch_id, index_path, out_path, threshold,
-            append_survivors, run=run,
+            append_survivors, run=run, kbn=kbn,
         )
 
     return (
@@ -269,6 +310,7 @@ def _neardup_screen_batch(
     threshold: float,
     append_survivors: bool,
     run: str = "r0",
+    kbn: "tuple[int, int, int] | None" = None,
 ) -> None:
     """One micro-batch of ``neardup_stream`` — module-level so the
     replay contract is directly testable: calling this twice with the
@@ -294,17 +336,19 @@ def _neardup_screen_batch(
         f"{out_path}/batch_id={run}-{batch_id}"
     )
     if append_survivors:
+        if kbn is None:  # direct (test) callers
+            meta = batch.sparkSession.read.parquet(
+                f"{index_path}/meta"
+            ).collect()[0]
+            kbn = (int(meta["k"]), int(meta["bands"]), int(meta["n"]))
         keep_ids = res.filter(~res["is_neardup"]).select("doc_id")
         survivors = batch.join(keep_ids, "doc_id", "left_semi")
-        meta = batch.sparkSession.read.parquet(
-            f"{index_path}/meta"
-        ).collect()[0]
         _dedup.neardup_index_build(
             survivors,
             index_path,
-            k=meta["k"],
-            bands=meta["bands"],
-            n=meta["n"],
+            k=kbn[0],
+            bands=kbn[1],
+            n=kbn[2],
             mode="append",
             batch_tag=tag,
         )
@@ -333,11 +377,19 @@ def phash_stream(
     batch's search so an at-least-once replay reproduces its
     verdicts instead of matching its first attempt."""
     run = _checkpoint_run_id(stream_docs.sparkSession, checkpoint)
+    # max_distance is immutable per index lineage: read it ONCE here
+    # (like `run`) instead of a meta collect per micro-batch — a
+    # fixed per-batch driver-job tax at streaming cadence otherwise
+    # (r13 review).
+    max_distance = int(
+        stream_docs.sparkSession.read.parquet(f"{index_path}/meta")
+        .collect()[0]["max_distance"]
+    )
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
         _phash_screen_batch(
             batch, batch_id, index_path, out_path, append_survivors,
-            run=run,
+            run=run, max_distance=max_distance,
         )
 
     return (
@@ -355,6 +407,7 @@ def _phash_screen_batch(
     out_path: str,
     append_survivors: bool,
     run: str = "r0",
+    max_distance: int | None = None,
 ) -> None:
     """One micro-batch of ``phash_stream`` — module-level so the
     replay contract is directly testable, exactly like
@@ -381,13 +434,17 @@ def _phash_screen_batch(
         f"{out_path}/batch_id={run}-{batch_id}"
     )
     if append_survivors:
+        if max_distance is None:  # direct (test) callers
+            max_distance = int(
+                spark.read.parquet(f"{index_path}/meta")
+                .collect()[0]["max_distance"]
+            )
         keep_ids = res.filter(~res["is_dup"]).select("doc_id")
         survivors = hashes.join(keep_ids, "doc_id", "left_semi")
-        meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
         _mm.phash_index_build(
             survivors,
             index_path,
-            max_distance=meta["max_distance"],
+            max_distance=max_distance,
             mode="append",
             batch_tag=tag,
         )
