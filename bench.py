@@ -172,8 +172,10 @@ HEADLINE = [
     # round-13: char-granular maximal spans (new this round, frozen
     # same-round so r14 inherits a comparator) — the stride-1
     # character-window exchange, the repo's densest shuffle per
-    # input byte.
+    # input byte — and its removal pair (same detection core + the
+    # in-row segment-rebuild projection).
     "d_maximal_spans_chars",
+    "d_span_removal_chars",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
