@@ -3737,6 +3737,65 @@ def _q_ivf_index(spark, sf_dir):
 
 
 @_register(
+    "s_ivf_lifecycle",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+d AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ex q JOIN ex c USING (pos)
+  WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT q_id, c_id, dot / (x.nrm * y.nrm) AS cosine
+  FROM d JOIN n x ON q_id = x.vec_id JOIN n y ON c_id = y.vec_id
+),
+topk AS (
+  SELECT q_id FROM (
+    SELECT q_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rk
+    FROM s
+  ) WHERE rk <= 5
+)
+SELECT q_id, COUNT(*) AS k_exact, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM topk GROUP BY q_id
+""",
+)
+def _q_ivf_lifecycle(spark, sf_dir):
+    """IVF index INCREMENTAL lifecycle (new r13 — embeddings get the
+    manifest-commit batch lifecycle text got in r11-12 and images in
+    r13): build from the even half of the corpus (quantizer trained
+    on that half only), APPEND the odd half as a manifest-committed
+    batch under the FROZEN quantizer, COMPACT the two batches into
+    one base (cell= layout preserved inside the batch dir), VACUUM
+    the superseded directories, then search and certify against
+    exact brute force over the FULL corpus — the same hash-covered
+    recall-floor certificate as s_ivf_index, so the half-trained
+    quantizer's recall is pinned, and any row lost or doubled by the
+    rewrite breaks either k_exact or a floor."""
+    import os as _os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_ivf_lc/{tag}_{_os.getpid()}"
+    similarity.ivf_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=16
+    )
+    similarity.ivf_index_append(
+        emb.filter(F.col("vec_id") % 2 == 1), path, batch_tag="b2"
+    )
+    similarity.ivf_index_compact(spark, path)
+    similarity.ivf_index_vacuum(spark, path)
+    exact = similarity.brute_force_topk(emb, qs, 5).select("q_id", "c_id")
+    ann = similarity.ivf_index_search(
+        spark, path, qs, 5, 8, bounded=True
+    ).select("q_id", "c_id")
+    return similarity._recall_certificate(exact, ann, 0.2, 0.65)
+
+
+@_register(
     "s_ivf_probeall",
     f"""
 WITH ex AS ({_SQL_EX}),
@@ -12296,6 +12355,7 @@ _VERIFY_FIRST = [
     "m_phash_index",
     "m_phash_search",
     "st_phash_stream",
+    "s_ivf_lifecycle",
     # tier 3 — the 21 r6-stale gates (r12 verdict item 1: six
     # driver rounds without a resample; includes the core
     # sorts/top-k parity surface) ...

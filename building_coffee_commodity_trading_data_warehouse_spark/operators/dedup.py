@@ -1203,7 +1203,9 @@ def neardup_index_build(
     return path
 
 
-def _index_preflight(spark, path: str, mode: str, want: dict) -> bool:
+def _index_preflight(
+    spark, path: str, mode: str, want: dict, probe_table: str = "bands"
+) -> bool:
     """Shared preflight for the manifest-committed index lifecycle
     (text near-dup bands and image phash bands take the same path):
     validates the meta sidecar against ``want``, refuses appends to
@@ -1244,10 +1246,10 @@ def _index_preflight(spark, path: str, mode: str, want: dict) -> bool:
         # batch= partition dirs (or no band data at all) = torn-new.
         try:
             torn_new = "batch" in spark.read.parquet(
-                f"{path}/bands"
+                f"{path}/{probe_table}"
             ).columns
         except AnalysisException:
-            torn_new = True  # meta landed, no band data yet
+            torn_new = True  # meta landed, no table data yet
         if not torn_new:
             raise ValueError(
                 f"index at {path} predates the manifest layout; "
@@ -1290,6 +1292,7 @@ def _write_index_batch(
     tables: dict,
     meta_vals: dict,
     fresh: bool,
+    partition_by: dict | None = None,
 ) -> None:
     """The durable write sequence shared by every manifest-committed
     index: per-batch data partitions first (invisible — nothing
@@ -1301,7 +1304,15 @@ def _write_index_batch(
     # until the manifest references it; a replayed tag redoes only
     # itself (per-dir overwrite).
     for name, df in tables.items():
-        df.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
+        w = df.write.mode("overwrite")
+        pb = (partition_by or {}).get(name)
+        if pb:
+            # sub-partitioning WITHIN the batch dir (e.g. the IVF
+            # index's cell= dirs) — the batch column stays the outer
+            # level, so committed-batch pruning and the table's own
+            # partition pruning compose at the scan
+            w = w.partitionBy(*pb)
+        w.parquet(f"{path}/{name}/batch={bid}")
     # `fresh` comes straight from _index_preflight's meta probe —
     # re-reading here would add a driver job per build and a window
     # for the two reads to disagree (r13 review)
@@ -1340,7 +1351,10 @@ def _write_index_batch(
 
 
 def neardup_index_compact(
-    spark, path: str, tables: tuple = ("bands", "shingles", "sizes")
+    spark,
+    path: str,
+    tables: tuple = ("bands", "shingles", "sizes"),
+    partition_by: dict | None = None,
 ) -> str:
     """Rewrite every manifest-committed batch of a near-dup index
     into ONE base batch and repoint the manifest at it — the
@@ -1386,7 +1400,11 @@ def neardup_index_compact(
             t = t.filter(
                 F.col("batch").cast("string").isin(committed)
             ).drop("batch")
-        t.write.mode("overwrite").parquet(f"{path}/{name}/batch={bid}")
+        w = t.write.mode("overwrite")
+        pb = (partition_by or {}).get(name)
+        if pb:
+            w = w.partitionBy(*pb)  # keep the table's inner layout
+        w.parquet(f"{path}/{name}/batch={bid}")
     # static partitionOverwriteMode pinned per-write: under a
     # session-level `dynamic` setting the swap would only replace
     # the compacted batch's own manifest partition, leaving the
@@ -1407,9 +1425,39 @@ def _committed_view(spark, path: str, exclude_tags=None):
     date-shaped partition value must still compare against tag
     strings) minus ``exclude_tags`` (the streaming replay contract,
     see ``neardup_index_search``). ``None`` means a legacy
-    pre-manifest index (read unfiltered)."""
+    pre-manifest index (read unfiltered).
+
+    Local/file: paths read the committed set driver-side (r13): the
+    tag IS the ``manifest/batch=<tag>`` directory name and a batch
+    counts only if its commit row's part file landed — the same
+    rows a Spark scan would return, without the ~0.2 s driver-job
+    tax per search. Other schemes scan via Spark as before."""
     from pyspark.errors import AnalysisException
 
+    if "://" not in path or path.startswith("file:"):
+        import glob as _glob
+        import os as _os
+
+        mdir = _os.path.join(path.removeprefix("file:"), "manifest")
+        if _os.path.isdir(mdir):
+            committed = sorted(
+                _os.path.basename(d).removeprefix("batch=")
+                for d in _glob.glob(_os.path.join(mdir, "batch=*"))
+                if _os.path.isdir(d)
+                and _glob.glob(_os.path.join(d, "*.parquet"))
+            )
+        else:
+            committed = None  # legacy (pre-manifest) index layout
+        if exclude_tags:
+            if committed is None:
+                raise ValueError(
+                    "exclude_tags requires a manifest-layout index "
+                    f"(none found at {path})"
+                )
+            committed = [
+                b for b in committed if b not in set(exclude_tags)
+            ]
+        return committed
     try:
         committed = [
             r["batch"]

@@ -721,6 +721,41 @@ def ivf_index_build(
                 }
             )
 
+    import uuid as _uuid
+
+    from pyspark.errors import AnalysisException
+
+    from .dedup import _index_preflight, _validate_batch_tag, _write_index_batch
+
+    # r13: the IVF index rides the SAME manifest-commit lifecycle as
+    # the text/image near-dup indexes — vectors land under
+    # vectors/batch=<tag>/cell=<i>/ and a final one-row manifest
+    # write PUBLISHES the batch, so builds/appends are torn-append
+    # safe and replay-idempotent (full contract in
+    # neardup_index_build's docstring). The centroid table is a
+    # BATCH table too (centroids/batch=<tag>): a crashed rebuild can
+    # therefore never pair retrained centroids with the previous
+    # committed vectors — an uncommitted batch's centroids are as
+    # invisible as its vectors.
+    try:
+        legacy = "batch" not in spark.read.parquet(
+            f"{path}/vectors"
+        ).columns
+    except AnalysisException:
+        legacy = False
+    if legacy:
+        raise ValueError(
+            f"IVF index at {path} predates the manifest layout; "
+            "writing batch= partition directories next to its flat "
+            "cell= dirs would make the table unreadable — build to a "
+            "FRESH path (legacy indexes stay searchable read-only)"
+        )
+    have = _index_preflight(
+        spark, path, "overwrite", {"n_centroids": int(n_centroids)},
+        probe_table="vectors",
+    )
+    bid = "b" + _uuid.uuid4().hex
+    _validate_batch_tag(bid)
     par = spark.sparkContext.defaultParallelism
     # compact before the partitioned write: without this every writer
     # task emits a sliver into every cell dir (tasks × cells files),
@@ -730,22 +765,18 @@ def ivf_index_build(
     # cell ⌈par/n_centroids⌉ full-size files — the same layout a real
     # parallel writer produces per partition at cluster scale.
     shards = max(1, par // n_centroids)
-    (
+    assigned = (
         embeddings.select("vec_id", "embedding")
         .repartition(par)
         .mapInPandas(assign, f"vec_id long, embedding {emb_type}, cell long")
         .repartition(
             par, F.col("cell"), F.pmod(F.xxhash64("vec_id"), F.lit(shards))
         )
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors")
     )
-    # centroid sidecar via the pandas/Arrow path: createDataFrame
-    # from a local LIST routes through a Python RDD whose worker
-    # spin-up costs seconds per call in this runtime (measured r12 —
-    # it was most of the neardup index build's wall before the same
-    # fix there); the Arrow conversion is driver-side and immediate.
+    # centroid rows via the pandas/Arrow path: createDataFrame from a
+    # local LIST routes through a Python RDD whose worker spin-up
+    # costs seconds per call in this runtime (measured r12); the
+    # Arrow conversion is driver-side and immediate.
     import pandas as _pd
 
     cpdf = _pd.DataFrame(
@@ -754,10 +785,148 @@ def ivf_index_build(
             "centroid": [[float(v) for v in row] for row in C],
         }
     )
-    spark.createDataFrame(
+    cents = spark.createDataFrame(
         cpdf, "cell long, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1)
+    _write_index_batch(
+        spark,
+        path,
+        bid,
+        "overwrite",
+        {"vectors": assigned, "centroids": cents},
+        {"n_centroids": int(n_centroids)},
+        fresh=not have,
+        partition_by={"vectors": ["cell"]},
+    )
     return path
+
+
+def ivf_index_append(
+    embeddings: DataFrame,
+    path: str,
+    batch_tag: str | None = None,
+) -> str:
+    """Append a batch of vectors to a persisted IVF index under the
+    manifest-commit contract (r13 — embeddings get the incremental
+    lifecycle text got in r11-12 and images in r13): the new vectors
+    are assigned cells by the index's FROZEN quantizer (one
+    vectorized mapInPandas pass — no retraining, appends never move
+    existing vectors), land under their own ``vectors/batch=<tag>``
+    partition, and publish with a one-row manifest commit — torn
+    appends invisible, same-tag replays idempotent.
+
+    QUANTIZER-DRIFT caveat (the price of frozen centroids, stated
+    rather than hidden): appended vectors from a distribution the
+    original training sample never saw can land in poorly-fitting
+    cells, degrading probe recall for queries near them. The remedy
+    is a periodic REBUILD to a fresh path with retrained centroids —
+    ``ivf_index_compact`` is a physical rewrite only and deliberately
+    does not retrain (retraining inside compaction would silently
+    change search results, breaking the compact-is-identity contract
+    every other index in this repo pins)."""
+    import uuid as _uuid
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _index_preflight, _validate_batch_tag, _write_index_batch
+
+    spark = embeddings.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_centroids = int(meta["n_centroids"])
+    _index_preflight(
+        spark, path, "append", {"n_centroids": n_centroids},
+        probe_table="vectors",
+    )
+    bid = batch_tag if batch_tag is not None else "b" + _uuid.uuid4().hex
+    _validate_batch_tag(bid)
+    C = _read_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(C)
+    emb_type = dict(embeddings.dtypes)["embedding"]
+
+    def assign(batches):
+        CC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"].to_numpy(),
+                    "cell": np.argmax(Xn @ CC.T, axis=1).astype("int64"),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    shards = max(1, par // n_centroids)
+    assigned = (
+        embeddings.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(assign, f"vec_id long, embedding {emb_type}, cell long")
+        .repartition(
+            par, F.col("cell"), F.pmod(F.xxhash64("vec_id"), F.lit(shards))
+        )
+    )
+    _write_index_batch(
+        spark,
+        path,
+        bid,
+        "append",
+        {"vectors": assigned},
+        {"n_centroids": n_centroids},
+        fresh=False,
+        partition_by={"vectors": ["cell"]},
+    )
+    return path
+
+
+def ivf_index_compact(spark, path: str) -> str:
+    """LSM-style compaction of an IVF index — the shared manifest-swap
+    rewrite over the vectors AND centroid batch tables, preserving
+    the inner ``cell=`` layout (so post-compact searches still prune
+    at the cell dirs). Pure physical rewrite: search results are
+    identical before and after (pinned by the s_ivf_lifecycle gate),
+    and the quantizer is deliberately NOT retrained (see
+    ``ivf_index_append``'s drift caveat)."""
+    from .dedup import neardup_index_compact
+
+    return neardup_index_compact(
+        spark,
+        path,
+        tables=("vectors", "centroids"),
+        partition_by={"vectors": ["cell"]},
+    )
+
+
+def ivf_index_vacuum(
+    spark, path: str, grace_seconds: float = 0.0
+) -> list[str]:
+    """Delete unreferenced IVF batch directories — the shared
+    Hadoop-FS vacuum (manifest re-read + optional grace window, see
+    ``dedup.neardup_index_vacuum``) over this index's two tables."""
+    from .dedup import neardup_index_vacuum
+
+    return neardup_index_vacuum(
+        spark,
+        path,
+        grace_seconds=grace_seconds,
+        tables=("vectors", "centroids"),
+    )
+
+
+def _ivf_vectors(spark, path: str) -> DataFrame:
+    """The index's vector table restricted to manifest-COMMITTED
+    batches (torn builds/appends invisible at the scan — both the
+    ``batch`` and ``cell`` predicates are partition pruning); a
+    legacy flat ``cell=`` layout reads unfiltered as before."""
+    from .dedup import _committed_table, _committed_view
+
+    committed = _committed_view(spark, path)
+    return _committed_table(spark, path, "vectors", committed)
 
 
 def ivf_index_search(
@@ -805,7 +974,7 @@ def ivf_index_search(
     C = _read_centroids(spark, path)
     n_centroids = len(C)
     limit = k + margin
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = _ivf_vectors(spark, path)
 
     q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded batch
     if not len(q_pd):
@@ -909,25 +1078,52 @@ def ivf_index_search(
 
 
 def _read_centroids(spark, path: str):
-    """The n_centroids×D quantizer matrix from the index's one-file
-    ``centroids`` sidecar, sorted by cell. Local/file: paths read
-    driver-side via pyarrow (~ms — the sidecar is a handful of rows;
-    r13: profiling showed the Spark-job route costing ~0.25 s of
-    every search's plan phase, a fixed tax per query batch); any
-    other scheme, or any pyarrow surprise, falls back to the Spark
-    scan — same rows either way."""
+    """The n_centroids×D quantizer matrix from the index's tiny
+    ``centroids`` table, sorted by cell. Local/file: paths read
+    driver-side via pyarrow (~ms — a handful of rows; r13: profiling
+    showed the Spark-job route costing ~0.25 s of every search's
+    plan phase, a fixed tax per query batch); any other scheme, or
+    any pyarrow surprise, falls back to the committed-filtered Spark
+    scan — same rows either way.
+
+    Batch layout (r13 lifecycle): centroids live under
+    ``centroids/batch=<tag>`` and only manifest-committed batches
+    count. Driver-side, the committed set IS the directory listing
+    of ``manifest/batch=*`` (the manifest payload is just the
+    commit marker), so the pyarrow path needs no Spark job for the
+    filter either. Legacy flat sidecars read as before."""
     import numpy as np
 
     p = f"{path}/centroids"
     if "://" not in p or p.startswith("file:"):
         try:
             import glob as _glob
+            import os as _os
 
             import pyarrow.parquet as _pq
 
+            root = path.removeprefix("file:")
             files = sorted(
-                _glob.glob(p.removeprefix("file:") + "/*.parquet")
+                _glob.glob(_os.path.join(root, "centroids", "*.parquet"))
             )
+            batch_dirs = sorted(
+                _glob.glob(_os.path.join(root, "centroids", "batch=*"))
+            )
+            if batch_dirs:
+                committed = {
+                    _os.path.basename(d).removeprefix("batch=")
+                    for d in _glob.glob(
+                        _os.path.join(root, "manifest", "batch=*")
+                    )
+                    if _os.path.isdir(d)
+                }
+                files = sorted(
+                    f
+                    for d in batch_dirs
+                    if _os.path.basename(d).removeprefix("batch=")
+                    in committed
+                    for f in _glob.glob(_os.path.join(d, "*.parquet"))
+                )
             if files:
                 pdf = _pq.read_table(files).to_pandas()
                 pdf = pdf.sort_values("cell").reset_index(drop=True)
@@ -936,7 +1132,12 @@ def _read_centroids(spark, path: str):
                 )
         except Exception:
             pass  # fall through to the Spark scan
-    cpdf = spark.read.parquet(p).orderBy("cell").toPandas()
+    from .dedup import _committed_table, _committed_view
+
+    t = _committed_table(
+        spark, path, "centroids", _committed_view(spark, path)
+    )
+    cpdf = t.orderBy("cell").toPandas()
     return np.stack(cpdf["centroid"].to_numpy()).astype("float64")
 
 
@@ -1015,7 +1216,7 @@ def ivf_index_search_distributed(
     # partition pruning (recomputes assign_q once; cheap relative to
     # the search, and caching an unbounded query set would not be)
     probed_cells = [int(r["cell"]) for r in qcells.select("cell").distinct().collect()]
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = _ivf_vectors(spark, path)
     probed = vectors.filter(F.col("cell").isin(probed_cells))
 
     qrep = qcells.withColumn(

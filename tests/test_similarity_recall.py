@@ -427,3 +427,77 @@ def test_quantize_embeddings_roundtrip_bound(spark):
     assert got[4]["q_md5"] == hashlib.md5(b"127").hexdigest()
     for r in got.values():
         assert r["cert_int8"] and r["cert_err"]
+
+
+def test_ivf_index_lifecycle_append_compact_vacuum(spark, tmp_path):
+    """r13: the IVF index's manifest lifecycle — appends assign cells
+    under the FROZEN quantizer and publish atomically; a torn append
+    (vectors, no manifest row) is invisible at search; same-tag
+    replays don't double vectors; compact+vacuum are pure physical
+    rewrites (search results byte-identical); build refuses a
+    different-n_centroids rebuild and append refuses a bad tag."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    n, d = 120, 8
+    vecs = rng.randn(n, d).astype("float64")
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [list(map(float, v)) for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    p = str(tmp_path / "ivf")
+    key = lambda df: sorted(
+        (r["q_id"], r["c_id"]) for r in df.select("q_id", "c_id").collect()
+    )
+
+    similarity.ivf_index_build(emb.filter("vec_id < 60"), p, n_centroids=4)
+    base = key(similarity.ivf_index_search(spark, p, qs, 3, 4, bounded=True))
+
+    # torn append: vectors land, manifest row never does — invisible
+    torn = emb.filter("vec_id >= 60")
+    spark.read.parquet(f"{p}/vectors").limit(0)  # layout probe only
+    torn.select("vec_id", "embedding").withColumn(
+        "cell", F.lit(0)
+    ).write.partitionBy("cell").parquet(f"{p}/vectors/batch=torn")
+    assert key(similarity.ivf_index_search(
+        spark, p, qs, 3, 4, bounded=True)) == base
+
+    # committed append, replayed with the same tag: no doubling
+    similarity.ivf_index_append(torn, p, batch_tag="b2")
+    similarity.ivf_index_append(torn, p, batch_tag="b2")
+    full = similarity.ivf_index_search(spark, p, qs, 3, 4, bounded=True)
+    got = key(full)
+    assert got != base  # the appended half is searchable
+    n_vec = (
+        similarity._ivf_vectors(spark, p)
+        .groupBy("vec_id").count().filter("count > 1").count()
+    )
+    assert n_vec == 0, "replayed append doubled vectors"
+
+    # compact + vacuum: byte-identical search, torn dir removed
+    similarity.ivf_index_compact(spark, p)
+    assert key(similarity.ivf_index_search(
+        spark, p, qs, 3, 4, bounded=True)) == got
+    removed = {x.rsplit("/", 1)[-1]
+               for x in similarity.ivf_index_vacuum(spark, p)}
+    assert "batch=torn" in removed
+    assert key(similarity.ivf_index_search(
+        spark, p, qs, 3, 4, bounded=True)) == got
+    # distributed route reads the same committed view
+    assert key(similarity.ivf_index_search_distributed(
+        spark, p, qs, 3, 4)) == got
+
+    # guards: banding mismatch, bad tag, append-to-nothing
+    with _pt.raises(ValueError, match="was built with"):
+        similarity.ivf_index_build(emb, p, n_centroids=8)
+    with _pt.raises(ValueError, match="must be"):
+        similarity.ivf_index_append(torn, p, batch_tag="20240101")
+    with _pt.raises(Exception):
+        similarity.ivf_index_append(torn, str(tmp_path / "nope"))
