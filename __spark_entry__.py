@@ -3796,6 +3796,110 @@ def _q_ivf_lifecycle(spark, sf_dir):
 
 
 @_register(
+    "st_ann_stream",
+    f"""
+WITH ex AS ({_SQL_EX}),
+n AS ({_SQL_NORM}),
+s1 AS (
+  SELECT q.vec_id AS q, c.vec_id AS c,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE)
+           / (x.nrm * y.nrm) AS cos
+  FROM ex q JOIN ex c USING (pos)
+  JOIN n x ON q.vec_id = x.vec_id JOIN n y ON c.vec_id = y.vec_id
+  WHERE q.vec_id >= 250 AND q.vec_id < 375 AND c.vec_id < 250
+  GROUP BY 1, 2, x.nrm, y.nrm
+),
+b1 AS (
+  SELECT q, cos, c FROM (
+    SELECT q, cos, c,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, c) AS rk
+    FROM s1
+  ) WHERE rk = 1
+),
+v1 AS (
+  SELECT d.vec_id, b.cos AS best_cosine, b.c AS match_vec_id,
+         COALESCE(b.cos >= 0.38, FALSE) AS is_dup
+  FROM (SELECT vec_id FROM embeddings
+        WHERE vec_id >= 250 AND vec_id < 375) d
+  LEFT JOIN b1 b ON d.vec_id = b.q
+),
+hist2 AS (
+  SELECT vec_id FROM embeddings WHERE vec_id < 250
+  UNION ALL
+  SELECT vec_id FROM v1 WHERE NOT is_dup
+),
+s2 AS (
+  SELECT q.vec_id AS q, c.vec_id AS c,
+         CAST(SUM(CAST(q.val * c.val AS DECIMAL(38,12))) AS DOUBLE)
+           / (x.nrm * y.nrm) AS cos
+  FROM ex q JOIN ex c USING (pos)
+  JOIN hist2 h ON c.vec_id = h.vec_id
+  JOIN n x ON q.vec_id = x.vec_id JOIN n y ON c.vec_id = y.vec_id
+  WHERE q.vec_id >= 375
+  GROUP BY 1, 2, x.nrm, y.nrm
+),
+b2 AS (
+  SELECT q, cos, c FROM (
+    SELECT q, cos, c,
+           ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, c) AS rk
+    FROM s2
+  ) WHERE rk = 1
+),
+v2 AS (
+  SELECT d.vec_id, b.cos AS best_cosine, b.c AS match_vec_id,
+         COALESCE(b.cos >= 0.38, FALSE) AS is_dup
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id >= 375) d
+  LEFT JOIN b2 b ON d.vec_id = b.q
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+""",
+)
+def _q_st_ann_stream(spark, sf_dir):
+    """Streaming EMBEDDING near-dup with survivor appends (new r13 —
+    pipeline.ann_stream, completing the text/image/embedding
+    streaming symmetry): the first corpus half builds the persisted
+    IVF index; the second half lands as two deliveries
+    (maxFilesPerTrigger=1); each micro-batch is searched (probe-ALL,
+    so the verdicts are exactly replayable — no quantizer in the
+    oracle), its per-vector best-cosine verdicts land idempotently,
+    and non-duplicates append under the frozen quantizer so delivery
+    2 screens against delivery 1's survivors. The oracle replays the
+    sequential two-pass decimal-exact cosine semantics with no index
+    and no stream at all."""
+    import os as _os
+    import tempfile
+
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import (
+        pipeline,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = sf_dir.strip("/").replace("/", "_")
+    ipath = f"/tmp/spark_graft_ann_stridx/{tag}_{_os.getpid()}"
+    similarity.ivf_index_build(
+        emb.filter(F.col("vec_id") < 250), ipath, n_centroids=16
+    )
+    land = tempfile.mkdtemp(prefix="spark_graft_annstr_landing_")
+    stage = tempfile.mkdtemp(prefix="spark_graft_annstr_stage_")
+    emb.filter(
+        (F.col("vec_id") >= 250) & (F.col("vec_id") < 375)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    emb.filter(F.col("vec_id") >= 375).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/d2")
+    pipeline.stage_delivery(f"{stage}/d1", land, "delivery_1")
+    pipeline.stage_delivery(f"{stage}/d2", land, "delivery_2")
+    out = tempfile.mkdtemp(prefix="spark_graft_annstr_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_annstr_ckpt_")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.ann_stream(
+        stream, ipath, out, ckpt, threshold=0.38, append_survivors=True
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).drop("batch_id")
+
+
+@_register(
     "s_ivf_probeall",
     f"""
 WITH ex AS ({_SQL_EX}),
@@ -12356,6 +12460,7 @@ _VERIFY_FIRST = [
     "m_phash_search",
     "st_phash_stream",
     "s_ivf_lifecycle",
+    "st_ann_stream",
     # tier 3 — the 21 r6-stale gates (r12 verdict item 1: six
     # driver rounds without a resample; includes the core
     # sorts/top-k parity surface) ...

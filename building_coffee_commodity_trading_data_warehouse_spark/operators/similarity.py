@@ -918,14 +918,14 @@ def ivf_index_vacuum(
     )
 
 
-def _ivf_vectors(spark, path: str) -> DataFrame:
+def _ivf_vectors(spark, path: str, exclude_tags=None) -> DataFrame:
     """The index's vector table restricted to manifest-COMMITTED
     batches (torn builds/appends invisible at the scan — both the
     ``batch`` and ``cell`` predicates are partition pruning); a
     legacy flat ``cell=`` layout reads unfiltered as before."""
     from .dedup import _committed_table, _committed_view
 
-    committed = _committed_view(spark, path)
+    committed = _committed_view(spark, path, exclude_tags)
     return _committed_table(spark, path, "vectors", committed)
 
 
@@ -938,6 +938,7 @@ def ivf_index_search(
     margin: int = 8,
     bounded: bool | None = None,
     max_driver_queries: int = 65536,
+    exclude_tags: list[str] | None = None,
 ) -> DataFrame:
     """Search a persistent IVF index built by ``ivf_index_build``:
     probe cells come from the stored centroids, and the scan reads
@@ -968,13 +969,17 @@ def ivf_index_search(
         )
     if not bounded:
         return ivf_index_search_distributed(
-            spark, path, queries, k=k, nprobe=nprobe, margin=margin
+            spark, path, queries, k=k, nprobe=nprobe, margin=margin,
+            exclude_tags=exclude_tags,
         )
 
     C = _read_centroids(spark, path)
     n_centroids = len(C)
     limit = k + margin
-    vectors = _ivf_vectors(spark, path)
+    # exclude_tags: hide a replayed micro-batch's own first-attempt
+    # append from its search — the streaming replay contract, same
+    # as neardup_index_search (ann_stream passes its batch tag here)
+    vectors = _ivf_vectors(spark, path, exclude_tags)
 
     q_pd = queries.select("vec_id", "embedding").toPandas()  # bounded batch
     if not len(q_pd):
@@ -1149,6 +1154,7 @@ def ivf_index_search_distributed(
     nprobe: int = 8,
     margin: int = 8,
     query_shards: int | None = None,
+    exclude_tags: list[str] | None = None,
 ) -> DataFrame:
     """TWO-SIDED search of a persistent IVF index: the query set stays
     a DataFrame end-to-end — nothing query-sized ever reaches the
@@ -1216,7 +1222,7 @@ def ivf_index_search_distributed(
     # partition pruning (recomputes assign_q once; cheap relative to
     # the search, and caching an unbounded query set would not be)
     probed_cells = [int(r["cell"]) for r in qcells.select("cell").distinct().collect()]
-    vectors = _ivf_vectors(spark, path)
+    vectors = _ivf_vectors(spark, path, exclude_tags)
     probed = vectors.filter(F.col("cell").isin(probed_cells))
 
     qrep = qcells.withColumn(

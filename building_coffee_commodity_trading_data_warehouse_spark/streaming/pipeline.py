@@ -452,6 +452,112 @@ def _phash_screen_batch(
     hashes.unpersist()
 
 
+def ann_stream(
+    stream_vecs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+    nprobe: int | None = None,
+    append_survivors: bool = False,
+):
+    """Streaming EMBEDDING near-dup screening — the third leg of the
+    text/image/embedding symmetry (r13): every arriving micro-batch
+    of vectors (vec_id, embedding) is searched against the PERSISTED
+    IVF index (decimal-exact cosine rerank), its per-vector verdicts
+    — best history cosine, closest history id, is_dup at
+    ``threshold`` — land under ``out_path``, and with
+    ``append_survivors=True`` the batch's non-duplicates
+    ``ivf_index_append`` under the frozen quantizer so later batches
+    screen against earlier survivors. Identical replay/durability
+    contract to ``neardup_stream``/``phash_stream``: per-batch_id
+    partition overwrite, checkpoint-lineage run prefix, survivor
+    appends tagged ``stream-<run>-<id>`` with the batch's own tag
+    EXCLUDED from its search.
+
+    ``nprobe`` defaults to n_centroids (probe-ALL): a screen's
+    verdict flips on the single best cosine, so the gate pins the
+    exact-replayable configuration; production deployments trade
+    recall for I/O by lowering it exactly as in ``ivf_index_search``
+    (the probed fraction is the scan)."""
+    run = _checkpoint_run_id(stream_vecs.sparkSession, checkpoint)
+    meta = (
+        stream_vecs.sparkSession.read.parquet(f"{index_path}/meta")
+        .collect()[0]
+    )
+    probe = int(nprobe) if nprobe is not None else int(meta["n_centroids"])
+
+    def _screen(batch: DataFrame, batch_id: int) -> None:
+        _ann_screen_batch(
+            batch, batch_id, index_path, out_path, threshold, probe,
+            append_survivors, run=run,
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(_screen)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ann_screen_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    threshold: float,
+    nprobe: int,
+    append_survivors: bool,
+    run: str = "r0",
+) -> None:
+    """One micro-batch of ``ann_stream`` — module-level so the replay
+    contract is directly testable, like its text and image twins."""
+    from ..operators import similarity as _sim
+
+    if not batch.head(1):
+        return
+    spark = batch.sparkSession
+    tag = f"stream-{run}-{batch_id}"
+    res = _sim.ivf_index_search(
+        spark,
+        index_path,
+        batch.select("vec_id", "embedding"),
+        k=1,
+        nprobe=nprobe,
+        bounded=True,
+        exclude_tags=[tag] if append_survivors else None,
+    )
+    best = res.filter(F.col("rk") == 1).select(
+        F.col("q_id").alias("vec_id"),
+        F.col("cosine").alias("best_cosine"),
+        F.col("c_id").alias("match_vec_id"),
+    )
+    verdicts = (
+        batch.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "best_cosine",
+            "match_vec_id",
+            F.coalesce(
+                F.col("best_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("is_dup"),
+        )
+        .persist()
+    )
+    verdicts.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={run}-{batch_id}"
+    )
+    if append_survivors:
+        keep = verdicts.filter(~verdicts["is_dup"]).select("vec_id")
+        survivors = batch.join(keep, "vec_id", "left_semi").select(
+            "vec_id", "embedding"
+        )
+        _sim.ivf_index_append(survivors, index_path, batch_tag=tag)
+    verdicts.unpersist()
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain everything currently available through the streaming
     engine into an in-memory table and return it as a DataFrame —

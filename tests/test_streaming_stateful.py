@@ -991,3 +991,58 @@ def test_phash_stream_cross_delivery_and_replay(spark, tmp_path):
     pipeline._phash_screen_batch(d2, 1, ipath, out, True, run=run)
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
+
+
+def test_ann_stream_cross_delivery_and_replay(spark, tmp_path):
+    """Streaming embedding screen (r13, pipeline.ann_stream):
+    delivery 2's copy of a delivery-1 SURVIVOR vector is flagged
+    (survivor appends under the frozen quantizer work across
+    micro-batches), and replaying a micro-batch with the same
+    (run, batch_id) leaves the verdict sink and index unchanged —
+    the replay contract ported from the text and image streams."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from building_coffee_commodity_trading_data_warehouse_spark.operators import similarity
+    from building_coffee_commodity_trading_data_warehouse_spark.streaming import pipeline
+
+    rng = np.random.RandomState(11)
+    hist_v = [list(map(float, rng.randn(8))) for _ in range(6)]
+    novel = list(map(float, rng.randn(8)))
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<double>",
+    )
+    hist = mk([(i, v) for i, v in enumerate(hist_v)])
+    d1 = mk([(11, novel)])
+    d2 = mk([(21, novel), (22, hist_v[3])])  # copies of 11 and hist 3
+    ipath, out = str(tmp_path / "aidx"), str(tmp_path / "out")
+    similarity.ivf_index_build(hist, ipath, n_centroids=2)
+
+    land = str(tmp_path / "land")
+    os.makedirs(land, exist_ok=True)
+    d1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    d2.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    pipeline.stage_delivery(str(tmp_path / "s1"), land, "delivery_1")
+    pipeline.stage_delivery(str(tmp_path / "s2"), land, "delivery_2")
+    stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    q = pipeline.ann_stream(
+        stream, ipath, out, str(tmp_path / "ckpt"),
+        threshold=0.99, append_survivors=True,
+    )
+    q.awaitTermination()
+    got = {r["vec_id"]: r for r in
+           spark.read.parquet(out).drop("batch_id").collect()}
+    assert set(got) == {11, 21, 22}
+    assert not got[11]["is_dup"]                       # novel survivor
+    assert got[21]["is_dup"] and got[21]["match_vec_id"] == 11
+    assert got[22]["is_dup"] and got[22]["match_vec_id"] == 3
+
+    # replay delivery 2's micro-batch: sink and index byte-identical
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    run = pipeline._checkpoint_run_id(spark, str(tmp_path / "ckpt"))
+    pipeline._ann_screen_batch(d2, 1, ipath, out, 0.99, 2, True, run=run)
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after == before
