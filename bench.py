@@ -9,7 +9,24 @@ collect — executor-side consumption only, like a real write).
 Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
 the per-query MEDIAN; a noisy-sandbox outlier rep (GC pause, cold page
 cache, co-tenant CPU burst) then cannot poison a round's number the
-way a single-shot run can."""
+way a single-shot run can.
+
+Contention-guarded reps (r14, VERDICT r13 item 1): every rep is
+bracketed by a ~70 ms constant-work CPU probe; a rep whose bracket
+probes exceed 1.75x the run's probe floor (10th percentile of all
+probes so far) was measured during a co-tenant burst and is
+DISCARDED and retried (bounded: at most reps+3 attempts per query — if the burst outlasts the retry budget
+the contended reps are used and the query is flagged). The timing
+methodology is unchanged (same queries, same noop sink, median per
+query); the guard only decides WHICH reps the median sees, so a
+quiet-machine run is byte-identical to the pre-r14 harness. The JSON
+gains diagnostic fields: rep_probe_min/mean, contended_reps_discarded,
+contended_queries (per-query discard counts), queries_flagged (queries
+whose reported median still includes contended reps), and a run-level
+contention_flag. Rationale: BASELINE.md documents full-bench totals
+whipsawing 0.89<->1.30 on identical code because multi-second bursts
+land on whole rep blocks; the r13 driver artifact read 1.304x with
+probe mean/min 1.31 while same-code isolated ramps read 0.9-1.1x."""
 
 from __future__ import annotations
 
@@ -322,6 +339,39 @@ def _calibration_cpu_sec() -> float:
     return time.perf_counter() - t0
 
 
+def _short_cpu_probe() -> float:
+    """~70 ms constant-work probe (150k-link sha256 chain) used to
+    bracket every bench rep: constant work by construction, so a
+    reading above ~1.75x the run's probe floor means the machine
+    was contended while it ran. Quiet-machine jitter measured at up
+    to 1.41x min (20-probe sample, r14), so the P10-floor + 1.75x
+    threshold cannot false-positive on a calm run; the bursts this
+    exists to catch read 2-6x."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"\x00" * 64
+    for _ in range(150_000):
+        h = hashlib.sha256(h).digest()
+    return time.perf_counter() - t0
+
+
+# A rep is contended when either bracket probe exceeds this factor
+# times the run's probe FLOOR. The floor is the 10th percentile of
+# all probes so far, not the min: CPU-frequency boost occasionally
+# yields a single probe ~1.4x faster than steady state (shakedown
+# run: min 0.043 vs mean 0.062 on an idle machine), and a min-based
+# floor then marks perfectly quiet reps contended. P10 + 1.75x sits
+# safely above quiet jitter while the bursts this guard exists for
+# read 2-6x.
+_CONTENTION_FACTOR = 1.75
+
+
+def _probe_floor(probes: list) -> float:
+    s = sorted(probes)
+    return s[min(len(s) - 1, len(s) // 10)]
+
+
 def _calibration_spark_sec(spark) -> float:
     """Fixed Spark probe: one 32-task shuffle over a constant 2M-row
     range — measures scheduler + shuffle overhead under the current
@@ -352,15 +402,25 @@ def main() -> None:
     cal_cpu = [_calibration_cpu_sec()]
     cal_spark = [_calibration_spark_sec(spark)]
     timings: dict[str, float] = {}
+    # run-wide quietest short probe: the contention reference. Seeded
+    # from three readings before the query loop so the first query's
+    # reps have a floor to compare against.
+    rep_probes = [_short_cpu_probe() for _ in range(3)]
+    contended_queries: dict[str, int] = {}
+    queries_flagged: list[str] = []
     for name in HEADLINE:
         fn = EXTRA.get(name) or queries[name]
-        samples = []
-        for _ in range(reps):
+        samples = []  # (rep_sec, clean)
+        p_before = _short_cpu_probe()
+        rep_probes.append(p_before)
+        attempts = 0
+        while sum(1 for _, c in samples if c) < reps and attempts < reps + 3:
+            attempts += 1
             t0 = time.perf_counter()
             res = fn(spark, sf_dir)
             if res is not None:
                 res.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             # release the rep's JVM-side state before the next one
             # (r13, mirrors scripts/isolated_reps.py): eager
             # localCheckpoint gates (c_full_curation) otherwise pin
@@ -370,7 +430,26 @@ def main() -> None:
             # later QUERY in the sequence) read high.
             del res
             gc.collect()
-        timings[name] = round(statistics.median(samples), 3)
+            p_after = _short_cpu_probe()
+            rep_probes.append(p_after)
+            floor = _probe_floor(rep_probes)
+            clean = max(p_before, p_after) <= _CONTENTION_FACTOR * floor
+            samples.append((dt, clean))
+            p_before = p_after
+        clean_samples = [s for s, c in samples if c]
+        n_contended = sum(1 for _, c in samples if not c)
+        if n_contended:
+            contended_queries[name] = n_contended
+        if len(clean_samples) >= reps:
+            used = clean_samples
+            # discarded = contended reps that were successfully retried
+        else:
+            # burst outlasted the retry budget: use everything we have
+            # (the pre-r14 behaviour) and flag the query
+            used = [s for s, _ in samples]
+            if n_contended:
+                queries_flagged.append(name)
+        timings[name] = round(statistics.median(used), 3)
     cal_cpu.append(_calibration_cpu_sec())
     cal_spark.append(_calibration_spark_sec(spark))
 
@@ -392,7 +471,27 @@ def main() -> None:
         "calibration_spark_sec": round(min(cal_spark), 3),
         "calibration_cpu_mean_sec": round(sum(cal_cpu) / len(cal_cpu), 3),
         "calibration_spark_mean_sec": round(sum(cal_spark) / len(cal_spark), 3),
+        # r14 contention guard diagnostics (see module docstring):
+        # per-rep bracket probes + discard/retry accounting. A query
+        # in queries_flagged reported a median that still contains
+        # contended reps (the burst outlasted the retry budget) —
+        # read its ratio against an isolated ramp, not at face value.
+        "rep_probe_min": round(min(rep_probes), 4),
+        "rep_probe_mean": round(sum(rep_probes) / len(rep_probes), 4),
+        "contended_reps_discarded": sum(
+            n
+            for q, n in contended_queries.items()
+            if q not in queries_flagged
+        ),
+        "contended_queries": contended_queries,
+        "queries_flagged": queries_flagged,
     }
+    out["contention_flag"] = bool(
+        queries_flagged
+        or out["rep_probe_mean"] > 1.3 * out["rep_probe_min"]
+        or out["calibration_cpu_mean_sec"]
+        > 1.3 * out["calibration_cpu_sec"]
+    )
     # Per-query ratios vs the frozen round-5 baseline (cross-round
     # TOTALS stopped being comparable when the headline set grew;
     # verdicts diff per-query against the freeze instead of round 1).
@@ -427,6 +526,27 @@ def main() -> None:
                     out["current_total_common"]
                     / out["baseline_total_common"]
                     / out["calibration_ratio"],
+                    3,
+                )
+            # r14 DIAGNOSTIC (additional, does not replace the field
+            # above): the same total calibrated against the SPARK
+            # probe. The r14 sandbox reads the Spark job path (task
+            # scheduling + shuffle) at 2-4x the freeze epoch while
+            # single-thread CPU reads ~1.0x — a machine-class drift
+            # the CPU-only ratio provably cannot see (BASELINE.md
+            # r12 item 7, r14 measurements in OPTIMIZATION_r14.md).
+            # The truth for mixed workloads lies between the two
+            # calibrations; a verdict should read both.
+            if base.get("calibration_spark_sec"):
+                out["calibration_spark_ratio"] = round(
+                    out["calibration_spark_sec"]
+                    / base["calibration_spark_sec"],
+                    3,
+                )
+                out["vs_baseline_spark_calibrated_total"] = round(
+                    out["current_total_common"]
+                    / out["baseline_total_common"]
+                    / out["calibration_spark_ratio"],
                     3,
                 )
     print(json.dumps(out))
