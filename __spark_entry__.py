@@ -3893,7 +3893,8 @@ def _q_st_ann_stream(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="spark_graft_annstr_ckpt_")
     stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
     q = pipeline.ann_stream(
-        stream, ipath, out, ckpt, threshold=0.38, append_survivors=True
+        stream, ipath, out, ckpt, threshold=0.38, nprobe="all",
+        append_survivors=True,
     )
     q.awaitTermination()
     return spark.read.parquet(out).drop("batch_id")

@@ -1355,7 +1355,8 @@ def neardup_index_compact(
     path: str,
     tables: tuple = ("bands", "shingles", "sizes"),
     partition_by: dict | None = None,
-) -> str:
+    exclude_tags: list[str] | None = None,
+) -> str | None:
     """Rewrite every manifest-committed batch of a near-dup index
     into ONE base batch and repoint the manifest at it — the
     LSM-style maintenance step that completes the index lifecycle
@@ -1379,7 +1380,18 @@ def neardup_index_compact(
     owner rather than concurrently with searches (a production
     deployment would swap a metastore pointer instead). Superseded
     batch directories stay on disk (still ignored by every search)
-    until ``neardup_index_vacuum``. Returns the new batch tag."""
+    until ``neardup_index_vacuum``. Returns the new batch tag.
+
+    ``exclude_tags`` (r14, VERDICT r13 item 3) leaves the named
+    committed batches OUT of the rewrite and keeps their manifest
+    rows alongside the new compact batch's — the streaming screens'
+    auto-compact cadence needs this: a micro-batch's own survivor
+    append must stay a separately-tagged batch until its checkpoint
+    offset commits, or a replayed batch would find its first
+    attempt's rows folded into the compact batch where the
+    replay contract's tag-exclusion can no longer hide them (the
+    batch would then near-dup-match ITSELF). Returns None without
+    touching anything when nothing would be folded."""
     import uuid
 
     # batch values cast to STRING: partition discovery type-infers a
@@ -1393,12 +1405,16 @@ def neardup_index_compact(
         .distinct()
         .collect()
     ]
+    excluded = sorted(set(exclude_tags or ()) & set(committed))
+    fold = [t for t in committed if t not in set(excluded)]
+    if not fold:
+        return None  # everything excluded: nothing to rewrite
     bid = "compact-" + uuid.uuid4().hex
     for name in tables:
         t = spark.read.parquet(f"{path}/{name}")
         if "batch" in t.columns:
             t = t.filter(
-                F.col("batch").cast("string").isin(committed)
+                F.col("batch").cast("string").isin(fold)
             ).drop("batch")
         w = t.write.mode("overwrite")
         pb = (partition_by or {}).get(name)
@@ -1410,9 +1426,14 @@ def neardup_index_compact(
     # the compacted batch's own manifest partition, leaving the
     # superseded batches referenced too — searches would then read
     # every row TWICE (original + compacted copy). Same pin as the
-    # build's manifest swap (r12 ADVICE).
-    spark.range(1).select(F.lit(True).alias("committed")).withColumn(
-        "batch", F.lit(bid)
+    # build's manifest swap (r12 ADVICE). The rewritten manifest
+    # references the new compact batch plus any excluded tags (their
+    # data dirs were not touched) — one commit row per surviving tag.
+    tags_col = F.explode(
+        F.array(*[F.lit(t) for t in [bid] + excluded])
+    ).alias("batch")
+    spark.range(1).select(tags_col).select(
+        F.lit(True).alias("committed"), "batch"
     ).coalesce(1).write.partitionBy("batch").option(
         "partitionOverwriteMode", "static"
     ).mode("overwrite").parquet(f"{path}/manifest")
@@ -1446,6 +1467,15 @@ def _committed_view(spark, path: str, exclude_tags=None):
                 if _os.path.isdir(d)
                 and _glob.glob(_os.path.join(d, "*.parquet"))
             )
+            if not committed:
+                # manifest dir exists but holds no committed batch
+                # (crash mid-swap / mid-publish): returning [] here
+                # would make every search silently filter out ALL
+                # history. Map to None — exactly what the Spark scan
+                # reports for the same torn state (AnalysisException
+                # on zero part files) — so _committed_table raises
+                # the loud torn-index ValueError (r13 ADVICE).
+                committed = None
         else:
             committed = None  # legacy (pre-manifest) index layout
         if exclude_tags:
@@ -1557,7 +1587,28 @@ def neardup_index_vacuum(
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(path).getFileSystem(hconf)
     committed = _read_committed_tags(spark, path)
-    cutoff_ms = (time.time() - grace_seconds) * 1000.0
+    now_ms = time.time() * 1000.0
+    if grace_seconds > 0:
+        # The grace window compares against mtimes REPORTED BY THE
+        # FILESYSTEM; anchoring the cutoff to the driver's clock
+        # would let driver/storage clock skew silently narrow the
+        # window that is the documented defense against deleting an
+        # in-flight append (r13 ADVICE). Stat a just-written probe
+        # file to read the storage clock itself; if the filesystem
+        # reports no usable mtime (object-store synthetic entries),
+        # keep the driver clock — the per-dir age test below already
+        # spares anything whose age is unknown.
+        probe = HPath(f"{path}/.vacuum-clock-probe")
+        try:
+            out = fs.create(probe, True)
+            out.close()
+            fs_now = fs.getFileStatus(probe).getModificationTime()
+            fs.delete(probe, False)
+            if fs_now > 0:
+                now_ms = float(fs_now)
+        except Exception:
+            pass  # unreadable probe: driver clock, as before
+    cutoff_ms = now_ms - grace_seconds * 1000.0
     candidates = []  # (table, tag, hadoop Path)
     for name in tables:
         tdir = HPath(f"{path}/{name}")
@@ -1692,6 +1743,16 @@ def repeated_spans(
     base = documents.select(
         "doc_id", F.split(F.col(text_col), r"\s+").alias("__tk")
     )
+    # widen a single-row-group scan before the sliding-window build
+    # (r14, the _hot_char_islands / gopher_repetition pin): paired A/B
+    # at sf0.1 reads 1.49 plain vs 1.05-1.17 widened; no-op on any
+    # core-wide real-cluster scan. NOT applied in shingles() — its
+    # consumers collapse to bitmaps/signatures cheaply enough that the
+    # same A/B read the widen as a net loss there (ngram_jaccard
+    # 1.03 -> 1.29, the _widen counterexample class).
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "doc_id")
     toks = F.col("__tk")
     spans = F.when(
         F.size(toks) >= n,
@@ -1844,6 +1905,20 @@ def _hot_char_islands(
         else "array<struct<pos:int,w:bigint>>"
     )
     base = documents.select("doc_id", F.col(text_col).alias("__tx"))
+    # Pin the map parallelism (r14; the gopher_repetition /
+    # holt_smoothing precedent): the stride-1 window build is the
+    # densest per-row compute in the repo (~n_chars substr+xxhash64
+    # evaluations per doc, and the detection chain evaluates it up to
+    # three times), yet a single-row-group parquet input arrives as
+    # ONE scan task — measured at sf0.1: the whole detection ran on
+    # one core, 6.1/5.2 s for the two chars gates; widened, the same
+    # plans read ~3x faster (OPTIMIZATION_r14.md). Keyed repartition
+    # (not round-robin) skips the sortBeforeRepartition local sort of
+    # the corpus text; no-op guard keeps real-cluster scans (already
+    # core-wide) exchange-free.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par, "doc_id")
     nwin = F.length("__tx") - (n - 1)
     wins = F.when(
         nwin >= 1,

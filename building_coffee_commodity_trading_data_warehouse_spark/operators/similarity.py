@@ -884,14 +884,18 @@ def ivf_index_append(
     return path
 
 
-def ivf_index_compact(spark, path: str) -> str:
+def ivf_index_compact(
+    spark, path: str, exclude_tags: list[str] | None = None
+) -> str | None:
     """LSM-style compaction of an IVF index — the shared manifest-swap
     rewrite over the vectors AND centroid batch tables, preserving
     the inner ``cell=`` layout (so post-compact searches still prune
     at the cell dirs). Pure physical rewrite: search results are
     identical before and after (pinned by the s_ivf_lifecycle gate),
     and the quantizer is deliberately NOT retrained (see
-    ``ivf_index_append``'s drift caveat)."""
+    ``ivf_index_append``'s drift caveat). ``exclude_tags`` keeps the
+    named batches out of the rewrite (the streaming auto-compact
+    cadence's replay guard — see ``dedup.neardup_index_compact``)."""
     from .dedup import neardup_index_compact
 
     return neardup_index_compact(
@@ -899,6 +903,7 @@ def ivf_index_compact(spark, path: str) -> str:
         path,
         tables=("vectors", "centroids"),
         partition_by={"vectors": ["cell"]},
+        exclude_tags=exclude_tags,
     )
 
 
@@ -1115,12 +1120,19 @@ def _read_centroids(spark, path: str):
                 _glob.glob(_os.path.join(root, "centroids", "batch=*"))
             )
             if batch_dirs:
+                # a batch counts as committed only when its commit
+                # row's part file landed — the same part-file check
+                # as dedup._committed_view, so a torn append (dir
+                # created, commit row not yet written) can never
+                # yield a centroid set that disagrees with the
+                # vector set used in the same search (r13 ADVICE)
                 committed = {
                     _os.path.basename(d).removeprefix("batch=")
                     for d in _glob.glob(
                         _os.path.join(root, "manifest", "batch=*")
                     )
                     if _os.path.isdir(d)
+                    and _glob.glob(_os.path.join(d, "*.parquet"))
                 }
                 files = sorted(
                     f

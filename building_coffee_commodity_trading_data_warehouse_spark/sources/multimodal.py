@@ -1268,15 +1268,19 @@ def phash_index_build(
     return path
 
 
-def phash_index_compact(spark, path: str) -> str:
+def phash_index_compact(
+    spark, path: str, exclude_tags: list[str] | None = None
+) -> str | None:
     """LSM-style compaction of a phash index — the shared manifest-
     swap rewrite (``dedup.neardup_index_compact``) over this index's
     two tables. Search results are identical before and after
-    (pinned by the m_phash_search gate and pytest)."""
+    (pinned by the m_phash_search gate and pytest). ``exclude_tags``
+    keeps the named batches out of the rewrite (the streaming
+    auto-compact cadence's replay guard)."""
     from ..operators import dedup as _dedup
 
     return _dedup.neardup_index_compact(
-        spark, path, tables=("bands", "hashes")
+        spark, path, tables=("bands", "hashes"), exclude_tags=exclude_tags
     )
 
 

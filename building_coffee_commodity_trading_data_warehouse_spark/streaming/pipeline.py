@@ -167,12 +167,17 @@ def _checkpoint_run_id(spark, checkpoint: str) -> str:
       written into the marker — a replayed batch keeps overwriting
       its own first attempt instead of self-matching it under a
       fresh prefix. Only a genuinely fresh checkpoint mints a uuid.
-    * ATOMIC MINT — the id is written to a temp file and RENAMED
-      into place (Hadoop rename refuses an existing destination), so
-      a crash mid-write can never leave a torn half-written marker,
-      and a concurrent double-start resolves to whichever racer's
-      rename won — the loser deletes its temp and reads the
-      winner's id.
+    * EXCLUSIVE MINT — the marker is created with
+      ``fs.create(marker, overwrite=false)``: the create itself
+      refuses an existing destination, so a concurrent double-start
+      resolves to ONE winner and the loser reads the winner's id.
+      (r13 ADVICE: the previous temp-file+rename scheme relied on
+      "Hadoop rename refuses an existing destination", but
+      LocalFileSystem rename is POSIX ``File.renameTo``, which
+      silently OVERWRITES — two local racers could each mint and
+      read different run ids.) The id is a single short write
+      straight after the create; the only torn state a crash can
+      leave is an EMPTY marker, which the recovery below re-mints.
     * TORN-MARKER RECOVERY — an empty marker (only producible by a
       pre-hardening crash) is deleted and re-minted instead of
       bricking the lineage."""
@@ -196,14 +201,14 @@ def _checkpoint_run_id(spark, checkpoint: str) -> str:
             else:
                 run = "r" + uuid.uuid4().hex[:12]
             fs.mkdirs(marker.getParent())
-            tmp = HPath(root + f"/.run_id.{uuid.uuid4().hex[:8]}.tmp")
-            out = fs.create(tmp, True)
             try:
-                out.writeBytes(run)
-            finally:
-                out.close()
-            if not fs.rename(tmp, marker):
-                fs.delete(tmp, False)  # racer won — read theirs below
+                out = fs.create(marker, False)  # exclusive: refuses existing
+                try:
+                    out.writeBytes(run)
+                finally:
+                    out.close()
+            except Exception:
+                pass  # racer won the create — read theirs below
         ins = fs.open(marker)
         try:
             got = jvm.org.apache.commons.io.IOUtils.toString(
@@ -228,6 +233,7 @@ def neardup_stream(
     checkpoint: str,
     threshold: float = 0.5,
     append_survivors: bool = False,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-dup screening (the production deploy of
     ``dedup.neardup_index_search``): every arriving micro-batch of
@@ -265,7 +271,19 @@ def neardup_stream(
     partitions make a replayed append overwrite itself (see the
     build's durability docstring; the st_neardup_append gate replays
     the sequential semantics exactly in SQL). Returns the
-    StreamingQuery."""
+    StreamingQuery.
+
+    ``compact_every`` (r14): a long-running survivor-appending
+    stream accumulates one tiny ``batch=`` partition per micro-batch
+    and search cost degrades with batch count (the history-axis
+    study, scripts/incremental_neardup_history_axis.py). When set,
+    the screen auto-compacts the index as soon as the committed
+    batch count reaches the value, always EXCLUDING the current
+    micro-batch's own tag from the fold (``_auto_compact`` — the
+    replay guard). Default None keeps the pre-r14 behaviour: compact
+    out-of-band from the ingest owner on whatever cadence the
+    deployment chooses; SCALE.md r14 records the measured
+    batch-count cost curve that picks the value."""
     # RUN-scoped tag prefix: Structured Streaming batch_ids restart
     # at 0 under a NEW checkpoint, so a bare "stream-<id>" tag from a
     # restarted query would overwrite the PREVIOUS run's batches in
@@ -292,6 +310,7 @@ def neardup_stream(
         _neardup_screen_batch(
             batch, batch_id, index_path, out_path, threshold,
             append_survivors, run=run, kbn=kbn,
+            compact_every=compact_every,
         )
 
     return (
@@ -300,6 +319,29 @@ def neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _auto_compact(
+    spark, index_path: str, compact_every: int, current_tag: str, compact_fn
+) -> None:
+    """Auto-compact trigger shared by the three streaming screens
+    (r14, VERDICT r13 item 3): when the index's committed batch count
+    reaches ``compact_every``, fold every batch EXCEPT the current
+    micro-batch's own survivor append into one compact batch. The
+    exclusion is the replay guard — the current batch's tag must stay
+    separately addressable until its checkpoint offset commits, or a
+    replayed batch would find its first attempt's rows inside the
+    compact batch where tag-exclusion can no longer hide them and
+    would near-dup-match ITSELF. Cost model (SCALE.md r14): each
+    search pays O(batch-count) in file/partition overhead, each
+    compact pays one O(index-size) rewrite — a fixed ``compact_every``
+    bounds search degradation at N tiny batches while amortizing the
+    rewrite over N micro-batches."""
+    from ..operators.dedup import _committed_view
+
+    committed = _committed_view(spark, index_path)
+    if committed is not None and len(committed) >= compact_every:
+        compact_fn(exclude_tags=[current_tag])
 
 
 def _neardup_screen_batch(
@@ -311,6 +353,7 @@ def _neardup_screen_batch(
     append_survivors: bool,
     run: str = "r0",
     kbn: "tuple[int, int, int] | None" = None,
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of ``neardup_stream`` — module-level so the
     replay contract is directly testable: calling this twice with the
@@ -352,6 +395,17 @@ def _neardup_screen_batch(
             mode="append",
             batch_tag=tag,
         )
+        if compact_every:
+            _auto_compact(
+                batch.sparkSession,
+                index_path,
+                compact_every,
+                tag,
+                lambda exclude_tags: _dedup.neardup_index_compact(
+                    batch.sparkSession, index_path,
+                    exclude_tags=exclude_tags,
+                ),
+            )
     res.unpersist()
 
 
@@ -361,6 +415,7 @@ def phash_stream(
     out_path: str,
     checkpoint: str,
     append_survivors: bool = False,
+    compact_every: int | None = None,
 ):
     """Streaming IMAGE near-dup screening — the production deploy of
     ``multimodal.phash_index_search``, completing the image/text
@@ -390,6 +445,7 @@ def phash_stream(
         _phash_screen_batch(
             batch, batch_id, index_path, out_path, append_survivors,
             run=run, max_distance=max_distance,
+            compact_every=compact_every,
         )
 
     return (
@@ -408,6 +464,7 @@ def _phash_screen_batch(
     append_survivors: bool,
     run: str = "r0",
     max_distance: int | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of ``phash_stream`` — module-level so the
     replay contract is directly testable, exactly like
@@ -448,6 +505,16 @@ def _phash_screen_batch(
             mode="append",
             batch_tag=tag,
         )
+        if compact_every:
+            _auto_compact(
+                spark,
+                index_path,
+                compact_every,
+                tag,
+                lambda exclude_tags: _mm.phash_index_compact(
+                    spark, index_path, exclude_tags=exclude_tags
+                ),
+            )
     res.unpersist()
     hashes.unpersist()
 
@@ -458,8 +525,9 @@ def ann_stream(
     out_path: str,
     checkpoint: str,
     threshold: float = 0.9,
-    nprobe: int | None = None,
+    nprobe: int | str | None = None,
     append_survivors: bool = False,
+    compact_every: int | None = None,
 ):
     """Streaming EMBEDDING near-dup screening — the third leg of the
     text/image/embedding symmetry (r13): every arriving micro-batch
@@ -475,22 +543,42 @@ def ann_stream(
     appends tagged ``stream-<run>-<id>`` with the batch's own tag
     EXCLUDED from its search.
 
-    ``nprobe`` defaults to n_centroids (probe-ALL): a screen's
-    verdict flips on the single best cosine, so the gate pins the
-    exact-replayable configuration; production deployments trade
-    recall for I/O by lowering it exactly as in ``ivf_index_search``
-    (the probed fraction is the scan)."""
+    ``nprobe`` is REQUIRED (r13 verdict item 4): an int probes that
+    many cells per query (the production knob — the probed fraction
+    is the scan, exactly as in ``ivf_index_search``; certify a value
+    against the exact scan with ``ivf_index_certified`` /
+    ``_recall_certificate`` before trusting it); the explicit string
+    ``"all"`` probes every cell — the exact-replayable screen the
+    st_ann_stream gate pins (every verdict provably equals the
+    brute-force scan's), at the cost of reading the FULL history
+    per micro-batch. The old silent default was probe-ALL, i.e. a
+    full-history scan per batch nobody asked for — the opposite of
+    this repo's safe-by-default posture, hence the required
+    parameter."""
+    if nprobe is None:
+        raise ValueError(
+            "ann_stream requires nprobe: pass an int (production — "
+            "certify it against the exact scan first, see "
+            "similarity.ivf_index_certified) or the explicit string "
+            '"all" for the exact-replayable probe-every-cell screen '
+            "(reads the full history per micro-batch)"
+        )
     run = _checkpoint_run_id(stream_vecs.sparkSession, checkpoint)
-    meta = (
-        stream_vecs.sparkSession.read.parquet(f"{index_path}/meta")
-        .collect()[0]
-    )
-    probe = int(nprobe) if nprobe is not None else int(meta["n_centroids"])
+    if isinstance(nprobe, str):
+        if nprobe != "all":
+            raise ValueError(f"nprobe must be an int or 'all', got {nprobe!r}")
+        meta = (
+            stream_vecs.sparkSession.read.parquet(f"{index_path}/meta")
+            .collect()[0]
+        )
+        probe = int(meta["n_centroids"])
+    else:
+        probe = int(nprobe)
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
         _ann_screen_batch(
             batch, batch_id, index_path, out_path, threshold, probe,
-            append_survivors, run=run,
+            append_survivors, run=run, compact_every=compact_every,
         )
 
     return (
@@ -510,6 +598,7 @@ def _ann_screen_batch(
     nprobe: int,
     append_survivors: bool,
     run: str = "r0",
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of ``ann_stream`` — module-level so the replay
     contract is directly testable, like its text and image twins."""
@@ -519,13 +608,19 @@ def _ann_screen_batch(
         return
     spark = batch.sparkSession
     tag = f"stream-{run}-{batch_id}"
+    # bounded=None (r13 ADVICE): size-probe the micro-batch and
+    # auto-route anything over max_driver_queries to the distributed
+    # search (row-identical output, supports exclude_tags) instead of
+    # unconditionally toPandas()-ing it onto the driver — a backlogged
+    # availableNow trigger can deliver arbitrarily large batches; the
+    # text/image screens never driver-collect theirs.
     res = _sim.ivf_index_search(
         spark,
         index_path,
         batch.select("vec_id", "embedding"),
         k=1,
         nprobe=nprobe,
-        bounded=True,
+        bounded=None,
         exclude_tags=[tag] if append_survivors else None,
     )
     best = res.filter(F.col("rk") == 1).select(
@@ -555,6 +650,16 @@ def _ann_screen_batch(
             "vec_id", "embedding"
         )
         _sim.ivf_index_append(survivors, index_path, batch_tag=tag)
+        if compact_every:
+            _auto_compact(
+                spark,
+                index_path,
+                compact_every,
+                tag,
+                lambda exclude_tags: _sim.ivf_index_compact(
+                    spark, index_path, exclude_tags=exclude_tags
+                ),
+            )
     verdicts.unpersist()
 
 

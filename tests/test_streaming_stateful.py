@@ -1028,9 +1028,16 @@ def test_ann_stream_cross_delivery_and_replay(spark, tmp_path):
     pipeline.stage_delivery(str(tmp_path / "s1"), land, "delivery_1")
     pipeline.stage_delivery(str(tmp_path / "s2"), land, "delivery_2")
     stream = pipeline.stream_documents(spark, land, max_files_per_trigger=1)
+    # nprobe is required since r14 (VERDICT r13 item 4): the silent
+    # probe-ALL default scanned the full history per micro-batch
+    with pytest.raises(ValueError, match="requires nprobe"):
+        pipeline.ann_stream(
+            stream, ipath, out, str(tmp_path / "ckpt"),
+            threshold=0.99, append_survivors=True,
+        )
     q = pipeline.ann_stream(
         stream, ipath, out, str(tmp_path / "ckpt"),
-        threshold=0.99, append_survivors=True,
+        threshold=0.99, nprobe="all", append_survivors=True,
     )
     q.awaitTermination()
     got = {r["vec_id"]: r for r in
