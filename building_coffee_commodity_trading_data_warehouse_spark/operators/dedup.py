@@ -1302,8 +1302,18 @@ def _write_index_batch(
     durability docstring)."""
     # data first, under this batch's own partition dir — invisible
     # until the manifest references it; a replayed tag redoes only
-    # itself (per-dir overwrite).
-    for name, df in tables.items():
+    # itself (per-dir overwrite). The per-table writes are
+    # INDEPENDENT jobs with the manifest commit as their only
+    # barrier, so they run from a small thread pool (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially; overlapping lets one write's task tail back-fill
+    # the next write's ramp-up — on a cluster the tail idles most
+    # executors per table otherwise). Measured r14 at sf0.1:
+    # build+append+compact phases 3.4 s sequential → 2.4 s
+    # overlapped; any write failure propagates before the commit, so
+    # the torn-state contract is unchanged.
+    def _write_one(item):
+        name, df = item
         w = df.write.mode("overwrite")
         pb = (partition_by or {}).get(name)
         if pb:
@@ -1313,6 +1323,15 @@ def _write_index_batch(
             # partition pruning compose at the scan
             w = w.partitionBy(*pb)
         w.parquet(f"{path}/{name}/batch={bid}")
+
+    if len(tables) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            list(pool.map(_write_one, tables.items()))
+    else:
+        for item in tables.items():
+            _write_one(item)
     # `fresh` comes straight from _index_preflight's meta probe —
     # re-reading here would add a driver job per build and a window
     # for the two reads to disagree (r13 review)
@@ -1410,7 +1429,10 @@ def neardup_index_compact(
     if not fold:
         return None  # everything excluded: nothing to rewrite
     bid = "compact-" + uuid.uuid4().hex
-    for name in tables:
+
+    # the per-table rewrites are independent until the manifest swap
+    # — overlap them exactly like _write_index_batch (guide §2.6)
+    def _rewrite_one(name: str) -> None:
         t = spark.read.parquet(f"{path}/{name}")
         if "batch" in t.columns:
             t = t.filter(
@@ -1421,6 +1443,15 @@ def neardup_index_compact(
         if pb:
             w = w.partitionBy(*pb)  # keep the table's inner layout
         w.parquet(f"{path}/{name}/batch={bid}")
+
+    if len(tables) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            list(pool.map(_rewrite_one, tables))
+    else:
+        for name in tables:
+            _rewrite_one(name)
     # static partitionOverwriteMode pinned per-write: under a
     # session-level `dynamic` setting the swap would only replace
     # the compacted batch's own manifest partition, leaving the
