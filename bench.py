@@ -193,6 +193,17 @@ HEADLINE = [
     # in-row segment-rebuild projection).
     "d_maximal_spans_chars",
     "d_span_removal_chars",
+    # round-14 (r13 verdict item 6): the r13 gate-only newcomers join
+    # the headline set so they regress loudly — the persisted image
+    # near-dup index pair (band-join candidates + hash verification),
+    # the IVF manifest lifecycle (build+append+compact+vacuum+search
+    # in one number), and the two new streaming screens (phash and
+    # ANN) with their per-micro-batch replay contract.
+    "m_phash_index",
+    "m_phash_search",
+    "st_phash_stream",
+    "s_ivf_lifecycle",
+    "st_ann_stream",
 ]
 
 _IVF_BENCH_PATH = f"/tmp/spark_graft_bench_ivf_{os.getpid()}"
