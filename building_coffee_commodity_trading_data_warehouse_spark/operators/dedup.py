@@ -1203,6 +1203,40 @@ def neardup_index_build(
     return path
 
 
+def _meta_row(spark, path: str):
+    """The index's one-row ``meta`` sidecar — pyarrow driver-side for
+    local/``file:`` paths (~ms; the Spark route costs a ~0.15–0.25 s
+    driver job PER READ in this runtime, and every build/append/search
+    phase reads meta at least once — the r13 ``_read_centroids``
+    precedent, r14 applied to the whole lifecycle). Any other scheme,
+    a missing sidecar, or any pyarrow surprise falls through to the
+    Spark scan, so error behaviour (AnalysisException on a missing
+    index) is byte-compatible with the pre-r14 code."""
+    if "://" not in path or path.startswith("file:"):
+        try:
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            files = sorted(
+                _glob.glob(
+                    _os.path.join(
+                        path.removeprefix("file:"), "meta", "*.parquet"
+                    )
+                )
+            )
+            if files:
+                t = _pq.read_table(files)
+                if t.num_rows:
+                    return {
+                        c: t.column(c)[0].as_py() for c in t.column_names
+                    }
+        except Exception:
+            pass
+    return spark.read.parquet(f"{path}/meta").collect()[0]
+
+
 def _index_preflight(
     spark, path: str, mode: str, want: dict, probe_table: str = "bands"
 ) -> bool:
@@ -1215,7 +1249,7 @@ def _index_preflight(
     from pyspark.errors import AnalysisException
 
     try:
-        row = spark.read.parquet(f"{path}/meta").collect()[0]
+        row = _meta_row(spark, path)
         have = {k: row[k] for k in want}
     except AnalysisException:
         have = None
@@ -1230,11 +1264,28 @@ def _index_preflight(
         )
     if mode == "append" and have is None:
         raise ValueError(f"append requested but no index meta at {path}")
-    try:
-        spark.read.parquet(f"{path}/manifest").head(1)
-        has_manifest = True
-    except AnalysisException:
-        has_manifest = False
+    if "://" not in path or path.startswith("file:"):
+        # driver-side probe for local paths (r14): "manifest
+        # readable" == at least one part file anywhere under it —
+        # exactly what the Spark head(1) tested, without its job
+        import glob as _glob
+        import os as _os
+
+        has_manifest = bool(
+            _glob.glob(
+                _os.path.join(
+                    path.removeprefix("file:"), "manifest", "**",
+                    "*.parquet",
+                ),
+                recursive=True,
+            )
+        )
+    else:
+        try:
+            spark.read.parquet(f"{path}/manifest").head(1)
+            has_manifest = True
+        except AnalysisException:
+            has_manifest = False
     if have is not None and not has_manifest:
         # meta readable, no manifest: either a LEGACY (pre-manifest,
         # flat-layout) index — refuse, mixing batch= dirs with flat
@@ -1417,13 +1468,18 @@ def neardup_index_compact(
     # numeric/date-shaped tag, and a typed value never equals the
     # directory-name string (build validates tags against this, the
     # cast is the belt for indexes written before the validation).
-    committed = [
-        r["batch"]
-        for r in spark.read.parquet(f"{path}/manifest")
-        .select(F.col("batch").cast("string").alias("batch"))
-        .distinct()
-        .collect()
-    ]
+    # _committed_view's driver-side listing serves local paths (r14 —
+    # one Spark job saved per compact); None (torn/legacy) falls back
+    # to the Spark read so the error surface is unchanged.
+    committed = _committed_view(spark, path)
+    if committed is None:
+        committed = [
+            r["batch"]
+            for r in spark.read.parquet(f"{path}/manifest")
+            .select(F.col("batch").cast("string").alias("batch"))
+            .distinct()
+            .collect()
+        ]
     excluded = sorted(set(exclude_tags or ()) & set(committed))
     fold = [t for t in committed if t not in set(excluded)]
     if not fold:
@@ -1564,7 +1620,13 @@ def _read_committed_tags(spark, path: str) -> set[str]:
     """The manifest's committed batch-tag set, string-cast (partition
     discovery type-infers numeric/date-shaped tags; comparisons here
     are against raw directory-name strings). Bounded collect: one tag
-    per append."""
+    per append. Local paths read driver-side via _committed_view's
+    listing (r14 — vacuum calls this TWICE per run for its race
+    guard, each a Spark job otherwise); the semantics are identical:
+    a batch counts only when its commit part file landed."""
+    committed = _committed_view(spark, path)
+    if committed is not None:
+        return set(committed)
     return {
         r["batch"]
         for r in spark.read.parquet(f"{path}/manifest")
@@ -1717,7 +1779,7 @@ def neardup_index_search(
     matching itself. Requires the manifest layout (a ValueError on a
     legacy index — silently ignoring the exclusion would return
     self-matches)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = _meta_row(spark, path)
     k, bands, n = meta["k"], meta["bands"], meta["n"]
     bsh = scoped_persist(shingles(batch, n))
     bsig = scoped_persist(_minhash_wide(bsh, k))

@@ -829,10 +829,15 @@ def ivf_index_append(
     import numpy as np
     import pandas as pd
 
-    from .dedup import _index_preflight, _validate_batch_tag, _write_index_batch
+    from .dedup import (
+        _index_preflight,
+        _meta_row,
+        _validate_batch_tag,
+        _write_index_batch,
+    )
 
     spark = embeddings.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = _meta_row(spark, path)
     n_centroids = int(meta["n_centroids"])
     _index_preflight(
         spark, path, "append", {"n_centroids": n_centroids},

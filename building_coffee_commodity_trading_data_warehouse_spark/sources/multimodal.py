@@ -1326,7 +1326,7 @@ def phash_index_search(
     committed tag list."""
     from ..operators import dedup as _dedup
 
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta = _dedup._meta_row(spark, path)
     max_distance = meta["max_distance"]
     nbands = max_distance + 1
     width = 64 // nbands

@@ -300,10 +300,9 @@ def neardup_stream(
     # banding params are immutable per index lineage: one meta read
     # here instead of one per micro-batch (r13 review, same hoist as
     # phash_stream)
-    _m = (
-        stream_docs.sparkSession.read.parquet(f"{index_path}/meta")
-        .collect()[0]
-    )
+    from ..operators.dedup import _meta_row
+
+    _m = _meta_row(stream_docs.sparkSession, index_path)
     kbn = (int(_m["k"]), int(_m["bands"]), int(_m["n"]))
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
@@ -436,9 +435,10 @@ def phash_stream(
     # (like `run`) instead of a meta collect per micro-batch — a
     # fixed per-batch driver-job tax at streaming cadence otherwise
     # (r13 review).
+    from ..operators.dedup import _meta_row
+
     max_distance = int(
-        stream_docs.sparkSession.read.parquet(f"{index_path}/meta")
-        .collect()[0]["max_distance"]
+        _meta_row(stream_docs.sparkSession, index_path)["max_distance"]
     )
 
     def _screen(batch: DataFrame, batch_id: int) -> None:
@@ -492,9 +492,10 @@ def _phash_screen_batch(
     )
     if append_survivors:
         if max_distance is None:  # direct (test) callers
+            from ..operators.dedup import _meta_row
+
             max_distance = int(
-                spark.read.parquet(f"{index_path}/meta")
-                .collect()[0]["max_distance"]
+                _meta_row(spark, index_path)["max_distance"]
             )
         keep_ids = res.filter(~res["is_dup"]).select("doc_id")
         survivors = hashes.join(keep_ids, "doc_id", "left_semi")
@@ -567,10 +568,9 @@ def ann_stream(
     if isinstance(nprobe, str):
         if nprobe != "all":
             raise ValueError(f"nprobe must be an int or 'all', got {nprobe!r}")
-        meta = (
-            stream_vecs.sparkSession.read.parquet(f"{index_path}/meta")
-            .collect()[0]
-        )
+        from ..operators.dedup import _meta_row
+
+        meta = _meta_row(stream_vecs.sparkSession, index_path)
         probe = int(meta["n_centroids"])
     else:
         probe = int(nprobe)
