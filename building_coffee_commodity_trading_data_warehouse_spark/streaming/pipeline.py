@@ -604,23 +604,27 @@ def _ann_screen_batch(
     contract is directly testable, like its text and image twins."""
     from ..operators import similarity as _sim
 
-    if not batch.head(1):
+    # ONE bounded probe job serves both the empty-batch check and the
+    # r13-ADVICE size guard: a backlogged availableNow trigger can
+    # deliver arbitrarily large micro-batches, and unconditionally
+    # toPandas()-ing one onto the driver (the old bounded=True) could
+    # OOM it — over-threshold batches auto-route to the distributed
+    # search (row-identical output, supports exclude_tags), exactly
+    # like ivf_index_search's own bounded=None probe but without
+    # paying a separate head(1) job per micro-batch.
+    _max_q = 65536
+    n_probe_rows = batch.limit(_max_q + 1).count()
+    if n_probe_rows == 0:
         return
     spark = batch.sparkSession
     tag = f"stream-{run}-{batch_id}"
-    # bounded=None (r13 ADVICE): size-probe the micro-batch and
-    # auto-route anything over max_driver_queries to the distributed
-    # search (row-identical output, supports exclude_tags) instead of
-    # unconditionally toPandas()-ing it onto the driver — a backlogged
-    # availableNow trigger can deliver arbitrarily large batches; the
-    # text/image screens never driver-collect theirs.
     res = _sim.ivf_index_search(
         spark,
         index_path,
         batch.select("vec_id", "embedding"),
         k=1,
         nprobe=nprobe,
-        bounded=None,
+        bounded=n_probe_rows <= _max_q,
         exclude_tags=[tag] if append_survivors else None,
     )
     best = res.filter(F.col("rk") == 1).select(
