@@ -497,12 +497,28 @@ def main() -> None:
         "contended_queries": contended_queries,
         "queries_flagged": queries_flagged,
     }
+    # r15 (r14 ADVICE item 3): the run-level flag compares the probe
+    # MEAN against the P10 floor, not the raw min — a single
+    # boost-fast probe on an idle machine reads ~1.4x below steady
+    # state (shakedown: min 0.043 vs mean 0.062), so a min-based
+    # threshold false-positives on perfectly quiet runs. Same floor
+    # the per-rep guard uses.
     out["contention_flag"] = bool(
         queries_flagged
-        or out["rep_probe_mean"] > 1.3 * out["rep_probe_min"]
+        or out["rep_probe_mean"] > 1.3 * _probe_floor(rep_probes)
         or out["calibration_cpu_mean_sec"]
         > 1.3 * out["calibration_cpu_sec"]
     )
+    # r15 (VERDICT r14 item 8): a driver-run number that survives
+    # contention — the total over UNFLAGGED queries only (flagged =
+    # median still contains contended reps). Additions only: no
+    # existing field changes meaning; on a quiet run this equals
+    # "value" because nothing is flagged.
+    out["clean_subset_total"] = round(
+        sum(s for q, s in timings.items() if q not in set(queries_flagged)),
+        3,
+    )
+    out["clean_subset_n"] = len(timings) - len(queries_flagged)
     # Per-query ratios vs the frozen round-5 baseline (cross-round
     # TOTALS stopped being comparable when the headline set grew;
     # verdicts diff per-query against the freeze instead of round 1).
@@ -558,6 +574,19 @@ def main() -> None:
                     out["current_total_common"]
                     / out["baseline_total_common"]
                     / out["calibration_spark_ratio"],
+                    3,
+                )
+            # r15 (VERDICT r14 item 8): the same raw ratio over the
+            # UNFLAGGED common subset — a per-entry decision rule the
+            # driver's own run can apply. Additions only; equals the
+            # raw common ratio when nothing is flagged.
+            clean_common = [
+                n for n in common if n not in set(queries_flagged)
+            ]
+            if clean_common:
+                out["clean_subset_vs_baseline"] = round(
+                    sum(timings[n] for n in clean_common)
+                    / sum(base["queries"][n] for n in clean_common),
                     3,
                 )
     print(json.dumps(out))

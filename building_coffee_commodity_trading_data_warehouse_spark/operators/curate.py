@@ -458,29 +458,40 @@ def dsir_importance(
     exploded = documents.select(
         "doc_id", is_target.alias("__t"), F.explode(toks).alias("term")
     )
+    from pyspark.sql import Window
+
     from ..caching import scoped_persist
 
-    # the explode+count feeds three consumers (scored join, per-term
-    # stats, corpus scalars) — persist once or the 100 TB token
-    # explode runs three times; per_term likewise feeds two.
+    # the explode+count feeds both consumers (scored pass, corpus
+    # scalars) — persist once or the 100 TB token explode runs twice.
     per_doc_term = scoped_persist(
         exploded.groupBy("doc_id", "__t", "term").agg(
             F.count(F.lit(1)).alias("cnt")
         )
     )
-    per_term = scoped_persist(
-        per_doc_term.groupBy("term").agg(
-            F.sum("cnt").alias("c_r"),
-            F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias(
-                "c_t"
-            ),
-        )
+    # corpus scalars straight off the per-(doc, term) counts: tot_r =
+    # Σcnt, tot_t = Σcnt over target rows, vocab = distinct terms —
+    # identical values to folding a per-term table first (exact
+    # integer sums are associative), without building that table.
+    scalars = per_doc_term.agg(
+        F.sum("cnt").alias("__sc_r"),
+        F.sum(F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "__sc_t"
+        ),
+        F.countDistinct("term").alias("__sc_v"),
     )
-    scalars = per_term.agg(
-        F.sum("c_r").alias("__sc_r"),
-        F.sum("c_t").alias("__sc_t"),
-        F.count(F.lit(1)).alias("__sc_v"),
-    )
+    # per-term target/raw counts as WINDOW sums over the SAME
+    # term-keyed exchange the scored join needed anyway (r15, guide
+    # §2.4: two operations keyed the same way share one exchange) —
+    # the r14 plan shuffled per_doc_term by term AND shuffled +
+    # persisted a separate per_term table, then equi-joined the two
+    # (4 exchanges, 2 persisted frames, 6 driver jobs); this plan is
+    # explode-agg → one term window → doc rollup (3 exchanges, 1
+    # persisted frame, ~4 jobs). Same exact-integer sums, so the
+    # score is bit-identical; at scale the window shuffles the same
+    # (doc, term) rows the join's left side did, minus the extra
+    # per-term table shuffle.
+    wterm = Window.partitionBy("term")
     ratio = (
         (F.col("c_t") + 1).cast("double") / (F.col("c_r") + 1).cast("double")
     ) * (
@@ -488,7 +499,13 @@ def dsir_importance(
         / (F.col("__sc_t") + F.col("__sc_v")).cast("double")
     )
     scored = (
-        per_doc_term.join(per_term, "term")
+        per_doc_term.withColumn("c_r", F.sum("cnt").over(wterm))
+        .withColumn(
+            "c_t",
+            F.sum(
+                F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))
+            ).over(wterm),
+        )
         .join(F.broadcast(scalars))
         .select(
             "doc_id",

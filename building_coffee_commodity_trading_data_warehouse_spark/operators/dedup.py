@@ -1212,7 +1212,7 @@ def _meta_row(spark, path: str):
     a missing sidecar, or any pyarrow surprise falls through to the
     Spark scan, so error behaviour (AnalysisException on a missing
     index) is byte-compatible with the pre-r14 code."""
-    if "://" not in path or path.startswith("file:"):
+    if _is_local_index_path(path):
         try:
             import glob as _glob
             import os as _os
@@ -1235,6 +1235,175 @@ def _meta_row(spark, path: str):
         except Exception:
             pass
     return spark.read.parquet(f"{path}/meta").collect()[0]
+
+
+def _is_local_index_path(path: str) -> bool:
+    """Scheme-less and ``file:`` paths are served by the driver-side
+    sidecar fast paths; every other scheme takes the Spark/Hadoop
+    route. The scheme is PARSED, not substring-probed (r14 ADVICE
+    item 4: ``'://' not in path`` misclassified single-slash scheme
+    URIs like ``hdfs:/x`` — valid in Hadoop — as local, so the glob
+    probe reported a healthy remote index as torn)."""
+    import re as _re
+
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
+    return m is None or m.group(1).lower() == "file"
+
+
+def _local_index_dir(path: str) -> str:
+    return path.removeprefix("file:")
+
+
+def _pq_write_dir(dirpath: str, table) -> None:
+    """(Re)write a one-row sidecar directory driver-side: temp file +
+    rename so readers (which glob ``*.parquet``) never see a torn part
+    file. ~ms for local paths vs a ~0.15-0.25 s Spark job per write in
+    this runtime (guide §6 — don't pay a distributed write for O(1)
+    metadata; the write-side twin of the r14 ``_meta_row`` read path)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(dirpath):
+        _shutil.rmtree(dirpath)
+    _os.makedirs(dirpath, exist_ok=True)
+    tmp = _os.path.join(dirpath, f".tmp-{_uuid.uuid4().hex}")
+    _pq.write_table(table, tmp)
+    _os.replace(tmp, _os.path.join(dirpath, "part-00000.parquet"))
+
+
+def _write_meta_sidecar(spark, path: str, meta_vals: dict) -> None:
+    """The int-typed one-row ``meta`` sidecar. Local paths write it
+    driver-side (schema identical to the Spark route: int32 columns);
+    other schemes keep the pure-JVM spark.range(1) write."""
+    if _is_local_index_path(path):
+        try:
+            import pyarrow as _pa
+
+            _pq_write_dir(
+                _os_path_join(_local_index_dir(path), "meta"),
+                _pa.table(
+                    {
+                        kk: _pa.array([int(v)], type=_pa.int32())
+                        for kk, v in meta_vals.items()
+                    }
+                ),
+            )
+            return
+        except Exception:
+            pass  # any surprise: fall through to the Spark write
+    # one-row sidecars via spark.range + lit — pure-JVM plans.
+    # createDataFrame([...]) from a local list routes through a
+    # Python RDD and costs ~5 s PER CALL in this runtime
+    # (measured; it was 85% of the whole build's wall).
+    spark.range(1).select(
+        *[F.lit(v).cast("int").alias(kk) for kk, v in meta_vals.items()]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _os_path_join(*parts: str) -> str:
+    import os as _os
+
+    return _os.path.join(*parts)
+
+
+def _commit_manifest_append(spark, path: str, bid: str) -> None:
+    """Publish ONE batch: overwrite its own ``manifest/batch=<bid>``
+    commit row. Local paths write the row driver-side (~ms, r15 —
+    one Spark job saved per append, which at streaming cadence is a
+    job per micro-batch); other schemes keep the Spark write. Replay
+    semantics identical: a redone tag overwrites exactly its own
+    commit dir."""
+    if _is_local_index_path(path):
+        try:
+            import pyarrow as _pa
+
+            _pq_write_dir(
+                _os_path_join(
+                    _local_index_dir(path), "manifest", f"batch={bid}"
+                ),
+                _pa.table({"committed": _pa.array([True], _pa.bool_())}),
+            )
+            return
+        except Exception:
+            pass
+    spark.range(1).select(F.lit(True).alias("committed")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/manifest/batch={bid}")
+
+
+def _commit_manifest_swap(spark, path: str, bids: list) -> None:
+    """MANIFEST SWAP: rewrite the manifest to reference exactly
+    ``bids`` — the commit point of overwrite builds and compactions;
+    prior batches become unreferenced garbage for
+    ``neardup_index_vacuum``.
+
+    Local paths publish by RENAME (r15, r14 ADVICE item 1): the new
+    manifest is fully staged under a hidden temp dir, the old
+    manifest is renamed aside, the staged one renames into place,
+    and the aside copy is deleted. A crash before the first rename
+    leaves the OLD manifest fully intact (the Spark overwrite's
+    delete-dir-then-run-a-job sequence left a torn window the whole
+    job long — the failure the streaming auto-compact path could
+    hit on replay); the remaining torn window is the gap between
+    the two renames (~µs), and a crash there still fails LOUD (no
+    manifest → searches raise the torn-index ValueError, never a
+    silent partial view). Stale ``.manifest-*`` leftovers from a
+    crash are swept on the next successful swap (single-maintainer
+    assumption, same as compact's docstring).
+
+    Non-local schemes keep the Spark static-overwrite write
+    (partitionOverwriteMode pinned STATIC per-write: under a
+    session-level `dynamic` setting a partitioned overwrite replaces
+    only the partitions present in the new data, so old manifest
+    rows would SURVIVE the "swap" — r12 ADVICE)."""
+    if _is_local_index_path(path):
+        try:
+            import glob as _glob
+            import os as _os
+            import shutil as _shutil
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            root = _local_index_dir(path).rstrip("/")
+            tok = _uuid.uuid4().hex
+            stage = _os.path.join(root, f".manifest-swap-{tok}")
+            for b in bids:
+                d = _os.path.join(stage, f"batch={b}")
+                _os.makedirs(d, exist_ok=True)
+                _pq.write_table(
+                    _pa.table(
+                        {"committed": _pa.array([True], _pa.bool_())}
+                    ),
+                    _os.path.join(d, "part-00000.parquet"),
+                )
+            mdir = _os.path.join(root, "manifest")
+            old = _os.path.join(root, f".manifest-old-{tok}")
+            if _os.path.isdir(mdir):
+                _os.rename(mdir, old)
+            _os.rename(stage, mdir)  # publish
+            if _os.path.isdir(old):
+                _shutil.rmtree(old)
+            for leftover in _glob.glob(
+                _os.path.join(root, ".manifest-*")
+            ):
+                if tok not in leftover:
+                    _shutil.rmtree(leftover, ignore_errors=True)
+            return
+        except Exception:
+            pass
+    tags_col = F.explode(
+        F.array(*[F.lit(t) for t in bids])
+    ).alias("batch")
+    spark.range(1).select(tags_col).select(
+        F.lit(True).alias("committed"), "batch"
+    ).coalesce(1).write.partitionBy("batch").option(
+        "partitionOverwriteMode", "static"
+    ).mode("overwrite").parquet(f"{path}/manifest")
 
 
 def _index_preflight(
@@ -1264,7 +1433,7 @@ def _index_preflight(
         )
     if mode == "append" and have is None:
         raise ValueError(f"append requested but no index meta at {path}")
-    if "://" not in path or path.startswith("file:"):
+    if _is_local_index_path(path):
         # driver-side probe for local paths (r14): "manifest
         # readable" == at least one part file anywhere under it —
         # exactly what the Spark head(1) tested, without its job
@@ -1365,13 +1534,30 @@ def _write_index_batch(
     # the torn-state contract is unchanged.
     def _write_one(item):
         name, df = item
-        w = df.write.mode("overwrite")
         pb = (partition_by or {}).get(name)
+        if not pb:
+            # Size the batch's output files with an AQE REBALANCE
+            # before the write (guide §6: aim for advisory-sized
+            # files, not one sliver per upstream task). Index tables
+            # are narrow key/hash projections of a much heavier
+            # input, so they inherit a partitioning sized for the
+            # PAYLOAD bytes (a media scan's split count, a widened
+            # Python stage's core count) — tasks × batches tiny
+            # files otherwise, and every search pays the per-file
+            # open cost twice (driver listing + executor opens).
+            # Measured at sf0.1 (phash index, 3-rep warm):
+            # build+append 2.13→1.56 s, search 1.79→1.38 s, part
+            # files 264→28. At scale AQE splits the same exchange to
+            # advisoryPartitionSizeInBytes-sized files instead of 1.
+            df = df.hint("rebalance")
+        w = df.write.mode("overwrite")
         if pb:
             # sub-partitioning WITHIN the batch dir (e.g. the IVF
             # index's cell= dirs) — the batch column stays the outer
             # level, so committed-batch pruning and the table's own
-            # partition pruning compose at the scan
+            # partition pruning compose at the scan; the explicit
+            # (cell, shard) repartition upstream already sizes these
+            # files, so no rebalance here.
             w = w.partitionBy(*pb)
         w.parquet(f"{path}/{name}/batch={bid}")
 
@@ -1387,37 +1573,16 @@ def _write_index_batch(
     # re-reading here would add a driver job per build and a window
     # for the two reads to disagree (r13 review)
     if fresh:
-        # one-row sidecars via spark.range + lit — pure-JVM plans.
-        # createDataFrame([...]) from a local list routes through a
-        # Python RDD and costs ~5 s PER CALL in this runtime
-        # (measured; it was 85% of the whole build's wall).
-        spark.range(1).select(
-            *[
-                F.lit(v).cast("int").alias(kk)
-                for kk, v in meta_vals.items()
-            ]
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        _write_meta_sidecar(spark, path, meta_vals)
     # commit point — a batch without its manifest row does not exist.
-    committed = spark.range(1).select(F.lit(True).alias("committed"))
+    # Driver-side for local paths (r15: one Spark job saved per
+    # build/append — per MICRO-BATCH on the streaming screens), the
+    # rename-published swap for overwrites (r14 ADVICE item 1); Spark
+    # route for other schemes, same layout either way.
     if mode == "append":
-        committed.coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/manifest/batch={bid}"
-        )
+        _commit_manifest_append(spark, path, bid)
     else:
-        # MANIFEST SWAP: the rewritten manifest references only the
-        # new batch; prior batches become unreferenced garbage for
-        # neardup_index_vacuum. partitionOverwriteMode is pinned
-        # STATIC per-write: under a session-level `dynamic` setting
-        # (common in production) a partitioned overwrite replaces
-        # only the partitions present in the new data, so old
-        # manifest rows would SURVIVE the "swap" and searches would
-        # read superseded batches alongside the new one — silently
-        # double-counting shingles/sizes (r12 ADVICE).
-        committed.withColumn("batch", F.lit(bid)).coalesce(1).write.partitionBy(
-            "batch"
-        ).option("partitionOverwriteMode", "static").mode(
-            "overwrite"
-        ).parquet(f"{path}/manifest")
+        _commit_manifest_swap(spark, path, [bid])
 
 
 def neardup_index_compact(
@@ -1494,8 +1659,13 @@ def neardup_index_compact(
             t = t.filter(
                 F.col("batch").cast("string").isin(fold)
             ).drop("batch")
-        w = t.write.mode("overwrite")
         pb = (partition_by or {}).get(name)
+        if not pb:
+            # same AQE rebalance as _write_index_batch (guide §6):
+            # compaction exists to UNDO file-count bloat, so the
+            # rewrite must not reproduce one file per scan task
+            t = t.hint("rebalance")
+        w = t.write.mode("overwrite")
         if pb:
             w = w.partitionBy(*pb)  # keep the table's inner layout
         w.parquet(f"{path}/{name}/batch={bid}")
@@ -1508,22 +1678,14 @@ def neardup_index_compact(
     else:
         for name in tables:
             _rewrite_one(name)
-    # static partitionOverwriteMode pinned per-write: under a
-    # session-level `dynamic` setting the swap would only replace
-    # the compacted batch's own manifest partition, leaving the
-    # superseded batches referenced too — searches would then read
-    # every row TWICE (original + compacted copy). Same pin as the
-    # build's manifest swap (r12 ADVICE). The rewritten manifest
-    # references the new compact batch plus any excluded tags (their
-    # data dirs were not touched) — one commit row per surviving tag.
-    tags_col = F.explode(
-        F.array(*[F.lit(t) for t in [bid] + excluded])
-    ).alias("batch")
-    spark.range(1).select(tags_col).select(
-        F.lit(True).alias("committed"), "batch"
-    ).coalesce(1).write.partitionBy("batch").option(
-        "partitionOverwriteMode", "static"
-    ).mode("overwrite").parquet(f"{path}/manifest")
+    # The rewritten manifest references the new compact batch plus
+    # any excluded tags (their data dirs were not touched) — one
+    # commit row per surviving tag. Local paths publish by RENAME
+    # (r15, r14 ADVICE item 1: the old delete-dir-then-write swap
+    # left a job-long torn window the streaming auto-compact path
+    # could hit on replay); see _commit_manifest_swap for the
+    # crash-window analysis and the static-overwrite Spark fallback.
+    _commit_manifest_swap(spark, path, [bid] + excluded)
     return bid
 
 
@@ -1542,7 +1704,7 @@ def _committed_view(spark, path: str, exclude_tags=None):
     tax per search. Other schemes scan via Spark as before."""
     from pyspark.errors import AnalysisException
 
-    if "://" not in path or path.startswith("file:"):
+    if _is_local_index_path(path):
         import glob as _glob
         import os as _os
 
@@ -1844,7 +2006,12 @@ def repeated_spans(
     # same A/B read the widen as a net loss there (ngram_jaccard
     # 1.03 -> 1.29, the _widen counterexample class).
     par = documents.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
+    # leaf-safe probe (r14 ADVICE item 5): None = composed input,
+    # skip the widen instead of executing upstream stages via df.rdd
+    from ..session import scan_partitions as _scanp
+
+    _np = _scanp(base)
+    if _np is not None and _np < par:
         base = base.repartition(par, "doc_id")
     toks = F.col("__tk")
     spans = F.when(
@@ -2010,7 +2177,12 @@ def _hot_char_islands(
     # the corpus text; no-op guard keeps real-cluster scans (already
     # core-wide) exchange-free.
     par = documents.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
+    # leaf-safe probe (r14 ADVICE item 5): None = composed input,
+    # skip the widen instead of executing upstream stages via df.rdd
+    from ..session import scan_partitions as _scanp
+
+    _np = _scanp(base)
+    if _np is not None and _np < par:
         base = base.repartition(par, "doc_id")
     nwin = F.length("__tx") - (n - 1)
     wins = F.when(

@@ -1079,7 +1079,14 @@ def ivf_index_search(
     # same rationale as multimodal._widen; no-op on any real cluster
     # scan where the probed fraction spans thousands of row groups
     par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    # leaf-safe probe (r14 ADVICE item 5): the probed-cell scan is a
+    # Filter+Project leaf, so this stays an exact partition count;
+    # a composed input would skip the widen instead of executing
+    # upstream stages via df.rdd
+    from ..session import scan_partitions as _scanp
+
+    _np = _scanp(src)
+    if _np is not None and _np < par:
         src = src.repartition(par)
     partials = src.mapInPandas(
         gen, "q_id long, c_id long, cos_d double"
@@ -1109,8 +1116,9 @@ def _read_centroids(spark, path: str):
     filter either. Legacy flat sidecars read as before."""
     import numpy as np
 
-    p = f"{path}/centroids"
-    if "://" not in p or p.startswith("file:"):
+    from .dedup import _is_local_index_path
+
+    if _is_local_index_path(path):
         try:
             import glob as _glob
             import os as _os

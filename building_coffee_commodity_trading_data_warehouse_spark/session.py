@@ -66,6 +66,40 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scan_partitions(df) -> int | None:
+    """Partition count of a LEAF-backed frame (file scan, local
+    relation, checkpointed/streamed RDD — optionally under
+    Project/Filter), or ``None`` for a composed plan.
+
+    The widen guards (multimodal._widen, dedup.repeated_spans /
+    _hot_char_islands, similarity.ivf_index_search) need the scan's
+    parallelism to decide whether a repartition before a CPU-bound
+    stage pays. ``df.rdd.getNumPartitions()`` answers that, but with
+    AQE enabled it finalizes the adaptive plan, which eagerly
+    EXECUTES any upstream shuffle stages — a composed (joined /
+    aggregated) input would run its upstream DAG once for the probe
+    and again for the real action, and a lazy transformation-builder
+    would launch Spark jobs at construction time (r14 ADVICE item 5).
+    So the probe first walks the OPTIMIZED plan (driver-side only, no
+    jobs): stageless shapes — a leaf under any chain of
+    Project/Filter — get the exact ``getNumPartitions`` answer (no
+    exchange exists, so finalizing runs nothing); anything else
+    returns None and the caller skips the widen (the pre-r14
+    behaviour for composed inputs, now guaranteed job-free)."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while node.children().size() == 1 and node.getClass().getSimpleName() in (
+            "Project",
+            "Filter",
+        ):
+            node = node.children().apply(0)
+        if node.children().size() != 0:
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 _SHIPPED: set[str] = set()
 
 

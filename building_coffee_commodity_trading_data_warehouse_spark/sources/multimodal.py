@@ -54,9 +54,15 @@ def _widen(df: DataFrame) -> DataFrame:
     extract_features is the counterexample (0.48 → 0.89 s — the
     shuffle costs more than the Python it spreads), so only the
     per-pixel/per-sample stages widen."""
+    from ..session import scan_partitions
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # scan_partitions: leaf-safe probe — None (composed input) skips
+    # the widen rather than letting df.rdd execute upstream stages
+    # under AQE (r14 ADVICE item 5)
+    np_ = scan_partitions(df)
+    if np_ is not None and np_ < target:
         return df.repartition(target)
     return df
 

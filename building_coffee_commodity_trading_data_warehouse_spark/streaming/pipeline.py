@@ -167,49 +167,107 @@ def _checkpoint_run_id(spark, checkpoint: str) -> str:
       written into the marker — a replayed batch keeps overwriting
       its own first attempt instead of self-matching it under a
       fresh prefix. Only a genuinely fresh checkpoint mints a uuid.
-    * EXCLUSIVE MINT — the marker is created with
-      ``fs.create(marker, overwrite=false)``: the create itself
-      refuses an existing destination, so a concurrent double-start
-      resolves to ONE winner and the loser reads the winner's id.
-      (r13 ADVICE: the previous temp-file+rename scheme relied on
-      "Hadoop rename refuses an existing destination", but
-      LocalFileSystem rename is POSIX ``File.renameTo``, which
-      silently OVERWRITES — two local racers could each mint and
-      read different run ids.) The id is a single short write
-      straight after the create; the only torn state a crash can
-      leave is an EMPTY marker, which the recovery below re-mints.
-    * TORN-MARKER RECOVERY — an empty marker (only producible by a
-      pre-hardening crash) is deleted and re-minted instead of
-      bricking the lineage."""
+    * EXCLUSIVE MINT — LOCAL checkpoints (the scheme-parsed
+      local/``file:`` class) publish the marker with the hard-link
+      trick: the id is fully written to a temp file first, then
+      ``os.link(tmp, marker)`` — a genuinely atomic exclusive create
+      (POSIX ``link(2)`` fails with EEXIST), so a concurrent
+      double-start resolves to ONE winner, the loser reads the
+      winner's id, and NO reader can ever observe a partially
+      written marker (r14 ADVICE item 2: ``fs.create(marker,
+      overwrite=false)`` on RawLocalFileSystem is an exists-check
+      then open — not O_EXCL — so two racers could both pass the
+      check, and a reader between create and writeBytes saw an
+      empty file). Non-local schemes keep the Hadoop
+      ``create(overwrite=false)`` route, which is atomic on HDFS
+      and best-effort on stores without atomic create — there the
+      single-starter deployment assumption carries it.
+    * TORN-MARKER RECOVERY — an empty marker (producible only by a
+      pre-r15 crash, or a racer mid-write on a non-atomic store) is
+      deleted and re-minted ONLY once it is older than a few
+      seconds; a young empty marker is re-read after a settle
+      instead (r14 ADVICE: deleting a racer's live marker between
+      its create and write yielded divergent ids)."""
     import hashlib
     import os as _os
+    import time as _time
     import uuid
+
+    from ..operators.dedup import _is_local_index_path
+
+    root = checkpoint.rstrip("/")
+
+    def _fresh_id(has_offsets: bool) -> str:
+        if has_offsets:
+            # pre-marker lineage: reproduce the historical prefix
+            return (
+                "r"
+                + hashlib.md5(
+                    _os.path.abspath(checkpoint).encode()
+                ).hexdigest()[:8]
+            )
+        return "r" + uuid.uuid4().hex[:12]
+
+    _GRACE_S = 5.0  # age below which an empty marker may be mid-write
+
+    if _is_local_index_path(root):
+        rootd = root.removeprefix("file:")
+        marker = _os.path.join(rootd, "run_id")
+        for _attempt in range(3):
+            if not _os.path.exists(marker):
+                run = _fresh_id(_os.path.isdir(_os.path.join(rootd, "offsets")))
+                _os.makedirs(rootd, exist_ok=True)
+                tmp = marker + ".tmp-" + uuid.uuid4().hex
+                with open(tmp, "w") as fh:
+                    fh.write(run)
+                try:
+                    _os.link(tmp, marker)  # atomic exclusive publish
+                except FileExistsError:
+                    pass  # racer won — read theirs below
+                finally:
+                    _os.unlink(tmp)
+            try:
+                with open(marker) as fh:
+                    got = fh.read().strip()
+                age = _time.time() - _os.path.getmtime(marker)
+            except FileNotFoundError:
+                continue  # another recovery swept it: retry the mint
+            if got:
+                return got
+            if age > _GRACE_S:
+                # torn (pre-r15) marker: provably not mid-write — clear
+                try:
+                    _os.unlink(marker)
+                except FileNotFoundError:
+                    pass
+            else:
+                _time.sleep(0.2)  # young: let a racer finish its write
+        raise ValueError(
+            f"run_id marker at {marker} is empty after re-mint — "
+            "filesystem is misbehaving; remove the marker file manually"
+        )
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    root = checkpoint.rstrip("/")
     marker = HPath(root + "/run_id")
     fs = marker.getFileSystem(hconf)
-    for _attempt in range(2):
+    for _attempt in range(3):
         if not fs.exists(marker):
-            if fs.exists(HPath(root + "/offsets")):
-                # pre-marker lineage: reproduce the historical prefix
-                run = "r" + hashlib.md5(
-                    _os.path.abspath(checkpoint).encode()
-                ).hexdigest()[:8]
-            else:
-                run = "r" + uuid.uuid4().hex[:12]
+            run = _fresh_id(fs.exists(HPath(root + "/offsets")))
             fs.mkdirs(marker.getParent())
             try:
-                out = fs.create(marker, False)  # exclusive: refuses existing
+                out = fs.create(marker, False)  # exclusive on HDFS
                 try:
                     out.writeBytes(run)
                 finally:
                     out.close()
             except Exception:
                 pass  # racer won the create — read theirs below
-        ins = fs.open(marker)
+        try:
+            ins = fs.open(marker)
+        except Exception:
+            continue  # swept between exists() and open(): retry
         try:
             got = jvm.org.apache.commons.io.IOUtils.toString(
                 ins, "UTF-8"
@@ -218,8 +276,18 @@ def _checkpoint_run_id(spark, checkpoint: str) -> str:
             ins.close()
         if got:
             return got
-        # torn (pre-hardening) marker: clear and re-mint once
-        fs.delete(marker, False)
+        # empty marker: only clear it once it is old enough that no
+        # racer can still be between create and write (r14 ADVICE)
+        try:
+            age_ms = _time.time() * 1000.0 - fs.getFileStatus(
+                marker
+            ).getModificationTime()
+        except Exception:
+            continue
+        if age_ms > _GRACE_S * 1000.0:
+            fs.delete(marker, False)
+        else:
+            _time.sleep(0.2)
     raise ValueError(
         f"run_id marker at {marker} is empty after re-mint — "
         "filesystem is misbehaving; remove the marker file manually"
