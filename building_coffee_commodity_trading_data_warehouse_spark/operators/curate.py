@@ -499,12 +499,15 @@ def dsir_importance(
         / (F.col("__sc_t") + F.col("__sc_v")).cast("double")
     )
     scored = (
-        per_doc_term.withColumn("c_r", F.sum("cnt").over(wterm))
-        .withColumn(
-            "c_t",
+        per_doc_term.select(
+            "*",
+            # both sums in ONE select so they land in a single Window
+            # node (chained withColumn interposes a Project that
+            # defeats CollapseWindow — pinned by test_plan_shapes)
+            F.sum("cnt").over(wterm).alias("c_r"),
             F.sum(
                 F.when(F.col("__t"), F.col("cnt")).otherwise(F.lit(0))
-            ).over(wterm),
+            ).over(wterm).alias("c_t"),
         )
         .join(F.broadcast(scalars))
         .select(

@@ -604,17 +604,25 @@ def test_zorder_write_narrows_per_file_ranges(spark, sf_dir, tmp_path):
 
 
 def test_dsir_single_explode_and_scalar_broadcast(spark, sf_dir):
-    """DSIR importance: the token explode+count feeds three consumers —
-    it must be persisted (InMemoryTableScan) so the corpus explodes
-    ONCE; the three corpus scalars must arrive as a 1-row broadcast
-    (BroadcastNestedLoopJoin), and no window may appear at all."""
+    """DSIR importance (r15 shape): the token explode+count feeds both
+    consumers — it must be persisted (InMemoryTableScan) so the corpus
+    explodes ONCE; the three corpus scalars must arrive as a 1-row
+    broadcast (BroadcastNestedLoopJoin); the per-term c_r/c_t stats
+    ride ONE term-keyed window over the scored pass's own exchange
+    (guide §2.4 — the r14 shape built, persisted and equi-joined a
+    separate per_term table: one more exchange, one more cached
+    frame); and NO per-term equi-join (SortMergeJoin/ShuffledHashJoin)
+    may appear."""
     from building_coffee_commodity_trading_data_warehouse_spark.operators import curate
 
     docs = catalog.table(spark, sf_dir, "documents")
     plan = explain.plan_string(curate.dsir_importance(docs, ["src0", "src1"]))
     assert "InMemoryTableScan" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
-    assert "windowspecdefinition" not in plan
+    # one window partition spec (term), evaluating both sums together
+    assert plan.count("Window [") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
     # exactly one documents file scan in the printed lineage outside
     # cached subtrees would be ideal; at minimum the explode-count
     # aggregate must not appear more than once outside InMemoryRelation
