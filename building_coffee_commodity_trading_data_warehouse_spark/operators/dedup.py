@@ -1274,6 +1274,19 @@ def _pq_write_dir(dirpath: str, table) -> None:
     _os.replace(tmp, _os.path.join(dirpath, "part-00000.parquet"))
 
 
+# Index tables whose size is comparable to (or larger than) the
+# corpus itself: a rebalance-before-write would add ONE FULL extra
+# network pass of the biggest table at 100 TB for a file-sizing win
+# the scan-inherited partitioning already roughly delivers there
+# (shingle bytes ≈ n× the text bytes of the same scan split). The
+# NARROW tables (bands, sizes, hashes, centroids) are orders of
+# magnitude smaller than the input that sized their partitioning —
+# for them the rebalance shuffle is cheap and the sliver-file fix is
+# the win (guide §6). Locally shingles arrives as a handful of
+# partitions anyway, so exempting it costs nothing.
+_CORPUS_HEAVY_TABLES = {"shingles"}
+
+
 def _write_meta_sidecar(spark, path: str, meta_vals: dict) -> None:
     """The int-typed one-row ``meta`` sidecar. Local paths write it
     driver-side (schema identical to the Spark route: int32 columns);
@@ -1535,7 +1548,9 @@ def _write_index_batch(
     def _write_one(item):
         name, df = item
         pb = (partition_by or {}).get(name)
-        if not pb:
+        if name in _CORPUS_HEAVY_TABLES:
+            pass  # see _CORPUS_HEAVY_TABLES: never worth a full shuffle
+        elif not pb:
             # Size the batch's output files with an AQE REBALANCE
             # before the write (guide §6: aim for advisory-sized
             # files, not one sliver per upstream task). Index tables
@@ -1660,7 +1675,11 @@ def neardup_index_compact(
                 F.col("batch").cast("string").isin(fold)
             ).drop("batch")
         pb = (partition_by or {}).get(name)
-        if not pb:
+        if name in _CORPUS_HEAVY_TABLES:
+            pass  # see _CORPUS_HEAVY_TABLES — its committed-batch
+            # scan is already file-sized input, so the rewrite's
+            # output inherits sane sizing without a corpus shuffle
+        elif not pb:
             # same AQE rebalance as _write_index_batch (guide §6):
             # compaction exists to UNDO file-count bloat, so the
             # rewrite must not reproduce one file per scan task
